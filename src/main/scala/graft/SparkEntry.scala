@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filters.Filters
+import graft.functions.VectorFunctions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a §7.1-9
+  * scale extension), with matching ANSI SQL in `oracleSql` for the
+  * driver's DuckDB differential check. Column names and aliases are kept
+  * identical on both sides (the driver hash-compares after sorting
+  * columns by name). Floating-point outputs are rounded on both sides so
+  * last-ulp arithmetic differences between engines don't flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reproduces the reference's end-to-end example (vdb.py:73-104):
+    * build JSON docs → embed → dedup insert → filtered k-NN. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val db = new VectorDB(spark, "documents", warehouse, "hashing", Map("dim" -> "64"),
+      dim = 64, newTable = true)
+    // documents → JSON metadata docs (analogous to the pokemon fixture load)
+    val docs = spark.read.parquet(t(dir, "documents"))
+      .select(to_json(struct($"doc_id", $"text", $"lang", $"source", $"n_chars")).as("metadata"))
+      .as[String]
+    db.insert(docs, embedField = Some("text"))
+    db.insert(docs, embedField = Some("text")) // idempotent re-insert: dedup no-ops
+    db.query("spark filter join query", k = 5,
+      filters = Seq(Filters.Cmp("n_chars", Filters.CmpOp.Gt, 10),
+        Filters.Cmp("lang", Filters.CmpOp.Eq, "en"))).toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: filtered k-NN (P1, F1, T1-T3, D1) ----
+    "vdb_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select($"vec_id",
+          round(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
+        .orderBy($"distance".asc, $"vec_id".asc)
+        .limit(10)
+    }),
+    "vdb_knn_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      emb.where($"label" === 2)
+        .crossJoin(broadcast(q))
+        .select($"vec_id",
+          round(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
+        .orderBy($"distance".asc, $"vec_id".asc)
+        .limit(5)
+    }),
+    // ---- reference parity: JSON-path filter compiler (P2-P4, P7) ----
+    "vdb_filter_json" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.where(Filters.compile(Seq(
+          Filters.Cmp("k", Filters.CmpOp.Gt, 50),
+          Filters.ColCmp("event_type", Filters.CmpOp.Eq, "click")), col("props")))
+        .select(col("event_id"))
+    }),
+    // ---- reference parity: dedup insert as anti-join + first-wins (J1, X2) ----
+    "vdb_insert_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val existing = docs.where($"doc_id" < 250)
+        .select(md5($"text").as("h")).distinct()
+      docs.select(md5($"text").as("h"), $"doc_id")
+        .join(existing, Seq("h"), "left_anti")
+        .groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    }),
+    // ---- engine breadth: grouped aggregation (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 0).as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 0).as("revenue"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+    // ---- engine breadth: global top-k (T3) on stored values (exact) ----
+    "q_topk_price" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(20)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "vdb_knn" ->
+      """SELECT e.vec_id,
+        |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
+    "vdb_knn_filtered" ->
+      """SELECT e.vec_id,
+        |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.label = 2
+        |ORDER BY distance, vec_id LIMIT 5""".stripMargin,
+    "vdb_filter_json" ->
+      """SELECT event_id FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |  AND event_type = 'click'""".stripMargin,
+    "vdb_insert_dedup" ->
+      """SELECT md5(d.text) AS h, min(d.doc_id) AS doc_id
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
+        |GROUP BY 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 0) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_topk_price" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+  )
 }

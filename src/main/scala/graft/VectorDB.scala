@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Result, VectorSchema}
+import graft.embed.{EmbedOps, Embedder, Embedders}
+import graft.filters.Filters
+import graft.functions.{JsonUuid5, VectorFunctions}
+import graft.table.VectorTable
+
+/** The engine facade — same capabilities as the reference's
+  * `ModalVectorDB` (vdb.py:13-68): named vector table + pluggable
+  * embedder + dedup insert + filtered k-NN query.
+  *
+  * Query lifecycle (SURVEY.md §3.1): embed the query text driver-side
+  * (the vector enters the plan as a literal, mirroring the reference's
+  * bound `?` parameter) → scan → filter → distance projection →
+  * distinct → orderBy(distance) → limit(k). Catalyst plans the
+  * sort+limit as `TakeOrderedAndProject` (per-partition top-k heaps,
+  * driver merge) — the same Top-N strategy DuckDB uses, but
+  * partition-parallel, so it scales out with executors.
+  */
+class VectorDB(
+    val spark: SparkSession,
+    val name: String,
+    val warehouse: String,
+    embedderName: String = "hashing",
+    embedderParams: Map[String, String] = Map.empty,
+    val dim: Int = 64,
+    newTable: Boolean = false) {
+
+  val embedder: Embedder = Embedders.forName(embedderName, embedderParams)
+  require(embedder.dim == dim, s"embedder dim ${embedder.dim} != table dim $dim")
+
+  val table = new VectorTable(spark, s"$warehouse/$name", dim).create(overwrite = newTable)
+
+  /** Bulk insert of JSON documents (reference `insert`, vdb.py:44-59).
+    * When `embeddings` is absent, texts are embedded partition-parallel
+    * (the reference's distributed `.map` fan-out); `embedField` selects a
+    * JSON field to embed instead of the whole document (vdb.py:52-56).
+    * Ids are UUIDv5 content hashes of the document (duckvdb.py:50). */
+  def insert(metadatas: Dataset[String], embedField: Option[String] = None): Unit = {
+    val docs = metadatas.toDF(VectorSchema.METADATA)
+    val withText = docs.withColumn("__text",
+      embedField match {
+        case Some(f) => coalesce(get_json_object(col(VectorSchema.METADATA), s"$$.$f"),
+          col(VectorSchema.METADATA))
+        case None => col(VectorSchema.METADATA)
+      })
+    val embedded = EmbedOps.withEmbedding(withText, "__text", embedderName, embedderParams)
+      .drop("__text")
+    insertEmbedded(embedded)
+  }
+
+  /** Insert with caller-precomputed embeddings (vdb.py:87). `df` must
+    * carry `metadata` (JSON text) and `embedding` columns. */
+  def insertEmbedded(df: DataFrame): Unit = {
+    val withId = df.withColumn(VectorSchema.ID, JsonUuid5.jsonUuid5Col(col(VectorSchema.METADATA)))
+    table.insert(withId)
+  }
+
+  /** Filtered k-NN by query text (vdb.py:61-64 → duckvdb.py:103-120). */
+  def query(text: String, k: Int = 10, filters: Seq[Filters.Pred] = Nil): Dataset[Result] =
+    queryByVector(embedder.embed(text), k, filters)
+
+  /** Filtered k-NN by query vector. */
+  def queryByVector(vec: Array[Float], k: Int = 10, filters: Seq[Filters.Pred] = Nil): Dataset[Result] = {
+    import spark.implicits._
+    require(vec.length == dim, s"query dim ${vec.length} != table dim $dim")
+    table.df
+      .where(Filters.compile(filters, col(VectorSchema.METADATA)))
+      .select(
+        col(VectorSchema.ID),
+        col(VectorSchema.METADATA),
+        VectorFunctions.cosineDistance(col(VectorSchema.EMBEDDING), typedlit(vec)).as("distance"))
+      .dropDuplicates() // the reference's SELECT DISTINCT (duckvdb.py:111)
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  def numRows: Long = table.numRows
+}

@@ -1,0 +1,94 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+/** Pluggable text-embedder fabric (SURVEY.md §2.8).
+  *
+  * Mirrors the reference's embedder surface — abstract
+  * `embed(text) -> vector` + dimensions + name-based registry lookup
+  * (embedders.py:18-32, vdb.py:21-27) — with Modal's container fan-out
+  * replaced by Spark partition parallelism: one embedder instance per
+  * partition (the reference's one-model-per-container `@modal.enter`
+  * pattern, embedders.py:83-87).
+  */
+trait Embedder extends Serializable {
+  def name: String
+  def dim: Int
+  def embed(text: String): Array[Float]
+  /** Bulk form (reference `.map(list[str])`, vdb.py:57). */
+  def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] = texts.map(embed)
+}
+
+/** Deterministic, dependency-free embedder: tokenize → signed feature
+  * hashing → L2 normalize. Stands in for SentenceTransformers
+  * (embedders.py:74-91) in this offline environment — preserves the
+  * pipeline contract (fixed dim, determinism, unit-norm) though not
+  * model semantics (SURVEY.md §7.4).
+  */
+case class HashingEmbedder(override val dim: Int = 64) extends Embedder {
+  override def name: String = "hashing"
+
+  private val tokenRe = "[a-z0-9]+".r
+
+  override def embed(text: String): Array[Float] = {
+    val acc = new Array[Double](dim)
+    for (tok <- tokenRe.findAllIn(text.toLowerCase)) {
+      val h = MurmurHash3.stringHash(tok, 0x9747b28c)
+      val idx = math.floorMod(h, dim)
+      val sign = if ((h & Int.MinValue) != 0) -1.0 else 1.0
+      acc(idx) += sign
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    out
+  }
+}
+
+/** Name → embedder registry (reference `modal.Cls.from_name`, vdb.py:23;
+  * unknown name raises, vdb.py:24-27). */
+object Embedders {
+  def forName(name: String, params: Map[String, String] = Map.empty): Embedder =
+    name match {
+      case "hashing" | "HashingEmbedder" =>
+        HashingEmbedder(params.getOrElse("dim", "64").toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unknown embedder: $other")
+    }
+}
+
+object EmbedOps {
+  /** Adds an embedding column by running the named embedder once per
+    * partition over `textCol` — the Spark-native analogue of the
+    * reference's distributed embedding map (U3, vdb.py:57). Instantiating
+    * inside `mapPartitions` (not per row, not on the driver) mirrors the
+    * one-model-per-container pattern and is what survives a 1000-executor
+    * scale-out: no driver round-trips, no shared state.
+    */
+  def withEmbedding(
+      df: DataFrame,
+      textCol: String,
+      embedderName: String,
+      params: Map[String, String] = Map.empty,
+      outCol: String = "embedding"): DataFrame = {
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val textIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val embedder = Embedders.forName(embedderName, params) // once per partition
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        Row.fromSeq(row.toSeq :+ embedder.embed(text))
+      }
+    }(enc)
+  }
+}

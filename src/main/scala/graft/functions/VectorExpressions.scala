@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Shared float-vector kernels. Computation is done in double precision
+  * over float32 inputs (widen-then-accumulate), sequential left-to-right,
+  * so interpreted eval and codegen produce bit-identical results. */
+object VectorKernels {
+  def cosineDistance(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"cosine_distance: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    }
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+  }
+
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    }
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def l2Norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** Cosine distance between two float32 vectors, as a native Catalyst
+  * expression with whole-stage codegen (SURVEY.md §2.7 F1; reference
+  * `array_cosine_distance`, duckvdb.py:104,111). A dimension mismatch
+  * throws at execution, mirroring the reference's cast failure when the
+  * query vector's dim differs from the table's. */
+case class CosineDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(GraftBridge.floatArrayType, GraftBridge.floatArrayType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineDistance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_distance: dimension mismatch (" +
+         |    $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.getFloat($i);
+         |  final double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 1.0 : 1.0 - $dot / $denom;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two float32 vectors (building block for similarity
+  * search over pre-normalized embeddings, where cosine ∝ dot). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(GraftBridge.floatArrayType, GraftBridge.floatArrayType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_product: dimension mismatch (" +
+         |    $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API + SQL registration for the custom vector expressions. */
+object VectorFunctions {
+  def cosineDistance(a: Column, b: Column): Column =
+    GraftBridge.column(CosineDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Registers `cosine_distance` / `dot_product` for use from SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_distance", exprs => CosineDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+
+/** Minimal bridge into `private[sql]` Spark internals, isolated in one
+  * place: Column ↔ Expression conversion (the supported internal path in
+  * Spark 4's classic API) and the `AbstractDataType` used by
+  * `ExpectsInputTypes`. Lives under `org.apache.spark.sql` solely to
+  * satisfy the package-private access — contains no Spark code. */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  val floatArrayType: AbstractDataType = ArrayType(FloatType)
+  type AbstractDT = AbstractDataType
+}

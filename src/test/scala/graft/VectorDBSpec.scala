@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.embed.{Embedders, HashingEmbedder}
+import graft.filters.Filters
+import graft.filters.Filters._
+
+/** End-to-end engine semantics, mirroring the reference's de-facto
+  * acceptance test (`main()`, vdb.py:73-104): insert → count → dedup
+  * re-insert → unfiltered query → filtered query. */
+class VectorDBSpec extends SparkSpec with Matchers {
+
+  private def newDb(name: String) = {
+    val wh = Files.createTempDirectory("graft-test").toString
+    new VectorDB(spark, name, wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+  }
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      s"""{"id": $i, "text": "doc number $i about ${if (i % 2 == 0) "spark joins" else "duck ponds"}", "group": ${i % 3}}""")
+      .toDS()
+  }
+
+  test("insert assigns uuid5 ids and is idempotent (dedup-on-insert)") {
+    val db = newDb("t1")
+    db.insert(docs(20), embedField = Some("text"))
+    db.numRows shouldBe 20
+    db.insert(docs(20), embedField = Some("text")) // same content → all skipped
+    db.numRows shouldBe 20
+    db.insert(docs(25), embedField = Some("text")) // 5 new docs
+    db.numRows shouldBe 25
+  }
+
+  test("within-batch duplicates collapse (first wins)") {
+    import spark.implicits._
+    val db = newDb("t2")
+    val dup = docs(5).union(docs(5))
+    db.insert(dup, embedField = Some("text"))
+    db.numRows shouldBe 5
+  }
+
+  test("query returns k nearest by cosine distance, ascending") {
+    val db = newDb("t3")
+    db.insert(docs(30), embedField = Some("text"))
+    val res = db.query("spark joins", k = 5).collect()
+    res.length shouldBe 5
+    res.map(_.distance).toSeq shouldBe res.map(_.distance).toSeq.sorted
+    // even docs embed "spark joins" text → all 5 nearest should be even ids
+    all(res.map(r => get("id", r.metadata).toInt % 2)) shouldBe 0
+  }
+
+  test("filtered query applies json-path predicates before ranking") {
+    val db = newDb("t4")
+    db.insert(docs(30), embedField = Some("text"))
+    val res = db.query("spark joins", k = 10, filters = Seq(Cmp("group", CmpOp.Eq, 1))).collect()
+    res.length should be > 0
+    all(res.map(r => get("group", r.metadata))) shouldBe "1"
+  }
+
+  test("query dim mismatch rejected") {
+    val db = newDb("t5")
+    db.insert(docs(3), embedField = Some("text"))
+    intercept[IllegalArgumentException](db.queryByVector(Array(1f, 2f), k = 1))
+  }
+
+  test("embedder registry: unknown name raises (vdb.py:24-27)") {
+    intercept[IllegalArgumentException](Embedders.forName("no-such-embedder"))
+  }
+
+  test("hashing embedder is deterministic and unit-norm") {
+    val e = HashingEmbedder(32)
+    val v1 = e.embed("the quick brown fox")
+    val v2 = e.embed("the quick brown fox")
+    v1.toSeq shouldBe v2.toSeq
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    norm shouldBe 1.0 +- 1e-6
+  }
+
+  private def get(field: String, json: String): String = {
+    import spark.implicits._
+    spark.range(1).select(get_json_object(lit(json), s"$$.$field")).head().getString(0)
+  }
+}
