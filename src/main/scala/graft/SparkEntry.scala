@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.filters.Filters
 import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.TextPrimitives._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +83,42 @@ object SparkEntry {
         .join(existing, Seq("h"), "left_anti")
         .groupBy($"h").agg(min($"doc_id").as("doc_id"))
     }),
+    // ---- LLM-pipeline dedup family (SURVEY.md §7.1-9) ----
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.exact(docs.union(docs.where($"doc_id" < 100)), "text", "doc_id")
+    }),
+    "dedup_jaccard_block" -> ((s, dir) =>
+      Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.8, blockCol = Some("source"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)),
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashes(s.read.parquet(t(dir, "documents")).where($"doc_id" < 200),
+        "doc_id", "text")
+    }),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), "doc_id", "text", maxHamming = 3)),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDups(s.read.parquet(t(dir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.7, blockCol = Some("label"))),
+    // ---- similarity search ----
+    "sim_knn_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.bruteTopK(emb.where($"vec_id" < 10), emb, k = 3)
+    }),
+    "sim_lsh_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.lshBucketTopK(emb.where($"vec_id" < 10), emb, k = 3, dim = 64)
+    }),
+    // ---- text analysis ----
+    "text_profile" -> ((s, dir) =>
+      TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
     // ---- engine breadth: grouped aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -103,8 +141,80 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (sim_lsh_ann: hyperplanes come from a splitmix64 PRNG with no SQL
+    * twin → rows-only check).
+    *
+    * The text/hash-heavy oracles are generated from the same
+    * TextPrimitives fragment builders the Spark side mirrors, so the
+    * two can't drift. */
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id < 100)
+        |GROUP BY 1""".stripMargin,
+    "dedup_jaccard_block" -> {
+      val base = s"SELECT doc_id, source, ${shinglesSql("ws", 3)} AS sh " +
+        s"FROM (SELECT doc_id, source, ${wordsSql("text")} AS ws FROM documents)"
+      s"""WITH base AS ($base)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(${jaccardSql("a.sh", "b.sh")}, 4) AS jaccard
+         |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE round(${jaccardSql("a.sh", "b.sh")}, 4) >= 0.8""".stripMargin
+    },
+    "dedup_minhash_lsh" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, ${simhashSql("hw")} AS simhash
+         |FROM (SELECT doc_id, list_transform(${wordsSql("text")}, w -> ${hexLongSql("w")}) AS hw
+         |      FROM documents WHERE doc_id < 200)""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${simhashSql("hw")} AS simhash
+         |  FROM (SELECT doc_id, list_transform(${wordsSql("text")}, w -> ${hexLongSql("w")}) AS hw
+         |        FROM documents)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "dedup_embed_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                        CAST(b.embedding AS DOUBLE[])), 4) AS distance
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                       CAST(b.embedding AS DOUBLE[])), 4) <= 0.7""".stripMargin,
+    "sim_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |             round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                              CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rn
+        |      FROM d)
+        |SELECT query_id, neighbor_id, distance FROM r WHERE rn <= 3""".stripMargin,
+    "text_profile" ->
+      s"""SELECT doc_id,
+         |       ${TextAnalysis.langIdSqlCase("ws")} AS pred_lang,
+         |       ${TextAnalysis.fingerprintSql("ws")} AS fingerprint,
+         |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
+         |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
+         |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
     "vdb_knn" ->
       """SELECT e.vec_id,
         |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

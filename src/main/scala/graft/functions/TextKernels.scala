@@ -1,0 +1,238 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Plain-Scala text/hash kernels backing the dedup + text-analysis
+  * expressions.
+  *
+  * Why kernels and not composed `functions._` columns: Spark's
+  * higher-order functions (transform/filter/aggregate) evaluate
+  * INTERPRETED, and project-collapsing inlines an aliased `split()`
+  * into every lambda use — an O(words²) regex blowup per row (observed:
+  * 220 s of CPU for 500 docs). Each kernel runs once per row inside
+  * whole-stage codegen via a single generated call.
+  *
+  * Semantics are pinned to the DuckDB oracle twins in
+  * [[graft.ops.TextPrimitives]]: md5-derived 60-bit hashes
+  * (`int(md5(s)[0:15], 16)`), `split(lower(text), "\s+")`
+  * tokenization, Spark `round` = HALF_UP.
+  */
+object TextKernels {
+  private val ws = Pattern.compile("\\s+")
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 60-bit non-negative hash: first 15 hex chars of md5 as a long
+    * (oracle twin: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)). */
+  def hexLong(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** Lowercase whitespace tokenization; limit -1 matches Spark `split`. */
+  def words(text: String): Array[String] = ws.split(text.toLowerCase, -1)
+
+  /** Distinct word n-gram shingles, first-occurrence order. */
+  def shingles(w: Array[String], n: Int): Array[String] = {
+    if (w.length < n) return Array.empty
+    val seen = new mutable.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= w.length - n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(w(i + o))
+        o += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray
+  }
+
+  /** MinHash signature: k salted minima (H(i ++ ":" ++ s)). */
+  def minhashSig(sh: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val prefix = i.toString + ":"
+      var j = 0
+      var m = Long.MaxValue
+      while (j < sh.length) {
+        val h = hexLong(prefix + sh(j))
+        if (h < m) m = h
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: md5 over comma-joined signature slices. */
+  def bandKeys(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[String] =
+    Array.tabulate(bands) { j =>
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(j * rowsPerBand + r))
+        r += 1
+      }
+      md5Hex(sb.toString)
+    }
+
+  /** 60-bit SimHash over the word multiset: bit j set iff more than half
+    * the words have bit j of their 60-bit hash set. */
+  def simhash(w: Array[String], bits: Int = 60): Long = {
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < w.length) {
+      val h = hexLong(w(i))
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) * 2 > w.length) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Spark round(x, s) semantics (HALF_UP on the double value). */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    JBigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+}
+
+/** Distinct word n-gram shingles of lowercased text. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles"
+
+  def compute(text: UTF8String): ArrayData = {
+    val sh = TextKernels.shingles(TextKernels.words(text.toString), n)
+    new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[ShinglesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature (array<long>) over a shingle array. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val sh = new Array[String](arr.numElements())
+    var i = 0
+    while (i < sh.length) { sh(i) = arr.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(TextKernels.minhashSig(sh, k))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSigExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band keys (array<string> md5s) over a MinHash signature. */
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "band_keys"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val keys = TextKernels.bandKeys(arr.toLongArray(), bands, rowsPerBand)
+    new GenericArrayData(keys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandKeysExpr", this, classOf[BandKeysExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 60-bit SimHash of lowercased text. */
+case class SimhashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  def compute(text: UTF8String): Long =
+    TextKernels.simhash(TextKernels.words(text.toString))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimhashExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExprs {
+  def shingles(c: Column, n: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(c), n))
+  def minhashSig(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k))
+  def bandKeys(c: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(BandKeysExpr(GraftBridge.expression(c), bands, rowsPerBand))
+  def simhash(c: Column): Column =
+    GraftBridge.column(SimhashExpr(GraftBridge.expression(c)))
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExprs, VectorFunctions}
+import graft.ops.TextPrimitives.jaccard
+
+/** Deduplication operators for large-scale document pipelines —
+  * the scale extensions mandated by BASELINE.json on top of the
+  * reference's exact dedup-on-insert (duckvdb.py:56-61).
+  *
+  * Scale design notes (100 TB):
+  *  - exact: one hash-shuffle on the 32-byte digest, not the document.
+  *  - minhashLsh: candidate generation shuffles (band, key) pairs —
+  *    O(docs × bands) small rows — instead of O(n²) pairs; exact
+  *    Jaccard verification only on bucket collisions. This is the
+  *    standard shingle→minhash→band→bucket-join pipeline.
+  *  - simhash: 60-bit signature per doc; near-dup pairs via band-join
+  *    on signature quarters (any pair within hamming ≤ 3 must share at
+  *    least one of 4 quarters by pigeonhole).
+  *  - embedding near-dup: blocked self-join (caller supplies the
+  *    blocking column, e.g. an LSH bucket or cluster label) so the
+  *    cross product never materializes globally.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (min orderCol) row per content hash.
+    * Survivor list with duplicate counts. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** All-pairs n-gram Jaccard near-dup within optional blocks.
+    * Exact semantics (no approximation) — quadratic per block, so only
+    * viable when a blocking column bounds block size; the scalable
+    * unblocked path is [[minhashLshPairs]]. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blockCol: Option[String]): DataFrame = {
+    val sh = df.select(col(idCol), TextExprs.shingles(col(textCol), n).as("sh"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("blk"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures (k salted-md5 minima over n-gram shingles). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(col(idCol), TextExprs.shingles(col(textCol), n).as("sh"))
+      .select(col(idCol), col("sh"), TextExprs.minhashSig(col("sh"), k).as("sig"))
+
+  /** Shingle → MinHash → band → bucket-join near-dup pairs, verified by
+    * exact Jaccard ≥ threshold. Deterministic (salted-md5 hash family),
+    * so results are reproducible across runs and engines. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    // Docs with no shingles (shorter than n words) are excluded: their
+    // all-identical "empty" signatures would otherwise bucket every
+    // short doc into one giant candidate clique.
+    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+      .where(size(col("sh")) > 0)
+      .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand))
+    val buckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.alias("x").join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sh = sigs.select(col(idCol), col("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash fingerprint per document. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextExprs.simhash(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
+    * signature-quarter banding: a pair within hamming ≤ 3 of a 60-bit
+    * signature shares at least one exact 15-bit quarter (pigeonhole),
+    * so the join is on (quarter index, quarter value), never all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
+    val quarters = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7fff)): _*)).as(Seq("q", "qv")))
+    quarters.alias("x").join(quarters.alias("y"),
+        col("x.q") === col("y.q") && col("x.qv") === col("y.qv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocks. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, blockCol: Option[String]): DataFrame = {
+    val base = df.select(col(idCol), col(embCol),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val a = base.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), col("blk"))
+    val b = base.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4).as("distance"))
+      .where(col("distance") <= threshold)
+  }
+}

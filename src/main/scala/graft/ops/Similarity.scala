@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per SURVEY.md §2.9 X1:
+  *  - [[bruteTopK]] — exact k-NN: distance to every candidate, then
+  *    per-query top-k via window rank. Embarrassingly parallel (the
+  *    query set broadcasts; candidates never shuffle), the correctness
+  *    baseline — and the reference's own live path (its HNSW index is
+  *    only built on bulk load, duckvdb.py:45).
+  *  - [[lshBucketTopK]] — approximate scale path: sign-random-projection
+  *    buckets (cosine LSH). Queries only compare against candidates
+  *    sharing a bucket in any of `tables` hash tables, turning the
+  *    global cross product into a bucket-local join. Deterministic
+  *    hyperplanes derived from a seed, so results are reproducible.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row.
+    * `queries`/`candidates`: (id, embedding). Self-matches excluded. */
+  def bruteTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** Bucket ids per hash table: `buckets` array<long>, index = table.
+    * Hyperplanes are derived deterministically from `seed` inside
+    * [[graft.functions.LshBucketsExpr]] (a native codegen expression),
+    * so executors recompute them identically — nothing to broadcast. */
+  def lshBuckets(
+      df: DataFrame, dim: Int, tables: Int, bits: Int, seed: Long,
+      embCol: String = "embedding"): DataFrame =
+    df.withColumn("buckets",
+      graft.functions.LshBucketsExpr(col(embCol), dim, tables, bits, seed))
+
+  /** Approximate top-k: compare each query only to candidates sharing
+    * an LSH bucket, then rank. Multi-probe recall comes from `tables`
+    * independent hash tables. */
+  def lshBucketTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
+      tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def explodeBuckets(df: DataFrame, idAs: String, embAs: String) =
+      lshBuckets(df, dim, tables, bits, seed, embCol)
+        .select(col(idCol).as(idAs), col(embCol).as(embAs),
+          posexplode(col("buckets")).as(Seq("t", "bk")))
+    val q = explodeBuckets(queries, "query_id", "q_emb")
+    val c = explodeBuckets(candidates, "neighbor_id", "c_emb")
+    val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    q.join(c, Seq("t", "bk"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
+      .distinct() // a pair can collide in several tables
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+}

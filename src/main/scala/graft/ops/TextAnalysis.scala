@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextPrimitives._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs), each with a
+  * DuckDB-SQL twin for the differential oracle. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Deterministic and oracle-expressible; a
+    * production system would swap in larger lexicons — the operator
+    * shape (array-overlap scoring over tokenized text) is the point. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "para", "en"))
+
+  val langs = Seq("en", "de", "fr", "es") // fixed order = deterministic ties
+
+  /** Language ID oracle twin: hit-count of each language's stopword list
+    * over the token multiset; highest count wins (first in `langs` order
+    * on tie), "und" (undetermined) when nothing hits. */
+  def langIdSqlCase(wsSql: String): String = {
+    def hit(l: String) =
+      s"len(list_filter($wsSql, w -> w IN (${stopwords(l).map(s => s"'$s'").mkString(", ")})))"
+    val best = s"greatest(${langs.map(hit).mkString(", ")})"
+    val arms = langs.map(l => s"WHEN ${hit(l)} = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"CASE $arms ELSE 'und' END"
+  }
+
+  /** Heuristic quality score in [0,1] (oracle twin): blend of length
+    * band, mean word length band, alphanumeric ratio and stopword ratio.
+    * The exact blend is arbitrary (as in any production quality filter);
+    * what matters is that it's deterministic and engine-portable. */
+  def qualitySqlSelect(textSql: String, wsSql: String): String = {
+    val nChars = s"length($textSql)"
+    val nWords = s"len($wsSql)"
+    val meanWordLen = s"($nChars - $nWords + 1)::DOUBLE / $nWords"
+    val alnumRatio = s"CASE WHEN $nChars = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE length(regexp_replace($textSql, '[^a-z0-9]', '', 'g'))::DOUBLE / $nChars END"
+    val stopRatio =
+      s"len(list_filter($wsSql, w -> w IN (${stopwords("en").map(s => s"'$s'").mkString(", ")})))::DOUBLE / $nWords"
+    // CAST(... AS DOUBLE) everywhere: DuckDB parses bare 0.3 as DECIMAL,
+    // Spark as double — the arithmetic must match bit-for-bit.
+    val lenScore = s"CASE WHEN $nChars BETWEEN 100 AND 2000 THEN CAST(1.0 AS DOUBLE) WHEN $nChars BETWEEN 30 AND 99 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END"
+    val wordScore = s"CASE WHEN $meanWordLen BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END"
+    s"""$nWords AS n_words,
+       |round($meanWordLen, 4) AS mean_word_len,
+       |round($alnumRatio, 4) AS alnum_ratio,
+       |round($stopRatio, 4) AS stop_ratio,
+       |round($lenScore * CAST(0.3 AS DOUBLE) + $wordScore * CAST(0.2 AS DOUBLE) + $alnumRatio * CAST(0.3 AS DOUBLE) + $stopRatio * CAST(0.2 AS DOUBLE), 4) AS quality""".stripMargin
+  }
+
+  /** Token counts (oracle twin): whitespace words plus a BPE-ish subword
+    * estimate (letter runs, digits, and punctuation as separate tokens). */
+  def tokenSqlSelect(textSql: String, wsSql: String): String =
+    s"""len($wsSql) AS ws_tokens,
+       |len(regexp_extract_all(lower($textSql), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS bpe_tokens""".stripMargin
+
+  /** Content fingerprint oracle twin: md5 over the sorted distinct token
+    * set — invariant to word order and duplication (a canonical
+    * bag-of-words fingerprint for clustering/exact-bag dedup). */
+  def fingerprintSql(wsSql: String): String =
+    s"md5(array_to_string(list_sort(list_distinct($wsSql)), ' '))"
+
+  /** Full document profile in one kernel pass per row
+    * ([[graft.functions.TextProfileExpr]]). */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextProfileExpr.col(col(textCol), stopwords, langs).as("p"))
+      .select(col(idCol), col("p.*"))
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared text/hash primitives used by the dedup + text-analysis
+  * operators, defined ONCE with both a Spark `Column` form and an
+  * equivalent DuckDB SQL fragment (for `SparkEntry.oracleSql`) so the
+  * engine and the differential oracle can't drift apart.
+  *
+  * All hashing is md5-derived (both engines implement identical md5),
+  * mapped to a 60-bit non-negative int via the first 15 hex chars —
+  * `H(s) = int(md5(s)[0:15], 16)`. Salted variants `H_i(s) = H(i ++ ':' ++ s)`
+  * give the independent hash family for MinHash (no modular arithmetic →
+  * no overflow-semantics mismatch between engines).
+  */
+object TextPrimitives {
+
+  // ---------- Spark Column forms ----------
+  // (The heavy kernels — shingles, minhash, band keys, simhash — live in
+  // graft.functions.TextKernels as native codegen expressions; only
+  // builtin-composable helpers remain as Columns.)
+
+  /** Lowercased whitespace tokenization. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Jaccard similarity of two distinct-element arrays (builtin set ops,
+    * fully codegen'd). Total function: two empty sets → 0.0 (not a
+    * divide-by-zero — ANSI mode would throw on short/empty docs). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  // ---------- DuckDB SQL fragment forms (oracle twins) ----------
+
+  def wordsSql(text: String): String = s"regexp_split_to_array(lower($text), '\\s+')"
+
+  def hexLongSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  def hexLongSaltedSql(i: String, s: String): String =
+    hexLongSql(s"CAST($i AS VARCHAR) || ':' || $s")
+
+  def shinglesSql(ws: String, n: Int): String = {
+    val gram = (0 until n).map(o => s"$ws[i + ${o + 1}]").mkString(" || ' ' || ")
+    s"CASE WHEN len($ws) >= $n THEN list_distinct(list_transform(range(len($ws) - ${n - 1}), i -> $gram)) ELSE [] END"
+  }
+
+  def jaccardSql(a: String, b: String): String =
+    s"CASE WHEN len(list_distinct($a || $b)) = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b)) END"
+
+  def minhashSigSql(sh: String, k: Int): String =
+    s"list_transform(range($k), i -> list_aggregate(list_transform($sh, s -> ${hexLongSaltedSql("i", "s")}), 'min'))"
+
+  def bandKeysSql(sig: String, bands: Int, rowsPerBand: Int): String = {
+    val slice = (0 until rowsPerBand)
+      .map(r => s"CAST($sig[j * $rowsPerBand + ${r + 1}] AS VARCHAR)").mkString(" || ',' || ")
+    s"list_transform(range($bands), j -> md5($slice))"
+  }
+
+  def simhashSql(hw: String, bits: Int = 60): String =
+    (0 until bits).map { j =>
+      s"CASE WHEN len(list_filter($hw, h -> (h >> $j) & 1 = 1)) * 2 > len($hw) THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec with Matchers {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),        // near dup of 1
+      (4L, "completely different content about spark aggregation engines"),
+      (5L, "an unrelated short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per content hash with counts") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    r shouldBe Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L))
+  }
+
+  test("jaccard pairs find the near-dup, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, blockCol = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // identical
+    pairs should contain((1L, 3L)) // near dup
+    pairs should not contain ((1L, 4L))
+    pairs should not contain ((4L, 5L))
+  }
+
+  test("minhash LSH finds high-jaccard pairs with exact verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should not contain ((1L, 4L))
+    // verified jaccard means no false positives above threshold
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.subsetOf(all) shouldBe true
+  }
+
+  test("simhash: identical docs share signature; near dups are close") {
+    val sh = Dedup.simhashes(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be < 15
+    java.lang.Long.bitCount(sh(1L) ^ sh(4L)) should be > 10
+  }
+
+  test("simhash pairs via quarter banding = full pairwise for hamming<=3") {
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference
+    val sh = Dedup.simhashes(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    banded shouldBe brute
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(0.99f, 0.1f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f), 0), (4L, Seq(1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.1, Some("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L)) // 3 is orthogonal; 4 in another block
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec with Matchers {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    // 3 clusters along axes + the query near cluster 0
+    Seq(
+      (0L, Seq(1f, 0.01f, 0f, 0f)), (1L, Seq(0.95f, 0.05f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0.98f, 0.02f, 0f)), (5L, Seq(0f, 0f, 1f, 0f)),
+      (6L, Seq(0.01f, 0f, 0.99f, 0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteTopK returns exact nearest neighbors, self excluded") {
+    import spark.implicits._
+    val res = Similarity.bruteTopK(vecs.where($"vec_id" === 0), vecs, k = 2).collect()
+    res.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L) // same-cluster neighbors
+    res.map(_.getLong(0)).distinct.toSeq shouldBe Seq(0L)
+  }
+
+  test("lshBucketTopK finds the same top-1 as brute force on separated clusters") {
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(vecs.where($"vec_id" <= 1), vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshBucketTopK(vecs.where($"vec_id" <= 1), vecs, k = 1,
+        dim = 4, tables = 8, bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh shouldBe brute
+  }
+
+  test("lsh buckets are deterministic across invocations") {
+    val b1 = Similarity.lshBuckets(vecs, dim = 4, tables = 2, bits = 4, seed = 42L)
+      .select("buckets").collect().map(_.toString).toSeq
+    val b2 = Similarity.lshBuckets(vecs, dim = 4, tables = 2, bits = 4, seed = 42L)
+      .select("buckets").collect().map(_.toString).toSeq
+    b1 shouldBe b2
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TextAnalysis
+import graft.ops.TextPrimitives
+
+class TextAnalysisSpec extends SparkSpec with Matchers {
+
+  private def profile1(text: String) = {
+    import spark.implicits._
+    TextAnalysis.profile(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+  }
+
+  test("language id picks the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht in das haus und die katze"),
+      (3L, "le chat est dans la maison et les oiseaux"),
+      (4L, "el perro es un animal y los gatos para la casa"),
+      (5L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val r = profile1("Hello, world! 42 times")
+    r.getAs[Long]("ws_tokens") shouldBe 4L
+    // hello , world ! 4 2 times -> 7
+    r.getAs[Long]("bpe_tokens") shouldBe 7L
+  }
+
+  test("fingerprint is word-order and duplication invariant") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha")).toDF("doc_id", "text")
+    val fps = TextAnalysis.profile(df, "doc_id", "text").select("fingerprint")
+      .collect().map(_.getString(0))
+    fps(0) shouldBe fps(1)
+  }
+
+  test("quality score bounded in (0, 1]") {
+    val r = profile1("the data pipeline processes a batch of documents for training and it is fast")
+    val q = r.getAs[Double]("quality")
+    q should be > 0.0
+    q should be <= 1.0
+  }
+
+  test("hexLong is non-negative 60-bit and matches the duckdb formula") {
+    import graft.functions.TextKernels
+    val hs = Seq("a", "b", "the quick fox").map(TextKernels.hexLong)
+    all(hs) should be >= 0L
+    all(hs) should be < (1L << 60)
+    // duckdb: CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT) = 419982666956583591
+    TextKernels.hexLong("hello") shouldBe 419982666956583591L
+  }
+
+  test("shingles: distinct n-grams; short docs give empty array") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    val sh = Seq("a b c d", "a b").toDF("t")
+      .select(TextExprs.shingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    sh(0) shouldBe Seq("a b c", "b c d")
+    sh(1) shouldBe Seq.empty
+  }
+}
