@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filters.Filters
-import graft.functions.VectorFunctions
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{RoundPortableExpr, VectorFunctions}
+import graft.ops.{Dedup, MlAnn, Multimodal, Similarity, TextAnalysis}
 import graft.ops.TextPrimitives._
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,7 +51,7 @@ object SparkEntry {
       val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
       emb.crossJoin(broadcast(q))
         .select($"vec_id",
-          round(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
         .orderBy($"distance".asc, $"vec_id".asc)
         .limit(10)
     }),
@@ -61,7 +62,7 @@ object SparkEntry {
       emb.where($"label" === 2)
         .crossJoin(broadcast(q))
         .select($"vec_id",
-          round(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", $"qvec"), 4).as("distance"))
         .orderBy($"distance".asc, $"vec_id".asc)
         .limit(5)
     }),
@@ -119,15 +120,108 @@ object SparkEntry {
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
+    // ---- streaming: watermarked tumbling window, run as AvailableNow ----
+    "stream_window_agg" -> ((s, dir) =>
+      EventStream.runWindowedAggAvailableNow(s, dir)),
+    // ---- stateful sessionization, batch twin (stream variant in specs) ----
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val gapUs = 1800L * 1000000L
+      val lagUs = lag(unix_micros($"ts"), 1).over(w)
+      ev.withColumn("new_s",
+          when(lagUs.isNull || (unix_micros($"ts") - lagUs) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_s")
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+    // ---- multimodal: binary column plumbing ----
+    "mm_binary_stats" -> ((s, dir) =>
+      Multimodal.binaryStats(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))),
+    "mm_decode_stub" -> ((s, dir) =>
+      Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
+        .select(col("media_id"), col("features"))),
+    // ---- MLlib ANN / near-dup (seeded; rows-only checks) ----
+    "ml_ann_brp" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      MlAnn.brpTopK(emb.where($"vec_id" < 10), emb, k = 3)
+    }),
+    "ml_minhash_dedup" -> ((s, dir) =>
+      MlAnn.minhashLshJoin(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
+    // ---- engine breadth: joins ----
+    "q3_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          RoundPortableExpr.r(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 0).as("revenue"))
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val c = s.read.parquet(t(dir, "customer"))
+      val bigOrders = s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 300000)
+      c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- engine breadth: window top-n per group ----
+    "q_window_topn" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      s.read.parquet(t(dir, "orders"))
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    }),
+    // ---- engine breadth: set ops ----
+    "q_intersect" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "customer")).where($"c_acctbal" > 8000)
+        .select($"c_custkey".as("custkey"))
+        .intersect(s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 300000)
+          .select($"o_custkey".as("custkey")))
+    }),
+    "q_except" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "customer")).where($"c_acctbal" > 5000)
+        .select($"c_custkey".as("custkey"))
+        .except(s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 200000)
+          .select($"o_custkey".as("custkey")))
+    }),
+    // ---- engine breadth: rollup ----
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), RoundPortableExpr.r(sum($"l_quantity"), 0).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"), $"cnt", $"sum_qty")
+    }),
+    // ---- reference parity: utils.py suffix-operator filter surface (P8) ----
+    "vdb_filter_suffix" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      p.where(Filters.compile(Seq(
+          Filters.ColIn("p_brand", Seq("Brand#1", "Brand#7", "Brand#13")),
+          Filters.ColBetween("p_size", 10, 30),
+          Filters.ColCmp("p_name", Filters.CmpOp.Like, "%a%")), lit(null)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    }),
     // ---- engine breadth: grouped aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(t(dir, "lineitem"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 0).as("sum_qty"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 0).as("revenue"),
-          round(avg($"l_discount"), 6).as("avg_disc"),
+          RoundPortableExpr.r(sum($"l_quantity"), 0).as("sum_qty"),
+          RoundPortableExpr.r(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 0).as("revenue"),
+          RoundPortableExpr.r(avg($"l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
     }),
     // ---- engine breadth: global top-k (T3) on stored values (exact) ----
@@ -149,6 +243,69 @@ object SparkEntry {
     * TextPrimitives fragment builders the Spark side mirrors, so the
     * two can't drift. */
   def oracleSql: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+        |       CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+        |       CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+        |       CAST(length(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "q3_join" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "vdb_filter_suffix" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+        |  AND p_size BETWEEN 10 AND 30
+        |  AND p_name LIKE '%a%'""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id < 100)

@@ -67,7 +67,10 @@ case class LshBucketsExpr(child: Expression, dim: Int, tables: Int, bits: Int, s
         if (dot > 0) bucket |= (1L << b)
         b += 1
       }
-      out(t) = bucket
+      // table index encoded into the id → bucket ids are globally unique
+      // across tables, so a flat arrays_overlap is a correct any-table
+      // bucket-collision test (used by AnnRewriteRule).
+      out(t) = (t.toLong << bits) | bucket
       t += 1
     }
     new GenericArrayData(out)

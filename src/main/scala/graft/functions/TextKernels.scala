@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.regex.Pattern
@@ -137,9 +136,6 @@ object TextKernels {
     out
   }
 
-  /** Spark round(x, s) semantics (HALF_UP on the double value). */
-  def roundHalfUp(x: Double, scale: Int): Double =
-    JBigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
 }
 
 /** Distinct word n-gram shingles of lowercased text. */

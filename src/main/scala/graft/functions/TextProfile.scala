@@ -10,7 +10,8 @@ import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.TextKernels.{md5Hex, roundHalfUp, words}
+import graft.functions.TextKernels.{md5Hex, words}
+import graft.functions.PortableRounding.{round => pround}
 
 /** One-pass document profile: language ID, content fingerprint, quality
   * metrics, token counts — a single kernel expression so the whole
@@ -76,7 +77,7 @@ case class TextProfileExpr(child: Expression, stopwords: Map[String, Seq[String]
     val stopRatio = stopHits.toDouble / nWords
     val lenScore = if (nChars >= 100 && nChars <= 2000) 1.0 else if (nChars >= 30 && nChars <= 99) 0.5 else 0.2
     val wordScore = if (meanWordLen >= 3.0 && meanWordLen <= 10.0) 1.0 else 0.4
-    val quality = roundHalfUp(lenScore * 0.3 + wordScore * 0.2 + alnumRatio * 0.3 + stopRatio * 0.2, 4)
+    val quality = pround(lenScore * 0.3 + wordScore * 0.2 + alnumRatio * 0.3 + stopRatio * 0.2, 4)
 
     // token counts
     val m = bpePattern.matcher(ltext)
@@ -85,8 +86,8 @@ case class TextProfileExpr(child: Expression, stopwords: Map[String, Seq[String]
 
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(bestLang), UTF8String.fromString(fingerprint),
-      nWords.toLong, roundHalfUp(meanWordLen, 4), roundHalfUp(alnumRatio, 4),
-      roundHalfUp(stopRatio, 4), quality, nWords.toLong, bpe))
+      nWords.toLong, pround(meanWordLen, 4), pround(alnumRatio, 4),
+      pround(stopRatio, 4), quality, nWords.toLong, bpe))
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])

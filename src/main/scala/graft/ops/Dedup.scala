@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextExprs, VectorFunctions}
+import graft.functions.{RoundPortableExpr, TextExprs, VectorFunctions}
 import graft.ops.TextPrimitives.jaccard
 
 /** Deduplication operators for large-scale document pipelines —
@@ -33,21 +33,31 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** All-pairs n-gram Jaccard near-dup within optional blocks.
-    * Exact semantics (no approximation) — quadratic per block, so only
-    * viable when a blocking column bounds block size; the scalable
-    * unblocked path is [[minhashLshPairs]]. */
+  /** Exact n-gram Jaccard near-dup pairs within optional blocks, as a
+    * set-similarity join: explode shingles, equi-join on
+    * (block, shingle), count shared shingles per pair, then
+    * J = shared / (|A| + |B| − shared). Bit-identical to all-pairs
+    * Jaccard for any threshold > 0 (pairs sharing no shingle can never
+    * pass), but the join only materializes pairs that actually share a
+    * shingle — at 100 TB that's the difference between a cross product
+    * and a key-partitioned shuffle on (block, shingle). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockCol: Option[String]): DataFrame = {
+    require(threshold > 0, "set-similarity join requires a positive threshold")
     val sh = df.select(col(idCol), TextExprs.shingles(col(textCol), n).as("sh"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("blk"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("blk"))
-    a.join(b, Seq("blk"))
+    val ex = sh.select(col(idCol), col("blk"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val a = ex.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("blk"), col("s"))
+    val b = ex.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("blk"), col("s"))
+    a.join(b, Seq("blk", "s"))
       .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        RoundPortableExpr.r(col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")), 4)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -79,7 +89,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        RoundPortableExpr.r(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -116,7 +126,7 @@ object Dedup {
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4).as("distance"))
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4).as("distance"))
       .where(col("distance") <= threshold)
   }
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed batch ANN and near-dup — the "MLlib for batch embedding
+  * + approximate nearest neighbor" path from BASELINE.json / SURVEY.md
+  * §2.9 X1, complementing the hand-rolled LSH in [[Similarity]] and
+  * [[Dedup]] (which are oracle-checkable; these use MLlib's fitted
+  * models: seeded → deterministic per Spark version, rows-only checks).
+  *
+  * Cosine ∝ Euclidean on the unit sphere, so BucketedRandomProjectionLSH
+  * over L2-normalized vectors is a cosine ANN index: `fit` = batch index
+  * build (the analogue of the reference's HNSW build on bulk load,
+  * duckvdb.py:37-45), `approxSimilarityJoin` = index probe.
+  */
+object MlAnn {
+
+  private def toMlVec = udf { (arr: Seq[Float]) =>
+    val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+    val inv = if (n == 0.0) 0.0 else 1.0 / n
+    Vectors.dense(arr.map(_.toDouble * inv).toArray)
+  }
+
+  /** Normalized MLlib feature column from an Array[Float] embedding. */
+  def withNormalizedFeatures(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("features", toMlVec(col(embCol)))
+
+  /** Approximate cosine top-k via BucketedRandomProjectionLSH:
+    * index-build on candidates, similarity join, per-query rank. */
+  def brpTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      bucketLength: Double = 0.5, numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val cand = withNormalizedFeatures(candidates, embCol)
+    val qs = withNormalizedFeatures(queries, embCol)
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+      .fit(cand)
+    val joined = model.approxSimilarityJoin(qs, cand, 2.0, "euclid_dist")
+      .select(col(s"datasetA.$idCol").as("query_id"),
+        col(s"datasetB.$idCol").as("neighbor_id"),
+        // ||a-b||² = 2(1-cos) on unit vectors → cosine distance = d²/2
+        graft.functions.RoundPortableExpr.r(col("euclid_dist") * col("euclid_dist") / 2.0, 4).as("distance"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k).drop("rank")
+  }
+
+  /** MinHashLSH near-dup join over shingle sets (sparse binary vectors
+    * indexed by shingle hash). */
+  def minhashLshJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, jaccardDistThreshold: Double = 0.2,
+      numHashTables: Int = 8, dim: Int = 1 << 20, seed: Long = 42L): DataFrame = {
+    val shingled = docs
+      .select(col(idCol), graft.functions.TextExprs.shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val toSparse = udf { (sh: Seq[String]) =>
+      val idx = sh.map(s => math.floorMod(s.hashCode, dim)).distinct.sorted.toArray
+      Vectors.sparse(dim, idx, Array.fill(idx.length)(1.0))
+    }
+    val feat = shingled.withColumn("features", toSparse(col("sh")))
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+      .fit(feat)
+    model.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "jaccard_dist")
+      .select(col(s"datasetA.$idCol").as("id_a"), col(s"datasetB.$idCol").as("id_b"),
+        graft.functions.RoundPortableExpr.r(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
+      .where(col("id_a") < col("id_b"))
+  }
+}

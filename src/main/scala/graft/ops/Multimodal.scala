@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batched decode,
+  * fixed-dim feature output — is real; the decoder itself is a STUB
+  * (this container has no image/audio codecs): it derives deterministic
+  * fake features from the bytes so the pipeline is testable end-to-end.
+  * Swap `decodeStub` for a real codec (JNI/FFmpeg/JPEG) without touching
+  * the plan shape.
+  *
+  * Scale notes: decode runs in `mapPartitions` (one decoder instance per
+  * partition, like the embedder fabric), so a 1000-executor cluster
+  * decodes 1000 partitions concurrently with no driver involvement, and
+  * the binary payload never shuffles — only the extracted features do.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Builds a deterministic fake media table from the documents fixture:
+    * content = utf-8 bytes of the text (stand-in for image bytes),
+    * metadata derived from doc fields. */
+  def fakeMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast(BinaryType).as("content"),
+      (when(col("doc_id") % 2 === 0, "image/png").otherwise("image/jpeg")).as("media_type"),
+      (col("n_chars") % 640 + 1).cast(IntegerType).as("width"),
+      (col("n_chars") % 480 + 1).cast(IntegerType).as("height"))
+
+  /** STUB decoder: a real implementation would decode image bytes and
+    * pool pixel features; this derives `featureDim` rolling statistics
+    * over the raw bytes — deterministic, codec-free, same output shape. */
+  def decodeStub(content: Array[Byte], featureDim: Int): Array[Float] = {
+    val acc = new Array[Double](featureDim)
+    var i = 0
+    while (i < content.length) {
+      acc(i % featureDim) += (content(i) & 0xff).toDouble / 255.0
+      i += 1
+    }
+    val out = new Array[Float](featureDim)
+    i = 0
+    while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
+    out
+  }
+
+  /** Partition-parallel batched decode/feature-extract over a binary
+    * column. The decoder is instantiated once per partition; rows stream
+    * through without materializing the whole partition. */
+  def withFeatures(media: DataFrame, featureDim: Int = 8, outCol: String = "features"): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      // real decoders initialize a codec context here, once per partition
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](contentIdx)
+        Row.fromSeq(row.toSeq :+ decodeStub(bytes, featureDim))
+      }
+    }(enc)
+  }
+
+  /** Byte-level stats of the binary column — pure column expressions,
+    * fully oracle-checkable (md5 over bytes = DuckDB md5 over the same
+    * text; length = octet_length). */
+  def binaryStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"), col("width"), col("height"),
+      length(col("content")).cast(LongType).as("n_bytes"),
+      md5(col("content")).as("content_md5"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{RoundPortableExpr, VectorFunctions}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -33,7 +33,7 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .drop("rank")
@@ -66,7 +66,7 @@ object Similarity {
     q.join(c, Seq("t", "bk"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
       .distinct() // a pair can collide in several tables
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session extensions wiring the engine into Spark SQL:
+  *
+  *  - registers the custom expressions as SQL functions
+  *    (`cosine_distance`, `dot_product`, `shingles`, `minhash_sig`,
+  *    `band_keys`, `simhash`, `lsh_buckets`), so `spark.sql("...")`
+  *    users get the same codegen kernels as the DataFrame API;
+  *  - injects [[AnnRewriteRule]], an opt-in optimizer rule that turns a
+  *    brute-force cosine top-k plan into an LSH-bucket-prefiltered one.
+  *
+  * Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_distance"),
+      info("cosine_distance", "cosine_distance(a, b) - cosine distance of two float vectors"),
+      (exprs: Seq[Expression]) => CosineDistance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text, n) - distinct lowercase word n-gram shingles"),
+      (exprs: Seq[Expression]) => ShinglesExpr(exprs(0), foldInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k salted-md5 minhash signature"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), foldInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("band_keys"),
+      info("band_keys", "band_keys(sig, bands, rowsPerBand) - LSH band bucket keys"),
+      (exprs: Seq[Expression]) => BandKeysExpr(exprs(0), foldInt(exprs(1)), foldInt(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("simhash"),
+      info("simhash", "simhash(text) - 60-bit simhash of lowercase words"),
+      (exprs: Seq[Expression]) => SimhashExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(emb, dim, tables, bits, seed) - cosine LSH bucket ids"),
+      (exprs: Seq[Expression]) => LshBucketsExpr(exprs(0), foldInt(exprs(1)),
+        foldInt(exprs(2)), foldInt(exprs(3)), foldLong(exprs(4)))))
+    ext.injectOptimizerRule(session => new AnnRewriteRule(session))
+  }
+
+  private def foldInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  private def foldLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"expected long literal, got $other")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.plans.AnnRewriteRule
+
+class AnnRewriteSpec extends SparkSpec with Matchers {
+
+  test("ANN rewrite injects an LSH bucket prefilter into brute-force knn plans") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+
+      val qvec = db.embedder.embed("topic 3 subject")
+      // rewrite OFF: plan has no arrays_overlap
+      val plainPlan = db.queryByVector(qvec, 10).queryExecution.optimizedPlan.toString
+      plainPlan should not include "arrays_overlap"
+      val exact = db.queryByVector(qvec, 10).collect().map(_.id).toSet
+
+      // rewrite ON: prefilter appears, and on clustered data recall holds
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      spark.conf.set("spark.graft.ann.bits", "2") // coarse buckets → high recall
+      spark.conf.set("spark.graft.ann.tables", "8")
+      val q = db.queryByVector(qvec, 10)
+      val annPlan = q.queryExecution.optimizedPlan.toString
+      annPlan should include("arrays_overlap")
+      val approx = q.collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.TextKernels
+
+/** GraftExtensions function-injection surface: the builders must produce
+  * working expressions (full withExtensions wiring needs a fresh
+  * SparkContext, so here the builders are exercised through the same
+  * registry path createOrReplaceTempFunction uses). */
+class ExtensionsSpec extends SparkSpec with Matchers {
+
+  test("extension-registered SQL functions evaluate the kernels") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingles",
+      exprs => graft.functions.ShinglesExpr(exprs(0), 3), "built-in")
+    reg.createOrReplaceTempFunction("simhash",
+      exprs => graft.functions.SimhashExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_distance",
+      exprs => graft.functions.CosineDistance(exprs(0), exprs(1)), "built-in")
+
+    val r = spark.sql(
+      """SELECT shingles('a b c d', 3) AS sh,
+        |       simhash('the quick brown fox') AS sim,
+        |       cosine_distance(array(1.0f, 0.0f), array(0.0f, 1.0f)) AS d""".stripMargin).head()
+    r.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    r.getLong(1) shouldBe TextKernels.simhash(Array("the", "quick", "brown", "fox"))
+    r.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
+  test("GraftExtensions class instantiates (spark.sql.extensions entry point)") {
+    new graft.plans.GraftExtensions() should not be null
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{MlAnn, Multimodal, Similarity}
+
+class MultimodalMlSpec extends SparkSpec with Matchers {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("multimodal: decode stub yields fixed-dim features, batch plumbing works") {
+    val media = Multimodal.fakeMediaTable(docs)
+    val feat = Multimodal.withFeatures(media, featureDim = 8)
+    val rows = feat.select("media_id", "features").limit(5).collect()
+    rows.length shouldBe 5
+    all(rows.map(_.getSeq[Float](1).length)) shouldBe 8
+    // deterministic: same input → same features
+    val again = Multimodal.withFeatures(media, featureDim = 8)
+      .select("media_id", "features").limit(5).collect()
+    rows.map(_.toString) shouldBe again.map(_.toString)
+  }
+
+  test("multimodal: binary stats match source columns") {
+    val stats = Multimodal.binaryStats(Multimodal.fakeMediaTable(docs))
+    val r = stats.limit(3).collect()
+    all(r.map(_.getAs[Long]("n_bytes"))) should be > 0L
+    all(r.map(_.getAs[String]("content_md5").length)) shouldBe 32
+  }
+
+  test("MLlib BRP-LSH ANN finds mostly the same neighbors as brute force") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = MlAnn.brpTopK(queries, emb, k = 3, numHashTables = 8, bucketLength = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-recall configuration: most exact neighbors recovered
+    (brute intersect approx).size.toDouble / brute.size should be >= 0.8
+  }
+
+  test("MLlib MinHashLSH finds the known near-dup pairs") {
+    import spark.implicits._
+    val withDup = docs.select($"doc_id", $"text").union(
+      docs.select($"doc_id" + 10000, $"text").where($"doc_id" < 5))
+    val pairs = MlAnn.minhashLshJoin(withDup, "doc_id", "text", jaccardDistThreshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i => pairs should contain((i.toLong, i + 10000L)) }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+
+class StreamingSpec extends SparkSpec with Matchers {
+
+  test("windowed agg over AvailableNow equals batch groupBy") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.runWindowedAggAvailableNow(spark, dir, "test_stream_agg")
+      .collect().map(_.toString).sorted
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted
+    streamed shouldBe batch
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Event]
+    def ev(id: Long, sec: Long, user: Long) =
+      Event(id, new Timestamp(sec * 1000), user, "click", 1.0)
+    // user 1: two sessions separated by a 2000s gap; user 2: one session
+    events.addData(
+      ev(1, 0, 1), ev(2, 100, 1), ev(3, 2500, 1), ev(4, 2600, 1),
+      ev(5, 50, 2))
+    val q = EventStream.sessionize(events.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("test_sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    // only the COMPLETED session (user 1's first) is emitted
+    val done = spark.table("test_sessions").as[SessionOut].collect().toSet
+    done shouldBe Set(SessionOut(1L, 0L, 2L))
+  }
+}
