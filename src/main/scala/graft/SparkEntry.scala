@@ -150,6 +150,11 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       MlAnn.brpTopK(emb.where($"vec_id" < 10), emb, k = 3)
     }),
+    "ml_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      MlAnn.ivfTopK(emb.where($"vec_id" < 10), emb, k = 3)
+    }),
     "ml_minhash_dedup" -> ((s, dir) =>
       MlAnn.minhashLshJoin(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
     // ---- engine breadth: joins ----

@@ -81,21 +81,45 @@ object TextKernels {
     seen.toArray
   }
 
-  /** MinHash signature: k salted minima (H(i ++ ":" ++ s)). */
+  /** 2^61 − 1, the Mersenne prime backing the affine MinHash family. */
+  val P61 = 2305843009213693951L
+
+  /** (a · b) mod (2^61 − 1) via a 128-bit intermediate: with
+    * x = hi·2^64 + lo, 2^64 ≡ 8 and 2^61 ≡ 1 (mod p), so
+    * x ≡ 8·hi + (lo >>> 61) + (lo & p). */
+  def mulModP61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var s = (hi << 3) + (lo >>> 61) + (lo & P61)
+    while (s >= P61) s -= P61
+    s
+  }
+
+  // Affine-family salts a_i = H("a:i") | 1, b_i = H("b:i"), memoized per k.
+  private val saltCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private def salts(k: Int): (Array[Long], Array[Long]) =
+    saltCache.computeIfAbsent(k, kk => (
+      Array.tabulate(kk)(i => hexLong("a:" + i) | 1L),
+      Array.tabulate(kk)(i => hexLong("b:" + i))))
+
+  /** MinHash signature: k minima of the affine family
+    * h_i(s) = (a_i · H(s) + b_i) mod (2^61 − 1) — ONE md5 per shingle,
+    * k cheap modular derivations (the salted-md5-per-i family costs k
+    * md5s per shingle, 16× the hashing for k = 16). */
   def minhashSig(sh: Array[String], k: Int): Array[Long] = {
+    val (as, bs) = salts(k)
     val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < k) {
-      val prefix = i.toString + ":"
-      var j = 0
-      var m = Long.MaxValue
-      while (j < sh.length) {
-        val h = hexLong(prefix + sh(j))
-        if (h < m) m = h
-        j += 1
+    var j = 0
+    while (j < sh.length) {
+      val h = hexLong(sh(j))
+      var i = 0
+      while (i < k) {
+        var v = mulModP61(as(i), h) + bs(i)
+        if (v >= P61) v -= P61
+        if (v < sig(i)) sig(i) = v
+        i += 1
       }
-      sig(i) = m
-      i += 1
+      j += 1
     }
     sig
   }

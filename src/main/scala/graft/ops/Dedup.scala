@@ -75,9 +75,14 @@ object Dedup {
     // Docs with no shingles (shorter than n words) are excluded: their
     // all-identical "empty" signatures would otherwise bucket every
     // short doc into one giant candidate clique.
+    // Persisted: the signature subtree feeds the bucket self-join AND
+    // both sides of the exact-verify join — without persist Spark
+    // recomputes the shingle+minhash kernels up to 5×. At cluster scale
+    // this is the "write the signature table once, reuse it" pattern.
     val sigs = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
       .where(size(col("sh")) > 0)
       .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
     val cand = buckets.alias("x").join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

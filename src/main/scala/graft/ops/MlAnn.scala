@@ -51,6 +51,57 @@ object MlAnn {
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k).drop("rank")
   }
 
+  /** IVF-Flat approximate cosine top-k: an MLlib KMeans coarse
+    * quantizer partitions the corpus into `nCells` Voronoi cells
+    * (= the inverted-file index build); each query probes only its
+    * `nProbe` nearest centroids and brute-forces within those cells.
+    *
+    * Scale shape: the centroid set (nCells × dim doubles) broadcasts to
+    * every executor, cell assignment is a map-side pass, and the
+    * probe is an equi-join on `cell` — candidates shuffle once, keyed
+    * by cell, so a 1000-executor cluster searches nProbe/nCells of the
+    * corpus per query instead of all of it. Recall is tunable via
+    * nProbe (nProbe = nCells degenerates to exact brute force). */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    val cand = withNormalizedFeatures(candidates, embCol)
+    // Quantizer fit: features column only (column-pruned scan) and few
+    // iterations — IVF recall depends on nProbe, not on a fully
+    // converged codebook; at cluster scale you'd fit on a sample.
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(cand.select("features"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // Assign candidates to their cell (map-side; model broadcasts).
+    val indexed = model.transform(cand)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cell"))
+    // Each query expands to its nProbe nearest cells.
+    val probeCells = udf { (v: Vector) =>
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var j = 0
+          while (j < c.length) { val a = v(j); val b = c(j); dot += a * b; na += a * a; nb += b * b; j += 1 }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          (if (denom == 0.0) 1.0 else 1.0 - dot / denom, i)
+        }
+        .sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val qs = withNormalizedFeatures(queries, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        explode(probeCells(col("features"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    qs.join(indexed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.RoundPortableExpr.r(
+          graft.functions.VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k).drop("rank")
+  }
+
   /** MinHashLSH near-dup join over shingle sets (sparse binary vectors
     * indexed by shingle hash). */
   def minhashLshJoin(

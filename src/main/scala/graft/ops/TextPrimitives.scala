@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.LongType
   *
   * All hashing is md5-derived (both engines implement identical md5),
   * mapped to a 60-bit non-negative int via the first 15 hex chars —
-  * `H(s) = int(md5(s)[0:15], 16)`. Salted variants `H_i(s) = H(i ++ ':' ++ s)`
-  * give the independent hash family for MinHash (no modular arithmetic →
-  * no overflow-semantics mismatch between engines).
+  * `H(s) = int(md5(s)[0:15], 16)`. The MinHash family is affine over one
+  * base hash, `h_i(s) = (a_i·H(s) + b_i) mod (2^61−1)` with
+  * `a_i = H("a:"+i) | 1`, `b_i = H("b:"+i)` — one md5 per shingle
+  * instead of k. Modular arithmetic is exact on both engines (Scala:
+  * 128-bit Mersenne fold via `Math.multiplyHigh`; DuckDB: HUGEINT).
   */
 object TextPrimitives {
 
@@ -38,9 +40,6 @@ object TextPrimitives {
 
   def hexLongSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
 
-  def hexLongSaltedSql(i: String, s: String): String =
-    hexLongSql(s"CAST($i AS VARCHAR) || ':' || $s")
-
   def shinglesSql(ws: String, n: Int): String = {
     val gram = (0 until n).map(o => s"$ws[i + ${o + 1}]").mkString(" || ' ' || ")
     s"CASE WHEN len($ws) >= $n THEN list_distinct(list_transform(range(len($ws) - ${n - 1}), i -> $gram)) ELSE [] END"
@@ -50,8 +49,13 @@ object TextPrimitives {
     s"CASE WHEN len(list_distinct($a || $b)) = 0 THEN CAST(0.0 AS DOUBLE) " +
       s"ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b)) END"
 
-  def minhashSigSql(sh: String, k: Int): String =
-    s"list_transform(range($k), i -> list_aggregate(list_transform($sh, s -> ${hexLongSaltedSql("i", "s")}), 'min'))"
+  def minhashSigSql(sh: String, k: Int): String = {
+    val aI = s"CAST((${hexLongSql("'a:' || CAST(i AS VARCHAR)")} | 1) AS HUGEINT)"
+    val bI = s"CAST(${hexLongSql("'b:' || CAST(i AS VARCHAR)")} AS HUGEINT)"
+    val hS = s"CAST(${hexLongSql("s")} AS HUGEINT)"
+    s"list_transform(range($k), i -> list_aggregate(list_transform($sh, s -> " +
+      s"CAST(($aI * $hS + $bI) % 2305843009213693951 AS BIGINT)), 'min'))"
+  }
 
   def bandKeysSql(sig: String, bands: Int, rowsPerBand: Int): String = {
     val slice = (0 until rowsPerBand)

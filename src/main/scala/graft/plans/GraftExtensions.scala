@@ -35,7 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingles", "shingles(text, n) - distinct lowercase word n-gram shingles"),
       (exprs: Seq[Expression]) => ShinglesExpr(exprs(0), foldInt(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(shingles, k) - k salted-md5 minhash signature"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-minima affine-family minhash signature"),
       (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), foldInt(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("band_keys"),
       info("band_keys", "band_keys(sig, bands, rowsPerBand) - LSH band bucket keys"),

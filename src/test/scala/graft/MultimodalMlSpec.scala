@@ -39,6 +39,20 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     (brute intersect approx).size.toDouble / brute.size should be >= 0.8
   }
 
+  test("IVF-Flat ANN: full probe equals brute force; partial probe has high recall") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe == nCells searches every cell → must equal brute force
+    val full = MlAnn.ivfTopK(queries, emb, k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full shouldBe brute
+    val partial = MlAnn.ivfTopK(queries, emb, k = 3, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (brute intersect partial).size.toDouble / brute.size should be >= 0.8
+  }
+
   test("MLlib MinHashLSH finds the known near-dup pairs") {
     import spark.implicits._
     val withDup = docs.select($"doc_id", $"text").union(
