@@ -74,6 +74,25 @@ object SparkEntry {
           Filters.ColCmp("event_type", Filters.CmpOp.Eq, "click")), col("props")))
         .select(col("event_id"))
     }),
+    // ---- reference parity: FULL filter mini-language over schemaless
+    // JSON metadata — nested path (P2), numeric cmp (P3), scalar-eq
+    // shorthand (P4), whole-array equality (P5), contains (P6), all
+    // AND-joined (P7). The metadata doc is built from documents columns
+    // so the oracle can construct its own JSON independently. ----
+    "vdb_filter_rich" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("metadata", to_json(struct($"lang", $"source",
+          struct($"n_chars".as("len")).as("base"),
+          array($"lang", $"source").as("tags"))))
+        .where(Filters.compile(Seq(
+            Filters.Cmp("base.len", Filters.CmpOp.Gt, 200),
+            Filters.Eq("lang", "en"),
+            Filters.Contains("tags", "src7"),
+            Filters.EqList("tags", Seq("en", "src7"))),
+          $"metadata"))
+        .select($"doc_id")
+    }),
     // ---- reference parity: dedup insert as anti-join + first-wins (J1, X2) ----
     "vdb_insert_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -394,6 +413,16 @@ object SparkEntry {
       """SELECT event_id FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |  AND event_type = 'click'""".stripMargin,
+    "vdb_filter_rich" ->
+      """WITH m AS (
+        |  SELECT doc_id, to_json(struct_pack(lang := lang, source := source,
+        |         base := struct_pack(len := n_chars), tags := [lang, source])) AS metadata
+        |  FROM documents)
+        |SELECT doc_id FROM m
+        |WHERE CAST(json_extract_string(metadata, '$.base.len') AS BIGINT) > 200
+        |  AND json_extract_string(metadata, '$.lang') = 'en'
+        |  AND list_contains(CAST(json_extract(metadata, '$.tags') AS VARCHAR[]), 'src7')
+        |  AND CAST(json_extract(metadata, '$.tags') AS VARCHAR[]) = ['en', 'src7']""".stripMargin,
     "vdb_insert_dedup" ->
       """SELECT md5(d.text) AS h, min(d.doc_id) AS doc_id
         |FROM documents d

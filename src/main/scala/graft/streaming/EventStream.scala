@@ -62,6 +62,22 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming dedup-insert: the reference's insert path (UUIDv5
+    * content id → skip duplicates → append, duckvdb.py:47-61) as a
+    * continuous ingest. `dropDuplicates` on the content id keeps
+    * per-key state; the watermark bounds that state — ids older than
+    * `watermark` are forgotten, so state size tracks the dedup window,
+    * not the table (at 100 TB an unbounded id set cannot live in
+    * executor state; the historical dedup is the batch anti-join at
+    * compaction time, this operator dedups the live window). */
+  def dedupInsertStream(
+      docs: DataFrame, metadataCol: String, tsCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("id", graft.functions.JsonUuid5.jsonUuid5Col(col(metadataCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("id")
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)

@@ -25,6 +25,27 @@ class StreamingSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming dedup-insert drops duplicate content ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(String, Timestamp)]
+    def d(json: String, sec: Long) = (json, new Timestamp(sec * 1000))
+    val q = EventStream.dedupInsertStream(
+        docs.toDF().toDF("metadata", "ts"), "metadata", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("test_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    docs.addData(d("""{"a": 1}""", 10), d("""{"a": 2}""", 20), d("""{"a": 1}""", 30))
+    q.processAllAvailable()
+    // second micro-batch re-sends a duplicate within the watermark
+    docs.addData(d("""{"a": 2}""", 40), d("""{"a": 3}""", 50))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("test_dedup_stream").select("id", "metadata").collect()
+    ids.length shouldBe 3
+    // same content id the batch path would assign (bit-exact UUIDv5)
+    ids.map(_.getString(0)).distinct.length shouldBe 3
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
