@@ -66,6 +66,21 @@ object SparkEntry {
         .orderBy($"distance".asc, $"vec_id".asc)
         .limit(5)
     }),
+    // ---- reference lifecycle §3.1 END-TO-END: embed corpus text
+    // partition-parallel (U3), embed the query string driver-side (U4,
+    // vector enters the plan as a literal), brute-force cosine top-k.
+    // The md5-based hashing embedder has an exact DuckDB SQL twin, so
+    // even the embedding fabric is differentially checked. ----
+    "vdb_embed_knn" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"text")
+      val embedded = graft.embed.EmbedOps.withEmbedding(docs, "text", "hashing")
+      val qvec = graft.embed.Embedders.forName("hashing").embed("distributed query engine")
+      embedded.select($"doc_id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4).as("distance"))
+        .orderBy($"distance".asc, $"doc_id".asc)
+        .limit(10)
+    }),
     // ---- reference parity: JSON-path filter compiler (P2-P4, P7) ----
     "vdb_filter_json" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
@@ -409,6 +424,16 @@ object SparkEntry {
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.label = 2
         |ORDER BY distance, vec_id LIMIT 5""".stripMargin,
+    "vdb_embed_knn" ->
+      s"""WITH acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
+         |     e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |     qacc AS (SELECT ${hashingEmbedAccSql("'distributed query engine'", 64)} AS a),
+         |     q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc)
+         |SELECT e.doc_id,
+         |       round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                        CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |FROM e, q
+         |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
     "vdb_filter_json" ->
       """SELECT event_id FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

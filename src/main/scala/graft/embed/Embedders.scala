@@ -1,7 +1,5 @@
 package graft.embed
 
-import scala.util.hashing.MurmurHash3
-
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
@@ -28,6 +26,13 @@ trait Embedder extends Serializable {
   * (embedders.py:74-91) in this offline environment — preserves the
   * pipeline contract (fixed dim, determinism, unit-norm) though not
   * model semantics (SURVEY.md §7.4).
+  *
+  * The token hash is the project-wide md5-derived `H(s)` (TextKernels
+  * .hexLong): bit 0 is the sign, the rest picks the dimension. Being
+  * md5-based makes the embedder expressible in DuckDB SQL
+  * (TextPrimitives.hashingEmbedSql), so the FULL reference lifecycle —
+  * embed text, then k-NN over the embeddings — is differentially
+  * oracle-checked, not just the search half.
   */
 case class HashingEmbedder(override val dim: Int = 64) extends Embedder {
   override def name: String = "hashing"
@@ -37,18 +42,20 @@ case class HashingEmbedder(override val dim: Int = 64) extends Embedder {
   override def embed(text: String): Array[Float] = {
     val acc = new Array[Double](dim)
     for (tok <- tokenRe.findAllIn(text.toLowerCase)) {
-      val h = MurmurHash3.stringHash(tok, 0x9747b28c)
-      val idx = math.floorMod(h, dim)
-      val sign = if ((h & Int.MinValue) != 0) -1.0 else 1.0
+      val h = graft.functions.TextKernels.hexLong(tok)
+      val idx = ((h >> 1) % dim).toInt
+      val sign = if ((h & 1L) == 1L) -1.0 else 1.0
       acc(idx) += sign
     }
     var norm = 0.0
     var i = 0
     while (i < dim) { norm += acc(i) * acc(i); i += 1 }
-    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val nrm = math.sqrt(norm)
     val out = new Array[Float](dim)
     i = 0
-    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    // divide (not multiply-by-reciprocal): bit-identical to the SQL
+    // twin's x / nrm in the last ulp
+    while (i < dim) { out(i) = (if (nrm == 0.0) 0.0f else (acc(i) / nrm).toFloat); i += 1 }
     out
   }
 }

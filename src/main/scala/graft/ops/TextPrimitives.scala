@@ -63,6 +63,23 @@ object TextPrimitives {
     s"list_transform(range($bands), j -> md5($slice))"
   }
 
+  /** DuckDB twin of [[graft.embed.HashingEmbedder]], in two CTE-stage
+    * fragments (DuckDB can't correlate a scalar subquery over a nested
+    * derived table): the unnormalized signed-count accumulator over a
+    * text expression, then L2 normalization over the accumulator. */
+  def hashingEmbedAccSql(text: String, dim: Int): String = {
+    val hs = s"list_transform(regexp_extract_all(lower($text), '[a-z0-9]+'), t -> ${hexLongSql("t")})"
+    s"list_transform(range($dim), i -> coalesce(list_sum(list_transform(" +
+      s"list_filter($hs, h -> (h >> 1) % $dim = i), " +
+      s"h -> CASE WHEN h & 1 = 1 THEN -1.0 ELSE 1.0 END)), 0.0))"
+  }
+
+  def hashingEmbedNormSql(a: String): String = {
+    val nrm = s"sqrt(list_sum(list_transform($a, x2 -> x2 * x2)))"
+    s"CASE WHEN $nrm = 0.0 THEN list_transform($a, x -> CAST(0.0 AS FLOAT)) " +
+      s"ELSE list_transform($a, x -> CAST(x / $nrm AS FLOAT)) END"
+  }
+
   def simhashSql(hw: String, bits: Int = 60): String =
     (0 until bits).map { j =>
       s"CASE WHEN len(list_filter($hw, h -> (h >> $j) & 1 = 1)) * 2 > len($hw) THEN ${1L << j} ELSE 0 END"
