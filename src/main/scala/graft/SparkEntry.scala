@@ -108,6 +108,22 @@ object SparkEntry {
           $"metadata"))
         .select($"doc_id")
     }),
+    // ---- same predicates through the Spark 4 Variant fast path:
+    // parse_json once per row, typed variant_get per predicate ----
+    "vdb_filter_variant" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("metadata", to_json(struct($"lang", $"source",
+          struct($"n_chars".as("len")).as("base"),
+          array($"lang", $"source").as("tags"))))
+        .where(Filters.compileVariant(Seq(
+            Filters.Cmp("base.len", Filters.CmpOp.Gt, 200),
+            Filters.Eq("lang", "en"),
+            Filters.Contains("tags", "src7"),
+            Filters.EqList("tags", Seq("en", "src7"))),
+          $"metadata"))
+        .select($"doc_id")
+    }),
     // ---- reference parity: dedup insert as anti-join + first-wins (J1, X2) ----
     "vdb_insert_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -439,6 +455,16 @@ object SparkEntry {
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |  AND event_type = 'click'""".stripMargin,
     "vdb_filter_rich" ->
+      """WITH m AS (
+        |  SELECT doc_id, to_json(struct_pack(lang := lang, source := source,
+        |         base := struct_pack(len := n_chars), tags := [lang, source])) AS metadata
+        |  FROM documents)
+        |SELECT doc_id FROM m
+        |WHERE CAST(json_extract_string(metadata, '$.base.len') AS BIGINT) > 200
+        |  AND json_extract_string(metadata, '$.lang') = 'en'
+        |  AND list_contains(CAST(json_extract(metadata, '$.tags') AS VARCHAR[]), 'src7')
+        |  AND CAST(json_extract(metadata, '$.tags') AS VARCHAR[]) = ['en', 'src7']""".stripMargin,
+    "vdb_filter_variant" ->
       """WITH m AS (
         |  SELECT doc_id, to_json(struct_pack(lang := lang, source := source,
         |         base := struct_pack(len := n_chars), tags := [lang, source])) AS metadata

@@ -64,12 +64,21 @@ class VectorDB(
   def query(text: String, k: Int = 10, filters: Seq[Filters.Pred] = Nil): Dataset[Result] =
     queryByVector(embedder.embed(text), k, filters)
 
-  /** Filtered k-NN by query vector. */
-  def queryByVector(vec: Array[Float], k: Int = 10, filters: Seq[Filters.Pred] = Nil): Dataset[Result] = {
+  /** Filtered k-NN by query vector. `useVariant` routes the JSON-path
+    * predicates through Spark 4's binary Variant (`parse_json` once per
+    * row + typed `variant_get`) instead of per-predicate
+    * `get_json_object` string re-parses — same semantics
+    * (FiltersSpec proves agreement), faster on many-predicate filters. */
+  def queryByVector(
+      vec: Array[Float], k: Int = 10, filters: Seq[Filters.Pred] = Nil,
+      useVariant: Boolean = false): Dataset[Result] = {
     import spark.implicits._
     require(vec.length == dim, s"query dim ${vec.length} != table dim $dim")
+    val compiled =
+      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+      else Filters.compile(filters, col(VectorSchema.METADATA))
     table.df
-      .where(Filters.compile(filters, col(VectorSchema.METADATA)))
+      .where(compiled)
       .select(
         col(VectorSchema.ID),
         col(VectorSchema.METADATA),

@@ -145,4 +145,53 @@ object Filters {
   /** AND-fold; empty → `lit(true)` (the reference's `1=1`). */
   def compile(preds: Seq[Pred], metadataCol: Column): Column =
     preds.map(compileOne(_, metadataCol)).reduceOption(_ && _).getOrElse(lit(true))
+
+  // ---- Spark 4 Variant fast path ----
+
+  /** Target Variant extraction type per value type. */
+  private def variantType(value: Any): String = value match {
+    case _: Int | _: Long | _: Short | _: Byte => "bigint"
+    case _: Double | _: Float => "double"
+    case _: Boolean => "boolean"
+    case _ => "string"
+  }
+
+  /** One predicate over an already-parsed VariantType column. */
+  def compileOneVariant(p: Pred, v: Column): Column = p match {
+    case Cmp(path, op, value) =>
+      op(variant_get(v, jsonPath(path), variantType(value)), lit(value))
+    case Eq(path, value) =>
+      variant_get(v, jsonPath(path), variantType(value)) === lit(value)
+    case EqList(path, vs) =>
+      val et = if (vs.nonEmpty) elementType(vs.head) else StringType
+      val arr = variant_get(v, jsonPath(path), ArrayType(et).catalogString)
+      val litArr = et match {
+        case LongType => typedlit(vs.map(x => x.asInstanceOf[Number].longValue()))
+        case DoubleType => typedlit(vs.map(x => x.asInstanceOf[Number].doubleValue()))
+        case _ => typedlit(vs.map(_.toString))
+      }
+      arr <=> litArr
+    case Contains(path, value) =>
+      val et = elementType(value)
+      val arr = variant_get(v, jsonPath(path), ArrayType(et).catalogString)
+      val probe = et match {
+        case LongType => lit(value.asInstanceOf[Number].longValue())
+        case DoubleType => lit(value.asInstanceOf[Number].doubleValue())
+        case _ => lit(value.toString)
+      }
+      array_contains(arr, probe)
+    case other => compileOne(other, lit(null)) // plain-column preds don't touch metadata
+  }
+
+  /** Variant-path compile: the JSON text is parsed ONCE per row
+    * (`parse_json` → binary Variant; Catalyst subexpression elimination
+    * dedups the parse across predicates), then each predicate does a
+    * typed `variant_get` — no per-predicate string re-parse, which is
+    * what the `get_json_object` path costs. Same semantics as
+    * [[compile]]; the `metadata` contract column stays StringType
+    * (SURVEY.md §1.2). */
+  def compileVariant(preds: Seq[Pred], metadataCol: Column): Column = {
+    val v = parse_json(metadataCol)
+    preds.map(compileOneVariant(_, v)).reduceOption(_ && _).getOrElse(lit(true))
+  }
 }

@@ -81,4 +81,25 @@ class FiltersSpec extends SparkSpec with Matchers {
   test("unknown operator rejected (closed set, no SQL splicing)") {
     intercept[IllegalArgumentException](CmpOp.parse("; DROP TABLE items"))
   }
+
+  test("variant fast path agrees with the string path on every predicate shape") {
+    val predSets: Seq[Seq[Pred]] = Seq(
+      Seq(Cmp("base.Attack", CmpOp.Gt, 50)),
+      Seq(Cmp("base.Attack", CmpOp.Lte, 49), Cmp("base.HP", CmpOp.Gte, 45)),
+      Seq(Eq("species", "Lizard")),
+      Seq(EqList("type", Seq("Grass", "Poison"))),
+      Seq(Contains("type", "Flying")),
+      Seq(Contains("tags", 2)),
+      Seq(Cmp("base.Attack", CmpOp.Gt, 40), Contains("type", "Water")),
+      Nil)
+    predSets.foreach { preds =>
+      val s = docs.where(Filters.compile(preds, col("metadata")))
+        .select(get_json_object(col("metadata"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val v = docs.where(Filters.compileVariant(preds, col("metadata")))
+        .select(get_json_object(col("metadata"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      withClue(s"preds=$preds: ") { v shouldBe s }
+    }
+  }
 }
