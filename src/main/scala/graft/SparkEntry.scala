@@ -170,6 +170,11 @@ object SparkEntry {
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
+    "text_winnow" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.winnowFingerprints(
+        s.read.parquet(t(dir, "documents")).where($"doc_id" < 500), "doc_id", "text")
+    }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
       EventStream.runWindowedAggAvailableNow(s, dir)),
@@ -427,6 +432,10 @@ object SparkEntry {
          |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
          |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
          |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
+    "text_winnow" ->
+      s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs
+         |           FROM documents WHERE doc_id < 500)
+         |SELECT doc_id, ${winnowFromHashesSql("hs", 4)} AS fingerprints FROM h""".stripMargin,
     "vdb_knn" ->
       """SELECT e.vec_id,
         |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -137,6 +137,34 @@ object TextKernels {
       md5Hex(sb.toString)
     }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * char k-gram of the lowercased text, slide a window of `w` hashes,
+    * keep each window's minimum, return the sorted distinct minima.
+    * Guarantees any match of length ≥ k + w − 1 shares a fingerprint,
+    * which makes it the localized (substring-level) complement of the
+    * whole-document MinHash: near-dup BLOCKS can be found even when the
+    * documents as a whole differ. */
+  def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val t = text.toLowerCase
+    val n = t.length - k + 1
+    if (n <= 0) return Array.empty
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = hexLong(t.substring(i, i + k)); i += 1 }
+    val out = new mutable.TreeSet[Long]
+    val m = n - w + 1
+    if (m <= 0) { out += hashes.min; return out.toArray }
+    var j = 0
+    while (j < m) {
+      var mn = Long.MaxValue
+      var r = 0
+      while (r < w) { if (hashes(j + r) < mn) mn = hashes(j + r); r += 1 }
+      out += mn
+      j += 1
+    }
+    out.toArray
+  }
+
   /** 60-bit SimHash over the word multiset: bit j set iff more than half
     * the words have bit j of their 60-bit hash set. */
   def simhash(w: Array[String], bits: Int = 60): Long = {
@@ -246,9 +274,30 @@ case class SimhashExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprints (sorted distinct window-min k-gram hashes). */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  def compute(text: UTF8String): ArrayData =
+    new GenericArrayData(TextKernels.winnowFingerprints(text.toString, k, w))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   def shingles(c: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(c), n))
+  def winnow(c: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
   def minhashSig(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k))
   def bandKeys(c: Column, bands: Int, rowsPerBand: Int): Column =

@@ -75,4 +75,16 @@ object TextAnalysis {
     df.select(col(idCol),
         graft.functions.TextProfileExpr.col(col(textCol), stopwords, langs).as("p"))
       .select(col(idCol), col("p.*"))
+
+  /** Winnowing fingerprints per document: rolling char-k-gram hashes →
+    * sliding-window minima (MOSS). Any shared substring of length ≥
+    * k + w − 1 shares a fingerprint, so exploding these and grouping by
+    * fingerprint finds COPIED PASSAGES across documents that
+    * whole-document MinHash misses. Shuffle shape at scale: (fingerprint,
+    * doc) pairs — same key-partitioned join pattern as the LSH buckets,
+    * never all-pairs. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextExprs.winnow(col(textCol), k, w).as("fingerprints"))
 }

@@ -80,6 +80,19 @@ object TextPrimitives {
       s"ELSE list_transform($a, x -> CAST(x / $nrm AS FLOAT)) END"
   }
 
+  /** DuckDB twin of winnowing, staged: k-gram hash list over a text
+    * expression, then window-min selection over the hash list. */
+  def winnowHashesSql(text: String, k: Int): String =
+    s"CASE WHEN length(lower($text)) - ${k - 1} <= 0 THEN CAST([] AS BIGINT[]) " +
+      s"ELSE list_transform(range(length(lower($text)) - ${k - 1}), " +
+      s"i -> ${hexLongSql(s"substr(lower($text), CAST(i + 1 AS INTEGER), $k)")}) END"
+
+  def winnowFromHashesSql(hs: String, w: Int): String =
+    s"CASE WHEN len($hs) = 0 THEN CAST([] AS BIGINT[]) " +
+      s"WHEN len($hs) - ${w - 1} <= 0 THEN [list_aggregate($hs, 'min')] " +
+      s"ELSE list_sort(list_distinct(list_transform(range(len($hs) - ${w - 1}), " +
+      s"j -> list_aggregate($hs[CAST(j + 1 AS INTEGER):CAST(j + $w AS INTEGER)], 'min')))) END"
+
   def simhashSql(hw: String, bits: Int = 60): String =
     (0 until bits).map { j =>
       s"CASE WHEN len(list_filter($hw, h -> (h >> $j) & 1 = 1)) * 2 > len($hw) THEN ${1L << j} ELSE 0 END"

@@ -48,6 +48,22 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     q should be <= 1.0
   }
 
+  test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
+    import graft.functions.TextKernels.winnowFingerprints
+    val passage = "the quick brown fox jumps over the lazy dog"
+    val a = winnowFingerprints("AAA " + passage + " BBB", 8, 4)
+    val b = winnowFingerprints("CCCCC " + passage + " DDDD", 8, 4)
+    a.intersect(b).length should be > 0
+    // determinism + sorted distinct output
+    winnowFingerprints(passage, 8, 4) shouldBe winnowFingerprints(passage, 8, 4)
+    val f = winnowFingerprints(passage, 8, 4)
+    f.toSeq shouldBe f.toSeq.sorted
+    f.toSeq.distinct shouldBe f.toSeq
+    // degenerate inputs
+    winnowFingerprints("short", 8, 4) shouldBe Array.empty[Long]
+    winnowFingerprints("exactly8", 8, 4).length shouldBe 1
+  }
+
   test("hexLong is non-negative 60-bit and matches the duckdb formula") {
     import graft.functions.TextKernels
     val hs = Seq("a", "b", "the quick fox").map(TextKernels.hexLong)
