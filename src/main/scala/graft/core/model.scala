@@ -29,4 +29,11 @@ object VectorSchema {
   val ID = "id"
   val METADATA = "metadata"
   val EMBEDDING = "embedding"
+
+  /** Persisted ANN index column (sign-random-projection bucket ids per
+    * hash table), present only after `VectorTable.buildAnnIndex`. */
+  val ANN_BUCKETS = "__ann_buckets"
+
+  val annSchema: StructType =
+    schema.add(StructField(ANN_BUCKETS, ArrayType(LongType, containsNull = false), nullable = false))
 }

@@ -45,7 +45,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case p @ Project(projList, pchild) if !done && definesCosineDistance(projList, distAttr).isDefined =>
             val (embAttr, qvec) = definesCosineDistance(projList, distAttr).get
             done = true
-            Project(projList, Filter(bucketPredicate(embAttr, qvec), pchild))
+            Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
         }
         if (done) GlobalLimit(limit.limitExpr,
           LocalLimit(limit.limitExpr, sort.copy(child = newChild)))
@@ -62,12 +62,21 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if a.exprId == distAttr.exprId => (emb, q)
     }
 
-  private def bucketPredicate(embAttr: Attribute, qvec: ArrayData): Expression = {
+  private def bucketPredicate(embAttr: Attribute, qvec: ArrayData, pchild: LogicalPlan): Expression = {
     val dim = qvec.numElements()
     val tables = conf("spark.graft.ann.tables", "8").toInt
     val bits = conf("spark.graft.ann.bits", "12").toInt
     val seed = conf("spark.graft.ann.seed", "42").toLong
-    val bucketsExpr = LshBucketsExpr(embAttr, dim, tables, bits, seed)
+    // Prefer the PERSISTED index column (VectorTable.buildAnnIndex, the
+    // reference's index-on-bulk-load): filtering on stored buckets costs
+    // one array-overlap per row; recomputing lsh_buckets inline costs
+    // tables × bits projections per row — more than the distance it
+    // avoids. Inline compute remains the un-indexed fallback.
+    val stored = pchild.output.find(a =>
+      a.name == graft.core.VectorSchema.ANN_BUCKETS &&
+        a.dataType.isInstanceOf[ArrayType] &&
+        a.dataType.asInstanceOf[ArrayType].elementType == LongType)
+    val bucketsExpr = stored.getOrElse(LshBucketsExpr(embAttr, dim, tables, bits, seed))
     // query buckets computed once here on the driver, shipped as a literal
     val qBuckets = LshBucketsExpr(Literal(qvec, ArrayType(FloatType)), dim, tables, bits, seed)
       .eval(null).asInstanceOf[ArrayData]

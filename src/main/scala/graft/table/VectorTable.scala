@@ -23,6 +23,49 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   private def hadoopPath = new Path(root)
   private def fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- persisted ANN index (reference HNSW-on-bulk-load analogue) ----
+
+  /** LSH index parameters, persisted beside the data so the insert path
+    * and the query-time rewrite agree on the hash family. */
+  case class AnnIndexMeta(tables: Int, bits: Int, seed: Long)
+
+  private def metaPath = new Path(root + ".ann_index.json")
+
+  /** Index metadata if an ANN index has been built for this table. */
+  def annIndexMeta: Option[AnnIndexMeta] =
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val m = """"tables"\s*:\s*(\d+).*"bits"\s*:\s*(\d+).*"seed"\s*:\s*(\d+)""".r
+      m.findFirstMatchIn(txt).map(g => AnnIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toLong))
+    }
+
+  /** Builds (or rebuilds) the persisted LSH index: one pass over the
+    * table computing the bucket-id column, rewritten in place. This is
+    * the reference's CREATE-INDEX-on-bulk-load (duckvdb.py:37-45) as a
+    * batch job: at 100 TB it is a map-only rewrite (no shuffle), and
+    * every later ANN query filters on the STORED buckets instead of
+    * re-hashing every row per query. Inserts keep the index fresh
+    * (better than the reference, whose insert path never indexes).
+    * Also pins the session's `spark.graft.ann.*` confs to the build
+    * parameters so `AnnRewriteRule` probes with the same family. */
+  def buildAnnIndex(tables: Int = 8, bits: Int = 12, seed: Long = 42L): this.type = {
+    val indexed = df.withColumn(VectorSchema.ANN_BUCKETS,
+      graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), dim, tables, bits, seed))
+    val tmp = new Path(root + "__indexing")
+    indexed.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"tables": $tables, "bits": $bits, "seed": $seed}""".getBytes("UTF-8"))
+    finally out.close()
+    spark.conf.set("spark.graft.ann.tables", tables.toString)
+    spark.conf.set("spark.graft.ann.bits", bits.toString)
+    spark.conf.set("spark.graft.ann.seed", seed.toString)
+    this
+  }
+
   /** Idempotent create (reference `CREATE TABLE IF NOT EXISTS`,
     * duckvdb.py:30-32); `overwrite=true` mirrors the drop-and-recreate
     * `new_table` flag (duckvdb.py:26-28). */
@@ -36,13 +79,20 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   }
 
   /** Idempotent drop (duckvdb.py:34-35). */
-  def drop(): Unit = if (exists) fs.delete(hadoopPath, true)
+  def drop(): Unit = {
+    if (exists) fs.delete(hadoopPath, true)
+    fs.delete(metaPath, false)
+  }
 
   def exists: Boolean = fs.exists(hadoopPath)
 
   /** The table as a DataFrame. Schema pinned so an empty table still
-    * reads with the contract schema. */
-  def df: DataFrame = spark.read.schema(VectorSchema.schema).parquet(root)
+    * reads with the contract schema (extended with the bucket column
+    * when an ANN index is present). */
+  def df: DataFrame = {
+    val schema = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
+    spark.read.schema(schema).parquet(root)
+  }
 
   /** Dedup insert — the reference's `INSERT … ON CONFLICT (id) DO NOTHING`
     * (duckvdb.py:56-61) as a left-anti join + append (SURVEY.md §2.3 J1):
@@ -63,7 +113,13 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
           .otherwise(raise_error(concat(
             lit(s"embedding dim mismatch: expected $dim, got "),
             size(col(VectorSchema.EMBEDDING)).cast("string")))))
-    val deduped = checked.dropDuplicates(VectorSchema.ID)
+    // keep the persisted ANN index complete across inserts
+    val indexed = annIndexMeta match {
+      case Some(m) => checked.withColumn(VectorSchema.ANN_BUCKETS,
+        graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), dim, m.tables, m.bits, m.seed))
+      case None => checked
+    }
+    val deduped = indexed.dropDuplicates(VectorSchema.ID)
     val fresh =
       if (isEmpty) deduped
       else deduped.join(df.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
@@ -76,12 +132,14 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def numRows: Long = df.count()
 
   /** Bulk load from an external Parquet path (reference
-    * `load_from_parquet` CTAS, duckvdb.py:43-45). The reference also
-    * builds its HNSW index here; our ANN analogue is the LSH index in
-    * `graft.ops.Ann`, built batch-style on demand. */
-  def loadFromParquet(path: String): Unit = {
+    * `load_from_parquet` CTAS, duckvdb.py:43-45). `buildIndex=true`
+    * mirrors the reference exactly: the HNSW-analogue LSH index is
+    * built as part of the bulk-load path (duckvdb.py:45). */
+  def loadFromParquet(path: String, buildIndex: Boolean = false): Unit = {
+    fs.delete(metaPath, false)
     spark.read.parquet(path)
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .write.mode("overwrite").parquet(root)
+    if (buildIndex) buildAnnIndex()
   }
 }

@@ -39,4 +39,37 @@ class AnnRewriteSpec extends SparkSpec with Matchers {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("persisted ANN index: rewrite filters on stored buckets, not per-row recompute") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann-idx").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+      db.table.buildAnnIndex(tables = 8, bits = 2) // pins spark.graft.ann.* confs
+
+      // index survives inserts: new rows carry buckets too
+      db.insert(Seq("""{"id": 900, "text": "topic 3 subject extras"}""").toDS(),
+        embedField = Some("text"))
+      db.table.df.where(col(graft.core.VectorSchema.ANN_BUCKETS).isNull).count() shouldBe 0
+
+      val qvec = db.embedder.embed("topic 3 subject")
+      val exact = db.queryByVector(qvec, 10).collect().map(_.id).toSet
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      val q = db.queryByVector(qvec, 10)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      optimized should include("arrays_overlap")
+      optimized should include("__ann_buckets")
+      // stored column used → no lsh_buckets recompute over the embedding
+      optimized should not include "lsh_buckets(embedding"
+      val approx = q.collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
