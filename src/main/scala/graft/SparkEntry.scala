@@ -167,6 +167,13 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshBucketTopK(emb.where($"vec_id" < 10), emb, k = 3, dim = 64)
     }),
+    "sim_knn_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.groupedTopK(emb, qv, k = 3, groupCol = "label")
+    }),
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
@@ -432,6 +439,15 @@ object SparkEntry {
          |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
          |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
          |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
+    "sim_knn_grouped" ->
+      """WITH d AS (
+        |  SELECT e.label, e.vec_id,
+        |         round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                          CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |SELECT label, vec_id, distance FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY distance, vec_id) AS rn FROM d)
+        |WHERE rn <= 3""".stripMargin,
     "text_winnow" ->
       s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs
          |           FROM documents WHERE doc_id < 500)

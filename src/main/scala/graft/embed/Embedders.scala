@@ -60,6 +60,34 @@ case class HashingEmbedder(override val dim: Int = 64) extends Embedder {
   }
 }
 
+/** Second registered embedder — char-n-gram feature hashing (robust to
+  * tokenization/misspellings where the word-level one is not). Proves
+  * the registry is pluggable (the reference keeps two embedder classes
+  * for the same reason, embedders.py:35-91 — SURVEY.md §2.8 U6). */
+case class NgramHashingEmbedder(override val dim: Int = 64, n: Int = 3) extends Embedder {
+  override def name: String = "ngram_hashing"
+
+  override def embed(text: String): Array[Float] = {
+    val t = text.toLowerCase
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i <= t.length - n) {
+      val h = graft.functions.TextKernels.hexLong(t.substring(i, i + n))
+      val idx = ((h >> 1) % dim).toInt
+      acc(idx) += (if ((h & 1L) == 1L) -1.0 else 1.0)
+      i += 1
+    }
+    var norm = 0.0
+    i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val nrm = math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (if (nrm == 0.0) 0.0f else (acc(i) / nrm).toFloat); i += 1 }
+    out
+  }
+}
+
 /** Name → embedder registry (reference `modal.Cls.from_name`, vdb.py:23;
   * unknown name raises, vdb.py:24-27). */
 object Embedders {
@@ -67,6 +95,9 @@ object Embedders {
     name match {
       case "hashing" | "HashingEmbedder" =>
         HashingEmbedder(params.getOrElse("dim", "64").toInt)
+      case "ngram_hashing" | "NgramHashingEmbedder" =>
+        NgramHashingEmbedder(params.getOrElse("dim", "64").toInt,
+          params.getOrElse("n", "3").toInt)
       case other =>
         throw new IllegalArgumentException(s"unknown embedder: $other")
     }

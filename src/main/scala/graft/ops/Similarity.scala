@@ -22,6 +22,25 @@ import graft.functions.{RoundPortableExpr, VectorFunctions}
   */
 object Similarity {
 
+  /** Per-GROUP exact top-k for one query vector: the k nearest
+    * neighbors within each value of `groupCol` (e.g. per language, per
+    * source shard). One window shuffle keyed by the group — the
+    * per-group generalization of the reference's global top-k, and the
+    * shape a diversity-constrained retrieval ("k per category") needs.
+    * `WindowGroupLimit` pushes the rank bound into per-partition
+    * heaps before the shuffle. */
+  def groupedTopK(
+      candidates: DataFrame, queryVec: Array[Float], k: Int, groupCol: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("distance").asc, col(idCol).asc)
+    candidates.select(col(groupCol), col(idCol),
+        RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col(embCol), typedlit(queryVec)), 4).as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Exact top-k neighbors for each query row.
     * `queries`/`candidates`: (id, embedding). Self-matches excluded. */
   def bruteTopK(

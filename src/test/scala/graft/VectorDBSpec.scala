@@ -81,6 +81,16 @@ class VectorDBSpec extends SparkSpec with Matchers {
     norm shouldBe 1.0 +- 1e-6
   }
 
+  test("second embedder resolves from the registry and differs from the first (U6 pluggability)") {
+    val a = Embedders.forName("hashing", Map("dim" -> "32"))
+    val b = Embedders.forName("ngram_hashing", Map("dim" -> "32", "n" -> "3"))
+    b.dim shouldBe 32
+    val text = "the quick brown fox"
+    b.embed(text).toSeq should not be a.embed(text).toSeq
+    b.embed(text).toSeq shouldBe b.embed(text).toSeq
+    math.sqrt(b.embed(text).map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-6
+  }
+
   private def get(field: String, json: String): String = {
     import spark.implicits._
     spark.range(1).select(get_json_object(lit(json), s"$$.$field")).head().getString(0)
