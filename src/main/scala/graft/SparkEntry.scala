@@ -182,6 +182,15 @@ object SparkEntry {
       TextAnalysis.winnowFingerprints(
         s.read.parquet(t(dir, "documents")).where($"doc_id" < 500), "doc_id", "text")
     }),
+    // ---- custom typed Aggregator (§2.8 UDAF slot): KMV sketch ----
+    "agg_kmv_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .select($"lang", h.as("h"))
+        .groupBy($"lang")
+        .agg(graft.functions.KmvSketch.sketch($"h", 8).as("sketch"))
+    }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
       EventStream.runWindowedAggAvailableNow(s, dir)),
@@ -439,6 +448,10 @@ object SparkEntry {
          |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
          |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
          |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
+    "agg_kmv_sketch" ->
+      s"""SELECT lang, list_sort(list_distinct(list(h)))[1:8] AS sketch
+         |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
+         |GROUP BY lang""".stripMargin,
     "sim_knn_grouped" ->
       """WITH d AS (
         |  SELECT e.label, e.vec_id,
