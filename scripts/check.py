@@ -41,7 +41,8 @@ for name, sql in sorted(oracle.items()):
     for c in s.columns:
         sv, dv = s[c], d[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
-            if not ((sv.astype(float) - dv.astype(float)).abs() < 1e-12).all():
+            both_nan = sv.astype(float).isna() & dv.astype(float).isna()
+            if not (both_nan | ((sv.astype(float) - dv.astype(float)).abs() < 1e-12)).all():
                 print(f"FAIL {name}: col {c} differs\n{sv[(sv.astype(float)-dv.astype(float)).abs()>=1e-12].head()}\n{dv[(sv.astype(float)-dv.astype(float)).abs()>=1e-12].head()}")
                 ok = False
         else:

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.filters.Filters
 import graft.functions.{RoundPortableExpr, VectorFunctions}
-import graft.ops.{Dedup, MlAnn, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, MlAnn, Multimodal, Similarity, TextAnalysis}
 import graft.ops.TextPrimitives._
 import graft.streaming.EventStream
 
@@ -181,6 +181,20 @@ object SparkEntry {
       import s.implicits._
       TextAnalysis.winnowFingerprints(
         s.read.parquet(t(dir, "documents")).where($"doc_id" < 500), "doc_id", "text")
+    }),
+    // ---- as-of join: latest right row per key with ts <= left ts ----
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"us")
+      val views = ev.where($"event_type" === "view")
+        .select($"event_id".as("view_event_id"), $"user_id", $"us")
+      AsOf.join(purchases, views, "user_id", "us", Seq("view_event_id"))
+        // no-match → -1: the differential compare is NULL-hostile in
+        // float-coerced columns, keep the output dense
+        .select($"event_id", $"user_id",
+          coalesce($"view_event_id_asof", lit(-1L)).as("view_event_id_asof"))
     }),
     // ---- custom typed Aggregator (§2.8 UDAF slot): KMV sketch ----
     "agg_kmv_sketch" -> ((s, dir) => {
@@ -448,6 +462,13 @@ object SparkEntry {
          |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
          |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
          |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, coalesce(v.view_event_id, -1) AS view_event_id_asof
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS us
+        |                FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
     "agg_kmv_sketch" ->
       s"""SELECT lang, list_sort(list_distinct(list(h)))[1:8] AS sketch
          |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
