@@ -196,6 +196,16 @@ object SparkEntry {
         .select($"event_id", $"user_id",
           coalesce($"view_event_id_asof", lit(-1L)).as("view_event_id_asof"))
     }),
+    // ---- range join: bucketized point-in-interval equi-join ----
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val points = s.read.parquet(t(dir, "orders")).select($"o_orderkey", $"o_totalprice")
+      val intervals = s.read.parquet(t(dir, "part")).where($"p_partkey" < 200)
+        .select($"p_partkey", ($"p_partkey" * 50).cast("double").as("lo"),
+          ($"p_partkey" * 50 + 5000).cast("double").as("hi"))
+      ops.RangeJoin.pointInInterval(points, intervals, "o_totalprice", "lo", "hi", binWidth = 5000)
+        .select($"o_orderkey", $"p_partkey")
+    }),
     // ---- custom typed Aggregator (§2.8 UDAF slot): KMV sketch ----
     "agg_kmv_sketch" -> ((s, dir) => {
       import s.implicits._
@@ -462,6 +472,13 @@ object SparkEntry {
          |       ${TextAnalysis.qualitySqlSelect("ltext", "ws")},
          |       ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
          |FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, p_partkey
+        |FROM orders
+        |JOIN (SELECT p_partkey, CAST(p_partkey * 50 AS DOUBLE) AS lo,
+        |             CAST(p_partkey * 50 + 5000 AS DOUBLE) AS hi
+        |      FROM part WHERE p_partkey < 200) i
+        |ON o_totalprice >= lo AND o_totalprice <= hi""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, coalesce(v.view_event_id, -1) AS view_event_id_asof
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events

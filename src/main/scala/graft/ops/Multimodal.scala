@@ -73,6 +73,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real implementation would decode, scale to
+    * (targetW, targetH) and re-encode; the stub re-derives the bytes
+    * deterministically from (content hash, target dims) with the right
+    * output SIZE so downstream sizing/batching logic is exercised for
+    * real. Plan shape is what matters: a map-only pass, binary in /
+    * binary out, no shuffle. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(media.schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    val wIdx = media.schema.fieldIndex("width")
+    val hIdx = media.schema.fieldIndex("height")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](contentIdx)
+        // deterministic fake "resized" payload ~ targetW*targetH/64 bytes
+        val n = math.max(1, targetW * targetH / 64)
+        val out = new Array[Byte](n)
+        var h = java.util.Arrays.hashCode(bytes)
+        var i = 0
+        while (i < n) { h = h * 31 + i; out(i) = (h & 0xff).toByte; i += 1 }
+        Row.fromSeq(row.toSeq.updated(contentIdx, out)
+          .updated(wIdx, targetW).updated(hIdx, targetH))
+      }
+    }(enc)
+  }
+
+  /** STUB frame sampling: video → one row per sampled frame
+    * (`media_id`, `frame_idx`, frame bytes). A real implementation
+    * seeks keyframes; the stub emits `nFrames` deterministic slices.
+    * The plan shape is the real thing: a generator (flatMap) that
+    * multiplies rows map-side — frames are born distributed, the video
+    * bytes are read once and never shuffled. */
+  def frameSampleStub(media: DataFrame, nFrames: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val bytes = row.getAs[Array[Byte]](contentIdx)
+        (0 until nFrames).iterator.map { f =>
+          val start = if (bytes.isEmpty) 0 else (bytes.length.toLong * f / nFrames).toInt
+          val end = math.min(bytes.length, start + 16)
+          Row(id, f, java.util.Arrays.copyOfRange(bytes, start, end))
+        }
+      }
+    }(enc)
+  }
+
   /** Byte-level stats of the binary column — pure column expressions,
     * fully oracle-checkable (md5 over bytes = DuckDB md5 over the same
     * text; length = octet_length). */

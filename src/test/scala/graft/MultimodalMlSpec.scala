@@ -28,6 +28,22 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     all(r.map(_.getAs[String]("content_md5").length)) shouldBe 32
   }
 
+  test("multimodal: resize stub rewrites dims and payload size, frame sampling explodes rows") {
+    val media = Multimodal.fakeMediaTable(docs.limit(10))
+    val resized = Multimodal.resizeStub(media, 64, 48).collect()
+    all(resized.map(_.getAs[Int]("width"))) shouldBe 64
+    all(resized.map(_.getAs[Int]("height"))) shouldBe 48
+    all(resized.map(_.getAs[Array[Byte]]("content").length)) shouldBe 64 * 48 / 64
+    val frames = Multimodal.frameSampleStub(media, nFrames = 4)
+    frames.count() shouldBe 40
+    frames.select("frame_idx").distinct().count() shouldBe 4
+    // deterministic (compare frame bytes by content, not identity)
+    def key(r: org.apache.spark.sql.Row) =
+      s"${r.getLong(0)}/${r.getInt(1)}/${r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString}"
+    Multimodal.frameSampleStub(media, 4).collect().map(key).sorted shouldBe
+      frames.collect().map(key).sorted
+  }
+
   test("MLlib BRP-LSH ANN finds mostly the same neighbors as brute force") {
     import spark.implicits._
     val queries = emb.where($"vec_id" < 5)
