@@ -304,6 +304,24 @@ object SparkEntry {
         .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"), $"cnt", $"sum_qty")
     }),
+    // ---- engine breadth: cube + exact interpolated quantiles ----
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), RoundPortableExpr.r(sum($"l_quantity"), 0).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"), $"cnt", $"sum_qty")
+    }),
+    "q_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .agg(
+          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.25)), 4).as("p25"),
+          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.5)), 4).as("p50"),
+          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.75)), 4).as("p75"))
+    }),
     // ---- reference parity: utils.py suffix-operator filter surface (P8) ----
     "vdb_filter_suffix" -> ((s, dir) => {
       val p = s.read.parquet(t(dir, "part"))
@@ -401,6 +419,17 @@ object SparkEntry {
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "vdb_filter_suffix" ->
       """SELECT p_partkey, p_brand, p_size FROM part
         |WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
