@@ -304,6 +304,16 @@ object SparkEntry {
         .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"), $"cnt", $"sum_qty")
     }),
+    // ---- engine breadth: correlated scalar subquery, decorrelated
+    // into a window aggregate (one shuffle instead of a rescan per row) ----
+    "q_above_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+      s.read.parquet(t(dir, "lineitem"))
+        .withColumn("order_avg", avg($"l_extendedprice").over(w))
+        .where($"l_extendedprice" > $"order_avg")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+    }),
     // ---- engine breadth: cube + exact interpolated quantiles ----
     "q_cube" -> ((s, dir) => {
       import s.implicits._
@@ -419,6 +429,11 @@ object SparkEntry {
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_above_avg" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem l1
+        |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_orderkey = l1.l_orderkey)
+        |GROUP BY 1""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
