@@ -325,12 +325,14 @@ object SparkEntry {
     }),
     "q_quantiles" -> ((s, dir) => {
       import s.implicits._
+      // one percentile buffer for all three points, not three
       s.read.parquet(t(dir, "lineitem"))
         .groupBy($"l_returnflag")
-        .agg(
-          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.25)), 4).as("p25"),
-          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.5)), 4).as("p50"),
-          RoundPortableExpr.r(percentile($"l_extendedprice", lit(0.75)), 4).as("p75"))
+        .agg(percentile($"l_extendedprice", typedlit(Seq(0.25, 0.5, 0.75))).as("ps"))
+        .select($"l_returnflag",
+          RoundPortableExpr.r($"ps"(0), 4).as("p25"),
+          RoundPortableExpr.r($"ps"(1), 4).as("p50"),
+          RoundPortableExpr.r($"ps"(2), 4).as("p75"))
     }),
     // ---- reference parity: utils.py suffix-operator filter surface (P8) ----
     "vdb_filter_suffix" -> ((s, dir) => {

@@ -41,7 +41,11 @@ object MlAnn {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
       .fit(cand)
-    val joined = model.approxSimilarityJoin(qs, cand, 2.0, "euclid_dist")
+    // Threshold 1.4 ≈ cosine distance 0.98: on the unit sphere the max
+    // euclidean distance is 2.0, so 2.0 would keep EVERY bucket-collided
+    // pair; 1.4 prunes the far pairs before the per-query ranking while
+    // keeping anything that could plausibly be a neighbor.
+    val joined = model.approxSimilarityJoin(qs, cand, 1.4, "euclid_dist")
       .select(col(s"datasetA.$idCol").as("query_id"),
         col(s"datasetB.$idCol").as("neighbor_id"),
         // ||a-b||² = 2(1-cos) on unit vectors → cosine distance = d²/2

@@ -78,6 +78,25 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("id")
 
+  /** Watermarked stream-stream interval join: pairs every left event
+    * with the right events of the same key whose timestamp falls in
+    * [left.ts, left.ts + window] (attribution: view → purchase within
+    * the hour). The watermarks plus the two-sided time-range condition
+    * bound BOTH join states — Spark evicts buffered rows once the
+    * watermark passes the interval, so state size tracks the window,
+    * not the stream. Output columns: `l.*` / `r.*` structs. */
+  def intervalStreamJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, window: String): DataFrame = {
+    val l = left.select(col(key).as("__lk"), col(ts).as("__lts"),
+        struct(left.columns.map(col): _*).as("l"))
+      .withWatermark("__lts", window)
+    val r = right.select(col(key).as("__rk"), col(ts).as("__rts"),
+        struct(right.columns.map(col): _*).as("r"))
+      .withWatermark("__rts", window)
+    l.join(r, expr(s"__lk = __rk AND __rts >= __lts AND __rts <= __lts + INTERVAL $window"))
+      .select(col("l"), col("r"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)

@@ -46,6 +46,31 @@ class StreamingSpec extends SparkSpec with Matchers {
     ids.map(_.getString(0)).distinct.length shouldBe 3
   }
 
+  test("stream-stream interval join pairs events within the window, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val q = EventStream.intervalStreamJoin(
+        views.toDF().toDF("vid", "user", "ts"),
+        buys.toDF().toDF("bid", "user", "ts"),
+        key = "user", ts = "ts", window = "1 hour")
+      .select($"l.vid", $"r.bid")
+      .writeStream.format("memory").queryName("test_ssj")
+      .outputMode(OutputMode.Append()).start()
+    // base offset keeps rows clear of the initial watermark floor at t=0
+    val b = 100000L
+    views.addData((1L, 7L, t(b)), (2L, 8L, t(b + 100)))
+    buys.addData((10L, 7L, t(b + 1800)), // within the hour of view 1 → match
+      (11L, 8L, t(b + 100 + 7200)),      // two hours after view 2 → no match
+      (12L, 9L, t(b + 50)))              // user with no view → no match
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("test_ssj").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 10L))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
