@@ -314,6 +314,15 @@ object SparkEntry {
         .where($"l_extendedprice" > $"order_avg")
         .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
     }),
+    // ---- engine breadth: explicit grouping sets via the SQL surface ----
+    "q_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem")).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+              |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+              |       count(*) AS cnt
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
     // ---- engine breadth: cube + exact interpolated quantiles ----
     "q_cube" -> ((s, dir) => {
       import s.implicits._
@@ -436,6 +445,12 @@ object SparkEntry {
         |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem l2
         |                         WHERE l2.l_orderkey = l1.l_orderkey)
         |GROUP BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
