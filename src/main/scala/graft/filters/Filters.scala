@@ -191,7 +191,10 @@ object Filters {
     * [[compile]]; the `metadata` contract column stays StringType
     * (SURVEY.md §1.2). */
   def compileVariant(preds: Seq[Pred], metadataCol: Column): Column = {
-    val v = parse_json(metadataCol)
+    // try_parse_json, not parse_json: malformed metadata must filter the
+    // row out (the string path's get_json_object-returns-null behavior),
+    // not fail the query.
+    val v = try_parse_json(metadataCol)
     preds.map(compileOneVariant(_, v)).reduceOption(_ && _).getOrElse(lit(true))
   }
 }

@@ -111,7 +111,7 @@ object MlAnn {
   def minhashLshJoin(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, jaccardDistThreshold: Double = 0.2,
-      numHashTables: Int = 8, dim: Int = 1 << 20, seed: Long = 42L): DataFrame = {
+      numHashTables: Int = 4, dim: Int = 1 << 20, seed: Long = 42L): DataFrame = {
     val shingled = docs
       .select(col(idCol), graft.functions.TextExprs.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.filters.Filters
+import graft.filters.Filters._
+import graft.functions.TextKernels
+
+class EdgeCaseSpec extends SparkSpec with Matchers {
+
+  test("empty table: query returns empty, empty insert is a no-op") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-edge").toString
+    val db = new VectorDB(spark, "empty", wh, "hashing", Map("dim" -> "16"),
+      dim = 16, newTable = true)
+    db.numRows shouldBe 0L
+    db.query("anything", k = 5).collect() shouldBe empty
+    db.insert(spark.emptyDataset[String])
+    db.numRows shouldBe 0L
+  }
+
+  test("malformed metadata JSON filters out, does not fail, in both filter paths") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"a": 5, "s": "ok"}""",
+      """{broken json!!""",
+      "",
+      """{"a": 9}""").toDF("metadata")
+    val preds: Seq[Pred] = Seq(Cmp("a", CmpOp.Gt, 1))
+    docs.where(Filters.compile(preds, col("metadata"))).count() shouldBe 2
+    docs.where(Filters.compileVariant(preds, col("metadata"))).count() shouldBe 2
+  }
+
+  test("unicode and emoji survive the full text kernel set deterministically") {
+    val texts = Seq(
+      "héllo wörld müller straße çöğüş 你好 世界 测试 文本 数据",
+      "emoji 🎉 test 🚀 with 🌍 many 🎯 symbols 🔥 here ✨ done",
+      "mixed ascii ελληνικά русский 日本語 한국어 with spaces")
+    texts.foreach { t =>
+      val w = TextKernels.words(t)
+      val sh = TextKernels.shingles(w, 3)
+      sh should not be empty
+      TextKernels.minhashSig(sh, 8).toSeq shouldBe TextKernels.minhashSig(sh, 8).toSeq
+      TextKernels.simhash(w) shouldBe TextKernels.simhash(w)
+      TextKernels.winnowFingerprints(t, 8, 4).toSeq shouldBe
+        TextKernels.winnowFingerprints(t, 8, 4).toSeq
+    }
+  }
+
+  test("unicode document round-trips insert + query with stable content id") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-edge-uni").toString
+    val db = new VectorDB(spark, "uni", wh, "hashing", Map("dim" -> "16"),
+      dim = 16, newTable = true)
+    val doc = """{"name": "müller 你好 🎉", "text": "unicode content body"}"""
+    db.insert(Seq(doc).toDS(), embedField = Some("text"))
+    db.insert(Seq(doc).toDS(), embedField = Some("text")) // dedup on re-insert
+    db.numRows shouldBe 1L
+    val hit = db.query("unicode content", k = 1).collect()
+    hit.head.metadata shouldBe doc
+  }
+}
