@@ -174,6 +174,13 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.groupedTopK(emb, qv, k = 3, groupCol = "label")
     }),
+    // ---- containment-similarity join over KMV sketches ----
+    "sim_containment" -> ((s, dir) => {
+      import s.implicits._
+      val sk = ops.Containment.sketchDocs(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 32)
+      ops.Containment.containmentJoin(sk.where($"doc_id" < 20), sk, k = 32, threshold = 0.2)
+    }),
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
@@ -551,6 +558,28 @@ object SparkEntry {
       s"""SELECT lang, list_sort(list_distinct(list(h)))[1:8] AS sketch
          |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
          |GROUP BY lang""".stripMargin,
+    "sim_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sk AS (
+         |  SELECT doc_id, len(sh) AS set_size,
+         |         list_sort(list_distinct(list_transform(sh, s -> ${hexLongSql("s")})))[1:32] AS sketch
+         |  FROM base WHERE len(sh) > 0
+         |), pairs AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, q.set_size,
+         |         list_sort(list_distinct(q.sketch || c.sketch))[1:32] AS u,
+         |         q.sketch AS qs, c.sketch AS cs
+         |  FROM sk q, sk c WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id
+         |), est AS (
+         |  SELECT query_id, cand_id,
+         |    round((len(list_intersect(list_intersect(u, qs), cs))::DOUBLE / len(u)::DOUBLE)
+         |      * (CASE WHEN len(u) < 32 THEN len(u)::DOUBLE
+         |              ELSE 31.0 * 1152921504606846976 / (u[len(u)])::DOUBLE END)
+         |      / set_size::DOUBLE, 4) AS containment
+         |  FROM pairs
+         |)
+         |SELECT query_id, cand_id, containment FROM est WHERE containment >= 0.2""".stripMargin,
     "sim_knn_grouped" ->
       """WITH d AS (
         |  SELECT e.label, e.vec_id,
