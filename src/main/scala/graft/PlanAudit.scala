@@ -11,7 +11,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = Seq("vdb_knn_filtered", "q3_join", "q1_agg", "q_topk_price",
-      "vdb_filter_json", "sim_knn_batch", "dedup_exact", "text_profile")
+      "vdb_filter_json", "sim_knn_batch", "dedup_exact", "text_profile",
+      "q_asof_join", "q_range_join", "sim_containment", "q_window_topn")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
