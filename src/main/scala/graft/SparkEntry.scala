@@ -278,6 +278,17 @@ object SparkEntry {
       c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
+    "q_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = s.read.parquet(t(dir, "customer")).where($"c_acctbal" > 5000)
+        .select($"c_custkey", $"c_mktsegment")
+      val o = s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 250000)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("big_orders"))
+      c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          coalesce($"c_mktsegment", lit("NONE")).as("mktsegment"),
+          coalesce($"big_orders", lit(0L)).as("big_orders"))
+    }),
     // ---- engine breadth: window top-n per group ----
     "q_window_topn" -> ((s, dir) => {
       import s.implicits._
@@ -428,6 +439,14 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1""".stripMargin,
+    "q_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       coalesce(c.c_mktsegment, 'NONE') AS mktsegment,
+        |       coalesce(o.big_orders, 0) AS big_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS big_orders FROM orders
+        |                 WHERE o_totalprice > 250000 GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
