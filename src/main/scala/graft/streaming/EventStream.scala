@@ -32,7 +32,9 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integral div, not `/`: long `/` promotes to Double and epoch-nanos
+      // exceed the 53-bit mantissa (see Tables.events).
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts/sums per event type with a watermark for
     * late data. At scale this is a streaming shuffle keyed by
