@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The container locale is POSIX, so the JDK17 default charset is
+  // US-ASCII — Spark's Variant JSON parse (and anything else that hits
+  // the platform charset) corrupts non-ASCII text to U+FFFD. A data
+  // engine must be UTF-8 end to end.
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

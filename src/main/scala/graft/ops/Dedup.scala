@@ -120,18 +120,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs within blocks. */
+  /** Embedding-cosine near-dup pairs within blocks.
+    *
+    * A blocking column is REQUIRED unless `lshDim` is set: joining every
+    * row against every row on a constant key is an O(n²) cross product —
+    * unusable at any real scale. With `blockCol=None` and `lshDim > 0`
+    * the pairs are pre-bucketed by sign-random-projection LSH
+    * ([[graft.functions.LshBucketsExpr]]): only rows colliding in at
+    * least one of `lshTables` hash tables are scored. That path is
+    * APPROXIMATE (a near-dup pair can miss every bucket), which is the
+    * honest trade at scale — exact all-pairs cosine does not exist at
+    * 100 TB. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, blockCol: Option[String]): DataFrame = {
-    val base = df.select(col(idCol), col(embCol),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val a = base.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), col("blk"))
-    val b = base.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), col("blk"))
-    a.join(b, Seq("blk"))
+      threshold: Double, blockCol: Option[String],
+      lshDim: Int = 0, lshTables: Int = 8, lshBits: Int = 8, lshSeed: Long = 42L): DataFrame = {
+    require(blockCol.nonEmpty || lshDim > 0,
+      "embeddingNearDups without a blocking column degenerates to an all-pairs cross " +
+        "product; pass blockCol or set lshDim (> 0) to enable LSH pre-bucketing")
+    val (base, joinKeys) = blockCol match {
+      case Some(bc) =>
+        (df.select(col(idCol), col(embCol), col(bc).as("blk")), Seq("blk"))
+      case None =>
+        val bucketed = df
+          .withColumn("__bks",
+            graft.functions.LshBucketsExpr(col(embCol), lshDim, lshTables, lshBits, lshSeed))
+          .select(col(idCol), col(embCol), posexplode(col("__bks")).as(Seq("t", "bk")))
+        (bucketed, Seq("t", "bk"))
+    }
+    val a = base.select(col(idCol).as("id_a") +: col(embCol).as("emb_a") +: joinKeys.map(col): _*)
+    val b = base.select(col(idCol).as("id_b") +: col(embCol).as("emb_b") +: joinKeys.map(col): _*)
+    val pairs = a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         RoundPortableExpr.r(VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4).as("distance"))
       .where(col("distance") <= threshold)
+    // LSH path: the same pair can collide in several tables
+    if (blockCol.isEmpty) pairs.distinct() else pairs
   }
 }

@@ -126,6 +126,80 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real PNG codec path (javax.imageio — ships with the JDK) ----
+
+  // ImageIO's default disk cache costs a temp file per encode/decode;
+  // these are tiny in-memory images.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic pixel formula for the synthetic PNG fixture:
+    * gray(id, x, y) = (id·31 + x·7 + y·13) mod 256. Pure integer
+    * arithmetic → the decoded pixel sums are exactly reproducible in
+    * SQL from (doc_id, width, height) alone. */
+  def pngPixel(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  def pngDims(id: Long): (Int, Int) = (((id % 7) + 2).toInt, ((id % 5) + 2).toInt)
+
+  /** Encodes one synthetic grayscale PNG (real codec, real bytes). */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table with REAL PNG payloads (one tiny image per document id).
+    * Same plan shape as [[fakeMediaTable]]: map-only, binary born
+    * distributed. The declared width/height columns are intentionally
+    * NOT trusted by the decode path — the decoder re-derives them from
+    * the bytes. */
+  def pngMediaTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { rows =>
+      rows.map { row => val id = row.getLong(idIdx); Row(id, encodePng(id)) }
+    }(enc)
+  }
+
+  /** REAL decode: ImageIO-parses the PNG bytes and pools pixel stats —
+    * dimensions and the exact gray sum. Runs in `mapPartitions` like the
+    * stub (decoder per partition, bytes never shuffle). */
+  def decodePngStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_gray", LongType, nullable = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](contentIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Row(row.getLong(idIdx), w, h, sum)
+      }
+    }(enc)
+  }
+
   /** Byte-level stats of the binary column — pure column expressions,
     * fully oracle-checkable (md5 over bytes = DuckDB md5 over the same
     * text; length = octet_length). */

@@ -68,6 +68,58 @@ object Similarity {
     df.withColumn("buckets",
       graft.functions.LshBucketsExpr(col(embCol), dim, tables, bits, seed))
 
+  /** Quality gate for approximate-ANN results: per query, the fraction
+    * of the EXACT top-k recovered by the approximate result. Emits
+    * (query_id, recall_ok ∈ {0,1}) — 1 iff recall@k ≥ floor — so an
+    * oracle can assert the quality contract (`SELECT id, 1 AS recall_ok`)
+    * and any recall regression flips the hash match red.
+    *
+    * Scale shape: both inputs are ≤ queries×k rows; the join/agg here is
+    * negligible next to the searches that produced them. */
+  def recallGate(approx: DataFrame, exact: DataFrame, k: Int, floor: Double): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(coalesce(col("hits"), lit(0L)).cast("double") / k >= floor, 1).otherwise(0)
+          .as("recall_ok"))
+  }
+
+  /** Numeric recall@k per query (for specs / diagnostics). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
+  /** Mean-recall@k gate: one row (n_queries, recall_ok) — 1 iff the MEAN
+    * recall across queries clears the floor. For ANN families whose
+    * per-query recall is high-variance by design (e.g. IVF on weakly
+    * clustered data), the mean is the stable, meaningful contract. */
+  def meanRecallGate(approx: DataFrame, exact: DataFrame, k: Int, floor: Double): DataFrame =
+    recallAtK(approx, exact, k)
+      .agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("mean_recall"))
+      .select(col("n_queries"),
+        when(col("mean_recall") >= floor, 1).otherwise(0).as("recall_ok"))
+
+  /** Pair-set recall gate for near-dup joins: one row
+    * (n_expected, recall_ok) — 1 iff the approximate join recovered at
+    * least `floor` of the expected (id_a, id_b) pairs. */
+  def pairRecallGate(approx: DataFrame, expected: DataFrame, floor: Double): DataFrame = {
+    val e = expected.select(col("id_a"), col("id_b"))
+    val found = approx.select(col("id_a"), col("id_b")).join(e, Seq("id_a", "id_b"))
+    e.agg(count(lit(1)).as("n_expected"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_expected"),
+        when(col("n_found").cast("double") / col("n_expected") >= floor, 1).otherwise(0)
+          .as("recall_ok"))
+  }
+
   /** Approximate top-k: compare each query only to candidates sharing
     * an LSH bucket, then rank. Multi-probe recall comes from `tables`
     * independent hash tables. */

@@ -54,11 +54,17 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** projList entry `Alias(CosineDistance(attr, Literal), name)` whose
-    * exprId matches the sort attribute. */
+    * exprId matches the sort attribute. A monotonic rounding wrapper
+    * (`round_portable`, used by every oracle-compared query) is looked
+    * through: rank order under round(d) is compatible with rank order
+    * under d, so the bucket prefilter stays valid. */
   private def definesCosineDistance(
       projList: Seq[NamedExpression], distAttr: Attribute): Option[(Attribute, ArrayData)] =
     projList.collectFirst {
       case a @ Alias(CosineDistance(emb: Attribute, Literal(q: ArrayData, ArrayType(FloatType, _))), _)
+          if a.exprId == distAttr.exprId => (emb, q)
+      case a @ Alias(graft.functions.RoundPortableExpr(
+            CosineDistance(emb: Attribute, Literal(q: ArrayData, ArrayType(FloatType, _))), _), _)
           if a.exprId == distAttr.exprId => (emb, q)
     }
 

@@ -52,17 +52,8 @@ object EventStream {
     * Trigger.AvailableNow into a memory sink and returns the final
     * batch result — the stream-equals-batch bridge used by the
     * `stream_window_agg` oracle query. */
-  def runWindowedAggAvailableNow(spark: SparkSession, dir: String, name: String = "stream_window_agg"): DataFrame = {
-    val q = windowedAgg(readEvents(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runWindowedAggAvailableNow(spark: SparkSession, dir: String, name: String = "stream_window_agg"): DataFrame =
+    runToMemory(windowedAgg(readEvents(spark, dir)), name, OutputMode.Complete())
 
   /** Streaming dedup-insert: the reference's insert path (UUIDv5
     * content id → skip duplicates → append, duckvdb.py:47-61) as a
@@ -74,9 +65,22 @@ object EventStream {
     * compaction time, this operator dedups the live window). */
   def dedupInsertStream(
       docs: DataFrame, metadataCol: String, tsCol: String,
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String): DataFrame =
+    dedupInsertStream(docs, graft.functions.JsonUuid5.jsonUuid5Col(col(metadataCol)),
+      tsCol, watermark)
+
+  def dedupInsertStream(
+      docs: DataFrame, metadataCol: String, tsCol: String): DataFrame =
+    dedupInsertStream(docs, metadataCol, tsCol, "2 hours")
+
+  /** Generalized form: any deterministic content-id expression (the
+    * oracle-checked entry uses md5 — UUIDv5 is SHA-1-based, which the
+    * DuckDB oracle can't reproduce). */
+  def dedupInsertStream(
+      docs: DataFrame, idExpr: org.apache.spark.sql.Column, tsCol: String,
+      watermark: String): DataFrame =
     docs
-      .withColumn("id", graft.functions.JsonUuid5.jsonUuid5Col(col(metadataCol)))
+      .withColumn("id", idExpr)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("id")
 
@@ -119,13 +123,18 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
+          // full microsecond precision: Timestamp.getTime is millis-only;
+          // a second- or ms-truncated comparison puts boundary events in
+          // the wrong session vs the batch twin (same class of bug as the
+          // nanos→micros `div` fix in Tables.events)
+          def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
           // events within a trigger arrive unordered: sort this batch
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
-            val t = e.ts.getTime / 1000L
-            if (st.lastTs != Long.MinValue && t - st.lastTs > gapSeconds) {
+            val t = micros(e.ts)
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapSeconds * 1000000L) {
               out += SessionOut(userId, st.sessionId, st.nEvents)
               st = SessionState(st.sessionId + 1, t, 1L)
             } else {
@@ -140,4 +149,70 @@ object EventStream {
   /** Batch flush of the final open session per user, for tests that
     * compare streaming sessionization against the batch twin. */
   def finalSessions(spark: SparkSession, sessions: DataFrame): DataFrame = sessions
+
+  // ---- AvailableNow runners: each streaming operator driven over the
+  // static parquet into a memory sink, so the stream result is
+  // differentially checkable against a batch SQL twin (the
+  // `stream_window_agg` pattern). Memory-sink harness only — a real
+  // deployment writes to a durable sink. ----
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    // unique sink name per invocation: Bench runs every query ≥2× in one
+    // session and memory-sink names must not collide across runs
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(unique)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(unique)
+  }
+
+  /** Stateful streaming sessionization over the events parquet; emits
+    * CLOSED sessions (the per-user open tail never closes in a finite
+    * run — the batch twin excludes each user's last session). Session
+    * ids shifted +1 to align with the batch twin's 1-based running sum. */
+  def runSessionizeAvailableNow(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    runToMemory(sessionize(ev, gapSeconds).toDF(), "stream_sessionize")
+      .select($"user_id", ($"session_id" + 1).as("session_id"), $"n_events")
+  }
+
+  /** Watermark-bounded streaming dedup-insert over the documents
+    * parquet: md5 content id, synthetic event time from doc_id, a
+    * watermark wide enough to span the whole fixture (so the result is
+    * exactly the distinct content set = the batch DISTINCT twin). */
+  def runDedupInsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      // +1e6 s base: an event time of exactly 0 sits ON the initial
+      // watermark floor and is dropped as late (StreamingSpec gotcha)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1000000L) * 1000000L))
+    val deduped = dedupInsertStream(docs, md5(col("text")), "ts", "3650 days")
+    runToMemory(deduped.select(col("id").as("h")), "stream_dedup_insert")
+  }
+
+  /** Watermarked stream-stream interval join over the events parquet:
+    * every view paired with same-user purchases within the next hour. */
+  def runIntervalJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(tpe: String, as: String) = readEvents(spark, dir)
+      .where($"event_type" === tpe)
+      .select($"event_id".as(as), $"user_id", $"ts")
+    val joined = intervalStreamJoin(
+      side("view", "view_id"), side("purchase", "purchase_id"),
+      key = "user_id", ts = "ts", window = "1 hour")
+    runToMemory(joined.select($"l.view_id".as("view_id"), $"r.purchase_id".as("purchase_id")),
+      "stream_interval_join")
+  }
 }
