@@ -19,27 +19,31 @@ object Bench {
     // charged ~10 s of JVM one-time cost.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of `runs` attempts: one host-load stall (BENCHNOTES.md saw a
-      // 138× spike in round 1) can't dominate the round's number.
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // toRdd + foreach forces every output column of the optimized plan
-        // to be computed (a bare .count() would let Catalyst prune
-        // expensive projections, under-measuring kernel-heavy queries).
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            // a failed query must never masquerade as a fast one
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-            None
-        }
+    // Min over WHOLE-SUITE passes, not back-to-back repeats: transient
+    // host-load stalls on this shared VM last tens of seconds (round-1
+    // bench saw adjacent queries spike 10-40× while the same plans ran
+    // normally minutes later), so consecutive runs of one query land in
+    // the same stall. Separating the measurements by a full pass
+    // decorrelates them.
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      // toRdd + foreach forces every output column of the optimized plan
+      // to be computed (a bare .count() would let Catalyst prune
+      // expensive projections, under-measuring kernel-heavy queries).
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      } catch {
+        case e: Throwable =>
+          // a failed query must never masquerade as a fast one
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-      name -> times
     }
+    val results = names.map(n => n -> times(n))
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -50,7 +54,7 @@ object Bench {
     val qs = results.collect { case (k, ts) if ts.nonEmpty => s"${jstr(k)}:${ts.min}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.values.collect { case ts if ts.nonEmpty => ts.min }.sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
