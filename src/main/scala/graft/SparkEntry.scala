@@ -455,6 +455,86 @@ object SparkEntry {
           Filters.ColCmp("p_name", Filters.CmpOp.Like, "%a%")), lit(null)))
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
     }),
+    // ---- engine breadth: 6-way join through the dimension chain
+    // (TPC-H Q5 shape) — region/nation/supplier dims broadcast, the
+    // lineitem⋈orders fact join is the only shuffle ----
+    "q5_multijoin" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val su = s.read.parquet(t(dir, "supplier"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region")).where($"r_name" === "ASIA")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(su),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(RoundPortableExpr.r(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 0).as("revenue"))
+    }),
+    // ---- skew tools, differentially proven: salted results must equal
+    // the unsalted SQL exactly ----
+    "q_skew_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select($"l_orderkey".as("k"), $"l_quantity", $"l_linenumber")
+      val big = s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 300000)
+        .select($"o_orderkey".as("k"), $"o_orderpriority")
+      ops.Skew.saltedJoin(li, big, "k", salts = 8, saltSrc = $"l_linenumber")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), RoundPortableExpr.r(sum($"l_quantity"), 0).as("sum_qty"))
+    }),
+    "q_skew_distinct" -> ((s, dir) =>
+      ops.Skew.saltedDistinctCount(s.read.parquet(t(dir, "lineitem")),
+        "l_returnflag", "l_orderkey", salts = 8)),
+    // ---- engine breadth: pivot (wide aggregation) ----
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(RoundPortableExpr.r(coalesce(sum($"l_quantity"), lit(0.0)), 0))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+    }),
+    // ---- engine breadth: running window aggregate (frame spec) ----
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderkey".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.read.parquet(t(dir, "orders"))
+        .select($"o_custkey", $"o_orderkey",
+          RoundPortableExpr.r(sum($"o_totalprice").over(w), 2).as("running_spend"))
+    }),
+    // ---- U2 registry with non-default params: 384-dim embedder through
+    // the distributed embed map, oracle-checked end to end ----
+    "vdb_embed_knn_384" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).where($"doc_id" < 150)
+        .select($"doc_id", substring($"text", 1, 200).as("text"))
+      val embedded = graft.embed.EmbedOps.withEmbedding(docs, "text", "hashing", Map("dim" -> "384"))
+      val qvec = graft.embed.Embedders.forName("hashing", Map("dim" -> "384"))
+        .embed("distributed query engine")
+      embedded.select($"doc_id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4).as("distance"))
+        .orderBy($"distance".asc, $"doc_id".asc)
+        .limit(10)
+    }),
+    // ---- U6 second embedder family end to end (char-n-gram hashing) ----
+    "vdb_embed_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).where($"doc_id" < 150)
+        .select($"doc_id", substring($"text", 1, 200).as("text"))
+      val embedded = graft.embed.EmbedOps.withEmbedding(docs, "text", "ngram_hashing")
+      val qvec = graft.embed.Embedders.forName("ngram_hashing").embed("distributed query engine")
+      embedded.select($"doc_id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4).as("distance"))
+        .orderBy($"distance".asc, $"doc_id".asc)
+        .limit(10)
+    }),
     // ---- engine breadth: grouped aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -828,6 +908,59 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents e
         |                  WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
         |GROUP BY 1""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_count
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 0) AS qty_f,
+        |       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 0) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_spend
+        |FROM orders""".stripMargin,
+    "vdb_embed_knn_384" ->
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id < 150),
+         |     acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 384)} AS a FROM d),
+         |     e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |     qacc AS (SELECT ${hashingEmbedAccSql("'distributed query engine'", 384)} AS a),
+         |     q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc)
+         |SELECT e.doc_id,
+         |       round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                        CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |FROM e, q
+         |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
+    "vdb_embed_ngram" ->
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id < 150),
+         |     acc AS (SELECT doc_id, ${ngramEmbedAccSql("text", 64, 3)} AS a FROM d),
+         |     e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |     qacc AS (SELECT ${ngramEmbedAccSql("'distributed query engine'", 64, 3)} AS a),
+         |     q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc)
+         |SELECT e.doc_id,
+         |       round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                        CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |FROM e, q
+         |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 0) AS sum_qty,

@@ -80,6 +80,17 @@ object TextPrimitives {
       s"ELSE list_transform($a, x -> CAST(x / $nrm AS FLOAT)) END"
   }
 
+  /** DuckDB twin of [[graft.embed.NgramHashingEmbedder]] (U6 second
+    * embedder slot): char-n-gram hashes (spaces/punct included, exactly
+    * as the Scala kernel) feature-hashed into `dim` signed counts. */
+  def ngramEmbedAccSql(text: String, dim: Int, n: Int): String = {
+    val hs = s"list_transform(range(greatest(length(lower($text)) - ${n - 1}, 0)), " +
+      s"i -> ${hexLongSql(s"substr(lower($text), CAST(i + 1 AS INTEGER), $n)")})"
+    s"list_transform(range($dim), i -> coalesce(list_sum(list_transform(" +
+      s"list_filter($hs, h -> (h >> 1) % $dim = i), " +
+      s"h -> CASE WHEN h & 1 = 1 THEN -1.0 ELSE 1.0 END)), 0.0))"
+  }
+
   /** DuckDB twin of winnowing, staged: k-gram hash list over a text
     * expression, then window-min selection over the hash list. */
   def winnowHashesSql(text: String, k: Int): String =
