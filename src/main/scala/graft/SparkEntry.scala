@@ -535,6 +535,21 @@ object SparkEntry {
         .orderBy($"distance".asc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- S6 source parity as a registered query: JSONL docs written
+    // and read back through the JSON source (the reference's native doc
+    // format), then aggregated — result must equal the same aggregation
+    // straight off parquet ----
+    "vdb_json_source" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(to_json(struct($"doc_id", $"text", $"lang", $"source", $"n_chars")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.schema(docs.schema).json(tmp)
+        .where($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
+    }),
     // ---- engine breadth: grouped aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -961,6 +976,9 @@ object SparkEntry {
          |                                        CAST(q.qv AS DOUBLE[])), 4) AS distance
          |FROM e, q
          |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
+    "vdb_json_source" ->
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 0) AS sum_qty,

@@ -120,13 +120,13 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       case None => checked
     }
     val deduped = indexed.dropDuplicates(VectorSchema.ID)
-    val fresh =
-      if (isEmpty) deduped
-      else deduped.join(df.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
+    // anti-join unconditionally: against an empty table it is an
+    // identity with a near-zero build side, and skipping it would cost
+    // a driver-side existence job (df.isEmpty) on EVERY insert — at
+    // scale the constant join beats the extra action.
+    val fresh = deduped.join(df.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
     fresh.write.mode("append").parquet(root)
   }
-
-  private def isEmpty: Boolean = df.isEmpty
 
   /** Row count (reference `num_rows`, duckvdb.py:122-123). */
   def numRows: Long = df.count()

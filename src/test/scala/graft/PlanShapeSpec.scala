@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Asserted plan-shape invariants for the scale-critical queries: the
+  * properties that make these plans survive a 100× scale-up, checked as
+  * tests so a regression (lost broadcast, surprise cross product,
+  * unpruned scan, lost window group limit) fails CI instead of waiting
+  * for a slow bench. Planning-only — nothing here executes a job. */
+class PlanShapeSpec extends SparkSpec with Matchers {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+
+  // every lazily-planned query: no accidental cross products anywhere
+  private val lazyQueries = Seq("vdb_knn", "vdb_knn_filtered", "vdb_embed_knn",
+    "vdb_filter_json", "vdb_filter_rich", "vdb_filter_variant", "vdb_insert_dedup",
+    "dedup_exact", "dedup_jaccard_block", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_embed_cosine", "sim_knn_batch", "sim_containment",
+    "text_profile", "text_winnow", "q_asof_join", "q_range_join", "agg_kmv_sketch",
+    "q3_join", "q5_multijoin", "q_join_anti", "q_outer_join", "q_window_topn",
+    "q_intersect", "q_except", "q_rollup", "q_above_avg", "q_cube", "q_quantiles",
+    "vdb_filter_suffix", "q1_agg", "q_topk_price", "q_skew_salted_join",
+    "q_skew_distinct", "q_pivot", "q_window_running", "mm_binary_stats",
+    "mm_decode_png", "mm_decode_stub")
+
+  test("no unintended cross product in any relational plan") {
+    // the only legitimate nested-loop shapes: broadcast single-row query
+    // vectors (vdb_knn*, sim_knn_*: crossJoin(broadcast(1-row))) — those
+    // are BroadcastNestedLoopJoin over one row, never CartesianProduct
+    for (n <- lazyQueries) {
+      val p = physical(n)
+      withClue(s"$n:") { p should not include "CartesianProduct" }
+    }
+  }
+
+  test("fact-dim joins broadcast the dims (q3, q5)") {
+    val q3 = physical("q3_join")
+    q3 should include("BroadcastHashJoin")
+    val q5 = physical("q5_multijoin")
+    // customer, supplier, nation, region all broadcast
+    "BroadcastHashJoin".r.findAllIn(q5).size should be >= 4
+    q5 should not include "CartesianProduct"
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    physical("q_topk_price") should include("TakeOrderedAndProject")
+  }
+
+  test("window top-n pushes the rank bound into per-partition heaps") {
+    physical("q_window_topn") should include("WindowGroupLimit")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    // two HashAggregate levels around one exchange
+    val p = physical("q1_agg")
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("Exchange")
+  }
+
+  test("scans are column-pruned to what the query needs") {
+    val knn = physical("vdb_knn")
+    knn should include("ReadSchema")
+    // embeddings scan must not read the label column it never uses
+    knn.linesIterator.filter(_.contains("ReadSchema")).mkString should not include "label"
+    val topk = physical("q_topk_price")
+    topk.linesIterator.filter(_.contains("ReadSchema")).mkString should not include "l_discount"
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = physical("vdb_knn_filtered")
+    p should include("PushedFilters: [IsNotNull(label), EqualTo(label,2)]")
+  }
+
+  test("exact dedup shuffles only the digest, never the document") {
+    val p = physical("dedup_exact")
+    // what the exchange carries = the partial aggregate's output row:
+    // (content_hash, partial min, partial count) — no text column
+    val partialOut = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("partial_"))
+      .mkString("\n")
+    partialOut should include("content_hash")
+    partialOut.split("output=").last should not include "text#"
+  }
+
+  test("blocked embedding near-dup joins on the block key (no all-pairs)") {
+    val p = physical("dedup_embed_cosine")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("as-of join is one shuffle, not a range cross product") {
+    val p = physical("q_asof_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("salted join replicates only the small side") {
+    val p = optimized("q_skew_salted_join")
+    // the explode (salt replication) must sit on the orders subtree
+    p should include("explode")
+    p.toLowerCase should not include "cartesian"
+  }
+}
