@@ -22,6 +22,10 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Unique catalog-table suffix per invocation (Bench runs every entry
+    * more than once in one session). */
+  private val layoutRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reproduces the reference's end-to-end example (vdb.py:73-104):
     * build JSON docs → embed → dedup insert → filtered k-NN. */
@@ -535,6 +539,42 @@ object SparkEntry {
         .orderBy($"distance".asc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- storage-layout operators: the two layouts that kill recurring
+    // shuffles/scans at 100 TB, each proven equal to the plain-layout
+    // SQL. Partition pruning: only the matching directory is read
+    // (PartitionFilters in the scan). Bucketing: equi-joins on the
+    // bucket key read both sides pre-partitioned — no join-side
+    // exchange (shuffle-free property asserted in Bucketing/PlanShape
+    // specs). ----
+    "layout_partitioned_read" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      s.read.parquet(t(dir, "events"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .where($"event_type" === "click")
+        .agg(count(lit(1)).as("cnt"), RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
+    }),
+    "layout_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val run = layoutRunSeq.incrementAndGet()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      def writeBucketed(df: DataFrame, name: String): String = {
+        // external table (explicit path): bucket metadata lives in the
+        // in-memory catalog, files in the temp dir — nothing persists
+        // into a ./spark-warehouse under the working directory
+        df.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+          .option("path", s"$tmp/$name").format("parquet").saveAsTable(name)
+        name
+      }
+      val li = writeBucketed(s.read.parquet(t(dir, "lineitem"))
+        .select($"l_orderkey".as("k"), $"l_quantity"), s"graft_bl_li_$run")
+      val o = writeBucketed(s.read.parquet(t(dir, "orders"))
+        .select($"o_orderkey".as("k"), $"o_orderpriority"), s"graft_bl_o_$run")
+      s.table(li).join(s.table(o), Seq("k"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), RoundPortableExpr.r(sum($"l_quantity"), 0).as("sum_qty"))
+    }),
     // ---- S6 source parity as a registered query: JSONL docs written
     // and read back through the JSON source (the reference's native doc
     // format), then aggregated — result must equal the same aggregation
@@ -979,6 +1019,13 @@ object SparkEntry {
     "vdb_json_source" ->
       """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+    "layout_partitioned_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 0) AS sum_qty,

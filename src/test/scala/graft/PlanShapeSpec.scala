@@ -100,6 +100,22 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("partitioned layout prunes to the matching partition directory") {
+    val p = physical("layout_partitioned_read")
+    val partitionFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    partitionFilters should include("event_type")
+    // the pruned partition column never reaches the data filters
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    pushed should not include "event_type"
+  }
+
+  test("bucketed tables read pre-partitioned (bucketed scan, all buckets)") {
+    val p = physical("layout_bucketed_join")
+    p should include("SelectedBucketsCount: 8 out of 8")
+  }
+
   test("salted join replicates only the small side") {
     val p = optimized("q_skew_salted_join")
     // the explode (salt replication) must sit on the orders subtree
