@@ -395,6 +395,17 @@ object SparkEntry {
         .intersect(s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 300000)
           .select($"o_custkey".as("custkey")))
     }),
+    "q_union" -> ((s, dir) => {
+      import s.implicits._
+      // UNION (distinct) of two key sets, aggregated — completes the set-op
+      // family with q_intersect/q_except
+      s.read.parquet(t(dir, "customer")).where($"c_acctbal" > 9000)
+        .select($"c_custkey".as("custkey"))
+        .union(s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 350000)
+          .select($"o_custkey".as("custkey")))
+        .distinct()
+        .agg(count(lit(1)).as("cnt"), sum($"custkey").as("key_sum"))
+    }),
     "q_except" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(t(dir, "customer")).where($"c_acctbal" > 5000)
@@ -745,6 +756,11 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_union" ->
+      """SELECT count(*) AS cnt, CAST(sum(custkey) AS BIGINT) AS key_sum FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |  UNION
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000)""".stripMargin,
     "q_except" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
         |EXCEPT
