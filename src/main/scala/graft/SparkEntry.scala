@@ -254,6 +254,21 @@ object SparkEntry {
     // emits closed sessions — batch twin minus each user's open tail ----
     "stream_sessionize" -> ((s, dir) =>
       EventStream.runSessionizeAvailableNow(s, dir)),
+    // ---- streaming: sliding windows (1h/30m — every event in 2 windows) ----
+    "stream_sliding_window" -> ((s, dir) =>
+      EventStream.runSlidingWindowAvailableNow(s, dir)),
+    // ---- native session windows (Spark session_window), vs the same
+    // lag/sum session SQL the custom sessionizers are checked against.
+    // Note the semantics boundary: session_window starts a NEW session
+    // when gap >= 30 min (strict merge), the custom sessionize when
+    // gap > 30 min — the oracle encodes >= here. ----
+    "q_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"sw.start").as("session_start"), $"n_events")
+    }),
     // ---- streaming: watermark-bounded dedup-insert ----
     "stream_dedup_insert" -> ((s, dir) =>
       EventStream.runDedupInsertAvailableNow(s, dir)),
@@ -282,6 +297,12 @@ object SparkEntry {
     // pool pixel stats; dims + gray sum are exact SQL functions of doc_id ----
     "mm_decode_png" -> ((s, dir) =>
       Multimodal.decodePngStats(Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))))),
+    // ---- multimodal: REAL resize (decode → nearest-neighbor resample →
+    // re-encode), verified by decoding the RESIZED bytes and matching
+    // the SQL-computed sampled-pixel sum ----
+    "mm_resize_png" -> ((s, dir) =>
+      Multimodal.decodePngStats(Multimodal.resizePngNearest(
+        Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))), 4, 3))),
     "mm_decode_stub" -> ((s, dir) => {
       val feats = Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
       // scalar per-dim columns (checker-safe) — float cast mirrored by
@@ -683,6 +704,30 @@ object SparkEntry {
         |WHERE session_id < (SELECT max(session_id) FROM c c2 WHERE c2.user_id = c.user_id)""".stripMargin,
     "stream_dedup_insert" ->
       "SELECT DISTINCT md5(text) AS h FROM documents",
+    "stream_sliding_window" ->
+      """WITH w AS (
+        |  SELECT u.ws AS window_start, event_type, value FROM events,
+        |  UNNEST([CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT),
+        |          CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) - 1800]) u(ws)
+        |)
+        |SELECT window_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(us) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "stream_interval_join" ->
       """SELECT l.event_id AS view_id, r.event_id AS purchase_id
         |FROM events l JOIN events r
@@ -691,6 +736,16 @@ object SparkEntry {
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
         |WHERE l.event_type = 'view' AND r.event_type = 'purchase'""".stripMargin,
     // ---- multimodal PNG: dims + exact pixel sum from the generator formula ----
+    "mm_resize_png" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(4 AS INTEGER) AS width,
+        |       CAST(3 AS INTEGER) AS height,
+        |       CAST(list_sum(flatten(list_transform(range(4), x ->
+        |         list_transform(range(3), y ->
+        |           (doc_id * 31 + ((x * (doc_id % 7 + 2)) // 4) * 7
+        |                        + ((y * (doc_id % 5 + 2)) // 3) * 13) % 256))))
+        |         AS BIGINT) AS sum_gray
+        |FROM documents""".stripMargin,
     "mm_decode_png" ->
       """SELECT doc_id AS media_id,
         |       CAST(doc_id % 7 + 2 AS INTEGER) AS width,

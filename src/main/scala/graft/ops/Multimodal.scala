@@ -200,6 +200,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL resize through real codecs: ImageIO decode → nearest-neighbor
+    * resample (src pixel = (x·w)/W, (y·h)/H with integer division —
+    * deterministic and exactly reproducible in SQL, unlike filtered
+    * scaling) → ImageIO re-encode. Map-only; replaces [[resizeStub]] on
+    * the PNG path. */
+  def resizePngNearest(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](contentIdx)))
+        val (w, h) = (src.getWidth, src.getHeight)
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val sr = src.getRaster; val or = out.getRaster
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            or.setSample(x, y, 0, sr.getSample(x * w / targetW, y * h / targetH, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Row(row.getLong(idIdx), bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Byte-level stats of the binary column — pure column expressions,
     * fully oracle-checkable (md5 over bytes = DuckDB md5 over the same
     * text; length = octet_length). */

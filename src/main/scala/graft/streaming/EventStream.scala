@@ -202,6 +202,21 @@ object EventStream {
     runToMemory(deduped.select(col("id").as("h")), "stream_dedup_insert")
   }
 
+  /** Sliding-window (1h window / 30m slide) streaming aggregation —
+    * each event lands in two overlapping windows. Complete mode like
+    * the tumbling twin (final windows never close under AvailableNow
+    * in append mode). */
+  def runSlidingWindowAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      readEvents(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.RoundPortableExpr.r(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value")),
+      "stream_sliding_window", OutputMode.Complete())
+
   /** Watermarked stream-stream interval join over the events parquet:
     * every view paired with same-user purchases within the next hour. */
   def runIntervalJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
