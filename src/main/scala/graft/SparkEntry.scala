@@ -247,6 +247,28 @@ object SparkEntry {
         // factorize crashes on ndarray) — emit a scalar on both sides
         .select($"lang", array_join(transform($"sk", _.cast("string")), ",").as("sketch"))
     }),
+    // ---- approximate aggregates, tolerance-gated vs exact twins: the
+    // sketches that replace exact distinct/quantiles at 100 TB, proven
+    // within tolerance the same way the ANN paths prove recall ----
+    "agg_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx"),
+          countDistinct($"l_orderkey").as("exact_count"))
+        .select($"l_returnflag", $"exact_count",
+          when(abs($"approx" - $"exact_count").cast("double") / $"exact_count" <= 0.05, 1)
+            .otherwise(0).as("within_tol"))
+    }),
+    "agg_approx_quantile" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"),
+          percentile($"l_extendedprice", lit(0.5)).as("exact"))
+        .select($"l_returnflag",
+          when(abs($"approx" - $"exact") / $"exact" <= 0.05, 1).otherwise(0).as("within_tol"))
+    }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
       EventStream.runWindowedAggAvailableNow(s, dir)),
@@ -665,6 +687,11 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_index_probe" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_count, 1 AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_approx_quantile" ->
+      "SELECT l_returnflag, 1 AS within_tol FROM lineitem GROUP BY 1",
     "ml_minhash_dedup" ->
       s"""WITH base AS (
          |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
