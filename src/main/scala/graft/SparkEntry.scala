@@ -200,6 +200,19 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 32)
       ops.Containment.containmentJoin(sk.where($"doc_id" < 20), sk, k = 32, threshold = 0.2)
     }),
+    // ---- deterministic train/test split: hash-based assignment is
+    // reproducible across runs/engines (no RNG), stratification audited
+    // per language. At 100 TB the split is a map-only projection — no
+    // shuffle beyond the audit aggregation. ----
+    "text_train_split" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("split", when(pmod(h, lit(100)) < 80, "train").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
+    }),
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
@@ -938,6 +951,12 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rn
         |      FROM d)
         |SELECT query_id, neighbor_id, distance FROM r WHERE rn <= 3""".stripMargin,
+    "text_train_split" ->
+      s"""SELECT lang,
+         |       CASE WHEN ${hexLongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_profile" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.langIdSqlCase("ws")} AS pred_lang,
