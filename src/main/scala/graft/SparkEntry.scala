@@ -734,8 +734,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g
         |), c AS (
         |  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
@@ -808,8 +808,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2""".stripMargin,
