@@ -163,9 +163,22 @@ object EventStream {
     // unique sink name per invocation: Bench runs every query ≥2× in one
     // session and memory-sink names must not collide across runs
     val unique = s"${name}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(unique)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Shuffle partitions = state-store instances for a stateful stream
+    // (each one commits a checkpoint delta per micro-batch — a
+    // stream-stream join carries 4 stores per partition). Size them to
+    // key cardinality/throughput, not the batch-session default: the
+    // harness fixture has a handful of hot keys, so 32 stores is pure
+    // per-batch commit overhead. Scoped set/restore — the streaming
+    // query picks the value up at start() and keeps it for life.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val q = df.writeStream.format("memory").queryName(unique)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(unique)
   }
 
