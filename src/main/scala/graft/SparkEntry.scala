@@ -348,6 +348,41 @@ object SparkEntry {
     "mm_resize_png" -> ((s, dir) =>
       Multimodal.decodePngStats(Multimodal.resizePngNearest(
         Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))), 4, 3))),
+    // ---- multimodal: REAL audio codec — synthesize 16-bit PCM WAVs,
+    // decode via javax.sound (RIFF parse), pool sample stats; every
+    // output is an exact SQL function of doc_id ----
+    "mm_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeWavStats(Multimodal.wavMediaTable(s.read.parquet(t(dir, "documents"))))),
+    // ---- multimodal: video-style container demux + every-2nd-frame
+    // sampling + REAL per-frame PNG decode (generator/flatMap shape —
+    // frames multiply map-side, container bytes never shuffle) ----
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.videoMediaTable(s.read.parquet(t(dir, "documents"))), 2)),
+    // ---- Misra-Gries heavy hitters: frequent terms via a bounded
+    // mergeable counter map (capacity 64 ≥ fixture vocab 31 → exact;
+    // the N/(cap+1) error-bound regime is property-tested in
+    // HeavyHittersSpec). Deterministic total order for the cutoff. ----
+    "agg_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(ops.TextPrimitives.words($"text")).as("w"))
+        .where($"w" =!= "")
+        .agg(graft.functions.HeavyHitters.sketch($"w", 64).as("mg"))
+        .select(explode($"mg"))
+        .toDF("word", "est_count")
+        .orderBy($"est_count".desc, $"word".asc)
+        .limit(12)
+    }),
+    // ---- exact distinct via mergeable bitmaps: one fixed-size bit
+    // array per (group, partition) shuffles instead of every distinct
+    // raw key — the countDistinct scale path for dense id spaces ----
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.BitmapDistinct.distinct($"l_orderkey", 1L << 20)
+          .as("distinct_orders"))
+    }),
     "mm_decode_stub" -> ((s, dir) => {
       val feats = Multimodal.withFeatures(Multimodal.fakeMediaTable(s.read.parquet(t(dir, "documents"))))
       // scalar per-dim columns (checker-safe) — float cast mirrored by
@@ -431,6 +466,13 @@ object SparkEntry {
       val c = s.read.parquet(t(dir, "customer"))
       val bigOrders = s.read.parquet(t(dir, "orders")).where($"o_totalprice" > 300000)
       c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val c = s.read.parquet(t(dir, "customer"))
+      val urgent = s.read.parquet(t(dir, "orders")).where($"o_orderpriority" === "1-URGENT")
+      c.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
     "q_outer_join" -> ((s, dir) => {
@@ -852,6 +894,37 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "mm_decode_wav" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+        |       CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        |       CAST(list_sum(list_transform(range(doc_id % 50 + 10), i ->
+        |         (doc_id * 37 + i * 17) % 65536 - 32768)) AS BIGINT) AS sum_pcm,
+        |       CAST(list_max(list_transform(range(doc_id % 50 + 10), i ->
+        |         abs((doc_id * 37 + i * 17) % 65536 - 32768))) AS INTEGER) AS peak_pcm
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(t.f AS INTEGER) AS frame_idx,
+        |       CAST(doc_id % 7 + 2 AS INTEGER) AS width,
+        |       CAST(doc_id % 5 + 2 AS INTEGER) AS height,
+        |       CAST(list_sum(flatten(list_transform(range(doc_id % 7 + 2), x ->
+        |         list_transform(range(doc_id % 5 + 2), y ->
+        |           (doc_id * 31 + t.f * 11 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_gray
+        |FROM documents, range(10) t(f)
+        |WHERE t.f < doc_id % 6 + 4 AND t.f % 2 = 0""".stripMargin,
+    "agg_heavy_hitters" ->
+      """SELECT w AS word, count(*) AS est_count FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY 1 ORDER BY est_count DESC, word LIMIT 12""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
         |       coalesce(c.c_mktsegment, 'NONE') AS mktsegment,

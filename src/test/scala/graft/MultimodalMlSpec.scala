@@ -69,6 +69,37 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     (brute intersect partial).size.toDouble / brute.size should be >= 0.8
   }
 
+  test("multimodal: WAV round-trip — real RIFF encode/decode recovers the PCM formula") {
+    val stats = Multimodal.decodeWavStats(Multimodal.wavMediaTable(docs)).limit(10).collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (n, rate) = Multimodal.wavParams(id)
+      r.getLong(1) shouldBe n.toLong
+      r.getInt(2) shouldBe rate
+      val samples = (0 until n).map(Multimodal.wavSample(id, _))
+      r.getLong(3) shouldBe samples.map(_.toLong).sum
+      r.getInt(4) shouldBe samples.map(math.abs).max
+    }
+  }
+
+  test("multimodal: frame container demux samples every 2nd frame with exact pixel sums") {
+    val frames = Multimodal.sampleFrames(Multimodal.videoMediaTable(docs), step = 2)
+      .collect().groupBy(_.getLong(0))
+    frames.foreach { case (id, rs) =>
+      val expected = (0 until Multimodal.frameCount(id)).filter(_ % 2 == 0)
+      rs.map(_.getInt(1)).sorted shouldBe expected
+      val (w, h) = Multimodal.pngDims(id)
+      rs.foreach { r =>
+        r.getInt(2) shouldBe w
+        r.getInt(3) shouldBe h
+        val f = r.getInt(1)
+        val sum = (for (x <- 0 until w; y <- 0 until h)
+          yield Multimodal.framePixel(id, f, x, y).toLong).sum
+        r.getLong(4) shouldBe sum
+      }
+    }
+  }
+
   test("MLlib MinHashLSH finds the known near-dup pairs") {
     import spark.implicits._
     val withDup = docs.select($"doc_id", $"text").union(
