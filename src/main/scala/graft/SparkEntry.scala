@@ -30,6 +30,8 @@ object SparkEntry {
   private[graft] val bucketedLayout = scala.collection.mutable.Map[String, (String, String)]()
   // dir -> z-ordered lineitem path; see layout_zorder
   private[graft] val zorderLayout = scala.collection.mutable.Map[String, String]()
+  // dir -> compaction scratch root; see layout_compact
+  private[graft] val compactLayout = scala.collection.mutable.Map[String, String]()
   // dir -> (PQ codebooks, encoded corpus); see sim_ann_pq
   private[graft] val pqIndex = scala.collection.mutable.Map[String, (ops.PqAnn.Codebooks, DataFrame)]()
 
@@ -324,6 +326,10 @@ object SparkEntry {
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
     "stream_interval_join" -> ((s, dir) =>
       EventStream.runIntervalJoinAvailableNow(s, dir)),
+    // ---- streaming: stream-static enrichment join (dim broadcast into
+    // each micro-batch — stateless, the standard ingest-enrichment shape) ----
+    "stream_static_join" -> ((s, dir) =>
+      EventStream.runStaticJoinAvailableNow(s, dir)),
     // ---- stateful sessionization, batch twin (stream variant in specs) ----
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -636,6 +642,29 @@ object SparkEntry {
         .select($"o_custkey", $"o_orderkey",
           RoundPortableExpr.r(sum($"o_totalprice").over(w), 2).as("running_spend"))
     }),
+    // ---- time-RANGE window frame: per-customer rolling 30-day spend —
+    // the value-based frame (RANGE BETWEEN INTERVAL) that rows-frames
+    // can't express; ordered on epoch micros so the frame bound is an
+    // exact integer offset on both engines ----
+    "q_window_range" -> ((s, dir) => {
+      import s.implicits._
+      val us30d = 30L * 86400L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        // NTZ → TZ cast is identity under the session's UTC timezone
+        .partitionBy($"o_custkey").orderBy(unix_micros($"o_orderdate".cast("timestamp")))
+        .rangeBetween(-us30d, 0)
+      s.read.parquet(t(dir, "orders"))
+        .select($"o_custkey", $"o_orderkey",
+          RoundPortableExpr.r(sum($"o_totalprice").over(w), 2).as("spend_30d"))
+    }),
+    // ---- fixed-bucket histogram: integer bucket arithmetic, exact on
+    // both engines — the profile primitive for length/score columns ----
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(least(floor($"n_chars" / 100), lit(9)).cast("int").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    }),
     // ---- U2 registry with non-default params: 384-dim embedder through
     // the distributed embed map, oracle-checked end to end ----
     "vdb_embed_knn_384" -> ((s, dir) => {
@@ -751,6 +780,28 @@ object SparkEntry {
       Similarity.recallGate(
         ops.PqAnn.adcTopKReranked(q, codes, emb, books, k = 10, shortlistFactor = 4),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.8)
+    }),
+    // ---- small-file compaction: the operational fix for the classic
+    // many-tiny-files failure mode of streaming/partitioned ingest.
+    // Correctness oracle = content preservation (count + order-free
+    // bit_xor checksum equals the source table's); the file-count
+    // collapse (64 → 4) is asserted in ZOrderSpec. ----
+    "layout_compact" -> ((s, dir) => {
+      import s.implicits._
+      val path = SparkEntry.compactLayout.synchronized {
+        SparkEntry.compactLayout.getOrElseUpdate(dir, {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+          val docs = s.read.parquet(t(dir, "documents"))
+          docs.repartition(64).write.parquet(s"$tmp/small") // fragmented ingest
+          ops.Compaction.compact(s.read.parquet(s"$tmp/small"), s"$tmp/compacted",
+            targetFileRows = 256)
+          tmp
+        })
+      }
+      s.read.parquet(s"$path/compacted")
+        .agg(count(lit(1)).as("cnt"),
+          expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
+            .as("content_checksum"))
     }),
     // ---- S6 source parity as a registered query: JSONL docs written
     // and read back through the JSON source (the reference's native doc
@@ -891,6 +942,23 @@ object SparkEntry {
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
         |WHERE l.event_type = 'view' AND r.event_type = 'purchase'""".stripMargin,
+    "stream_static_join" ->
+      """SELECT n.n_name, e.event_type, count(*) AS cnt, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY 1, 2""".stripMargin,
+    "layout_compact" ->
+      """SELECT count(*) AS cnt,
+        |       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum
+        |FROM documents""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |                                     RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2)
+        |         AS spend_30d
+        |FROM orders""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(n_chars // 100, 9) AS INTEGER) AS bucket, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
     // ---- multimodal PNG: dims + exact pixel sum from the generator formula ----
     "mm_resize_png" ->
       """SELECT doc_id AS media_id,

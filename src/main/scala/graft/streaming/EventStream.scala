@@ -230,6 +230,24 @@ object EventStream {
           col("event_type"), col("cnt"), col("sum_value")),
       "stream_sliding_window", OutputMode.Complete())
 
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension table (user → nation) inside each micro-batch. The
+    * static side broadcasts — stateless, no watermark, no join state;
+    * this is the dimension-enrichment shape every streaming ingest
+    * pipeline needs and the cheapest join Structured Streaming has. */
+  def runStaticJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_name")
+    val enriched = readEvents(spark, dir)
+      .withColumn("n_nationkey", pmod($"user_id", lit(25)).cast("long"))
+      .join(broadcast(nation), "n_nationkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
+    runToMemory(enriched, "stream_static_join", OutputMode.Complete())
+  }
+
   /** Watermarked stream-stream interval join over the events parquet:
     * every view paired with same-user purchases within the next hour. */
   def runIntervalJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {

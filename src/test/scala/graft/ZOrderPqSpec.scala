@@ -66,6 +66,22 @@ class ZOrderPqSpec extends SparkSpec with Matchers {
     withClue(s"recall=$recall (adc-only $adcRecall): ") { recall should be >= 0.85 }
   }
 
+  test("compaction collapses a fragmented directory without a shuffle, content preserved") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact-spec").toString
+    val df = spark.range(10000).select(col("id"), (col("id") * 17 % 997).as("v"))
+    df.repartition(50).write.parquet(s"$base/small")
+    new java.io.File(s"$base/small").listFiles.count(_.getName.endsWith(".parquet")) shouldBe 50
+    val frag = spark.read.parquet(s"$base/small")
+    val files = graft.ops.Compaction.compact(frag, s"$base/out", targetFileRows = 2500)
+    files shouldBe 4
+    new java.io.File(s"$base/out").listFiles.count(_.getName.endsWith(".parquet")) shouldBe 4
+    // shuffle-free: coalesce plans a narrow dependency (no Exchange)
+    frag.coalesce(4).queryExecution.executedPlan.toString should not include "Exchange"
+    spark.read.parquet(s"$base/out").agg(sum($"v"), count(lit(1))).head.toSeq shouldBe
+      df.agg(sum($"v"), count(lit(1))).head.toSeq
+  }
+
   test("PQ training is deterministic: same seed, same codebooks") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = PqAnn.trainOn(emb, dim = 64, m = 4, k = 8)
