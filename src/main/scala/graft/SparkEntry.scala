@@ -32,6 +32,8 @@ object SparkEntry {
   private[graft] val zorderLayout = scala.collection.mutable.Map[String, String]()
   // dir -> compaction scratch root; see layout_compact
   private[graft] val compactLayout = scala.collection.mutable.Map[String, String]()
+  // dir -> schema-evolution scratch root; see layout_schema_evolution
+  private[graft] val evolutionLayout = scala.collection.mutable.Map[String, String]()
   // dir -> (PQ codebooks, encoded corpus); see sim_ann_pq
   private[graft] val pqIndex = scala.collection.mutable.Map[String, (ops.PqAnn.Codebooks, DataFrame)]()
 
@@ -208,6 +210,56 @@ object SparkEntry {
       val sk = ops.Containment.sketchDocs(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 32)
       ops.Containment.containmentJoin(sk.where($"doc_id" < 20), sk, k = 32, threshold = 0.2)
+    }),
+    // ---- token-window chunking: the doc→chunk explosion every
+    // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
+    // window − stride). Generator shape: chunks are born map-side from
+    // the wordlist; nothing shuffles until the downstream groupBy.
+    // Chunk identity = md5 of the re-joined window, exact on both
+    // engines. ----
+    "text_chunk" -> ((s, dir) => {
+      import s.implicits._
+      val (window, stride) = (50, 40)
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", ops.TextPrimitives.words($"text").as("ws"))
+        .withColumn("off", explode(sequence(lit(0), size($"ws") - 1, lit(stride))))
+        .select($"doc_id", ($"off" / stride).cast("int").as("chunk_idx"),
+          slice($"ws", $"off" + 1, lit(window)).as("chunk"))
+        .select($"doc_id", $"chunk_idx", size($"chunk").as("n_tokens"),
+          md5(array_join($"chunk", " ")).as("chunk_md5"))
+    }),
+    // ---- stable global row numbers WITHOUT the single-partition sort:
+    // range partition + per-partition counts + broadcast prefix sums
+    // (two passes, no stage ever holds more than one partition — the
+    // scalable form of row_number() OVER (ORDER BY …)) ----
+    "q_global_rownum" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sharding.globalRowNumber(
+        s.read.parquet(t(dir, "documents")).select($"doc_id", $"lang"), "doc_id")
+        .where($"rn" % 97 === 0) // sample the assignment across the range
+        .select($"doc_id", $"lang", $"rn")
+    }),
+    // ---- schema evolution: two parquet generations (v2 adds a
+    // `quality` column) unioned by a mergeSchema read — v1 rows surface
+    // NULL quality; counts/sums must match the SQL twin computed from
+    // the base table ----
+    "layout_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val path = SparkEntry.evolutionLayout.synchronized {
+        SparkEntry.evolutionLayout.getOrElseUpdate(dir, {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+          val docs = s.read.parquet(t(dir, "documents"))
+          docs.select($"doc_id", $"lang").write.parquet(s"$tmp/gen=1")
+          docs.select($"doc_id", $"lang",
+              ($"n_chars" / lit(1000.0)).as("quality"))
+            .write.parquet(s"$tmp/gen=2")
+          tmp
+        })
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("cnt"), count($"quality").as("n_scored"),
+          RoundPortableExpr.r(coalesce(sum($"quality"), lit(0.0)), 3).as("sum_quality"))
     }),
     // ---- deterministic train/test split: hash-based assignment is
     // reproducible across runs/engines (no RNG), stratification audited
@@ -958,6 +1010,27 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(least(n_chars // 100, 9) AS INTEGER) AS bucket, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(t.off // 40 AS INTEGER) AS chunk_idx,
+        |         ws[t.off + 1 : t.off + 50] AS chunk
+        |  FROM w, unnest(range(0, len(ws), 40)) t(off)
+        |)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    "q_global_rownum" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn % 97 = 0""".stripMargin,
+    "layout_schema_evolution" ->
+      """SELECT lang, 2 * count(*) AS cnt, count(*) AS n_scored,
+        |       round(sum(n_chars / 1000.0), 3) AS sum_quality
         |FROM documents GROUP BY 1""".stripMargin,
     // ---- multimodal PNG: dims + exact pixel sum from the generator formula ----
     "mm_resize_png" ->

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Sharding
+
+class ShardingSpec extends SparkSpec with Matchers {
+
+  test("globalRowNumber equals the single-partition row_number, any partition count") {
+    import spark.implicits._
+    val df = spark.range(3000).select((col("id") * 131 % 5000).as("k"))
+      .distinct() // unique order key
+    val expected = df.withColumn("rn",
+      (row_number().over(Window.orderBy($"k")) - 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 4, 11).foreach { parts =>
+      val got = Sharding.globalRowNumber(df, "k", numPartitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("numbering survives a downstream coalesce(1) (regression: TaskContext pid collapse)") {
+    import spark.implicits._
+    val df = spark.range(1000).select(col("id").as("k"))
+    val rows = Sharding.globalRowNumber(df, "k", numPartitions = 8)
+      .coalesce(1) // the Verify write path that exposed the bug
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.map(_._2).sorted shouldBe (0L until 1000L)
+    rows.foreach { case (k, rn) => rn shouldBe k }
+  }
+}
