@@ -261,6 +261,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), count($"quality").as("n_scored"),
           RoundPortableExpr.r(coalesce(sum($"quality"), lit(0.0)), 3).as("sum_quality"))
     }),
+    // ---- Bloom-prefiltered dedup insert: the 100 TB form of the
+    // reference's skip-duplicates write — "definitely new" rows bypass
+    // the anti-join entirely (Bloom has no false negatives), only the
+    // maybe-duplicate sliver pays the shuffle. Result exact. ----
+    "vdb_insert_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      def keyed(df: DataFrame) = df
+        .groupBy(md5($"text").as("id")).agg(min($"doc_id").as("doc_id"))
+      val existing = keyed(docs.where($"doc_id" < 250))
+      val batch = keyed(docs.where($"doc_id" >= 150))
+      ops.BloomDedup.insertDedup(batch, existing, "id", expectedKeys = 10000L)
+    }),
+    // ---- incremental aggregate maintenance: merge a delta batch into
+    // a materialized per-key aggregate without touching history — must
+    // be bit-identical to recomputing from scratch (the oracle) ----
+    "agg_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val orders = s.read.parquet(t(dir, "orders"))
+      def agg(df: DataFrame) = df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("total"))
+      val snapshot = agg(orders.where($"o_orderkey" % 4 =!= 0)) // materialized history
+      val delta = agg(orders.where($"o_orderkey" % 4 === 0))    // tonight's batch
+      ops.Incremental.mergeCountSum(snapshot, delta,
+          Seq("o_orderpriority"), Seq("cnt", "total"))
+        .select($"o_orderpriority", $"cnt".cast("long").as("cnt"),
+          RoundPortableExpr.r($"total", 2).as("total"))
+    }),
+    // ---- flagship composition: the full training-data prep pipeline
+    // in one plan — language filter → exact dedup (min doc_id per
+    // content hash) → quality gate → token chunking → deterministic
+    // hash split → per-split stats. Every stage is an operator proven
+    // above; this proves they compose. ----
+    "pipeline_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id".asc)
+      val h = conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .where($"lang" === "en")
+        .withColumn("rk", row_number().over(w)).where($"rk" === 1) // exact dedup
+        .where($"n_chars".between(150, 1500))                      // quality gate
+        .select($"doc_id", ops.TextPrimitives.words($"text").as("ws"))
+        .withColumn("off", explode(sequence(lit(0), size($"ws") - 1, lit(40))))
+        .select($"doc_id", md5(array_join(slice($"ws", $"off" + 1, lit(50)), " ")).as("chunk_md5"))
+        .withColumn("split", when(pmod(h, lit(100)) < 80, "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
+          countDistinct($"chunk_md5").as("n_distinct_chunks"))
+    }),
     // ---- deterministic train/test split: hash-based assignment is
     // reproducible across runs/engines (no RNG), stratification audited
     // per language. At 100 TB the split is a map-only projection — no
@@ -1032,6 +1083,40 @@ object SparkEntry {
       """SELECT lang, 2 * count(*) AS cnt, count(*) AS n_scored,
         |       round(sum(n_chars / 1000.0), 3) AS sum_quality
         |FROM documents GROUP BY 1""".stripMargin,
+    "vdb_insert_bloom" ->
+      """WITH keyed AS (
+        |  SELECT md5(text) AS id, min(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id >= 150 GROUP BY 1
+        |), existing AS (
+        |  SELECT DISTINCT md5(text) AS id FROM documents WHERE doc_id < 250
+        |)
+        |SELECT k.id, k.doc_id FROM keyed k
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.id = k.id)""".stripMargin,
+    "agg_incremental" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, n_chars,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |    FROM documents WHERE lang = 'en')
+        |  WHERE rk = 1 AND n_chars BETWEEN 150 AND 1500
+        |), chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(ws[t.off + 1 : t.off + 50], ' ')) AS chunk_md5
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM dedup),
+        |       unnest(range(0, len(ws), 40)) t(off)
+        |), tagged AS (
+        |  SELECT doc_id, chunk_md5,
+        |         CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                   % 100 < 80
+        |              THEN 'train' ELSE 'test' END AS split
+        |  FROM chunks
+        |)
+        |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |       count(DISTINCT chunk_md5) AS n_distinct_chunks
+        |FROM tagged GROUP BY 1""".stripMargin,
     // ---- multimodal PNG: dims + exact pixel sum from the generator formula ----
     "mm_resize_png" ->
       """SELECT doc_id AS media_id,

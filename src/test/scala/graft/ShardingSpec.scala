@@ -22,6 +22,20 @@ class ShardingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("bloom dedup equals the plain anti-join even with a saturated (high-fp) filter") {
+    import spark.implicits._
+    val existing = spark.range(500).select(concat(lit("k"), col("id")).as("id"))
+    val batch = spark.range(300, 900).select(concat(lit("k"), col("id")).as("id"), col("id").as("v"))
+    val expected = batch.join(existing, Seq("id"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    // tiny filter → most lookups are false positives → exactness must
+    // come from the re-check join, not filter luck
+    val got = graft.ops.BloomDedup.insertDedup(batch, existing, "id",
+        expectedKeys = 10L, fpp = 0.5)
+      .collect().map(_.getString(0)).sorted
+    got shouldBe expected
+  }
+
   test("numbering survives a downstream coalesce(1) (regression: TaskContext pid collapse)") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id").as("k"))
