@@ -12,7 +12,9 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = Seq("vdb_knn_filtered", "q3_join", "q1_agg", "q_topk_price",
       "vdb_filter_json", "sim_knn_batch", "dedup_exact", "text_profile",
-      "q_asof_join", "q_range_join", "sim_containment", "q_window_topn")
+      "q_asof_join", "q_range_join", "sim_containment", "q_window_topn",
+      "layout_zorder", "text_chunk", "vdb_insert_bloom", "pipeline_e2e",
+      "q_concurrency", "agg_bitmap_distinct", "dedup_components")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -175,6 +175,20 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.7, blockCol = Some("label"))),
+    // ---- near-dup pairs → duplicate GROUPS: connected components by
+    // iterative min-label propagation over the pair edges (two shuffles
+    // per round, rounds = cluster diameter — never all-pairs). The
+    // canonical representative (min doc_id) makes keep-one-per-cluster
+    // a groupBy. Oracle: recursive-CTE transitive closure. ----
+    "dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      ops.Components.connectedComponents(
+          docs.select($"doc_id"), pairs.select($"id_a", $"id_b"))
+        .groupBy($"component").agg(count(lit(1)).as("n_docs"))
+        .where($"n_docs" > 1)
+    }),
     // ---- similarity search ----
     "sim_knn_batch" -> ((s, dir) => {
       import s.implicits._
@@ -447,6 +461,30 @@ object SparkEntry {
           .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"))
+    }),
+    // ---- temporal overlap counting: concurrent sessions per hour.
+    // Sessions (gap-sessionize → [min,max] interval per session)
+    // explode into the hour buckets they overlap — the interval→bucket
+    // replication of the range join, with the count replacing the
+    // probe side. No all-pairs anywhere; bucket fan-out is bounded by
+    // session length / bucket width. ----
+    "q_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val gapUs = 1800L * 1000000L
+      val hourUs = 3600L * 1000000L
+      val lagUs = lag(unix_micros($"ts"), 1).over(w)
+      ev.withColumn("new_s",
+          when(lagUs.isNull || (unix_micros($"ts") - lagUs) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_s")
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min(unix_micros($"ts")).as("s_us"), max(unix_micros($"ts")).as("e_us"))
+        .select(explode(sequence(expr(s"s_us div $hourUs"), expr(s"e_us div $hourUs")))
+          .as("hour_idx"))
+        .groupBy($"hour_idx").agg(count(lit(1)).as("n_active"))
     }),
     // ---- multimodal: binary column plumbing ----
     "mm_binary_stats" -> ((s, dir) =>
@@ -1155,6 +1193,25 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2""".stripMargin,
+    "q_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, min(us) // 3600000000 AS h0, max(us) // 3600000000 AS h1
+        |  FROM s GROUP BY 1, 2
+        |), hours AS (
+        |  SELECT CAST(t.h AS BIGINT) AS hour_idx FROM sess, unnest(range(h0, h1 + 1)) t(h)
+        |)
+        |SELECT hour_idx, count(*) AS n_active FROM hours GROUP BY 1""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
@@ -1308,6 +1365,27 @@ object SparkEntry {
          |       bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, ${simhashSql("hw")} AS simhash
+         |  FROM (SELECT doc_id, list_transform(${wordsSql("text")}, w -> ${hexLongSql("w")}) AS hw
+         |        FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+         |), comp AS (
+         |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+         |)
+         |SELECT component, count(*) AS n_docs FROM comp
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_embed_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

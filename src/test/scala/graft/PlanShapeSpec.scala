@@ -27,7 +27,10 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_intersect", "q_except", "q_rollup", "q_above_avg", "q_cube", "q_quantiles",
     "vdb_filter_suffix", "q1_agg", "q_topk_price", "q_skew_salted_join",
     "q_skew_distinct", "q_pivot", "q_window_running", "mm_binary_stats",
-    "mm_decode_png", "mm_decode_stub")
+    "mm_decode_png", "mm_decode_stub", "text_chunk", "q_join_semi",
+    "q_histogram", "q_window_range", "agg_bitmap_distinct", "agg_heavy_hitters",
+    "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
+    "pipeline_e2e", "vdb_insert_bloom")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -121,5 +124,27 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // the explode (salt replication) must sit on the orders subtree
     p should include("explode")
     p.toLowerCase should not include "cartesian"
+  }
+
+  test("z-ordered box scan pushes both range predicates to parquet") {
+    val p = physical("layout_zorder")
+    // the PushedFilters list is elided mid-string in plan output, so
+    // match its (stable) prefix rather than bracket-extracting
+    p should include("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +
+      "GreaterThanOrEqual(l_partkey,100)")
+  }
+
+  test("bloom dedup: exact re-check anti-join broadcasts the existing-id side") {
+    val p = physical("vdb_insert_bloom")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
+  test("chunking explodes map-side: generator before any exchange") {
+    val p = physical("text_chunk")
+    // one scan, a generate, no shuffle at all in the chunk production
+    p should include("Generate explode")
+    p should not include "Exchange"
   }
 }

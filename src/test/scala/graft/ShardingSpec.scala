@@ -22,6 +22,19 @@ class ShardingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("connected components: chain, clique and isolated node all labeled by min id") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
+    // clique {10,11,12}, isolated 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L)
+  }
+
   test("bloom dedup equals the plain anti-join even with a saturated (high-fp) filter") {
     import spark.implicits._
     val existing = spark.range(500).select(concat(lit("k"), col("id")).as("id"))
