@@ -303,6 +303,29 @@ object SparkEntry {
         .select($"o_orderpriority", $"cnt".cast("long").as("cnt"),
           RoundPortableExpr.r($"total", 2).as("total"))
     }),
+    // ---- incremental SKETCH maintenance: KMV sketches are a monoid
+    // (merge = union, re-take k smallest), so a snapshot sketch plus a
+    // delta sketch must be BIT-IDENTICAL to sketching the full corpus —
+    // the property that lets 100 TB distinct-count state live as a few
+    // KB per key and absorb deltas without touching history ----
+    "agg_incremental_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val k = 8
+      val docs = s.read.parquet(t(dir, "documents"))
+      def sk(df: DataFrame) = df
+        .select($"lang", conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy($"lang")
+        .agg(graft.functions.KmvSketch.sketch($"h", k).as("sk"))
+      val snapshot = sk(docs.where($"doc_id" % 3 =!= 0))
+      val delta = sk(docs.where($"doc_id" % 3 === 0))
+      snapshot.as("a").join(delta.as("b"), Seq("lang"), "full_outer")
+        .select($"lang",
+          slice(array_sort(array_union(
+              coalesce($"a.sk", array().cast("array<long>")),
+              coalesce($"b.sk", array().cast("array<long>")))), 1, k).as("merged"))
+        .select($"lang",
+          array_join(transform($"merged", _.cast("string")), ",").as("sketch"))
+    }),
     // ---- flagship composition: the full training-data prep pipeline
     // in one plan — language filter → exact dedup (min doc_id per
     // content hash) → quality gate → token chunking → deterministic
@@ -915,11 +938,13 @@ object SparkEntry {
         })
       }
       val q = emb.where($"vec_id" < 10)
-      // ADC shortlist (4×k) + exact rerank: measured recall@10 at
-      // sf0.01 = 0.99 overall (ADC-only 0.62 — random uniform vectors
-      // are PQ's worst case; rerank touches only queries×40 rows)
+      // ADC shortlist (16×k) + exact rerank: measured recall@10
+      // overall/min-per-query = 1.00/1.00 at sf0.01 and 0.96/0.90 at
+      // sf0.1 (ADC-only ~0.6 — random uniform vectors are PQ's worst
+      // case). The shortlist is still only ~3% of the sf0.1 corpus, so
+      // full-precision math stays O(queries·k·16), not O(corpus).
       Similarity.recallGate(
-        ops.PqAnn.adcTopKReranked(q, codes, emb, books, k = 10, shortlistFactor = 4),
+        ops.PqAnn.adcTopKReranked(q, codes, emb, books, k = 10, shortlistFactor = 16),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.8)
     }),
     // ---- small-file compaction: the operational fix for the classic
@@ -1430,6 +1455,12 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
     "agg_kmv_sketch" ->
+      s"""SELECT lang, array_to_string(list_transform(
+         |         list_sort(list_distinct(list(h)))[1:8], x -> CAST(x AS VARCHAR)), ',') AS sketch
+         |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
+         |GROUP BY lang""".stripMargin,
+    // incremental merge must equal the from-scratch sketch — same SQL
+    "agg_incremental_sketch" ->
       s"""SELECT lang, array_to_string(list_transform(
          |         list_sort(list_distinct(list(h)))[1:8], x -> CAST(x AS VARCHAR)), ',') AS sketch
          |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)

@@ -25,12 +25,16 @@ object Components {
     * where component = min node id in the component. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val spark = nodes.sparkSession
     val sym = edges.toDF("src", "dst")
       .unionByName(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
+    // localCheckpoint (eager), NOT just persist: each round's plan nests
+    // the previous round's, so after k rounds the un-truncated logical
+    // plan is exponential in k — analysis/codegen OOMs the driver long
+    // before the (tiny) label table does. Checkpointing materializes the
+    // round and cuts the lineage to a leaf.
     var labels = nodes.toDF("id").distinct()
-      .select(col("id"), col("id").as("component")).persist()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -41,10 +45,9 @@ object Components {
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .where(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
