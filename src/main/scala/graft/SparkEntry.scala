@@ -275,6 +275,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), count($"quality").as("n_scored"),
           RoundPortableExpr.r(coalesce(sum($"quality"), lit(0.0)), 3).as("sum_quality"))
     }),
+    // ---- unicode NFC normalization + control strip (codegen kernel):
+    // decomposed accents hash differently from composed forms, so
+    // un-normalized corpora under-deduplicate. Fixture text is ASCII,
+    // so a decomposed suffix ("cafe" + combining acute + a control
+    // char) is appended identically on both sides; the kernel must
+    // compose it to the NFC form DuckDB's nfc_normalize produces. ----
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      // " cafe" + COMBINING ACUTE (U+0301) + BEL control (U+0007) + "end"
+      val dirty = concat($"text", lit(" cafe\u0301\u0007end"))
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          md5(graft.functions.TextExprs.nfcNormalize(dirty)).as("norm_md5"),
+          (length(dirty) - length(graft.functions.TextExprs.nfcNormalize(dirty)))
+            .as("n_removed"))
+    }),
+    // ---- PII-style pattern redaction: map-only regexp scrub with a
+    // redaction count — the scrub-before-training pass. A synthetic
+    // email is planted per doc so the redaction is observable. ----
+    "text_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = concat($"text", lit(" contact: user"), $"doc_id", lit("@example.com done"))
+      val pat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          md5(regexp_replace(planted, pat, "<EMAIL>")).as("redacted_md5"),
+          size(split(planted, pat)).minus(1).as("n_redacted"))
+    }),
+    // ---- table profiling: per-column null/distinct/min/max in one
+    // pass — the data-quality summary run before any training job ----
+    "q_profile" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"lang").as("lang_distinct"),
+          sum(when($"text".isNull, 1).otherwise(0)).cast("long").as("text_nulls"),
+          min($"n_chars").as("chars_min"), max($"n_chars").as("chars_max"),
+          RoundPortableExpr.r(avg($"n_chars"), 2).as("chars_avg"))
+    }),
     // ---- Bloom-prefiltered dedup insert: the 100 TB form of the
     // reference's skip-duplicates write — "definitely new" rows bypass
     // the anti-join entirely (Bloom has no false negatives), only the
@@ -1146,6 +1186,33 @@ object SparkEntry {
       """SELECT lang, 2 * count(*) AS cnt, count(*) AS n_scored,
         |       round(sum(n_chars / 1000.0), 3) AS sum_quality
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) || chr(7) || 'end' AS d FROM documents
+        |)
+        |SELECT doc_id,
+        |       md5(replace(nfc_normalize(d), chr(7), '')) AS norm_md5,
+        |       CAST(length(d) - length(replace(nfc_normalize(d), chr(7), '')) AS INTEGER)
+        |         AS n_removed
+        |FROM dirty""".stripMargin,
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com done' AS d
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       md5(regexp_replace(d, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS redacted_md5,
+        |       CAST(len(regexp_split_to_array(d, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) - 1 AS INTEGER)
+        |         AS n_redacted
+        |FROM planted""".stripMargin,
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        |       min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+        |       round(avg(n_chars), 2) AS chars_avg
+        |FROM documents""".stripMargin,
     "vdb_insert_bloom" ->
       """WITH keyed AS (
         |  SELECT md5(text) AS id, min(doc_id) AS doc_id FROM documents

@@ -293,7 +293,44 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization + control-character strip — the cleanup
+  * pass every text pipeline runs before hashing/dedup (decomposed
+  * accents hash differently from their composed forms, so un-normalized
+  * corpora under-deduplicate). Codegen kernel like the hash family;
+  * oracle twin: DuckDB `nfc_normalize` + `regexp_replace`. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  def compute(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val ch = nfc.charAt(i)
+      // strip C0/C1 controls except \t \n \r (mirrors [\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f])
+      val isControl = (ch < ' ' && ch != '\t' && ch != '\n' && ch != '\r') ||
+        (ch >= '\u007f' && ch <= '\u009f')
+      if (!isControl) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcExpr", this, classOf[NfcNormalizeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
+  def nfcNormalize(c: Column): Column =
+    GraftBridge.column(NfcNormalizeExpr(GraftBridge.expression(c)))
   def shingles(c: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(c), n))
   def winnow(c: Column, k: Int, w: Int): Column =

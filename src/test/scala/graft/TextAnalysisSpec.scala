@@ -64,6 +64,22 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     winnowFingerprints("exactly8", 8, 4).length shouldBe 1
   }
 
+  test("nfc normalize composes decomposed accents and strips controls, keeps tab/nl/cr") {
+    import spark.implicits._
+    val in = Seq("cafe\u0301 x", "a\u0000b\u0007c", "t\tn\nr\rdone", "plain").toDF("s")
+    val out = in.select(graft.functions.TextExprs.nfcNormalize(col("s")).as("n"))
+      .as[String].collect()
+    out(0) shouldBe "caf\u00e9 x" // e + combining acute composes to U+00E9
+    out(1) shouldBe "abc"
+    out(2) shouldBe "t\tn\nr\rdone"
+    out(3) shouldBe "plain"
+    // interpreted path (eval without codegen) agrees
+    graft.functions.NfcNormalizeExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create("cafe\u0301",
+          org.apache.spark.sql.types.StringType))
+      .eval(null).toString shouldBe "caf\u00e9"
+  }
+
   test("hexLong is non-negative 60-bit and matches the duckdb formula") {
     import graft.functions.TextKernels
     val hs = Seq("a", "b", "the quick fox").map(TextKernels.hexLong)
