@@ -682,6 +682,21 @@ object SparkEntry {
       c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
+    // ---- SQL front door: the same engine through spark.sql over temp
+    // views — proves the textual surface plans identically to the
+    // DataFrame DSL (it IS the same Catalyst plan) ----
+    "q_sql_surface" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("g_orders")
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("g_customer")
+      // integer-only aggregates: builtin SQL round() is not
+      // engine-portable on doubles (see RoundPortableExpr)
+      s.sql("""
+        SELECT c.c_mktsegment, count(*) AS cnt,
+               CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+        FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_mktsegment""")
+    }),
     "q_join_semi" -> ((s, dir) => {
       import s.implicits._
       val c = s.read.parquet(t(dir, "customer"))
@@ -1324,6 +1339,11 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt, CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderpriority <> '5-LOW'
+        |GROUP BY c.c_mktsegment""".stripMargin,
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -62,4 +62,27 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
     val hit = db.query("unicode content", k = 1).collect()
     hit.head.metadata shouldBe doc
   }
+
+  test("corrupt JSONL lines quarantine under PERMISSIVE mode instead of failing the job") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "truncated""", // bad
+      """not json at all""", // bad
+      """{"doc_id": 4, "text": "good two"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache() // cache: querying _corrupt_record alone is disallowed uncached
+    parsed.where(col("_corrupt_record").isNull).count() shouldBe 2L
+    parsed.where(col("_corrupt_record").isNotNull).count() shouldBe 2L
+    parsed.where(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 4L)
+    parsed.unpersist()
+  }
 }
