@@ -38,17 +38,19 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // neighbor-min pass: each node adopts min(own, neighbors') label
+      // neighbor-min pass: each node adopts min(own, neighbors') label.
+      // The previous label rides along as `old`, so the convergence
+      // check is a scan of the (already materialized) checkpoint —
+      // no extra join job per round.
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.where(col("component") =!= col("old")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash"),
       info("simhash", "simhash(text) - 60-bit simhash of lowercase words"),
       (exprs: Seq[Expression]) => SimhashExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - unicode NFC composition + control stripping"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints"),
+      (exprs: Seq[Expression]) => WinnowExpr(exprs(0), foldInt(exprs(1)), foldInt(exprs(2)))))
     ext.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets", "lsh_buckets(emb, dim, tables, bits, seed) - cosine LSH bucket ids"),
       (exprs: Seq[Expression]) => LshBucketsExpr(exprs(0), foldInt(exprs(1)),
