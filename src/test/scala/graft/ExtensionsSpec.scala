@@ -26,6 +26,17 @@ class ExtensionsSpec extends SparkSpec with Matchers {
     r.getSeq[String](0) shouldBe Seq("a b c", "b c d")
     r.getLong(1) shouldBe TextKernels.simhash(Array("the", "quick", "brown", "fox"))
     r.getDouble(2) shouldBe 1.0 +- 1e-12
+
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => graft.functions.NfcNormalizeExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => graft.functions.WinnowExpr(exprs(0), 8, 4), "built-in")
+    val r2 = spark.sql(
+      "SELECT nfc_normalize('café') AS n, winnow_fingerprints('some passage of text') AS w")
+      .head()
+    r2.getString(0) shouldBe "caf\u00e9"
+    r2.getSeq[Long](1) shouldBe
+      TextKernels.winnowFingerprints("some passage of text", 8, 4).toSeq
   }
 
   test("GraftExtensions class instantiates (spark.sql.extensions entry point)") {

@@ -90,4 +90,36 @@ class StreamingSpec extends SparkSpec with Matchers {
     val done = spark.table("test_sessions").as[SessionOut].collect().toSet
     done shouldBe Set(SessionOut(1L, 0L, 2L))
   }
+
+  test("checkpointed dedup stream survives restart: no duplicates, no loss") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpt-restart").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+        // event time well above the epoch-0 watermark floor
+        .withColumn("ts", timestamp_micros((col("id") + 1000000L) * 1000000L))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("id")
+        .select("id", "payload")
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeBatch(0 until 300)
+    runOnce()
+    writeBatch(150 until 450) // 150-299 are duplicates across the restart
+    runOnce()
+    val result = spark.read.parquet(out).as[(Long, String)].collect()
+    result.length shouldBe 450                  // exactly once each
+    result.map(_._1).sorted shouldBe (0L until 450L) // no loss
+  }
 }
