@@ -328,6 +328,20 @@ object SparkEntry {
       val batch = keyed(docs.where($"doc_id" >= 150))
       ops.BloomDedup.insertDedup(batch, existing, "id", expectedKeys = 10000L)
     }),
+    // ---- MERGE INTO / upsert: batch rows replace same-key table rows,
+    // new keys insert — the other half of the reference's conflict
+    // lifecycle (it only skips). Keyed full-outer join, ownership by
+    // key presence. ----
+    "vdb_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val table = docs.where($"doc_id" < 400).select($"doc_id", $"text", $"n_chars")
+      val batch = docs.where($"doc_id".between(300, 499))
+        .select($"doc_id", concat(lit("v2:"), $"text").as("text"),
+          ($"n_chars" + 3).as("n_chars"))
+      ops.Incremental.upsert(table, batch, "doc_id")
+        .select($"doc_id", md5($"text").as("text_md5"), $"n_chars")
+    }),
     // ---- incremental aggregate maintenance: merge a delta batch into
     // a materialized per-key aggregate without touching history — must
     // be bit-identical to recomputing from scratch (the oracle) ----
@@ -1246,6 +1260,11 @@ object SparkEntry {
     "agg_incremental" ->
       """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "vdb_upsert" ->
+      """SELECT doc_id,
+        |       md5(CASE WHEN doc_id >= 300 THEN 'v2:' || text ELSE text END) AS text_md5,
+        |       CASE WHEN doc_id >= 300 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     "pipeline_e2e" ->
       """WITH dedup AS (
         |  SELECT doc_id, text FROM (

@@ -25,7 +25,14 @@ object BloomDedup {
   /** Rows of `batch` whose `idCol` does not occur in `existing`,
     * first-wins within the batch — semantically identical to
     * `dropDuplicates(idCol) + left_anti`, cheaper when most of the
-    * batch is new. `expectedKeys`/`fpp` size the filter. */
+    * batch is new. `expectedKeys`/`fpp` size the filter.
+    *
+    * Cost shape (verified in the plan): the batch is scanned twice
+    * (once per branch of the union — map-only), in exchange for the
+    * anti-join seeing only the maybe-duplicate sliver. That trade wins
+    * exactly when `existing` is too big to broadcast: the plain
+    * anti-join would sort-merge-shuffle BOTH sides, the bloomed one
+    * shuffles only |dups| + fpp·|new| batch rows against it. */
   def insertDedup(batch: DataFrame, existing: DataFrame, idCol: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     val bloom = existing.stat.bloomFilter(idCol, expectedKeys, fpp)

@@ -29,4 +29,26 @@ object Incremental {
     }
     merged.select(keys ++ vals: _*)
   }
+
+  /** MERGE INTO semantics over key-addressed tables (the reference only
+    * SKIPS duplicates — `ON CONFLICT DO NOTHING`; upsert is the other
+    * half of the lifecycle): rows of `batch` REPLACE same-key rows of
+    * `table`, everything else is kept/inserted. One full-outer join on
+    * the key, batch-wins via coalesce — the shuffle is keyed and
+    * co-partitionable with the table's layout (bucket both sides by
+    * `keyCol` and even that exchange disappears). Last-wins within the
+    * batch must be resolved by the CALLER (pass a key-unique batch) —
+    * silent arbitrary-row-wins is how upsert pipelines corrupt data. */
+  def upsert(table: DataFrame, batch: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = table.columns.filterNot(_ == keyCol)
+    require(batch.columns.sorted.sameElements(table.columns.sorted),
+      s"upsert batch schema ${batch.columns.mkString(",")} != table ${table.columns.mkString(",")}")
+    // row ownership follows the KEY, not per-column coalesce — a batch
+    // row carrying a legitimate NULL must not leak the old value
+    val marked = batch.withColumn("__from_batch", lit(true))
+    table.as("t").join(marked.as("b"), Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        dataCols.map(c =>
+          when(col("__from_batch").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
 }

@@ -22,6 +22,15 @@ class ShardingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("upsert: batch wins by KEY — a legitimate NULL in the batch does not leak old data") {
+    import spark.implicits._
+    val table = Seq((1L, Option("old1"), 10), (2L, Option("old2"), 20)).toDF("k", "v", "n")
+    val batch = Seq((2L, None: Option[String], 99), (3L, Option("new3"), 30)).toDF("k", "v", "n")
+    val got = graft.ops.Incremental.upsert(table, batch, "k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+    got shouldBe Set((1L, Some("old1"), 10), (2L, None, 99), (3L, Some("new3"), 30))
+  }
+
   test("connected components: chain, clique and isolated node all labeled by min id") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
