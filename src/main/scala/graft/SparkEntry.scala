@@ -1264,7 +1264,7 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(CASE WHEN doc_id >= 300 THEN 'v2:' || text ELSE text END) AS text_md5,
         |       CASE WHEN doc_id >= 300 THEN n_chars + 3 ELSE n_chars END AS n_chars
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 500""".stripMargin,
     "pipeline_e2e" ->
       """WITH dedup AS (
         |  SELECT doc_id, text FROM (
