@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch perf-debug main (delete before round end). */
+/** Per-query timing/explain harness: `runMain graft.DbgMain <query...>`
+  * runs each named SparkEntry query 3× against SPARK_GRAFT_SF_DIR
+  * (default sf0.1) and prints the formatted plan of the first —
+  * the quick loop for adjudicating bench anomalies against plans. */
 object DbgMain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
