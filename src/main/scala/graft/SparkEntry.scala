@@ -605,6 +605,23 @@ object SparkEntry {
         .orderBy($"est_count".desc, $"word".asc)
         .limit(12)
     }),
+    // ---- grouped heavy hitters: top bigrams PER LANGUAGE — the MG
+    // counter map composes with groupBy (partial sketches merge
+    // map-side per group). Bigrams are per-doc-distinct (shingles
+    // dedups), so counts are document frequencies; capacity 1024 ≥ the
+    // 931 distinct bigrams per language → exact. ----
+    "agg_freq_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"est_count".desc, $"bigram".asc)
+      s.read.parquet(t(dir, "documents"))
+        .select($"lang", explode(graft.functions.TextExprs.shingles($"text", 2)).as("bigram"))
+        .groupBy($"lang")
+        .agg(graft.functions.HeavyHitters.sketch($"bigram", 1024).as("mg"))
+        .select($"lang", explode($"mg"))
+        .toDF("lang", "bigram", "est_count")
+        .withColumn("rk", row_number().over(w)).where($"rk" <= 5).drop("rk")
+    }),
     // ---- exact distinct via mergeable bitmaps: one fixed-size bit
     // array per (group, partition) shuffles instead of every distinct
     // raw key — the countDistinct scale path for dense id spaces ----
@@ -1400,6 +1417,18 @@ object SparkEntry {
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_freq_ngrams" ->
+      s"""WITH b AS (
+         |  SELECT lang, unnest(${shinglesSql("ws", 2)}) AS bigram
+         |  FROM (SELECT lang, ${wordsSql("text")} AS ws FROM documents)
+         |), c AS (
+         |  SELECT lang, bigram, count(*) AS est_count FROM b GROUP BY 1, 2
+         |)
+         |SELECT lang, bigram, est_count FROM (
+         |  SELECT lang, bigram, est_count,
+         |         row_number() OVER (PARTITION BY lang ORDER BY est_count DESC, bigram) AS rk
+         |  FROM c)
+         |WHERE rk <= 5""".stripMargin,
     "q_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
         |       coalesce(c.c_mktsegment, 'NONE') AS mktsegment,
