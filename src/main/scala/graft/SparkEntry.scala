@@ -403,6 +403,35 @@ object SparkEntry {
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
           countDistinct($"chunk_md5").as("n_distinct_chunks"))
     }),
+    // ---- capped per-group sampling: exactly min(cap, |group|) docs
+    // per language, chosen by deterministic hash rank (no RNG — same
+    // sample on every engine/run). WindowGroupLimit pushes the cap
+    // into per-partition heaps; raw rows never sort globally. ----
+    "q_sample_cap" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("samp:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(h.asc, $"doc_id".asc)
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("rk", row_number().over(w)).where($"rk" <= 40)
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"),
+          sum($"doc_id").as("id_sum"))
+    }),
+    // ---- keep-one-per-duplicate-cluster: the terminal dedup stage —
+    // pair edges → components → drop every non-representative. The
+    // pruned corpus keeps exactly one doc (min id) per near-dup
+    // cluster plus all singletons. ----
+    "dedup_keep_one" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val comps = ops.Components.connectedComponents(
+        docs.select($"doc_id"), pairs.select($"id_a", $"id_b"))
+      docs.join(comps, docs("doc_id") === comps("id"))
+        .where($"doc_id" === $"component") // representative = min id
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+    }),
     // ---- deterministic train/test split: hash-based assignment is
     // reproducible across runs/engines (no RNG), stratification audited
     // per language. At 100 TB the split is a map-only projection — no
@@ -1277,6 +1306,39 @@ object SparkEntry {
     "agg_incremental" ->
       """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_sample_cap" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM ranked WHERE rk <= 40 GROUP BY 1""".stripMargin,
+    "dedup_keep_one" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, ${simhashSql("hw")} AS simhash
+         |  FROM (SELECT doc_id, list_transform(${wordsSql("text")}, w -> ${hexLongSql("w")}) AS hw
+         |        FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+         |), comp AS (
+         |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+         |), labeled AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |)
+         |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM labeled WHERE doc_id = component""".stripMargin,
     "vdb_upsert" ->
       """SELECT doc_id,
         |       md5(CASE WHEN doc_id >= 300 THEN 'v2:' || text ELSE text END) AS text_md5,
