@@ -403,6 +403,37 @@ object SparkEntry {
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
           countDistinct($"chunk_md5").as("n_distinct_chunks"))
     }),
+    // ---- benchmark decontamination: find training docs that share
+    // winnowing fingerprints with any held-out/benchmark doc (the
+    // substring-level leak detector — whole-doc minhash misses partial
+    // inclusions). Equi-join on fingerprint, never all-pairs; at
+    // 100 TB the benchmark side is tiny and broadcasts. ----
+    "sim_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      def prints(df: DataFrame) = df.select($"doc_id",
+        explode(graft.functions.TextExprs.winnow($"text", 8, 4)).as("fp"))
+      val train = prints(docs.where($"doc_id" % 10 =!= 0))
+      val bench = prints(docs.where($"doc_id" % 10 === 0))
+        .withColumnRenamed("doc_id", "bench_id")
+      train.join(broadcast(bench), "fp")
+        .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
+          count(lit(1)).as("n_shared_fp"))
+        .where($"n_shared_fp" >= 4)
+    }),
+    // ---- Gopher-style repetition score: fraction of duplicated word
+    // 3-grams inside each doc — the within-document quality signal
+    // (boilerplate/looping text). Pure kernel arithmetic per row. ----
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val total = greatest(size(ops.TextPrimitives.words($"text")) - 2, lit(0))
+      val distinctN = size(graft.functions.TextExprs.shingles($"text", 3))
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          RoundPortableExpr.r(
+            when(total > 0, lit(1.0) - distinctN.cast("double") / total.cast("double"))
+              .otherwise(0.0), 4).as("rep_ratio"))
+    }),
     // ---- capped per-group sampling: exactly min(cap, |group|) docs
     // per language, chosen by deterministic hash rank (no RNG — same
     // sample on every engine/run). WindowGroupLimit pushes the cap
@@ -1306,6 +1337,23 @@ object SparkEntry {
     "agg_incremental" ->
       """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "sim_decontaminate" ->
+      s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs FROM documents),
+         |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
+         |tr AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
+         |be AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0)
+         |SELECT tr.doc_id,
+         |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
+         |       count(*) AS n_shared_fp
+         |FROM tr JOIN be ON tr.fp = be.fp
+         |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |       round(CASE WHEN len(ws) - 2 > 0
+         |                  THEN 1.0 - CAST(len(${shinglesSql("ws", 3)}) AS DOUBLE)
+         |                             / (len(ws) - 2)
+         |                  ELSE 0.0 END, 4) AS rep_ratio
+         |FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)""".stripMargin,
     "q_sample_cap" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,
