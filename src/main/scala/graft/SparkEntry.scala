@@ -777,6 +777,30 @@ object SparkEntry {
       c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
+    // ---- date/time function surface: truncation, field extraction,
+    // day-of-week arithmetic over the orders dates (the reference has
+    // none — SURVEY §2.10 — but an analytics engine needs them) ----
+    "q_dates" -> ((s, dir) => {
+      import s.implicits._
+      val d = $"o_orderdate".cast("timestamp")
+      s.read.parquet(t(dir, "orders"))
+        .groupBy(year(d).as("yr"), quarter(d).as("qtr"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(month(d)).cast("long").as("months"),
+          countDistinct(dayofweek(d)).cast("long").as("weekdays"))
+    }),
+    // ---- string function surface: case, slicing, padding, edit
+    // distance (levenshtein is implemented identically both engines) ----
+    "q_strings" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "customer"))
+        .where($"c_custkey" <= 50)
+        .select($"c_custkey",
+          upper(substring($"c_name", 1, 8)).as("pfx"),
+          length($"c_name").cast("int").as("name_len"),
+          lpad($"c_custkey".cast("string"), 6, "0").as("padded"),
+          levenshtein($"c_name", lit("Customer#000000001")).as("edit_dist"))
+    }),
     // ---- SQL front door: the same engine through spark.sql over temp
     // views — proves the textual surface plans identically to the
     // DataFrame DSL (it IS the same Catalyst plan) ----
@@ -1491,6 +1515,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1""".stripMargin,
+    "q_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |       count(*) AS cnt,
+        |       CAST(count(DISTINCT month(o_orderdate)) AS BIGINT) AS months,
+        |       CAST(count(DISTINCT (CAST(dayofweek(o_orderdate) AS INTEGER) % 7) + 1) AS BIGINT)
+        |         AS weekdays
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_strings" ->
+      """SELECT c_custkey,
+        |       upper(substr(c_name, 1, 8)) AS pfx,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
+        |       CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS edit_dist
+        |FROM customer WHERE c_custkey <= 50""".stripMargin,
     "q_sql_surface" ->
       """SELECT c.c_mktsegment, count(*) AS cnt, CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
