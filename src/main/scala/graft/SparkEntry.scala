@@ -777,6 +777,20 @@ object SparkEntry {
       c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
+    // ---- NULL semantics surface: null-safe equality (<=>), nullif /
+    // coalesce, and NULL-vs-zero aggregation — planted NULLs via
+    // nullif so the behavior is observable and oracle-exact ----
+    "q_nulls" -> ((s, dir) => {
+      import s.implicits._
+      val seg = nullif($"c_mktsegment", lit("MACHINERY")) // plant NULLs
+      s.read.parquet(t(dir, "customer"))
+        .select($"c_custkey", seg.as("seg"), $"c_acctbal")
+        .groupBy($"seg" <=> lit(null).cast("string")) // null-safe grouping flag
+        .agg(count(lit(1)).as("cnt"),
+          count($"seg").as("non_null"),              // count skips NULLs
+          RoundPortableExpr.r(sum(coalesce($"c_acctbal", lit(0.0))), 2).as("bal_sum"))
+        .toDF("is_planted", "cnt", "non_null", "bal_sum")
+    }),
     // ---- date/time function surface: truncation, field extraction,
     // day-of-week arithmetic over the orders dates (the reference has
     // none — SURVEY §2.10 — but an analytics engine needs them) ----
@@ -1515,6 +1529,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1""".stripMargin,
+    "q_nulls" ->
+      """SELECT (nullif(c_mktsegment, 'MACHINERY') IS NOT DISTINCT FROM NULL) AS is_planted,
+        |       count(*) AS cnt,
+        |       count(nullif(c_mktsegment, 'MACHINERY')) AS non_null,
+        |       round(sum(coalesce(c_acctbal, 0.0)), 2) AS bal_sum
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_dates" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
