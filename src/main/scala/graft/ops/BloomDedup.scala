@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object BloomDedup {
 
-  /** Rows of `batch` whose `idCol` does not occur in `existing`,
-    * first-wins within the batch — semantically identical to
-    * `dropDuplicates(idCol) + left_anti`, cheaper when most of the
-    * batch is new. `expectedKeys`/`fpp` size the filter.
+  /** Rows of `batch` whose `idCol` does not occur in `existing`.
+    * Within-batch duplicates collapse to ONE ARBITRARY row per key
+    * (`dropDuplicates` gives no ordering guarantee) — callers needing
+    * deterministic payloads must pass a key-unique batch, as
+    * [[Incremental.upsert]] requires and the `vdb_insert_bloom` call
+    * site does (it pre-aggregates). The KEY SET kept is exact and
+    * deterministic either way. `expectedKeys`/`fpp` size the filter;
+    * the broadcast filter is reclaimed by Spark's ContextCleaner once
+    * the returned plan is unreachable (no explicit destroy hook exists
+    * on a lazily-consumed plan).
     *
     * Cost shape (verified in the plan): the batch is scanned twice
     * (once per branch of the union — map-only), in exchange for the

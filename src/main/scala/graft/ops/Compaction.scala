@@ -16,13 +16,18 @@ import org.apache.spark.sql.DataFrame
 object Compaction {
 
   /** Rewrites `df` (typically a fragmented directory read) into
-    * ceil(count/targetFileRows) files at `outPath`. Uses coalesce — a
+    * ~ceil(count/targetFileRows) files at `outPath`. Uses coalesce — a
     * NARROW dependency, no shuffle: shrinking file counts must not pay
-    * a full data shuffle. Returns the number of output files. */
+    * a full data shuffle. coalesce cannot INCREASE the partition count,
+    * so when the input has fewer partitions than the target the output
+    * has that many files instead (growing file counts is splitting, not
+    * compaction). Returns the ACTUAL number of data files written. */
   def compact(df: DataFrame, outPath: String, targetFileRows: Long): Int = {
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetFileRows).toInt)
     df.coalesce(files).write.mode("overwrite").parquet(outPath)
-    files
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.getPath.getName.startsWith("part-"))
   }
 }

@@ -3,45 +3,104 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the
-  * clustering stage that turns near-duplicate PAIRS (minhash/simhash
-  * output) into duplicate GROUPS with a canonical representative
-  * (min id), so "keep one per cluster" is a single groupBy.
+/** Connected components over near-duplicate PAIR edges — the clustering
+  * stage that turns minhash/simhash pair output into duplicate GROUPS
+  * with a canonical representative (min id), so "keep one per cluster"
+  * is a single groupBy.
   *
-  * Algorithm: every node starts labeled with its own id; each round,
-  * a node takes the min of its label and its neighbors' labels; stop
-  * when a round changes nothing. Each round is two shuffles (join +
-  * min-aggregate) over the EDGE list — never all-pairs — and rounds
-  * needed = graph diameter, which for dedup clusters (small, dense
-  * clumps) is single digits. Labels persist per round and the loop
-  * checks a count, so lineage stays bounded. This is the DataFrame
-  * form of the classic label-propagation CC (cf. GraphX's
-  * ConnectedComponents, which does the same over RDDs).
+  * Default algorithm: the ALTERNATING star contraction of Kiveris et
+  * al., "Connected Components in MapReduce and Beyond" (SoCC 2014):
+  * each round runs a large-star (hook every strictly-larger neighbor of
+  * u to min(Γ(u) ∪ u)) then a small-star (hook u and its smaller
+  * neighbors to their minimum). Both phases are one groupBy + one join
+  * over the EDGE list — never all-pairs — and the edge set contracts
+  * toward stars rooted at component minima in O(log² n) rounds
+  * WORST-CASE (empirically ~log n), independent of graph diameter.
+  * That removes the label-propagation weakness where one adversarial
+  * long-chain component costs O(diameter) rounds.
+  *
+  * Lineage per round is cut with `localCheckpoint` (eager): without it
+  * the k-th round's un-truncated logical plan nests all previous
+  * rounds and analysis/codegen OOMs the driver long before the (small)
+  * edge table does.
   */
 object Components {
 
   /** `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
     * (isolated nodes keep their own label). Returns (id, component)
-    * where component = min node id in the component. */
+    * where component = min node id in the component.
+    *
+    * Throws `IllegalStateException` if `maxIters` rounds don't reach
+    * the star fixed point — silently returning partial labels would
+    * let dedup_keep_one prune the wrong documents with no signal. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame =
+    connectedComponentsWithStats(nodes, edges, maxIters)._1
+
+  /** Same as [[connectedComponents]] but also returns the number of
+    * alternation rounds run — the convergence-speed contract the
+    * ComponentsStarSpec asserts (≈log₂ n on a path graph). */
+  def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    // canonical orientation big→small; self-loops dropped
+    var e = edges.toDF("u", "v").where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIters && !converged) {
+      // ---- large-star: for each u, m = min(Γ(u) ∪ u); every STRICTLY
+      // LARGER neighbor v hooks to m. Output keeps big→small form
+      // (m ≤ u < v).
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // ---- small-star: edges are already directed big→small, so
+      // Γ⁻(u) = the v's stored under u. m = min(Γ⁻(u) ∪ u); hook u and
+      // all its smaller neighbors to m.
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // fixed point ⟺ canonical edge set unchanged (symmetric
+      // difference empty) — one aggregation over both checkpointed sets
+      val changed = ss.unionAll(e).groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .where(col("c") === 1).limit(1).count()
+      e = ss
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "labels would be wrong; raise maxIters")
+    // stars: every non-root points straight at its component min
+    val roots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))
+    val labels = nodes.toDF("id").distinct()
+      .join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (labels, iter)
+  }
+
+  /** Reference implementation: iterative min-label propagation (rounds
+    * = graph diameter). Kept for differential testing of the star
+    * algorithm; throws rather than returning non-converged labels. */
+  private[graft] def labelPropagation(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
     val sym = edges.toDF("src", "dst")
       .unionByName(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
-    // localCheckpoint (eager), NOT just persist: each round's plan nests
-    // the previous round's, so after k rounds the un-truncated logical
-    // plan is exponential in k — analysis/codegen OOMs the driver long
-    // before the (tiny) label table does. Checkpointing materializes the
-    // round and cuts the lineage to a leaf.
     var labels = nodes.toDF("id").distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // neighbor-min pass: each node adopts min(own, neighbors') label.
-      // The previous label rides along as `old`, so the convergence
-      // check is a scan of the (already materialized) checkpoint —
-      // no extra join job per round.
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nmin"))
@@ -55,6 +114,10 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"labelPropagation did not converge in $maxIters rounds (graph diameter " +
+          "exceeds the budget) — use connectedComponents (star contraction)")
     labels
   }
 }

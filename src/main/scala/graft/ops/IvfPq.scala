@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF-PQ: the composed inverted-file + product-quantization index of
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search"
+  * (TPAMI 2011, §IV "IVFADC") — the standard billion-vector ANN design.
+  *
+  * Build: a KMeans coarse quantizer assigns every vector to one of
+  * `nCells` Voronoi cells (the inverted file); the RESIDUAL
+  * (vector − cell centroid) is PQ-encoded with codebooks trained on a
+  * driver-side residual sample. Residual encoding is what makes the
+  * composition better than either half alone: residuals have far less
+  * variance than raw vectors, so the same 8-byte code quantizes them
+  * much more finely.
+  *
+  * Search: each query probes its `nProbe` nearest centroids, the code
+  * scan is PRUNED to those cells (`cell IN probed` — an inverted-file
+  * read of ≤ nProbe/nCells of the codes, pushed to the parquet scan
+  * when codes are cell-partitioned), ADC ranks candidates with one
+  * per-(query, cell) lookup table built from the query's residual, and
+  * a shortlist of k·shortlistFactor rows joins back to the raw vectors
+  * for an exact cosine rerank.
+  *
+  * Scale shape: centroids + codebooks broadcast (a few KB); the code
+  * table is M bytes/vector (32× compression at dim 64, M 8); scan is
+  * map-only over probed cells; only queries×k·factor rows touch
+  * full-precision math. All vectors are L2-normalized first, so ADC-L2
+  * ranking equals cosine ranking and [[Similarity.bruteTopK]] is the
+  * exact twin for the recall gate.
+  */
+object IvfPq {
+
+  /** The driver-resident index artifact: coarse centroids (unit-sphere
+    * space) + PQ codebooks over residuals. Broadcast-sized. */
+  final case class Index(dim: Int, centers: Array[Array[Float]], books: PqAnn.Codebooks)
+      extends Serializable {
+    def nCells: Int = centers.length
+
+    private[ops] def sq(a: Array[Float], b: Array[Float]): Float = {
+      var d = 0f; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+
+    def nearestCells(v: Array[Float], nProbe: Int): Array[Int] =
+      centers.zipWithIndex.map { case (c, i) => (sq(v, c), i) }
+        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val c = centers(cell)
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+  }
+
+  private[ops] def normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var j = 0
+    while (j < v.length) { n += v(j).toDouble * v(j); j += 1 }
+    val nrm = math.sqrt(n)
+    if (nrm == 0.0) v else Array.tabulate(v.length)(j => (v(j) / nrm).toFloat)
+  }
+
+  private val codeSchema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("code", BinaryType, nullable = false)))
+
+  /** Builds the index: KMeans coarse quantizer (seeded, few iterations
+    * — probe recall depends on nProbe, not a fully converged codebook),
+    * PQ codebooks trained on ≤ sampleCap driver-side residuals, then a
+    * map-only encode pass producing the (vec_id, cell, code) table —
+    * the artifact a 100 TB deployment persists, cell-partitioned. */
+  def build(corpus: DataFrame, dim: Int, nCells: Int, m: Int, k: Int,
+      sampleCap: Int = 2048, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): (Index, DataFrame) = {
+    val norm = MlAnn.withNormalizedFeatures(corpus, embCol)
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(norm.select("features"))
+    val centers = km.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = km.transform(norm).select(col(idCol), col(embCol), col("cell"))
+    val coarse = Index(dim, centers, null)
+    val sample = assigned.orderBy(col(idCol)).limit(sampleCap)
+      .select(col(embCol), col("cell")).collect()
+      .map(r => coarse.residual(normalize(r.getSeq[Float](0).toArray), r.getInt(1)))
+    val index = Index(dim, centers, PqAnn.train(sample, dim, m, k, seed = seed))
+    val enc = RowEncoder.encoderFor(codeSchema)
+    val (idIdx, embIdx, cellIdx) = (0, 1, 2)
+    val codes = assigned.mapPartitions { rows =>
+      rows.map { r =>
+        val cell = r.getInt(cellIdx)
+        val res = index.residual(normalize(r.getSeq[Float](embIdx).toArray), cell)
+        Row(r.getLong(idIdx), cell, index.books.encode(res))
+      }
+    }(enc)
+    (index, codes)
+  }
+
+  /** IVF-ADC search with exact rerank. Queries collect to the driver
+    * (the broadcast-small-side pattern shared with [[PqAnn.adcTopK]]);
+    * each ships nProbe (cell → LUT) tables. Returns
+    * (query_id, neighbor_id) like the other ANN paths. */
+  def search(queries: DataFrame, index: Index, codes: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int = 4, shortlistFactor: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    val qLuts: Array[(Long, Map[Int, Array[Array[Float]]])] =
+      queries.select(col(idCol), col(embCol)).collect().map { r =>
+        val qv = normalize(r.getSeq[Float](1).toArray)
+        val luts = index.nearestCells(qv, nProbe)
+          .map(c => c -> index.books.lut(index.residual(qv, c))).toMap
+        (r.getLong(0), luts)
+      }
+    val probed = qLuts.flatMap(_._2.keys).distinct.sorted
+    val bc = spark.sparkContext.broadcast(qLuts)
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("adc", FloatType, nullable = false))))
+    // inverted-file pruning: unprobed cells never leave the scan
+    val scored = codes.where(col("cell").isin(probed: _*)).mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val cell = r.getInt(1)
+        val code = r.getAs[Array[Byte]](2)
+        qs.iterator.flatMap { case (qid, luts) =>
+          luts.get(cell) match {
+            case Some(lut) if qid != id =>
+              var d = 0f; var s = 0
+              while (s < code.length) { d += lut(s)(code(s) & 0xff); s += 1 }
+              Iterator.single(Row(qid, id, d))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact cosine rerank: full-precision math touches only the shortlist
+    val cand = shortlist.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")), "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    cand.join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.RoundPortableExpr.r(
+          graft.functions.VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
+          .as("distance"))
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+}

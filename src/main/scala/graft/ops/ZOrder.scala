@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Bit-interleaved z-value of two non-negative int columns, using the
-    * low `bits` of each: bit i of `a` → bit 2i, bit i of `b` → 2i+1. */
+    * low `bits` of each: bit i of `a` → bit 2i, bit i of `b` → 2i+1.
+    * Inputs are widened to long BEFORE shifting: `shiftleft` on an int
+    * operand wraps mod 32, so bits ≥ 16 would silently fold into the
+    * int sign bit with 32-bit inputs. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
-    terms.reduce(_ + _).cast("long")
+    terms.reduce(_ + _)
   }
 
   /** Writes `df` clustered by the z-order of (colA, colB): range
