@@ -55,7 +55,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // sidecar: the driver's captured tail can truncate a long stdout
+    // line from the left; the full artifact must survive on disk
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

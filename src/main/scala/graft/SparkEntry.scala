@@ -1074,6 +1074,61 @@ object SparkEntry {
         .orderBy($"distance".asc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- THE FACADE ITSELF ON THE ORACLE: this entry routes through
+    // VectorDB — table on disk in a temp warehouse, UUIDv5 ids, dedup
+    // insert (run twice: the second must no-op), registry embedder,
+    // filter mini-language, and VectorDB.query's scan→filter→distance→
+    // distinct→sort→limit plan — so a regression anywhere in the
+    // facade lifecycle (not just the inline plan fragments) flips this
+    // row red. Texts are uniquified with the doc_id so distances are
+    // tie-free (the facade breaks ties by UUID, the oracle by doc_id —
+    // only distinct distances make the two orders comparable). ----
+    "vdb_facade" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-facade").toString
+      val db = new VectorDB(s, "documents", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(to_json(struct($"doc_id",
+          concat($"text", lit(" #"), $"doc_id").as("text"),
+          $"lang", $"n_chars")).as("metadata")).as[String]
+      db.insert(docs, embedField = Some("text"))
+      db.insert(docs, embedField = Some("text")) // dedup: second insert no-ops
+      db.query("distributed query engine", k = 10,
+          filters = Seq(Filters.Cmp("n_chars", Filters.CmpOp.Gt, 200),
+            Filters.Cmp("lang", Filters.CmpOp.Eq, "en")))
+        .toDF()
+        .select(get_json_object($"metadata", "$.doc_id").cast("long").as("doc_id"),
+          RoundPortableExpr.r($"distance", 4).as("distance"))
+    }),
+    // ---- MLlib-Transformer embedder (third registry family): IDF
+    // weights fitted with the real Tokenizer→HashingTF→IDF stages; the
+    // corpus embeds through the REGISTRY path (mapPartitions, weights
+    // in params) and again through the Transformer pipeline, and the
+    // two top-10s must agree rank-for-rank — the per-row embedder is
+    // contractually the pipeline. murmur3 term hashing has no SQL
+    // twin, so the oracle asserts the agreement gate. ----
+    "vdb_embed_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"text")
+      val fitted = graft.embed.TfIdfEmbedder.fitOn(docs, "text", 64)
+      val params = Map("dim" -> "64", "idf" -> fitted.idf.mkString(","))
+      val qvec = graft.embed.Embedders.forName("tfidf", params)
+        .embed("distributed query engine")
+      def top10(embedded: DataFrame) = embedded
+        .select($"doc_id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+            .as("distance"))
+        .orderBy($"distance".asc, $"doc_id".asc).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"distance".asc, $"doc_id".asc)))
+      val viaRegistry = top10(graft.embed.EmbedOps.withEmbedding(docs, "text", "tfidf", params))
+      val viaPipeline = top10(graft.embed.TfIdfEmbedder.transformMl(docs, "text", 64))
+      viaRegistry.as("a").join(viaPipeline.as("b"), Seq("rank"), "full_outer")
+        .select($"rank",
+          when($"a.doc_id" === $"b.doc_id" && $"a.distance" === $"b.distance", 1)
+            .otherwise(0).as("ok"))
+    }),
     // ---- storage-layout operators: the two layouts that kill recurring
     // shuffles/scans at 100 TB, each proven equal to the plain-layout
     // SQL. Partition pruning: only the matching directory is read
@@ -1983,6 +2038,24 @@ object SparkEntry {
     "vdb_json_source" ->
       """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+    // the full facade lifecycle twin: filter → hashing-embed the
+    // uniquified text → cosine top-k (same fragment builders as
+    // vdb_embed_knn, plus the WHERE the facade compiles from its
+    // filter mini-language)
+    "vdb_facade" ->
+      s"""WITH d AS (SELECT doc_id, text || ' #' || CAST(doc_id AS VARCHAR) AS text
+         |           FROM documents WHERE n_chars > 200 AND lang = 'en'),
+         |     acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM d),
+         |     e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |     qacc AS (SELECT ${hashingEmbedAccSql("'distributed query engine'", 64)} AS a),
+         |     q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc)
+         |SELECT e.doc_id,
+         |       round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                        CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |FROM e, q
+         |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
+    "vdb_embed_tfidf" ->
+      "SELECT CAST(t.j + 1 AS INTEGER) AS rank, 1 AS ok FROM range(10) t(j)",
     "layout_partitioned_read" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'click'""".stripMargin,

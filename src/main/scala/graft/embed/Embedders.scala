@@ -88,6 +88,90 @@ case class NgramHashingEmbedder(override val dim: Int = 64, n: Int = 3) extends 
   }
 }
 
+/** Third registry slot: an MLlib-Transformer-backed embedder
+  * (Tokenizer → HashingTF → IDF → L2 normalize) — proves the registry
+  * generalizes beyond hand-rolled hash variants, the way the reference
+  * keeps two genuinely different MODEL families (embedders.py:35-91).
+  *
+  * IDF weights are corpus statistics, so this embedder is FITTED
+  * ([[TfIdfEmbedder.fitOn]], which runs the real MLlib stages) and the
+  * weights travel in the registry params (`idf` = comma-joined
+  * doubles; Double.toString round-trips exactly). `embed` replicates
+  * the fitted pipeline bit-for-bit per row: Tokenizer semantics
+  * (lowercase, split on \s, empties kept), HashingTF's murmur3 term
+  * indexing via `HashingTF.indexOf`, IDF multiply, then the same
+  * divide-normalize as the other embedders. */
+case class TfIdfEmbedder(override val dim: Int, idf: Array[Double]) extends Embedder {
+  require(idf.length == dim, s"idf length ${idf.length} != dim $dim")
+  override def name: String = "tfidf"
+
+  @transient private lazy val hasher =
+    new org.apache.spark.ml.feature.HashingTF().setNumFeatures(dim)
+
+  override def embed(text: String): Array[Float] = {
+    val acc = new Array[Double](dim)
+    for (tok <- text.toLowerCase.split("\\s")) acc(hasher.indexOf(tok)) += 1.0
+    var i = 0
+    while (i < dim) { acc(i) *= idf(i); i += 1 }
+    var norm = 0.0
+    i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val nrm = math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (if (nrm == 0.0) 0.0f else (acc(i) / nrm).toFloat); i += 1 }
+    out
+  }
+}
+
+object TfIdfEmbedder {
+  /** Fits IDF weights over `df(textCol)` with the actual MLlib stages
+    * (Tokenizer → HashingTF → IDF.fit) and returns the embedder
+    * carrying them. One pass over the corpus; at scale, fit on a
+    * sample. */
+  def fitOn(df: DataFrame, textCol: String, dim: Int): TfIdfEmbedder = {
+    val tok = new org.apache.spark.ml.feature.Tokenizer()
+      .setInputCol(textCol).setOutputCol("__toks")
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__toks").setOutputCol("__tf").setNumFeatures(dim)
+    val model = new org.apache.spark.ml.feature.IDF()
+      .setInputCol("__tf").setOutputCol("__tfidf")
+      .fit(tf.transform(tok.transform(df.select(textCol))))
+    TfIdfEmbedder(dim, model.idf.toArray)
+  }
+
+  /** The Transformer-pipeline form of the same embedding: transforms
+    * the whole corpus through Tokenizer → HashingTF → IDF(fit) and
+    * appends an L2-normalized `Array[Float]` column `outCol` — the
+    * MLlib-native bulk path the per-row [[TfIdfEmbedder.embed]] must
+    * agree with (asserted in VectorDBSpec / the vdb_embed_tfidf gate). */
+  def transformMl(df: DataFrame, textCol: String, dim: Int,
+      outCol: String = "embedding"): DataFrame = {
+    val tok = new org.apache.spark.ml.feature.Tokenizer()
+      .setInputCol(textCol).setOutputCol("__toks")
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__toks").setOutputCol("__tf").setNumFeatures(dim)
+    val tfd = tf.transform(tok.transform(df))
+    val model = new org.apache.spark.ml.feature.IDF()
+      .setInputCol("__tf").setOutputCol("__tfidf").fit(tfd)
+    val toUnitArr = org.apache.spark.sql.functions.udf {
+      (v: org.apache.spark.ml.linalg.Vector) =>
+        val a = v.toArray
+        var n = 0.0
+        var i = 0
+        while (i < a.length) { n += a(i) * a(i); i += 1 }
+        val nrm = math.sqrt(n)
+        val out = new Array[Float](a.length)
+        i = 0
+        while (i < a.length) { out(i) = (if (nrm == 0.0) 0.0f else (a(i) / nrm).toFloat); i += 1 }
+        out
+    }
+    model.transform(tfd)
+      .withColumn(outCol, toUnitArr(org.apache.spark.sql.functions.col("__tfidf")))
+      .drop("__toks", "__tf", "__tfidf")
+  }
+}
+
 /** Name → embedder registry (reference `modal.Cls.from_name`, vdb.py:23;
   * unknown name raises, vdb.py:24-27). */
 object Embedders {
@@ -98,6 +182,12 @@ object Embedders {
       case "ngram_hashing" | "NgramHashingEmbedder" =>
         NgramHashingEmbedder(params.getOrElse("dim", "64").toInt,
           params.getOrElse("n", "3").toInt)
+      case "tfidf" | "TfIdfEmbedder" =>
+        val dim = params.getOrElse("dim", "64").toInt
+        val idf = params.get("idf")
+          .map(_.split(",").map(_.toDouble))
+          .getOrElse(Array.fill(dim)(1.0)) // unfitted: plain hashing TF
+        TfIdfEmbedder(dim, idf)
       case other =>
         throw new IllegalArgumentException(s"unknown embedder: $other")
     }

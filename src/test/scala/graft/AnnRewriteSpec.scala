@@ -40,6 +40,35 @@ class AnnRewriteSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("rewrite composes with a FILTERED kNN: bucket prefilter + pushed json filter coexist") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann-filt").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+      db.table.buildAnnIndex(tables = 8, bits = 2)
+
+      val qvec = db.embedder.embed("topic 3 subject")
+      // the reference's filtered k-NN shape (duckvdb.py:110-116): a
+      // metadata predicate UNDER the distance projection
+      val filters = Seq(graft.filters.Filters.Cmp("id", graft.filters.Filters.CmpOp.Lt, 100))
+      val exact = db.queryByVector(qvec, 10, filters).collect().map(_.id).toSet
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      val q = db.queryByVector(qvec, 10, filters)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      optimized should include("arrays_overlap")     // bucket prefilter injected
+      optimized should include("get_json_object")    // the json filter survives
+      val approx = q.collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("persisted ANN index: rewrite filters on stored buckets, not per-row recompute") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))

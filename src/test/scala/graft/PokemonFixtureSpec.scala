@@ -65,6 +65,25 @@ class PokemonFixtureSpec extends SparkSpec with Matchers {
     names(Seq(EqList("type", Seq("Grass", "Poison"))), variant = true) shouldBe Set("Bulbasaur")
   }
 
+  test("""P4 divergence pinned: extract-as-string equality, not the
+         | reference's quoted-JSON compare (SURVEY §2.2 P4)""".stripMargin) {
+    // The reference compiles {"species": "Seed Pokémon"} to
+    // `json_extract(...) = 'Seed Pokémon'` (duckvdb.py:94-99), but
+    // DuckDB's json_extract yields the JSON-QUOTED value
+    // ("\"Seed Pokémon\""), so the reference's own comparison is
+    // false-y. Graft implements the INTENDED semantics — extract AS
+    // STRING, compare to the raw value — documented in SURVEY §2.2 P4.
+    // This spec makes both halves of that divergence executable:
+    // the raw value matches …
+    names(Seq(Eq("species", "Seed Pokémon"))) shouldBe Set("Bulbasaur")
+    names(Seq(Eq("species", "Seed Pokémon")), variant = true) shouldBe Set("Bulbasaur")
+    // … and the JSON-quoted text (the reference's effective operand)
+    // is treated as a LITERAL string, never stripped — so it matches
+    // nothing, on both filter compilers.
+    names(Seq(Eq("species", "\"Seed Pokémon\""))) shouldBe Set.empty
+    names(Seq(Eq("species", "\"Seed Pokémon\"")), variant = true) shouldBe Set.empty
+  }
+
   test("""keys with spaces are unaddressable via dotted paths — same
          | split-on-dot limitation as the reference (duckvdb.py:66-70)""".stripMargin) {
     // "base.Sp. Attack" does not resolve to base["Sp. Attack"]; the

@@ -91,6 +91,29 @@ class VectorDBSpec extends SparkSpec with Matchers {
     math.sqrt(b.embed(text).map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-6
   }
 
+  test("tfidf embedder: registry slot resolves, per-row embed equals the MLlib pipeline") {
+    import spark.implicits._
+    val corpus = Seq("spark joins shuffle data", "duck ponds are quiet",
+      "spark shuffles join keys", "quiet ponds hold ducks").toDF("text")
+    val fitted = graft.embed.TfIdfEmbedder.fitOn(corpus, "text", 32)
+    fitted.dim shouldBe 32
+    // registry round trip: weights travel as params, resolve identically
+    val viaRegistry = Embedders.forName("tfidf",
+      Map("dim" -> "32", "idf" -> fitted.idf.mkString(",")))
+    viaRegistry.embed("spark joins").toSeq shouldBe fitted.embed("spark joins").toSeq
+    // per-row embed must be bit-identical to the Transformer pipeline
+    val viaMl = graft.embed.TfIdfEmbedder.transformMl(corpus, "text", 32)
+      .select($"text", $"embedding").as[(String, Array[Float])].collect().toMap
+    corpus.as[String].collect().foreach { t =>
+      fitted.embed(t).toSeq shouldBe viaMl(t).toSeq
+    }
+    // unit norm, deterministic
+    math.sqrt(fitted.embed("spark joins").map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-6
+    // and it is a genuinely different family from the md5-hash embedders
+    fitted.embed("spark joins").toSeq should not be
+      Embedders.forName("hashing", Map("dim" -> "32")).embed("spark joins").toSeq
+  }
+
   private def get(field: String, json: String): String = {
     import spark.implicits._
     spark.range(1).select(get_json_object(lit(json), s"$$.$field")).head().getString(0)
