@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: runs the heavy dedup/CC/decontamination/stream
+  * queries against a synthesized 10× (sf1-equivalent) corpus under the
+  * same local[32] budget, measuring wall time and spill/shuffle bytes —
+  * the evidence that the "designed for 100 TB" plan shapes actually
+  * scale ≲ linearly (results recorded in BENCHNOTES.md).
+  *
+  * The 10× corpus is derived from the sf0.1 fixtures by unioning
+  * `copies` TRANSLITERATED copies: copy k rotates the lowercase
+  * alphabet by k inside `text`, so token hashes, shingles, simhashes
+  * and winnow fingerprints all differ across copies and the
+  * near-duplicate STRUCTURE scales linearly (10× the clusters) —
+  * verbatim copies would instead weld every document into a 10-clique
+  * and blow the pair count up quadratically, measuring the synthetic
+  * data rather than the engine. Ids are offset per copy so copies
+  * never join. Events keep their timestamps (10× the keys, same time
+  * range — the streaming state grows by key cardinality, which is the
+  * axis that matters). Scratch data lives under /tmp like the layout
+  * queries' temp dirs; /root/testdata is never written.
+  *
+  * Usage: `runMain graft.ScaleStress [query...]` — defaults to the six
+  * heavy queries from the round-3 review. Env:
+  * SPARK_GRAFT_STRESS_SRC (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_STRESS_DIR (default /tmp/graft-sf1),
+  * SPARK_GRAFT_STRESS_COPIES (default 10),
+  * SPARK_GRAFT_STRESS_BASELINE=0 to skip the sf0.1 baseline pass.
+  */
+object ScaleStress {
+
+  private def rotate(s: String, k: Int): String = {
+    val r = k % s.length
+    s.drop(r) + s.take(r)
+  }
+
+  /** Synthesizes `target/{documents,events}.parquet` as `copies`×src.
+    * Events stay ONE FILE named events.parquet — the streaming source
+    * glob-filters on that exact file name. */
+  def generate(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$target/documents.parquet").exists &&
+        new java.io.File(s"$target/events.parquet").exists) return
+    new java.io.File(target).mkdirs()
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { k =>
+      docs.select(($"doc_id" + lit(k * 10000000L)).as("doc_id"),
+        translate($"text", abc, rotate(abc, k)).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$target/documents.parquet")
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts reads as long nanos
+    val evX = (0 until copies).map { k =>
+      ev.select(($"event_id" + lit(k * 100000000L)).as("event_id"), $"ts",
+        ($"user_id" + lit(k * 10000000L)).as("user_id"),
+        $"event_type", $"value", $"props")
+    }.reduce(_ unionByName _)
+    val tmp = s"$target/__events_tmp"
+    evX.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$target/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(tmp).listFiles.foreach(_.delete())
+    new java.io.File(tmp).delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")
+    val target = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
+    val baseline = sys.env.getOrElse("SPARK_GRAFT_STRESS_BASELINE", "1") == "1"
+    val names = if (args.nonEmpty) args.toSeq
+    else Seq("dedup_minhash_lsh", "sim_decontaminate", "ml_minhash_dedup",
+      "dedup_components", "dedup_keep_one", "stream_interval_join")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, target, copies)
+
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    spark.range(1000000).selectExpr("sum(id * 2)").collect() // codegen warmup
+
+    def run(name: String, dir: String, tag: String): Double = {
+      val (m0, d0, w0) = (spillMem.get, spillDisk.get, shufWrite.get)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus is async; let stage metrics drain
+      println(f"[stress] $tag%-6s $name%-22s $secs%8.2f s" +
+        f"  spillMem=${(spillMem.get - m0) / 1048576}%5d MB" +
+        f"  spillDisk=${(spillDisk.get - d0) / 1048576}%5d MB" +
+        f"  shufWrite=${(shufWrite.get - w0) / 1048576}%5d MB")
+      secs
+    }
+
+    for (name <- names) {
+      val base = if (baseline) run(name, src, "sf0.1") else 0.0
+      val big = run(name, target, s"sf1")
+      if (baseline && base > 0)
+        println(f"[stress] ratio  $name%-22s ${big / base}%8.2fx for ${copies}x data")
+    }
+    spark.stop()
+  }
+}
