@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.filters.Filters
 import graft.functions.{RoundPortableExpr, VectorFunctions}
-import graft.ops.{AsOf, Dedup, MlAnn, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, LexicalSearch, MlAnn, Multimodal, Similarity, TextAnalysis}
 import graft.ops.TextPrimitives._
 import graft.streaming.EventStream
 
@@ -21,6 +21,11 @@ import graft.streaming.EventStream
 object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Hybrid-search query terms — chosen for idf spread on the fixture
+    * vocabulary ('dup' rare, 'vector'/'query' common). Shared by
+    * search_bm25 / search_hybrid_rrf and their oracle twins. */
+  private val searchTerms = Seq("dup", "vector", "query")
 
   /** Unique catalog-table suffix per invocation (Bench runs every entry
     * more than once in one session). */
@@ -451,6 +456,43 @@ object SparkEntry {
         .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
           count(lit(1)).as("n_shared_fp"))
         .where($"n_shared_fp" >= 4)
+    }),
+    // ---- BM25 lexical top-k: the keyword half of hybrid retrieval.
+    // Corpus stats broadcast from a one-row agg; non-matching docs are
+    // pruned BEFORE the token explode; top-k is TakeOrderedAndProject.
+    // Terms chosen for idf spread on the fixture: 'dup' is rare
+    // (df≈25/500), 'vector'/'query' are common (df≈385/500). ----
+    "search_bm25" -> ((s, dir) => {
+      import s.implicits._
+      LexicalSearch.bm25(s.read.parquet(t(dir, "documents")), "doc_id", "text", searchTerms)
+        .select($"doc_id", RoundPortableExpr.r($"score", 4).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+    // ---- hybrid search: reciprocal-rank fusion of the BM25 shortlist
+    // with the embedding-cosine shortlist (the retrieval mode production
+    // vector stores pair with ANN; the reference is vector-only). Both
+    // legs are k-row shortlists before ranking, so the fusion join is a
+    // constant-size broadcast no matter the corpus size. ----
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val lexScored = LexicalSearch.bm25(docs, "doc_id", "text", searchTerms)
+        .select($"doc_id", RoundPortableExpr.r($"score", 4).as("score"))
+      val lex = LexicalSearch.rankedTopK(lexScored, "doc_id",
+        Seq(col("score").desc, col("doc_id").asc), 50)
+      val embedded = graft.embed.EmbedOps.withEmbedding(
+        docs.select($"doc_id", $"text"), "text", "hashing")
+      val qvec = graft.embed.Embedders.forName("hashing").embed(searchTerms.mkString(" "))
+      val vecScored = embedded.select($"doc_id",
+        RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+          .as("distance"))
+      val vec = LexicalSearch.rankedTopK(vecScored, "doc_id",
+        Seq(col("distance").asc, col("doc_id").asc), 50)
+      LexicalSearch.rrfFuse(lex, vec, "doc_id")
+        .select($"doc_id", RoundPortableExpr.r($"rrf", 6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id".asc)
+        .limit(10)
     }),
     // ---- Gopher-style repetition score: fraction of duplicated word
     // 3-grams inside each doc — the within-document quality signal
@@ -1495,6 +1537,30 @@ object SparkEntry {
          |       count(*) AS n_shared_fp
          |FROM tr JOIN be ON tr.fp = be.fp
          |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
+    "search_bm25" ->
+      s"""WITH ${LexicalSearch.bm25Sql(searchTerms)}
+         |SELECT doc_id, round(score, 4) AS score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
+         |lex_top AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |            ORDER BY score DESC, doc_id LIMIT 50),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+         |        FROM lex_top),
+         |acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
+         |e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |qacc AS (SELECT ${hashingEmbedAccSql(s"'${searchTerms.mkString(" ")}'", 64)} AS a),
+         |q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc),
+         |vec_top AS (SELECT e.doc_id,
+         |              round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                               CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |            FROM e, q ORDER BY distance, doc_id LIMIT 50),
+         |vec AS (SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS rank_b
+         |        FROM vec_top)
+         |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |       round(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id,
          |       round(CASE WHEN len(ws) - 2 > 0

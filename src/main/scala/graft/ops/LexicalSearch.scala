@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 lexical ranking and reciprocal-rank fusion — the keyword
+  * half of hybrid (lexical + vector) retrieval, the search mode the
+  * reference's vector-only `query` (/root/reference/duckvdb.py:110-116)
+  * cannot express but every production vector store pairs with ANN.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *   - Corpus stats (N, avgdl) are ONE aggregate row, broadcast into the
+  *     scoring join — a shuffle-free full scan, never a wide shuffle.
+  *   - Docs containing no query term are pre-filtered with
+  *     `arrays_overlap` BEFORE the token explode, so the exploded
+  *     relation is proportional to MATCHING docs, not the corpus.
+  *   - Document frequencies are a ≤|query-terms|-row aggregate,
+  *     broadcast back into the per-(doc,term) scores.
+  *   - Final top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  *     heaps, no global sort).
+  * BM25 parameters follow Robertson & Walker (k1 tf saturation, b length
+  * normalization); idf = ln(1 + (N - df + 0.5)/(df + 0.5)) is the
+  * Lucene-style non-negative variant.
+  */
+object LexicalSearch {
+
+  /** Per-document BM25 relevance of `terms`: (idCol, score) for every doc
+    * containing at least one query term; `score` is an unrounded double
+    * (callers round portably before comparing/ordering). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol), TextPrimitives.words(col(textCol)).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    // one row: corpus size + average doc length, broadcast everywhere
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val termArray = array(terms.map(lit): _*)
+    val tf = toks
+      .where(arrays_overlap(col("ws"), termArray)) // prune before explode
+      .select(col(idCol), col("dl"), explode(col("ws")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * col("tf") * lit(k1 + 1.0) / norm).as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Top-k shortlist with dense 1-based ranks: orderBy+limit first
+    * (TakeOrderedAndProject — per-partition heaps over the full input),
+    * THEN row_number over the k-row shortlist. The unpartitioned window
+    * is deliberate and safe: it sees exactly k rows, never the corpus. */
+  def rankedTopK(scored: DataFrame, idCol: String, order: Seq[Column], k: Int): DataFrame = {
+    scored.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.): full-outer join two ranked
+    * shortlists on `idCol`, rrf = Σ 1/(c + rank) over the lists the doc
+    * appears in. Both inputs are k-row shortlists, so the join is
+    * trivially broadcastable. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, c: Int = 60): DataFrame = {
+    val leg = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(c.toDouble) + r.cast("double"))).otherwise(lit(0.0))
+    a.withColumnRenamed("rank", "rank_a")
+      .join(b.withColumnRenamed("rank", "rank_b"), Seq(idCol), "full_outer")
+      .select(col(idCol), (leg(col("rank_a")) + leg(col("rank_b"))).as("rrf"))
+  }
+
+  // ---- DuckDB oracle twins (same algorithm, same hash-free arithmetic) ----
+
+  /** CTE body computing (doc_id, score) BM25 over `documents.text` for
+    * literal `terms` — the differential twin of [[bm25]]. */
+  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id, ${TextPrimitives.wordsSql("text")} AS ws FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM toks),
+       |tok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term FROM toks),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |bm25 AS (SELECT tf.doc_id,
+       |       sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |           * tf.tf * ${k1 + 1.0} / (tf.tf + $k1 * (1.0 - $b + $b * tf.dl / s.avgdl))) AS score
+       |FROM tf JOIN dfreq d USING (term), stats s
+       |GROUP BY 1)""".stripMargin
+  }
+}
