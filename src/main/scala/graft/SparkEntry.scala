@@ -211,6 +211,18 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.7, blockCol = Some("label"))),
+    // ---- exact duplicated-substring spans (Lee et al. 2022): verbatim
+    // token runs shared across ≥2 docs, merged into maximal per-doc
+    // intervals — the span-level leak/boilerplate signal whole-doc
+    // minhash misses. Windowed-hash analogue of the suffix-array method
+    // (exact for runs ≥ w+stride−1 tokens); one window-hash explode +
+    // one hash-keyed agg, interval merge partitioned per doc. ----
+    "dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicatedSpans(s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          w = 20, stride = 10)
+        .orderBy($"doc_id".asc)
+    }),
     // ---- near-dup pairs → duplicate GROUPS: connected components by
     // large-star/small-star contraction over the pair edges (Kiveris et
     // al. — O(log² n) rounds worst-case, two groupBy+join shuffles per
@@ -1904,6 +1916,31 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                       CAST(b.embedding AS DOUBLE[])), 4) <= 0.7""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |offs AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 20 + 1, 10)) AS off
+         |         FROM toks WHERE len(ws) >= 20),
+         |wins AS (SELECT doc_id, off,
+         |                md5(array_to_string(list_slice(ws, off + 1, off + 20), ' ')) AS h
+         |         FROM offs),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (
+         |  SELECT doc_id, off,
+         |         CASE WHEN max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |              OR off > max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM wins JOIN dup USING (h)),
+         |spans AS (
+         |  SELECT doc_id, off,
+         |         sum(is_new) OVER (PARTITION BY doc_id ORDER BY off) AS span_id
+         |  FROM marked),
+         |agg AS (SELECT doc_id, span_id, max(off) + 20 - min(off) AS span_len
+         |        FROM spans GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |       CAST(sum(span_len) AS BIGINT) AS dup_tokens
+         |FROM agg GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "sim_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -158,4 +158,57 @@ object Dedup {
     // LSH path: the same pair can collide in several tables
     if (blockCol.isEmpty) pairs.distinct() else pairs
   }
+
+  /** Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find every token span
+    * that appears verbatim in ≥ 2 documents, merged per doc into maximal
+    * intervals — the span-level signal whole-document minhash misses
+    * (boilerplate, licenses, quoted passages inside otherwise-unique
+    * docs).
+    *
+    * Suffix arrays don't distribute; the standard scalable analogue is
+    * fixed-width windows on a stride: every `w`-token window at offsets
+    * 0, stride, 2·stride… is content-hashed, a window hash seen in ≥ 2
+    * distinct docs marks its window duplicated, and per-doc overlapping
+    * duplicated windows merge into spans. Any duplicated run of
+    * ≥ w + stride − 1 tokens is guaranteed to contain an aligned window
+    * on both sides, so detection is exact above that length.
+    *
+    * Scale shape: one explode of O(tokens/stride) window hashes, one
+    * hash-keyed aggregation for the ≥2-docs test, one equi-join back,
+    * and the interval merge is a per-doc window function (partitioned by
+    * doc — thousands of tiny partitions, never a global sort).
+    *
+    * Returns (idCol, n_dup_spans, dup_tokens): merged span count and
+    * total tokens covered, for docs with at least one duplicated window.
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20, stride: Int = 10): DataFrame = {
+    require(w > 0 && stride > 0 && stride <= w, "need 0 < stride <= w")
+    val wins = df
+      .select(col(idCol), TextPrimitives.words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= w)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("ws")) - w, lit(stride))).as("off"),
+        col("ws"))
+      .select(col(idCol), col("off"),
+        md5(array_join(slice(col("ws"), col("off") + 1, lit(w)), " ")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val marked = wins.join(dup, "h")
+      .withColumn("prev_end",
+        max(col("off") + w).over(Window.partitionBy(col(idCol)).orderBy(col("off"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("off") > col("prev_end") - 1, 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("is_new")).over(Window.partitionBy(col(idCol)).orderBy(col("off"))))
+    marked.groupBy(col(idCol), col("span_id"))
+      .agg((max(col("off")) + w - min(col("off"))).as("span_len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_tokens"))
+  }
 }

@@ -77,4 +77,24 @@ class DedupSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((1L, 2L)) // 3 is orthogonal; 4 in another block
   }
+
+  test("duplicated substring spans: shared runs found, merged, unique docs absent") {
+    import spark.implicits._
+    def toks(range: Range, tag: String = "") = range.map(i => s"${tag}w$i").mkString(" ")
+    // docs 10/11 share tokens 0..39 (a 40-token verbatim run); doc 12 is
+    // same length but token-disjoint; doc 13 is too short to window
+    val spanDocs = Seq(
+      (10L, toks(0 until 40) + " " + toks(1000 until 1020, "a")),
+      (11L, toks(0 until 40) + " " + toks(2000 until 2020, "b")),
+      (12L, toks(5000 until 5080, "c")),
+      (13L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", w = 20, stride = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(10L, 11L))
+    // shared aligned windows at offsets 0/10/20 merge into ONE span of
+    // exactly the 40 shared tokens in each doc
+    assert(r(10L)._1 == 1 && r(11L)._1 == 1)
+    assert(r(10L)._2 == 40 && r(11L)._2 == 40)
+  }
 }
