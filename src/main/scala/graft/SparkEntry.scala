@@ -561,6 +561,26 @@ object SparkEntry {
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
     }),
+    // ---- Gopher quality rules (Rae et al. 2021): the published filter
+    // battery as per-doc flags, audited per language — pass count plus
+    // per-rule rejection counts (which rule fires is the actionable
+    // signal when tuning a corpus filter). One kernel pass per row. ----
+    "text_quality_gopher" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextAnalysis.gopherQuality(docs.select($"doc_id", $"lang", $"text"), "doc_id", "text")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"r_words" && $"r_wlen" && $"r_symbol" && $"r_alpha" && $"r_stop", 1L)
+            .otherwise(0L)).as("n_pass"),
+          sum(when($"r_words" && $"r_wlen" && $"r_symbol" && $"r_alpha", 1L)
+            .otherwise(0L)).as("n_pass_core"),
+          sum(when(!$"r_words", 1L).otherwise(0L)).as("n_fail_words"),
+          sum(when(!$"r_wlen", 1L).otherwise(0L)).as("n_fail_wlen"),
+          sum(when(!$"r_symbol", 1L).otherwise(0L)).as("n_fail_symbol"),
+          sum(when(!$"r_alpha", 1L).otherwise(0L)).as("n_fail_alpha"),
+          sum(when(!$"r_stop", 1L).otherwise(0L)).as("n_fail_stop"))
+    }),
     // ---- text analysis ----
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(s.read.parquet(t(dir, "documents")), "doc_id", "text")),
@@ -1573,6 +1593,41 @@ object SparkEntry {
          |       round(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "text_quality_gopher" ->
+      s"""WITH base AS (SELECT lang, lower(text) AS lt, ${wordsSql("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT lang,
+         |    len(ws) AS n_words,
+         |    round(CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws), 4)
+         |      AS mean_word_len,
+         |    round(((len(lt) - len(replace(lt, '#', '')))
+         |           + (len(lt) - len(replace(lt, '…', '')))
+         |           + (len(lt) - len(replace(lt, '...', ''))) // 3)
+         |          * 1.0 / len(ws), 4) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |          / len(ws), 4) AS alpha_frac,
+         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                    sw -> list_contains(ws, sw))) AS stop_hits
+         |  FROM base),
+         |r AS (
+         |  SELECT lang,
+         |    (n_words BETWEEN 50 AND 100000) AS r_words,
+         |    (mean_word_len BETWEEN 3.0 AND 10.0) AS r_wlen,
+         |    (symbol_ratio <= 0.1) AS r_symbol,
+         |    (alpha_frac >= 0.8) AS r_alpha,
+         |    (stop_hits >= 2) AS r_stop
+         |  FROM m)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r_words AND r_wlen AND r_symbol AND r_alpha AND r_stop
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN r_words AND r_wlen AND r_symbol AND r_alpha
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_core,
+         |  CAST(sum(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         |  CAST(sum(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
+         |  CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+         |FROM r GROUP BY 1""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id,
          |       round(CASE WHEN len(ws) - 2 > 0

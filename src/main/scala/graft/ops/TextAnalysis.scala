@@ -87,4 +87,20 @@ object TextAnalysis {
       k: Int = 8, w: Int = 4): DataFrame =
     df.select(col(idCol),
       graft.functions.TextExprs.winnow(col(textCol), k, w).as("fingerprints"))
+
+  /** Gopher quality rules (Rae et al. 2021 Appendix A) as per-doc
+    * booleans over one [[graft.functions.GopherStatsExpr]] kernel pass:
+    * word count in [minWords, maxWords], mean word length in [3, 10],
+    * symbol-to-word ratio ≤ 0.1, ≥ 80% of words alphabetic, ≥ 2 distinct
+    * canonical stop words. Keeps every input row (flags, not a filter)
+    * so callers can audit rejection reasons before dropping. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    df.withColumn("g", graft.functions.GopherStatsExpr.col(col(textCol)))
+      .withColumn("r_words", col("g.n_words").between(minWords, maxWords))
+      .withColumn("r_wlen", col("g.mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol", col("g.symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("g.alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("g.stop_hits") >= 2)
+      .drop("g")
 }

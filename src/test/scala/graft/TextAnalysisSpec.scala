@@ -98,4 +98,26 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     sh(0) shouldBe Seq("a b c", "b c d")
     sh(1) shouldBe Seq.empty
   }
+
+  test("gopher quality rules fire individually on constructed violations") {
+    import spark.implicits._
+    val good = (("the fox and dog ran " * 12).trim, 1L)     // 60 words, 2 stops
+    val short = ("the fox and dog ran", 2L)                 // 5 words → r_words
+    val longWords = (Seq.fill(60)("superlonginvention").mkString(" "), 3L) // mean len 18 → r_wlen
+    // '####' tokens keep mean word len ≥ 3 so only symbol+alpha rules trip
+    val symbols = ((("#### " * 30) + "the fox and dog ran " * 6).trim, 4L)
+    // 4-char numeric tokens keep mean word len ≥ 3 so only alpha trips
+    val numeric = ((("4242 " * 40) + "the fox and dog ran " * 4).trim, 5L)
+    val noStops = (("fox dog cat bird fish " * 12).trim, 6L)               // 0 stops → r_stop
+    val df = Seq(good, short, longWords, symbols, numeric, noStops).toDF("text", "doc_id")
+    val r = graft.ops.TextAnalysis.gopherQuality(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        Seq("r_words", "r_wlen", "r_symbol", "r_alpha", "r_stop").map(x.getAs[Boolean])).toMap
+    r(1L) shouldBe Seq(true, true, true, true, true)
+    r(2L) shouldBe Seq(false, true, true, true, true)
+    r(3L) shouldBe Seq(true, false, true, true, false)
+    r(4L) shouldBe Seq(true, true, false, false, true)
+    r(5L) shouldBe Seq(true, true, true, false, true)
+    r(6L) shouldBe Seq(true, true, true, true, false)
+  }
 }
