@@ -823,6 +823,24 @@ object SparkEntry {
       Similarity.meanRecallGate(MlAnn.ivfTopK(q, emb, k = 10, nCells = 16, nProbe = 8),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
     }),
+    // ---- incremental IVF index maintenance: 80% of the corpus is
+    // indexed (quantizer fit + cell assign), the remaining 20% arrives
+    // as a delta batch and is appended by a map-side assign against the
+    // EXISTING broadcast centroids — no refit, no shuffle of the
+    // indexed corpus (O(|delta|) append, the production segment-append
+    // pattern). Gate: probing the appended index must still recover the
+    // brute-force top-k over the FULL corpus, so delta rows are
+    // searchable immediately and recall survives quantizer staleness. ----
+    "ann_index_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val base = emb.where($"vec_id" % 5 =!= 0)
+      val delta = emb.where($"vec_id" % 5 === 0)
+      val q = emb.where($"vec_id" < 10)
+      val index = MlAnn.ivfAppend(MlAnn.ivfBuild(base, nCells = 16), delta)
+      Similarity.meanRecallGate(MlAnn.ivfProbe(index, q, k = 10, nProbe = 8),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
+    }),
     "ml_minhash_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       // expected set = the deterministic banded-minhash pairs, themselves
@@ -1400,6 +1418,8 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin,
     "ml_ann_ivf" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_index_incremental" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",

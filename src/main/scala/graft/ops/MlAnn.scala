@@ -69,20 +69,54 @@ object MlAnn {
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfBuild(candidates, idCol, embCol, nCells, seed), queries, k, nProbe)
+
+  /** A built inverted-file index: the fitted coarse quantizer plus the
+    * cell-assigned corpus (neighbor_id, c_emb, cell). `idCol`/`embCol`
+    * name the columns new batches must carry. */
+  case class IvfIndex(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      indexed: DataFrame, idCol: String, embCol: String)
+
+  /** IVF index build: fit the KMeans coarse quantizer and cell-assign
+    * the corpus. Quantizer fit reads the features column only
+    * (column-pruned scan) with few iterations — IVF recall depends on
+    * nProbe, not a fully converged codebook; at cluster scale you'd fit
+    * on a sample. */
+  def ivfBuild(
+      candidates: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     val cand = withNormalizedFeatures(candidates, embCol)
-    // Quantizer fit: features column only (column-pruned scan) and few
-    // iterations — IVF recall depends on nProbe, not on a fully
-    // converged codebook; at cluster scale you'd fit on a sample.
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(cand.select("features"))
-    val centers = model.clusterCenters.map(_.toArray)
-    // Assign candidates to their cell (map-side; model broadcasts).
-    val indexed = model.transform(cand)
+    IvfIndex(model, assign(model, cand, idCol, embCol), idCol, embCol)
+  }
+
+  /** Incremental index maintenance: cell-assign a delta batch against
+    * the EXISTING quantizer — a map-side transform over broadcast
+    * centroids, no refit, no shuffle of the already-indexed corpus —
+    * and union it in. Appending a batch to a 100 TB index costs
+    * O(|delta|); the trade is quantizer staleness (centroids drift from
+    * the true distribution as deltas accumulate — rebuild on a cadence,
+    * exactly like IVF segment merges in production vector stores). */
+  def ivfAppend(index: IvfIndex, delta: DataFrame): IvfIndex =
+    index.copy(indexed = index.indexed.unionByName(
+      assign(index.model, withNormalizedFeatures(delta, index.embCol),
+        index.idCol, index.embCol)))
+
+  private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
+      featured: DataFrame, idCol: String, embCol: String): DataFrame =
+    model.transform(featured)
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cell"))
-    // Each query expands to its nProbe nearest cells.
+
+  /** Index probe: each query expands to its nProbe nearest centroids
+    * (centroid set broadcasts) and brute-forces only those cells via an
+    * equi-join on `cell` — nProbe/nCells of the corpus per query. */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val centers = index.model.clusterCenters.map(_.toArray)
     val probeCells = udf { (v: Vector) =>
       centers.zipWithIndex
         .map { case (c, i) =>
@@ -94,11 +128,11 @@ object MlAnn {
         }
         .sortBy(_._1).take(nProbe).map(_._2)
     }
-    val qs = withNormalizedFeatures(queries, embCol)
-      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+    val qs = withNormalizedFeatures(queries, index.embCol)
+      .select(col(index.idCol).as("query_id"), col(index.embCol).as("q_emb"),
         explode(probeCells(col("features"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
-    qs.join(indexed, Seq("cell"))
+    qs.join(index.indexed, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.RoundPortableExpr.r(

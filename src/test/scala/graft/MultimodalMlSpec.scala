@@ -69,6 +69,28 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     (brute intersect partial).size.toDouble / brute.size should be >= 0.8
   }
 
+  test("IVF append: delta rows searchable without refit; equals index-from-union") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 4 =!= 0)
+    val delta = emb.where($"vec_id" % 4 === 0)
+    val queries = emb.where($"vec_id" < 5)
+    val appended = MlAnn.ivfAppend(MlAnn.ivfBuild(base, nCells = 4), delta)
+    // full probe of the appended index = brute force over base ∪ delta:
+    // every delta row is immediately searchable
+    val probed = MlAnn.ivfProbe(appended, queries, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probed shouldBe brute
+    // append against a fixed quantizer assigns delta to the same cells a
+    // from-scratch assign with those centroids would
+    val rebuilt = appended.copy(indexed =
+      MlAnn.ivfAppend(appended.copy(indexed = appended.indexed.limit(0)), emb).indexed)
+    val viaRebuild = MlAnn.ivfProbe(rebuilt, queries, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaRebuild shouldBe probed
+  }
+
   test("multimodal: WAV round-trip — real RIFF encode/decode recovers the PCM formula") {
     val stats = Multimodal.decodeWavStats(Multimodal.wavMediaTable(docs)).limit(10).collect()
     stats.foreach { r =>
