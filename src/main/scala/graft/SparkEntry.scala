@@ -201,6 +201,17 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)),
+    // ---- the same pipeline under the hot-bucket skew guard: buckets
+    // over maxBucket docs are excluded from candidate generation, which
+    // bounds per-reducer join work at maxBucket² regardless of corpus
+    // skew (ONE degenerate boilerplate key would otherwise go quadratic
+    // on a single reducer at 100 TB). Cap 2 deliberately fires on the
+    // fixture (its largest bucket holds 3 docs) so the engines must
+    // agree on the exclusion, not just on the happy path. ----
+    "dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = 2)),
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       Dedup.simhashes(s.read.parquet(t(dir, "documents")).where($"doc_id" < 200),
@@ -1942,6 +1953,27 @@ object SparkEntry {
          |  WHERE len(sh) > 0
          |), bands AS (
          |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
+    "dedup_minhash_capped" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), bands_all AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), bands AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+         |    FROM bands_all)
+         |  WHERE bsz <= 2
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

@@ -68,10 +68,23 @@ object Dedup {
 
   /** Shingle → MinHash → band → bucket-join near-dup pairs, verified by
     * exact Jaccard ≥ threshold. Deterministic (salted-md5 hash family),
-    * so results are reproducible across runs and engines. */
+    * so results are reproducible across runs and engines.
+    *
+    * `maxBucket` is the hot-bucket skew guard: a bucket of b docs emits
+    * b² candidate pairs, so ONE degenerate key (boilerplate, templated
+    * or near-empty docs all sharing a band signature) turns the
+    * key-partitioned join quadratic and pins a single reducer. Buckets
+    * larger than `maxBucket` are excluded from candidate generation —
+    * the standard trade in production minhash dedup: an over-full bucket
+    * is a low-information key, and any true near-dup pair it contains
+    * still collides in one of the other bands with overwhelming
+    * probability. The cap makes per-reducer work ≤ maxBucket² REGARDLESS
+    * of corpus skew. Default keeps every bucket (exact banded
+    * semantics). */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // Docs with no shingles (shorter than n words) are excluded: their
     // all-identical "empty" signatures would otherwise bucket every
     // short doc into one giant candidate clique.
@@ -83,7 +96,16 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
+    val allBuckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
+    // Hot-bucket guard: the size count partitions on the SAME (band, key)
+    // the self-join shuffles on, so the filter adds no extra shuffle key.
+    val buckets =
+      if (maxBucket == Int.MaxValue) allBuckets
+      else allBuckets
+        .withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key"))))
+        .where(col("__bsz") <= maxBucket)
+        .drop("__bsz")
     val cand = buckets.alias("x").join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

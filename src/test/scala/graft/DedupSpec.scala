@@ -78,6 +78,30 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs shouldBe Set((1L, 2L)) // 3 is orthogonal; 4 in another block
   }
 
+  test("hot-bucket cap bounds candidate generation without losing multi-band pairs") {
+    import spark.implicits._
+    // 30 identical boilerplate docs weld into one giant bucket per band;
+    // docs 100/101 are a genuine near-dup pair in their own buckets
+    val boiler = (1L to 30L).map(i => (i, "standard legal disclaimer text repeated verbatim"))
+    val real = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog today"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-doc boilerplate clique (435 pairs) is excluded wholesale...
+    assert(!capped.exists { case (a, b) => a <= 30 && b <= 30 })
+    // ...while the real pair, living in small buckets, survives
+    assert(capped.contains((100L, 101L)))
+    // uncapped finds the clique — proving the cap (not the bands) removed it
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a <= 30 && b <= 30 } == 435)
+    assert((uncapped -- capped).forall { case (a, b) => a <= 30 && b <= 30 })
+  }
+
   test("duplicated substring spans: shared runs found, merged, unique docs absent") {
     import spark.implicits._
     def toks(range: Range, tag: String = "") = range.map(i => s"${tag}w$i").mkString(" ")
