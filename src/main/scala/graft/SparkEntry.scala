@@ -27,6 +27,52 @@ object SparkEntry {
     * search_bm25 / search_hybrid_rrf and their oracle twins. */
   private val searchTerms = Seq("dup", "vector", "query")
 
+  /** DuckDB twin of [[graft.ops.Similarity.mmrRerank]]: the greedy MMR
+    * selection is sequential, so each of the k argmax steps unrolls as
+    * one chained CTE pair (candidate scoring vs the picks so far →
+    * UNION the winner). λ literals are printed from the SAME doubles the
+    * Scala loop multiplies by (1−λ in particular is NOT the decimal 0.3)
+    * so both engines compute bit-identical scores before the 6-decimal
+    * round. */
+  private def mmrOracleSql(k: Int, lambda: Double, shortlist: Int): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    // Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and the sel chain references its
+    // predecessor 3× per step — inlining would re-expand the parquet
+    // scan 3^k times (observed as "too many open files" at k=10).
+    val steps = (2 to k).map { i =>
+      s"""cand$i AS (
+         |  SELECT c.doc_id, round($lam * (1 - c.distance) - $oneMinus * max(1 - p.pdist), 6) AS score
+         |  FROM short c
+         |  JOIN pairs p ON p.ia = c.doc_id
+         |  JOIN sel${i - 1} s ON p.ib = s.doc_id
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+         |  GROUP BY c.doc_id, c.distance),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  (SELECT doc_id, $i AS rank, score AS mmr FROM cand$i
+         |   ORDER BY score DESC, doc_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
+       |e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+       |qacc AS (SELECT ${hashingEmbedAccSql(s"'${searchTerms.mkString(" ")}'", 64)} AS a),
+       |q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc),
+       |short AS MATERIALIZED (SELECT e.doc_id, e.emb,
+       |            round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+       |                                             CAST(q.qv AS DOUBLE[])), 4) AS distance
+       |          FROM e, q ORDER BY distance, doc_id LIMIT $shortlist),
+       |pairs AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |            round(1 - list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
+       |                                             CAST(b.emb AS DOUBLE[])), 4) AS pdist
+       |          FROM short a JOIN short b ON a.doc_id <> b.doc_id),
+       |sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, round($lam * (1 - distance), 6) AS mmr
+       |         FROM short ORDER BY mmr DESC, doc_id LIMIT 1),
+       |$steps
+       |SELECT doc_id, rank, mmr FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   /** Unique catalog-table suffix per invocation (Bench runs every entry
     * more than once in one session). */
   private val layoutRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -516,6 +562,23 @@ object SparkEntry {
         .select($"doc_id", RoundPortableExpr.r($"rrf", 6).as("rrf"))
         .orderBy($"rrf".desc, $"doc_id".asc)
         .limit(10)
+    }),
+    // ---- MMR diversity rerank: greedy λ·rel − (1−λ)·max-sim selection
+    // over the k-NN shortlist (Carbonell & Goldstein), so near-identical
+    // hits stop crowding out distinct-but-relevant ones. Sequential by
+    // nature → runs on the bounded 50-row shortlist like every
+    // production reranker; Spark computes the shortlist + its pairwise
+    // kernel distances, the driver loop touches only those scalars. ----
+    "search_mmr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val embedded = graft.embed.EmbedOps.withEmbedding(
+        docs.select($"doc_id", $"text"), "text", "hashing")
+      val qvec = graft.embed.Embedders.forName("hashing").embed(searchTerms.mkString(" "))
+      val scored = embedded.select($"doc_id", $"embedding",
+        RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+          .as("distance"))
+      Similarity.mmrRerank(scored, k = 10, lambda = 0.7, shortlist = 50, idCol = "doc_id")
     }),
     // ---- Gopher-style repetition score: fraction of duplicated word
     // 3-grams inside each doc — the within-document quality signal
@@ -1624,6 +1687,7 @@ object SparkEntry {
          |       round(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "search_mmr" -> mmrOracleSql(k = 10, lambda = 0.7, shortlist = 50),
     "text_quality_gopher" ->
       s"""WITH base AS (SELECT lang, lower(text) AS lt, ${wordsSql("text")} AS ws FROM documents),
          |m AS (

@@ -41,6 +41,62 @@ object Similarity {
       .drop("rank")
   }
 
+  /** Maximal-marginal-relevance diversity rerank (Carbonell & Goldstein
+    * 1998) of a k-NN shortlist: greedily pick the doc maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the final
+    * k trades redundancy for coverage (near-duplicate hits stop crowding
+    * out distinct-but-relevant ones).
+    *
+    * Scale shape: the greedy loop is inherently sequential, so — like
+    * every production reranker — it runs on a BOUNDED shortlist, never
+    * the corpus: Spark computes the `shortlist`-row top-N
+    * (TakeOrderedAndProject) and the shortlist's pairwise kernel
+    * distances (shortlist² tiny rows), both distributed; only those
+    * O(shortlist²) scalars are collected for the O(k·shortlist) driver
+    * loop. Scores are derived from portably-rounded distances and
+    * re-rounded at 6 decimals each step, so the selection is
+    * reproducible across engines bit-for-bit.
+    *
+    * `scored` must carry (idCol: Long, embCol, distCol: rounded double).
+    * Returns (idCol, rank, mmr) for the k picks in selection order. */
+  def mmrRerank(
+      scored: DataFrame, k: Int, lambda: Double = 0.7, shortlist: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      distCol: String = "distance"): DataFrame = {
+    val spark = scored.sparkSession
+    val short = scored.select(col(idCol), col(embCol), col(distCol))
+      .orderBy(col(distCol).asc, col(idCol).asc).limit(shortlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rel = short.select(col(idCol), col(distCol)).collect()
+      .map(r => r.getLong(0) -> (1.0 - r.getDouble(1))).toMap
+    // pairwise distances through the SAME codegen kernel + portable
+    // rounding as the relevance leg — no driver-side re-implementation
+    // of the float arithmetic to drift from the oracle
+    val a = short.select(col(idCol).as("ia"), col(embCol).as("emb_a"))
+    val b = short.select(col(idCol).as("ib"), col(embCol).as("emb_b"))
+    val sim = a.crossJoin(b).where(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4)
+          .as("pdist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (1.0 - r.getDouble(2))).toMap
+    short.unpersist()
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]()
+    val remaining = scala.collection.mutable.SortedSet[Long]() ++ rel.keys
+    while (picked.size < k && remaining.nonEmpty) {
+      val best = remaining.map { d =>
+        val maxSim = if (picked.isEmpty) 0.0
+          else picked.map(p => sim((d, p._1))).max
+        val score = graft.functions.PortableRounding.round(
+          lambda * rel(d) - (1.0 - lambda) * maxSim, 6)
+        (d, score)
+      }.maxBy { case (d, s) => (s, -d) } // highest score, lowest id on ties
+      picked += ((best._1, picked.size + 1, best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF(idCol, "rank", "mmr")
+  }
+
   /** Exact top-k neighbors for each query row.
     * `queries`/`candidates`: (id, embedding). Self-matches excluded. */
   def bruteTopK(

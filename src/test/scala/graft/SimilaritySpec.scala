@@ -41,4 +41,34 @@ class SimilaritySpec extends SparkSpec with Matchers {
       .select("buckets").collect().map(_.toString).toSeq
     b1 shouldBe b2
   }
+
+  test("mmr rerank trades a redundant near-clone for a distinct relevant doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query at 0°; docs 1/2 sit at +10°/+12° (near-clones, most
+    // relevant), doc 3 at −40° on the OTHER side of the query — less
+    // relevant than the clone but far from pick #1. Plain top-2 takes
+    // both clones; MMR's max-sim penalty (sim(2,1)≈1 ≫ sim(3,1)=cos 50°)
+    // swaps the clone for doc 3.
+    val docs = Seq(
+      (1L, Seq(0.985f, 0.174f, 0f)),
+      (2L, Seq(0.978f, 0.208f, 0f)),
+      (3L, Seq(0.766f, -0.643f, 0f)),
+      (4L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f)
+    val scored = docs.select($"vec_id", $"embedding",
+      graft.functions.RoundPortableExpr.r(
+        graft.functions.VectorFunctions.cosineDistance($"embedding", typedlit(q)), 4)
+        .as("distance"))
+    val mmr = Similarity.mmrRerank(scored, k = 2, lambda = 0.6, shortlist = 4)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    mmr(0)._1 shouldBe 1L // most relevant first
+    mmr(1)._1 shouldBe 3L // diversity beats the clone
+    // relevance-only ordering would have ranked the clone second
+    val brute = Similarity.bruteTopK(
+        Seq((99L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"), docs, k = 2)
+      .orderBy($"distance").collect().map(_.getLong(1))
+    brute.toSeq shouldBe Seq(1L, 2L)
+  }
 }
