@@ -208,6 +208,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 20, stride: Int = 10): DataFrame = {
     require(w > 0 && stride > 0 && stride <= w, "need 0 < stride <= w")
+    // Persisted: the window-hash table feeds BOTH the duplicated-hash
+    // aggregate and the join back — without it the tokenize+explode+md5
+    // subtree runs twice (two corpus passes). Same pattern as the
+    // minhash signature table above.
     val wins = df
       .select(col(idCol), TextPrimitives.words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= w)
@@ -216,6 +220,7 @@ object Dedup {
         col("ws"))
       .select(col(idCol), col("off"),
         md5(array_join(slice(col("ws"), col("off") + 1, lit(w)), " ")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)

@@ -42,6 +42,10 @@ object LexicalSearch {
       .where(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      // persisted: tf feeds BOTH the document-frequency aggregate and
+      // the scoring join — without it Spark re-runs the scan+explode
+      // subtree for each, i.e. two corpus passes instead of one
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
