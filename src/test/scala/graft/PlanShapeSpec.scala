@@ -30,7 +30,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "mm_decode_png", "mm_decode_stub", "text_chunk", "q_join_semi",
     "q_histogram", "q_window_range", "agg_bitmap_distinct", "agg_heavy_hitters",
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
-    "pipeline_e2e", "vdb_insert_bloom")
+    "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
+    "text_quality_gopher")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -146,5 +147,30 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // one scan, a generate, no shuffle at all in the chunk production
     p should include("Generate explode")
     p should not include "Exchange"
+  }
+
+  test("bm25: non-matching docs pruned before the explode, stats+df broadcast, heap top-k") {
+    val p = physical("search_bm25")
+    p should include("arrays_overlap")       // prune ahead of Generate
+    p should include("TakeOrderedAndProject") // no global sort for top-k
+    // df (per-term) and corpus stats (one row) both broadcast into scoring
+    "BroadcastExchange".r.findAllIn(p).size should be >= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("gopher rules are one kernel pass: single scan, no join, no generate") {
+    val p = physical("text_quality_gopher")
+    p should include("gopher_stats")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Generate"
+    p should not include "BroadcastHashJoin"
+  }
+
+  test("substring spans: interval merge windows are per-doc, not global") {
+    val o = optimized("dedup_substring")
+    // both window functions partition by the doc id — a global (empty
+    // partition-by) window would single-partition the corpus
+    "windowspecdefinition\\(doc_id".r.findAllIn(o.toLowerCase).size should be >= 2
+    physical("dedup_substring") should not include "CartesianProduct"
   }
 }
