@@ -85,4 +85,31 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
       .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 4L)
     parsed.unpersist()
   }
+
+  test("round-4 operators on degenerate inputs: empties, misses, tiny shortlists") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text")
+    // bm25: term absent from the corpus → empty result, no failure
+    graft.ops.LexicalSearch.bm25(docs, "doc_id", "text", Seq("zzzmissing"))
+      .count() shouldBe 0L
+    // bm25: empty term list rejected eagerly
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.LexicalSearch.bm25(docs, "doc_id", "text", Seq.empty)
+    // substring spans: stride > window rejected; all-short corpus → empty
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Dedup.duplicatedSpans(docs, "doc_id", "text", w = 5, stride = 6)
+    graft.ops.Dedup.duplicatedSpans(docs, "doc_id", "text", w = 20, stride = 10)
+      .count() shouldBe 0L
+    // gopher kernel: empty text yields zeroed metrics, not NaN/crash
+    val g = graft.ops.TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).collect().head
+    g.getAs[Boolean]("r_words") shouldBe false // 1 empty token < 50 words
+    g.getAs[Boolean]("r_symbol") shouldBe true // 0/1 ratio, no NaN
+    // mmr: k larger than the shortlist returns every shortlist row ranked
+    val emb = Seq((1L, Seq(1f, 0f), 0.0), (2L, Seq(0f, 1f), 0.5))
+      .toDF("vec_id", "embedding", "distance")
+    val mmr = graft.ops.Similarity.mmrRerank(emb, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    mmr.map(_._2).sorted.toSeq shouldBe Seq(1, 2)
+  }
 }
