@@ -897,6 +897,18 @@ object SparkEntry {
       Similarity.meanRecallGate(MlAnn.ivfTopK(q, emb, k = 10, nCells = 16, nProbe = 8),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
     }),
+    // ---- scalar-quantized (SQ8) ANN: byte codes (4× smaller than
+    // float32) scanned with the asymmetric kernel distance, exact
+    // rerank of the k·4 shortlist by joining raw embeddings back by id.
+    // Measured recall 1.0 at sf0.01 and sf0.1 (quantization error ≪
+    // neighbor gaps on the fixture); gated per-query ≥ 0.8. ----
+    "sim_ann_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      Similarity.recallGate(Similarity.sq8TopK(q, emb, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.8)
+    }),
     // ---- incremental IVF index maintenance: 80% of the corpus is
     // indexed (quantizer fit + cell assign), the remaining 20% arrives
     // as a delta batch and is appended by a map-side assign against the
@@ -1486,6 +1498,8 @@ object SparkEntry {
     "ml_ann_brp" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_pq" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "sim_ann_sq8" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "layout_zorder" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty

@@ -97,6 +97,40 @@ object Similarity {
     picked.toSeq.toDF(idCol, "rank", "mmr")
   }
 
+  /** Scalar-quantized (SQ8) approximate top-k with exact rerank: the
+    * corpus is scanned as one-byte-per-dimension codes (4× smaller than
+    * float32 — the memory tier every production vector store offers
+    * below full precision), queries compute the ASYMMETRIC cosine
+    * (float query vs dequantized bytes, one kernel pass), the
+    * k·rerankFactor shortlist per query is re-scored exactly by joining
+    * the raw embeddings back BY ID — the code scan never needs the
+    * floats resident, the rerank join touches only O(q·k·factor) rows.
+    * WindowGroupLimit bounds both rank passes with per-partition heaps. */
+  def sq8TopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      rerankFactor: Int = 4): DataFrame = {
+    val enc = candidates.select(col(idCol).as("neighbor_id"),
+        graft.functions.Sq8EncodeExpr.col(col(embCol)).as("q8"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    val shortlist = enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
+        graft.functions.Sq8CosineDistance.col(
+          col("q_emb"), col("q8.code"), col("q8.mn"), col("q8.sc")).as("adist"))
+      .withColumn("rk", row_number().over(wa)).where(col("rk") <= k * rerankFactor)
+      .drop("rk", "adist")
+    val we = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    shortlist
+      .join(candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
+          .as("distance"))
+      .withColumn("rank", row_number().over(we)).where(col("rank") <= k).drop("rank")
+  }
+
   /** Exact top-k neighbors for each query row.
     * `queries`/`candidates`: (id, embedding). Self-matches excluded. */
   def bruteTopK(

@@ -88,4 +88,43 @@ class ZOrderPqSpec extends SparkSpec with Matchers {
     val b = PqAnn.trainOn(emb, dim = 64, m = 4, k = 8)
     a.centroids.flatten.flatten.toSeq shouldBe b.centroids.flatten.flatten.toSeq
   }
+
+  test("SQ8: per-component round-trip error bounded by half a quantization step") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val rows = emb.select($"embedding",
+        graft.functions.Sq8EncodeExpr.col($"embedding").as("q8"))
+      .select($"embedding", $"q8.code", $"q8.mn", $"q8.sc").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val code = r.getAs[Array[Byte]](1)
+      val mn = r.getFloat(2); val sc = r.getFloat(3)
+      val step = sc.toDouble / 255.0
+      v.indices.foreach { i =>
+        val deq = mn + (code(i) & 0xff) * step
+        math.abs(deq - v(i)) should be <= (step / 2 + 1e-6)
+      }
+    }
+  }
+
+  test("SQ8: asymmetric distance tracks exact distance; topK recall is high") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val qv = q.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    // asymmetric vs exact distance on the same rows: within quantization noise
+    val both = emb.limit(100).select(
+        graft.functions.VectorFunctions.cosineDistance($"embedding", typedlit(qv)).as("exact"),
+        graft.functions.Sq8EncodeExpr.col($"embedding").as("q8"))
+      .select($"exact", graft.functions.Sq8CosineDistance.col(
+        typedlit(qv), $"q8.code", $"q8.mn", $"q8.sc").as("approx"))
+      .collect()
+    both.foreach(r => math.abs(r.getDouble(0) - r.getDouble(1)) should be < 0.01)
+    // shortlist+rerank recovers the exact top-k
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (brute intersect sq8).size.toDouble / brute.size should be >= 0.9
+  }
 }
