@@ -2114,7 +2114,7 @@ object SparkEntry {
          |         CASE WHEN max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
          |              OR off > max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |              THEN 1 ELSE 0 END AS is_new
          |  FROM wins JOIN dup USING (h)),
          |spans AS (

@@ -38,7 +38,10 @@ case class GopherStatsExpr(child: Expression)
     StructField("stop_hits", LongType, nullable = false)))
 
   def compute(textU: UTF8String): GenericInternalRow = {
-    val ltext = textU.toString.toLowerCase
+    // Locale.ROOT + code-point lengths so the kernel matches DuckDB's
+    // locale-independent lower() / code-point len() on non-BMP text and
+    // under non-English default locales (e.g. Turkish dotless-i).
+    val ltext = textU.toString.toLowerCase(java.util.Locale.ROOT)
     val w = words(ltext)
     val nw = w.length
     var sumLen = 0L
@@ -47,7 +50,7 @@ case class GopherStatsExpr(child: Expression)
     var i = 0
     while (i < nw) {
       val t = w(i)
-      sumLen += t.length
+      sumLen += t.codePointCount(0, t.length)
       var hasAlpha = false
       var j = 0
       while (j < t.length && !hasAlpha) {

@@ -230,7 +230,7 @@ object Dedup {
         max(col("off") + w).over(Window.partitionBy(col(idCol)).orderBy(col("off"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("is_new",
-        when(col("prev_end").isNull || col("off") > col("prev_end") - 1, 1).otherwise(0))
+        when(col("prev_end").isNull || col("off") > col("prev_end"), 1).otherwise(0))
       .withColumn("span_id",
         sum(col("is_new")).over(Window.partitionBy(col(idCol)).orderBy(col("off"))))
     marked.groupBy(col(idCol), col("span_id"))

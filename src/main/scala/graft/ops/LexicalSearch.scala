@@ -84,7 +84,9 @@ object LexicalSearch {
   /** CTE body computing (doc_id, score) BM25 over `documents.text` for
     * literal `terms` — the differential twin of [[bm25]]. */
   def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // single quotes doubled so a term can't break out of (or inject
+    // into) the oracle's string literal
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""toks AS (SELECT doc_id, ${TextPrimitives.wordsSql("text")} AS ws FROM documents),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM toks),
        |tok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term FROM toks),

@@ -121,4 +121,20 @@ class DedupSpec extends SparkSpec with Matchers {
     assert(r(10L)._1 == 1 && r(11L)._1 == 1)
     assert(r(10L)._2 == 40 && r(11L)._2 == 40)
   }
+
+  test("duplicated substring spans: exactly-touching windows merge into one span") {
+    import spark.implicits._
+    // stride == w → aligned windows at offsets 0 and 5 touch (prev_end ==
+    // next off) without overlapping; a contiguous 10-token duplicated run
+    // must still report as ONE maximal span, not two
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (20L, shared + " " + (0 until 5).map(i => s"x$i").mkString(" ")),
+      (21L, shared + " " + (0 until 5).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, "doc_id", "text", w = 5, stride = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(20L, 21L))
+    assert(r(20L) == ((1L, 10L)) && r(21L) == ((1L, 10L)))
+  }
 }

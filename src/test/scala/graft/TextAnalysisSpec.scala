@@ -120,4 +120,22 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     r(5L) shouldBe Seq(true, true, true, false, true)
     r(6L) shouldBe Seq(true, true, true, true, false)
   }
+
+  test("gopher kernel counts code points and folds case locale-independently") {
+    import graft.functions.GopherStatsExpr
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = GopherStatsExpr(
+      GraftBridge.expression(org.apache.spark.sql.functions.lit("x")))
+    // "😀😀" is 1 word of 2 code points (4 UTF-16 units); a UTF-16 count
+    // would report mean_word_len 3.0 over the 3 words instead of 7/3
+    val row = kernel.compute(UTF8String.fromString("ab 😀😀 cde"))
+    row.getLong(0) shouldBe 3L               // n_words
+    row.getDouble(1) shouldBe (7.0 / 3) +- 1e-4 // mean_word_len in code points
+    // Locale pitfall: under tr_TR the default toLowerCase maps 'I' → 'ı'
+    // (dotless), so "THE" would miss the stop list; Locale.ROOT keeps
+    // 'I' → 'i' to match DuckDB's locale-independent lower()
+    val turk = kernel.compute(UTF8String.fromString("THE FOX"))
+    turk.getLong(4) shouldBe 1L              // "the" recognized as stop word
+  }
 }
