@@ -929,12 +929,17 @@ object SparkEntry {
     }),
     "ml_minhash_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
-      // expected set = the deterministic banded-minhash pairs, themselves
-      // hash-checked against DuckDB in dedup_minhash_lsh
+      // expected sets = the deterministic banded-minhash pairs (both
+      // hash-checked against DuckDB in dedup_minhash_lsh/_capped): the
+      // uncapped exact banding AND the hot-bucket-capped subset, so the
+      // guard's semantic — the cap drops only over-full-bucket
+      // candidates, never genuine pairs elsewhere — is pinned in-oracle
       val expected = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
-      Similarity.pairRecallGate(MlAnn.minhashLshJoin(docs, "doc_id", "text"),
-        expected, floor = 0.9)
+      val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8, maxBucket = 2)
+      Similarity.pairRecallGates(MlAnn.minhashLshJoin(docs, "doc_id", "text"),
+        Seq("uncapped" -> expected, "capped" -> capped), floor = 0.9)
     }),
     // ---- persisted ANN index + optimizer rewrite (index-probe path) ----
     "ann_index_probe" -> ((s, dir) => {
@@ -948,22 +953,26 @@ object SparkEntry {
       tbl.loadFromParquet(s"$wh/src")
       tbl.buildAnnIndex(tables = 16, bits = 3)
       val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
-      def knn = tbl.df.select($"id",
-          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
-            .as("distance"))
-        .orderBy($"distance".asc, $"id".asc).limit(10)
-      // the rewrite applies at optimization time, so the approx leg is
-      // materialized (10 rows) before the rule is unregistered — the
-      // exact leg must NOT be rewritten
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s))
-      s.conf.set("spark.graft.ann.autoRewrite", "true")
-      val plan = knn.queryExecution.optimizedPlan.toString
+      def knn(session: SparkSession) =
+        new graft.table.VectorTable(session, s"$wh/table", 64).pinAnnConfs().df
+          .select(col("id"),
+            RoundPortableExpr.r(VectorFunctions.cosineDistance(col("embedding"), typedlit(qvec)), 4)
+              .as("distance"))
+          .orderBy(col("distance").asc, col("id").asc).limit(10)
+      // The rewrite rule lives in an ISOLATED child session (own SQLConf,
+      // own experimental optimizations, shared SparkContext): the parent
+      // session's optimizer is never mutated, so a concurrent query on
+      // `s` can never observe the approximate rewrite — the exact leg
+      // below runs on `s`, rule-free by construction (AnnRewriteSpec
+      // pins the isolation).
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s2))
+      s2.conf.set("spark.graft.ann.autoRewrite", "true")
+      val approxKnn = knn(s2)
+      val plan = approxKnn.queryExecution.optimizedPlan.toString
       val usedIndex = plan.contains("arrays_overlap") && plan.contains("__ann_buckets")
-      val approx = knn.collect().map(_.getString(0)).toSet
-      s.conf.set("spark.graft.ann.autoRewrite", "false")
-      s.experimental.extraOptimizations = prev
-      val exact = knn.collect().map(_.getString(0)).toSet
+      val approx = approxKnn.collect().map(_.getString(0)).toSet
+      val exact = knn(s).collect().map(_.getString(0)).toSet
       val recall = (exact intersect approx).size.toDouble / exact.size
       Seq((0L, if (usedIndex && recall >= 0.8) 1 else 0)).toDF("query_id", "recall_ok")
     }),
@@ -1536,8 +1545,23 @@ object SparkEntry {
          |  SELECT c.id_a, c.id_b
          |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
          |  WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8
+         |), bands_c AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+         |    FROM bands)
+         |  WHERE bsz <= 2
+         |), cand_c AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands_c a JOIN bands_c b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), pairs_c AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand_c c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8
          |)
-         |SELECT count(*) AS n_expected, 1 AS recall_ok FROM pairs""".stripMargin,
+         |SELECT 'uncapped' AS gate, count(*) AS n_expected, 1 AS recall_ok FROM pairs
+         |UNION ALL
+         |SELECT 'capped' AS gate, count(*) AS n_expected, 1 AS recall_ok FROM pairs_c""".stripMargin,
     // ---- streaming batch twins ----
     "stream_sessionize" ->
       """WITH g AS (

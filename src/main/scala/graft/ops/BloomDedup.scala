@@ -1,7 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter pre-filtered dedup insert — the 100 TB shape of the
   * reference's skip-duplicates write (duckvdb.py:56-61).
@@ -16,9 +21,13 @@ import org.apache.spark.sql.functions._
   *     duplicates plus the false-positive fraction — pay the exact
   *     anti-join shuffle.
   * Result is EXACT (false positives are re-checked, false negatives
-  * impossible); the shuffle shrinks from |batch| to
-  * |dups| + fpp·|new|. The filter itself is built with Spark's
-  * distributed BloomFilter aggregate and broadcast via closure.
+  * impossible). The filter is built with Spark's own
+  * `BloomFilterAggregate` over `xxhash64(id)` — the same
+  * (aggregate, probe) pair Spark's runtime row-level filtering uses —
+  * and probed with the codegen'd `BloomFilterMightContain` predicate,
+  * so the map-side split stays inside whole-stage codegen (no Scala
+  * UDF breaking the fused stage). An id collision under xxhash64 can
+  * only ADD a false positive, which the anti-join re-check absorbs.
   */
 object BloomDedup {
 
@@ -28,10 +37,9 @@ object BloomDedup {
     * deterministic payloads must pass a key-unique batch, as
     * [[Incremental.upsert]] requires and the `vdb_insert_bloom` call
     * site does (it pre-aggregates). The KEY SET kept is exact and
-    * deterministic either way. `expectedKeys`/`fpp` size the filter;
-    * the broadcast filter is reclaimed by Spark's ContextCleaner once
-    * the returned plan is unreachable (no explicit destroy hook exists
-    * on a lazily-consumed plan).
+    * deterministic either way. `expectedKeys`/`fpp` size the filter
+    * bits (`BloomFilter.optimalNumOfBits`); the serialized filter ships
+    * as a plan literal, reclaimed with the plan itself.
     *
     * Cost shape (verified in the plan): the batch is scanned twice
     * (once per branch of the union — map-only), in exchange for the
@@ -41,13 +49,20 @@ object BloomDedup {
     * shuffles only |dups| + fpp·|new| batch rows against it. */
   def insertDedup(batch: DataFrame, existing: DataFrame, idCol: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bloom = existing.stat.bloomFilter(idCol, expectedKeys, fpp)
-    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((id: String) => bc.value.mightContainString(id))
+    val hashed = GraftBridge.expression(xxhash64(col(idCol)))
+    val buildFilter = new BloomFilterAggregate(hashed,
+      Literal(expectedKeys), Literal(BloomFilter.optimalNumOfBits(expectedKeys, fpp)))
+      .toAggregateExpression()
+    val bytes = existing.select(GraftBridge.column(buildFilter)).head.getAs[Array[Byte]](0)
     val fresh = batch.dropDuplicates(idCol)
-    val definitelyNew = fresh.where(!mightContain(col(idCol)))
-    val maybeDup = fresh.where(mightContain(col(idCol)))
-      .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
-    definitelyNew.unionByName(maybeDup)
+    if (bytes == null) fresh // existing had no rows: the whole batch is new
+    else {
+      val mightContain = GraftBridge.column(
+        BloomFilterMightContain(Literal(bytes, BinaryType), hashed))
+      val definitelyNew = fresh.where(!mightContain)
+      val maybeDup = fresh.where(mightContain)
+        .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+      definitelyNew.unionByName(maybeDup)
+    }
   }
 }

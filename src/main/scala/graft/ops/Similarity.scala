@@ -197,6 +197,25 @@ object Similarity {
       .select(col("n_queries"),
         when(col("mean_recall") >= floor, 1).otherwise(0).as("recall_ok"))
 
+  /** Multi-variant pair-set recall gate: one row
+    * (gate, n_expected, recall_ok) per named expected set, all checked
+    * against the SAME approximate join (computed once — the expected
+    * sets union with a label before the single membership join).
+    * Used to pin that an approximate dedup recovers both the exact
+    * banded pairs AND a guarded (e.g. hot-bucket-capped) subset. */
+  def pairRecallGates(approx: DataFrame, expected: Seq[(String, DataFrame)],
+      floor: Double): DataFrame = {
+    val e = expected.map { case (g, df) =>
+      df.select(col("id_a"), col("id_b"), lit(g).as("gate"))
+    }.reduce(_ unionByName _)
+    val found = approx.select(col("id_a"), col("id_b")).join(e, Seq("id_a", "id_b"))
+    e.groupBy(col("gate")).agg(count(lit(1)).as("n_expected"))
+      .join(found.groupBy(col("gate")).agg(count(lit(1)).as("n_found")), Seq("gate"), "left")
+      .select(col("gate"), col("n_expected"),
+        when(coalesce(col("n_found"), lit(0L)).cast("double") / col("n_expected") >= floor, 1)
+          .otherwise(0).as("recall_ok"))
+  }
+
   /** Pair-set recall gate for near-dup joins: one row
     * (n_expected, recall_ok) — 1 iff the approximate join recovered at
     * least `floor` of the expected (id_a, id_b) pairs. */

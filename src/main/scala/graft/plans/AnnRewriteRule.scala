@@ -45,7 +45,15 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case p @ Project(projList, pchild) if !done && definesCosineDistance(projList, distAttr).isDefined =>
             val (embAttr, qvec) = definesCosineDistance(projList, distAttr).get
             done = true
-            Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+            pchild match {
+              // idempotence: the optimizer batch runs rules to fixpoint —
+              // if the bucket prefilter is already in place, leave the
+              // plan unchanged instead of stacking another copy per
+              // iteration (100 redundant overlap tests/row + a spurious
+              // max-iterations warning)
+              case Filter(cond, _) if cond.exists(_.isInstanceOf[ArraysOverlap]) => p
+              case _ => Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+            }
         }
         if (done) GlobalLimit(limit.limitExpr,
           LocalLimit(limit.limitExpr, sort.copy(child = newChild)))

@@ -66,6 +66,21 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  /** Pins this session's `spark.graft.ann.*` confs from the PERSISTED
+    * index metadata. `buildAnnIndex` pins the building session; any
+    * other session opening the table (`SparkSession.newSession`, a new
+    * driver) must call this before enabling the rewrite, or the rule
+    * would probe with default parameters against buckets hashed with
+    * the build's — zero overlap, zero recall. */
+  def pinAnnConfs(): this.type = {
+    annIndexMeta.foreach { m =>
+      spark.conf.set("spark.graft.ann.tables", m.tables.toString)
+      spark.conf.set("spark.graft.ann.bits", m.bits.toString)
+      spark.conf.set("spark.graft.ann.seed", m.seed.toString)
+    }
+    this
+  }
+
   /** Idempotent create (reference `CREATE TABLE IF NOT EXISTS`,
     * duckvdb.py:30-32); `overwrite=true` mirrors the drop-and-recreate
     * `new_table` flag (duckvdb.py:26-28). */

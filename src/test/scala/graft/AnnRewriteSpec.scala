@@ -69,6 +69,42 @@ class AnnRewriteSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("rewrite toggle is session-isolated: a child session's rule never leaks to the parent") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-ann-iso").toString
+    val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+    val docs = (0 until 200).map(i =>
+      s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+    db.insert(docs.toDS(), embedField = Some("text"))
+    db.table.buildAnnIndex(tables = 8, bits = 2)
+    val qvec = db.embedder.embed("topic 3 subject")
+
+    // the ann_index_probe pattern: rule + toggle live ONLY in a child session
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(new AnnRewriteRule(s2))
+    s2.conf.set("spark.graft.ann.autoRewrite", "true")
+    try {
+      val db2 = new VectorDB(s2, "t", wh, "hashing", Map("dim" -> "16"), dim = 16)
+      db2.table.pinAnnConfs() // fresh session: hash family comes from the persisted meta
+      val childPlan = db2.queryByVector(qvec, 10).queryExecution.optimizedPlan.toString
+      childPlan should include("arrays_overlap") // child sees the rewrite...
+
+      // ...while a CONCURRENT query planned on the parent session, with
+      // the child's toggle still on, is never rewritten
+      val parentPlan = db.queryByVector(qvec, 10).queryExecution.optimizedPlan.toString
+      parentPlan should not include "arrays_overlap"
+      spark.experimental.extraOptimizations shouldBe empty
+      spark.conf.get("spark.graft.ann.autoRewrite", "false") shouldBe "false"
+      // and both legs execute correctly side by side
+      val exact = db.queryByVector(qvec, 10).collect().map(_.id).toSet
+      val approx = db2.queryByVector(qvec, 10).collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    } finally {
+      s2.conf.set("spark.graft.ann.autoRewrite", "false")
+      s2.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("persisted ANN index: rewrite filters on stored buckets, not per-row recompute") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))

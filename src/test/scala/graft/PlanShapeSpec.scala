@@ -142,6 +142,13 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("bloom dedup probes with the codegen'd might_contain predicate, not a UDF") {
+    val p = physical("vdb_insert_bloom")
+    p should include("might_contain")
+    p should not include "UDF("         // no Scala UDF breaking the fused stage
+    p should not include "BatchEvalPython"
+  }
+
   test("chunking explodes map-side: generator before any exchange") {
     val p = physical("text_chunk")
     // one scan, a generate, no shuffle at all in the chunk production
