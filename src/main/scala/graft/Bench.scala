@@ -61,6 +61,10 @@ object Bench {
     // line from the left; the full artifact must survive on disk
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    // Caches stay warm ACROSS the min-of-N passes (measuring the
+    // steady-state plans, same as every prior round) and are torn down
+    // with the session here — the bench process exits cache-clean.
+    SparkEntry.releaseSessionCaches(spark)
     spark.stop()
   }
 }

@@ -119,6 +119,27 @@ object SparkEntry {
       })
     }
 
+  /** Tears down every session-scoped cached artifact: transient
+    * mid-plan caches (PlanCache) AND the memoized session-lifetime
+    * tables (components, PQ/IVF-PQ code tables, layout scratch
+    * registrations). Call when retiring a session — Verify and Bench do
+    * before `spark.stop()`; within a session's lifetime the memoized
+    * tables are deliberately long-lived (compute-once index artifacts). */
+  def releaseSessionCaches(s: SparkSession): Unit = {
+    graft.core.PlanCache.release(s)
+    def drop[V](m: scala.collection.mutable.Map[(SparkSession, String), V])(
+        onDrop: V => Unit): Unit = m.synchronized {
+      m.keys.filter(_._1 eq s).toList.foreach { k => onDrop(m(k)); m.remove(k) }
+    }
+    drop(componentsMemo)(df => df.unpersist(blocking = false))
+    drop(pqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
+    drop(ivfpqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
+    drop(bucketedLayout)(_ => ())
+    drop(zorderLayout)(_ => ())
+    drop(compactLayout)(_ => ())
+    drop(evolutionLayout)(_ => ())
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reproduces the reference's end-to-end example (vdb.py:73-104):
     * build JSON docs → embed → dedup insert → filtered k-NN. */

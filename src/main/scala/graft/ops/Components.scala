@@ -22,9 +22,25 @@ import org.apache.spark.sql.functions._
   * Lineage per round is cut with `localCheckpoint` (eager): without it
   * the k-th round's un-truncated logical plan nests all previous
   * rounds and analysis/codegen OOMs the driver long before the (small)
-  * edge table does.
+  * edge table does. Checkpoint lifecycle: each round's blocks are
+  * dropped as soon as the next round is materialized (they are pure
+  * garbage then — and at scale, the memory that matters); the FINAL
+  * round's checkpoint, which the returned lazy plan reads, is
+  * registered with [[graft.core.PlanCache]] for the materializing
+  * caller to release.
   */
 object Components {
+
+  /** The persisted RDD behind an (eagerly) localCheckpoint-ed frame —
+    * the handle needed to drop its blocks once superseded. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  private def dropCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
 
   /** `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
     * (isolated nodes keep their own label). Returns (id, component)
@@ -72,6 +88,9 @@ object Components {
       // difference empty) — one aggregation over both checkpointed sets
       val changed = ss.unionAll(e).groupBy("u", "v").agg(count(lit(1)).as("c"))
         .where(col("c") === 1).limit(1).count()
+      // the superseded round's checkpoint blocks are garbage from here
+      // (ss and `changed` are both materialized) — drop them now
+      dropCheckpoint(e)
       e = ss
       converged = changed == 0
       iter += 1
@@ -85,6 +104,9 @@ object Components {
     val labels = nodes.toDF("id").distinct()
       .join(roots, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // the final checkpoint feeds the (lazy) labels plan — released by
+    // the caller that materializes it
+    checkpointRdd(e).foreach(graft.core.PlanCache.registerRdd(nodes.sparkSession, _))
     (labels, iter)
   }
 
@@ -96,8 +118,11 @@ object Components {
     val sym = edges.toDF("src", "dst")
       .unionByName(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
-    var labels = nodes.toDF("id").distinct()
+    // ck is always THE checkpointed frame of the current round (labels
+    // may be a projection over it, which dropCheckpoint couldn't see)
+    var ck = nodes.toDF("id").distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
+    var labels = ck
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -109,6 +134,8 @@ object Components {
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .localCheckpoint()
       val changed = next.where(col("component") =!= col("old")).limit(1).count()
+      dropCheckpoint(ck) // superseded round: next is materialized
+      ck = next
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
@@ -118,6 +145,7 @@ object Components {
       throw new IllegalStateException(
         s"labelPropagation did not converge in $maxIters rounds (graph diameter " +
           "exceeds the budget) — use connectedComponents (star contraction)")
+    checkpointRdd(ck).foreach(graft.core.PlanCache.registerRdd(nodes.sparkSession, _))
     labels
   }
 }

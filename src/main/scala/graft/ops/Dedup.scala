@@ -92,10 +92,11 @@ object Dedup {
     // both sides of the exact-verify join — without persist Spark
     // recomputes the shingle+minhash kernels up to 5×. At cluster scale
     // this is the "write the signature table once, reuse it" pattern.
-    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
-      .where(size(col("sh")) > 0)
-      .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered with PlanCache so the materializing caller releases it.
+    val sigs = graft.core.PlanCache.persist(
+      minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+        .where(size(col("sh")) > 0)
+        .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand)))
     val allBuckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
     // Hot-bucket guard: the size count partitions on the SAME (band, key)
     // the self-join shuffles on, so the filter adds no extra shuffle key.
@@ -211,16 +212,15 @@ object Dedup {
     // Persisted: the window-hash table feeds BOTH the duplicated-hash
     // aggregate and the join back — without it the tokenize+explode+md5
     // subtree runs twice (two corpus passes). Same pattern as the
-    // minhash signature table above.
-    val wins = df
+    // minhash signature table above; released by the caller via PlanCache.
+    val wins = graft.core.PlanCache.persist(df
       .select(col(idCol), TextPrimitives.words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= w)
       .select(col(idCol),
         explode(sequence(lit(0), size(col("ws")) - w, lit(stride))).as("off"),
         col("ws"))
       .select(col(idCol), col("off"),
-        md5(array_join(slice(col("ws"), col("off") + 1, lit(w)), " ")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        md5(array_join(slice(col("ws"), col("off") + 1, lit(w)), " ")).as("h")))
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)

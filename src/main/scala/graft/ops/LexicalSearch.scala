@@ -36,16 +36,16 @@ object LexicalSearch {
     // one row: corpus size + average doc length, broadcast everywhere
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     val termArray = array(terms.map(lit): _*)
-    val tf = toks
+    // persisted: tf feeds BOTH the document-frequency aggregate and
+    // the scoring join — without it Spark re-runs the scan+explode
+    // subtree for each, i.e. two corpus passes instead of one.
+    // Registered with PlanCache so the materializing caller releases it.
+    val tf = graft.core.PlanCache.persist(toks
       .where(arrays_overlap(col("ws"), termArray)) // prune before explode
       .select(col(idCol), col("dl"), explode(col("ws")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      // persisted: tf feeds BOTH the document-frequency aggregate and
-      // the scoring join — without it Spark re-runs the scan+explode
-      // subtree for each, i.e. two corpus passes instead of one
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).cast("double").as("tf")))
     val dfreq = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.matchers.should.Matchers
+
+/** Explicit cache lifecycle (round-4 review item): transient mid-plan
+  * persists registered through `PlanCache` die with the query that
+  * created them (Verify releases after every query); memoized
+  * session-lifetime tables (components, PQ/IVF-PQ codes) survive
+  * between queries and die with the session via
+  * `SparkEntry.releaseSessionCaches`. */
+class CacheLifecycleSpec extends SparkSpec with Matchers {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def memoCount: Int =
+    Seq[scala.collection.Map[(SparkSession, String), _]](
+      SparkEntry.componentsMemo, SparkEntry.pqIndex, SparkEntry.ivfpqIndex)
+      .map(_.keys.count(_._1 eq spark)).sum
+
+  test("every cache-registering query leaves only memoized tables after release") {
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet // other suites share the context
+    // the registry queries that persist mid-plan subtrees (minhash
+    // signatures, BM25 tf, duplicated windows — directly or through an
+    // op) or build memoized tables
+    val names = Seq("search_bm25", "search_hybrid_rrf", "search_mmr",
+      "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_substring",
+      "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
+      "sim_ann_pq", "sim_ann_ivfpq")
+    for (name <- names) {
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
+      core.PlanCache.release(spark)
+      core.PlanCache.registered(spark) shouldBe 0
+      val extra = sc.getPersistentRDDs.keySet -- baseline
+      // each memoized table accounts for at most one cached plan;
+      // anything beyond that is a leaked transient cache
+      withClue(s"after $name: ${extra.size} persistent RDDs vs $memoCount memo tables: ") {
+        extra.size should be <= memoCount
+      }
+    }
+    memoCount should be > 0 // the loop exercised the exemption, not a vacuous bound
+    SparkEntry.releaseSessionCaches(spark)
+    memoCount shouldBe 0
+    withClue("after releaseSessionCaches: ") {
+      (sc.getPersistentRDDs.keySet -- baseline) shouldBe empty
+    }
+  }
+}
