@@ -37,6 +37,18 @@ object ScaleStress {
     s.drop(r) + s.take(r)
   }
 
+  /** Copy-k transliteration — a DISTINCT bijective char map for every
+    * k < 130. The letter rotation alone repeats at k = 26, which would
+    * make copy 26 a VERBATIM copy of copy 0 (different doc_ids) and
+    * weld cross-copy cliques; composing with a vowel-cycle keyed by
+    * k/26 keeps all 26 × 5 combinations distinct, so token identity
+    * breaks across every pair of copies at 100× too. */
+  private def transliterate(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val vow = "aeiou"
+    translate(translate(c, abc, rotate(abc, k % 26)), vow, rotate(vow, (k / 26) % 5))
+  }
+
   /** Synthesizes `target/{documents,events}.parquet` as `copies`×src.
     * Events stay ONE FILE named events.parquet — the streaming source
     * glob-filters on that exact file name. */
@@ -45,11 +57,10 @@ object ScaleStress {
     if (new java.io.File(s"$target/documents.parquet").exists &&
         new java.io.File(s"$target/events.parquet").exists) return
     new java.io.File(target).mkdirs()
-    val abc = "abcdefghijklmnopqrstuvwxyz"
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { k =>
       docs.select(($"doc_id" + lit(k * 10000000L)).as("doc_id"),
-        translate($"text", abc, rotate(abc, k)).as("text"),
+        transliterate($"text", k).as("text"),
         $"lang", $"source", $"n_chars")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$target/documents.parquet")
@@ -120,11 +131,54 @@ object ScaleStress {
     }
 
     for (name <- names) {
-      val base = if (baseline) run(name, src, "sf0.1") else 0.0
-      val big = run(name, target, s"sf1")
-      if (baseline && base > 0)
-        println(f"[stress] ratio  $name%-22s ${big / base}%8.2fx for ${copies}x data")
+      if (name == "ivfpq_bulk") ivfpqBulk(spark, src)
+      else {
+        val base = if (baseline) run(name, src, "sf0.1") else 0.0
+        val big = run(name, target, s"sf1")
+        if (baseline && base > 0)
+          println(f"[stress] ratio  $name%-22s ${big / base}%8.2fx for ${copies}x data")
+      }
     }
     spark.stop()
+  }
+
+  /** Query-batch-dimension stress for the distributed IVF-PQ search:
+    * the same persisted cell-partitioned index probed by 1k and then
+    * 10k queries. The r4 design collected every query to the driver
+    * and looped over all of them per code row (O(codes × queries));
+    * the joined design must scale ≈ linearly in the batch size. */
+  private def ivfpqBulk(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 16, m = 8, k = 256)
+    val path = "/tmp/graft-ivfpq-stress"
+    ops.IvfPq.persistCodes(c0, path)
+    val codes = ops.IvfPq.loadCodes(spark, path)
+    val n = emb.count().toInt
+    def batch(nq: Int) = {
+      // replicate with offset ids: never equal to a corpus id, so the
+      // self-exclusion path stays cold and every query returns k rows.
+      // Per-copy where() instead of a global limit(): GlobalLimit would
+      // funnel the whole batch through ONE partition.
+      val copies = (nq + n - 1) / n
+      (0 until copies).map { c =>
+        val take = math.min(n, nq - c * n)
+        emb.where($"vec_id" < take)
+          .select(($"vec_id" + lit((c + 1) * 1000000L)).as("vec_id"), $"embedding")
+      }.reduce(_ unionByName _)
+    }
+    def time(nq: Int): Double = {
+      val t0 = System.nanoTime()
+      ops.IvfPq.search(batch(nq), ix, codes, emb, k = 10, nProbe = 8)
+        .queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] ivfpq_bulk nq=$nq%-6d $secs%8.2f s")
+      secs
+    }
+    time(1000) // warm (codegen + index read)
+    val t1k = time(1000)
+    val t10k = time(10000)
+    println(f"[stress] ratio  ivfpq_bulk            ${t10k / t1k}%8.2fx for 10x queries")
   }
 }

@@ -1441,9 +1441,11 @@ object SparkEntry {
       val (index, codes) = SparkEntry.ivfpqIndex.synchronized {
         SparkEntry.ivfpqIndex.getOrElseUpdate((s, dir), {
           val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 16, m = 8, k = 256)
-          val c = c0.persist()
-          c.count() // materialize once — this IS the stored index
-          (ix, c)
+          // the stored index is a CELL-PARTITIONED parquet table: probes
+          // prune unvisited cells at the directory level (PartitionFilters)
+          val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+          ops.IvfPq.persistCodes(c0, path)
+          (ix, ops.IvfPq.loadCodes(s, path))
         })
       }
       val q = emb.where($"vec_id" < 10)

@@ -101,42 +101,80 @@ object IvfPq {
     (index, codes)
   }
 
-  /** IVF-ADC search with exact rerank. Queries collect to the driver
-    * (the broadcast-small-side pattern shared with [[PqAnn.adcTopK]]);
-    * each ships nProbe (cell → LUT) tables. Returns
-    * (query_id, neighbor_id) like the other ANN paths. */
+  /** Writes the code table cell-partitioned — one parquet directory per
+    * inverted-file cell, the at-rest layout of the index. A probe's
+    * static `cell IN probed` predicate then prunes at the DIRECTORY
+    * level (PartitionFilters in the scan): unprobed cells are never
+    * read off disk, not merely filtered post-scan. */
+  def persistCodes(codes: DataFrame, path: String): Unit =
+    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Reads a [[persistCodes]] table back in the canonical
+    * (vec_id, cell, code) column order (`cell`, the partition column,
+    * comes back last otherwise). */
+  def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("vec_id"), col("cell").cast("int"), col("code"))
+
+  /** IVF-ADC search with exact rerank — fully distributed in BOTH
+    * dimensions. Queries are exploded to (query_id, cell, qv) probe
+    * rows (nProbe per query, map-only, centroids broadcast) and
+    * equi-joined to the code table on `cell`: Spark broadcasts the
+    * probe side for serving-sized batches and shuffle-joins both sides
+    * linearly for bulk batches — no driver-side query collect, no
+    * per-code-row loop over every query (the r4 design's batch-size
+    * envelope). ADC lookup tables are built per partition with rows
+    * sorted by (query, cell), so exactly ONE lut is live at a time.
+    * The distinct probed cells (≤ nCells ints, one tiny job) prune the
+    * code scan statically — directory-level pruning when the codes are
+    * [[persistCodes]]-partitioned. Returns (query_id, neighbor_id). */
   def search(queries: DataFrame, index: Index, codes: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 4, shortlistFactor: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = codes.sparkSession
-    val qLuts: Array[(Long, Map[Int, Array[Array[Float]]])] =
-      queries.select(col(idCol), col(embCol)).collect().map { r =>
-        val qv = normalize(r.getSeq[Float](1).toArray)
-        val luts = index.nearestCells(qv, nProbe)
-          .map(c => c -> index.books.lut(index.residual(qv, c))).toMap
-        (r.getLong(0), luts)
-      }
-    val probed = qLuts.flatMap(_._2.keys).distinct.sorted
-    val bc = spark.sparkContext.broadcast(qLuts)
+    val bcIx = spark.sparkContext.broadcast(index)
+    val qenc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cell", IntegerType, nullable = false),
+      StructField("qv", ArrayType(FloatType, containsNull = false), nullable = false))))
+    // persisted: the probe table feeds the distinct-cells collect AND
+    // the scoring join; released by the materializing caller (PlanCache)
+    val qcells = graft.core.PlanCache.persist(
+      queries.select(col(idCol), col(embCol)).mapPartitions { rows =>
+        val ix = bcIx.value
+        rows.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = normalize(r.getSeq[Float](1).toArray)
+          ix.nearestCells(qv, nProbe).iterator.map(c => Row(qid, c, qv.toSeq))
+        }
+      }(qenc))
+    // ≤ nCells values regardless of batch size: safe to collect, and a
+    // STATIC predicate (unlike the join) reaches the parquet scan
+    val probed = qcells.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
       StructField("adc", FloatType, nullable = false))))
-    // inverted-file pruning: unprobed cells never leave the scan
-    val scored = codes.where(col("cell").isin(probed: _*)).mapPartitions { rows =>
-      val qs = bc.value
+    val joined = codes.where(col("cell").isin(probed.toSeq: _*))
+      .join(qcells, "cell")
+      .select(col("query_id"), col("cell"), col("qv"), col(idCol), col("code"))
+      .sortWithinPartitions(col("query_id"), col("cell")) // local sort: 1 live LUT
+    val scored = joined.mapPartitions { rows =>
+      val ix = bcIx.value
+      var lutQ = -1L; var lutCell = -1; var lut: Array[Array[Float]] = null
       rows.flatMap { r =>
-        val id = r.getLong(0)
+        val qid = r.getLong(0)
         val cell = r.getInt(1)
-        val code = r.getAs[Array[Byte]](2)
-        qs.iterator.flatMap { case (qid, luts) =>
-          luts.get(cell) match {
-            case Some(lut) if qid != id =>
-              var d = 0f; var s = 0
-              while (s < code.length) { d += lut(s)(code(s) & 0xff); s += 1 }
-              Iterator.single(Row(qid, id, d))
-            case _ => Iterator.empty
+        val id = r.getLong(3)
+        if (qid == id) Iterator.empty
+        else {
+          if (qid != lutQ || cell != lutCell) {
+            lut = ix.books.lut(ix.residual(r.getSeq[Float](2).toArray, cell))
+            lutQ = qid; lutCell = cell
           }
+          val code = r.getAs[Array[Byte]](4)
+          var d = 0f; var s = 0
+          while (s < code.length) { d += lut(s)(code(s) & 0xff); s += 1 }
+          Iterator.single(Row(qid, id, d))
         }
       }
     }(enc)
@@ -144,12 +182,14 @@ object IvfPq {
     val shortlist = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k * shortlistFactor)
       .select(col("query_id"), col("neighbor_id"))
-    // exact cosine rerank: full-precision math touches only the shortlist
+    // exact cosine rerank: full-precision math touches only the
+    // shortlist. No broadcast hint on the query side — Spark broadcasts
+    // a serving-sized batch on its own and shuffle-joins a bulk one.
     val cand = shortlist.join(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")), "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val w2 = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
-    cand.join(broadcast(q), "query_id")
+    cand.join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.RoundPortableExpr.r(
           graft.functions.VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)

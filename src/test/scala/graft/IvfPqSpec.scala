@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** IVF-PQ index at rest and at scale: the cell-partitioned code table
+  * must prune unprobed cells at the parquet DIRECTORY level, and the
+  * distributed search must give identical answers for the serving
+  * shape (few queries, probe side broadcast) and the bulk shape
+  * (every vector a query, shuffle join) over either code layout. */
+class IvfPqSpec extends SparkSpec with Matchers {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def buildPersisted() = {
+    val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 8, m = 8, k = 16)
+    val path = Files.createTempDirectory("graft-ivfpq-spec").toString
+    ops.IvfPq.persistCodes(c0, path)
+    (ix, c0, ops.IvfPq.loadCodes(spark, path))
+  }
+
+  test("cell-partitioned code table prunes unprobed cells at the directory level") {
+    val (ix, _, codes) = buildPersisted()
+    val pruned = codes.where(col("cell").isin(1, 3))
+    pruned.queryExecution.executedPlan.toString should include("PartitionFilters: [cell")
+    // the scan's SELECTED partitions (inputFiles is relation-level and
+    // ignores pruning): only the two probed cell directories survive
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    scan.selectedPartitions.partitionCount shouldBe 2
+    val files = scan.selectedPartitions.toPartitionArray.map(_.filePath.toString)
+    files should not be empty
+    all(files) should (include("cell=1/") or include("cell=3/"))
+
+    // the full search plan carries the static predicate into the scan:
+    // only the probed cells' directories are read
+    val q = emb.where(col("vec_id") < 3)
+    val res = ops.IvfPq.search(q, ix, codes, emb, k = 5, nProbe = 2)
+    res.queryExecution.executedPlan.toString should include("PartitionFilters")
+    res.collect().length shouldBe 15 // k rows per query
+    core.PlanCache.release(spark)
+  }
+
+  test("bulk-batch search (every vector a query) matches the in-memory-code answer") {
+    val (ix, c0, codes) = buildPersisted()
+    def run(c: org.apache.spark.sql.DataFrame) =
+      ops.IvfPq.search(emb, ix, c, emb, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bulkPartitioned = run(codes)
+    val bulkInMemory = run(c0)
+    bulkPartitioned shouldBe bulkInMemory
+    // every query got a full k: the bulk join lost no probe rows
+    bulkPartitioned.size shouldBe emb.count().toInt * 5
+    bulkPartitioned.groupBy(_._1).values.foreach(_.size shouldBe 5)
+    core.PlanCache.release(spark)
+  }
+}
