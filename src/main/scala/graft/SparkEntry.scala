@@ -547,6 +547,30 @@ object SparkEntry {
           count(lit(1)).as("n_shared_fp"))
         .where($"n_shared_fp" >= 4)
     }),
+    // ---- decontamination under the boilerplate guard: a fingerprint
+    // occurring in more than maxDf DISTINCT documents is template
+    // boilerplate, not benchmark leakage — and at scale it is also the
+    // quadratic head of the fingerprint join (a fp in T train × B bench
+    // docs emits T×B rows; measured at 100× the uncapped join shuffles
+    // 5.2 GB and spills, the capped one is linear — BENCHNOTES r5).
+    // Same guard family as dedup_minhash_capped; the cap (200)
+    // deliberately BITES on the fixture (max df 328 at sf0.01) so the
+    // engines must agree on the exclusion, not just the happy path. ----
+    "sim_decontaminate_capped" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val fps = docs.select($"doc_id",
+        explode(graft.functions.TextExprs.winnow($"text", 8, 4)).as("fp"))
+      val keep = fps.groupBy($"fp").agg(countDistinct($"doc_id").as("fp_df"))
+        .where($"fp_df" <= 200).select($"fp")
+      val pruned = fps.join(keep, "fp")
+      val train = pruned.where($"doc_id" % 10 =!= 0)
+      val bench = pruned.where($"doc_id" % 10 === 0).select($"doc_id".as("bench_id"), $"fp")
+      train.join(bench, "fp")
+        .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
+          count(lit(1)).as("n_shared_fp"))
+        .where($"n_shared_fp" >= 4)
+    }),
     // ---- BM25 lexical top-k: the keyword half of hybrid retrieval.
     // Corpus stats broadcast from a one-row agg; non-matching docs are
     // pruned BEFORE the token explode; top-k is TakeOrderedAndProject.
@@ -1719,6 +1743,19 @@ object SparkEntry {
          |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
          |tr AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
          |be AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0)
+         |SELECT tr.doc_id,
+         |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
+         |       count(*) AS n_shared_fp
+         |FROM tr JOIN be ON tr.fp = be.fp
+         |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
+    "sim_decontaminate_capped" ->
+      s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs FROM documents),
+         |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
+         |keep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS fp_df
+         |                         FROM f GROUP BY 1) WHERE fp_df <= 200),
+         |p AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+         |tr AS (SELECT doc_id, fp FROM p WHERE doc_id % 10 <> 0),
+         |be AS (SELECT doc_id AS bench_id, fp FROM p WHERE doc_id % 10 = 0)
          |SELECT tr.doc_id,
          |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
          |       count(*) AS n_shared_fp

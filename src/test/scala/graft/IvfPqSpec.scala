@@ -44,6 +44,15 @@ class IvfPqSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("degenerate batches: empty query set yields empty result; one query yields k rows") {
+    val (ix, c0, _) = buildPersisted()
+    val none = ops.IvfPq.search(emb.where(col("vec_id") < 0), ix, c0, emb, k = 5, nProbe = 2)
+    none.count() shouldBe 0L
+    val one = ops.IvfPq.search(emb.where(col("vec_id") === 7), ix, c0, emb, k = 5, nProbe = 4)
+    one.count() shouldBe 5L
+    core.PlanCache.release(spark)
+  }
+
   test("bulk-batch search (every vector a query) matches the in-memory-code answer") {
     val (ix, c0, codes) = buildPersisted()
     def run(c: org.apache.spark.sql.DataFrame) =
