@@ -122,6 +122,7 @@ object ScaleStress {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
       val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.PlanCache.release(spark) // transient caches die with the run
       Thread.sleep(500) // listener bus is async; let stage metrics drain
       println(f"[stress] $tag%-6s $name%-22s $secs%8.2f s" +
         f"  spillMem=${(spillMem.get - m0) / 1048576}%5d MB" +

@@ -561,11 +561,16 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       val fps = docs.select($"doc_id",
         explode(graft.functions.TextExprs.winnow($"text", 8, 4)).as("fp"))
-      val keep = fps.groupBy($"fp").agg(countDistinct($"doc_id").as("fp_df"))
-        .where($"fp_df" <= 200).select($"fp")
-      val pruned = fps.join(keep, "fp")
-      val train = pruned.where($"doc_id" % 10 =!= 0)
-      val bench = pruned.where($"doc_id" % 10 === 0).select($"doc_id".as("bench_id"), $"fp")
+      // keep is persisted (PlanCache): it feeds BOTH join branches, and
+      // without the persist Catalyst duplicates the whole
+      // winnow+aggregate subtree into each — 4 corpus kernel passes
+      // instead of 2 (caught by PlanAudit)
+      val keep = graft.core.PlanCache.persist(
+        fps.groupBy($"fp").agg(countDistinct($"doc_id").as("fp_df"))
+          .where($"fp_df" <= 200).select($"fp"))
+      val train = fps.where($"doc_id" % 10 =!= 0).join(keep, "fp")
+      val bench = fps.where($"doc_id" % 10 === 0)
+        .select($"doc_id".as("bench_id"), $"fp").join(keep, "fp")
       train.join(bench, "fp")
         .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
           count(lit(1)).as("n_shared_fp"))
