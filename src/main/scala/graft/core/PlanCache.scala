@@ -49,7 +49,16 @@ object PlanCache {
     }
 
   /** Unpersist every transient cache registered under `session`.
-    * Non-blocking; safe to call with no registrations. */
+    * Non-blocking; safe to call with no registrations.
+    *
+    * Concurrency contract: releasing while ANOTHER query of the same
+    * session is still executing is safe for correctness — Spark
+    * recomputes an unpersisted plan fragment from lineage — but may
+    * cost that query its cache (and a registered RDD checkpoint, which
+    * has no lineage, would fail the straggler). Callers running
+    * queries concurrently should give each its own `newSession()`
+    * (the `q_concurrency`/`ann_index_probe` pattern) so release scopes
+    * cleanly per session. */
   def release(session: SparkSession): Unit = {
     val (caches, rdds) = synchronized {
       (transientCaches.remove(session), transientRdds.remove(session))
