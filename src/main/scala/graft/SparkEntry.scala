@@ -536,16 +536,8 @@ object SparkEntry {
     // 100 TB the benchmark side is tiny and broadcasts. ----
     "sim_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val docs = s.read.parquet(t(dir, "documents"))
-      def prints(df: DataFrame) = df.select($"doc_id",
-        explode(graft.functions.TextExprs.winnow($"text", 8, 4)).as("fp"))
-      val train = prints(docs.where($"doc_id" % 10 =!= 0))
-      val bench = prints(docs.where($"doc_id" % 10 === 0))
-        .withColumnRenamed("doc_id", "bench_id")
-      train.join(broadcast(bench), "fp")
-        .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
-          count(lit(1)).as("n_shared_fp"))
-        .where($"n_shared_fp" >= 4)
+      TextAnalysis.decontaminate(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", isBench = $"doc_id" % 10 === 0)
     }),
     // ---- decontamination under the boilerplate guard: a fingerprint
     // occurring in more than maxDf DISTINCT documents is template
@@ -558,23 +550,8 @@ object SparkEntry {
     // engines must agree on the exclusion, not just the happy path. ----
     "sim_decontaminate_capped" -> ((s, dir) => {
       import s.implicits._
-      val docs = s.read.parquet(t(dir, "documents"))
-      val fps = docs.select($"doc_id",
-        explode(graft.functions.TextExprs.winnow($"text", 8, 4)).as("fp"))
-      // keep is persisted (PlanCache): it feeds BOTH join branches, and
-      // without the persist Catalyst duplicates the whole
-      // winnow+aggregate subtree into each — 4 corpus kernel passes
-      // instead of 2 (caught by PlanAudit)
-      val keep = graft.core.PlanCache.persist(
-        fps.groupBy($"fp").agg(countDistinct($"doc_id").as("fp_df"))
-          .where($"fp_df" <= 200).select($"fp"))
-      val train = fps.where($"doc_id" % 10 =!= 0).join(keep, "fp")
-      val bench = fps.where($"doc_id" % 10 === 0)
-        .select($"doc_id".as("bench_id"), $"fp").join(keep, "fp")
-      train.join(bench, "fp")
-        .groupBy($"doc_id").agg(countDistinct($"bench_id").as("n_bench_hits"),
-          count(lit(1)).as("n_shared_fp"))
-        .where($"n_shared_fp" >= 4)
+      TextAnalysis.decontaminate(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", isBench = $"doc_id" % 10 === 0, maxDf = Some(200))
     }),
     // ---- BM25 lexical top-k: the keyword half of hybrid retrieval.
     // Corpus stats broadcast from a one-row agg; non-matching docs are

@@ -88,6 +88,47 @@ object TextAnalysis {
     df.select(col(idCol),
       graft.functions.TextExprs.winnow(col(textCol), k, w).as("fingerprints"))
 
+  /** Benchmark decontamination: training docs sharing ≥ `minShared`
+    * winnowing fingerprints with any benchmark doc — the
+    * substring-level leak detector whole-doc minhash misses. `isBench`
+    * (boolean Column over `docs`) splits the corpus; the candidate
+    * generation is an equi-join on fingerprint, never all-pairs, with
+    * the (small at production scale) bench side broadcast.
+    *
+    * `maxDf`: drop fingerprints occurring in more than maxDf DISTINCT
+    * docs before joining. Such fingerprints are template boilerplate,
+    * not leakage — and they are the join's quadratic heads: a fp in T
+    * train × B bench docs emits T×B rows (the 100× stress measured
+    * 245×-of-linear shuffle + spill uncapped vs exactly linear capped,
+    * BENCHNOTES r5). The keep-set is persisted via [[graft.core.PlanCache]]
+    * (it feeds both join branches; without it Catalyst duplicates the
+    * whole winnow+aggregate subtree into each).
+    *
+    * Returns (idCol, n_bench_hits, n_shared_fp) for flagged train docs;
+    * n_shared_fp counts occurrence pairs (a fp appearing twice in both
+    * sides contributes 4), matching the winnowing-overlap literature. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String, isBench: Column,
+      k: Int = 8, w: Int = 4, minShared: Int = 4, maxDf: Option[Int] = None): DataFrame = {
+    val fps = docs.select(col(idCol), isBench.as("__is_bench"),
+      explode(graft.functions.TextExprs.winnow(col(textCol), k, w)).as("fp"))
+    val pruned = maxDf match {
+      case None => fps
+      case Some(cap) =>
+        val keep = graft.core.PlanCache.persist(
+          fps.groupBy(col("fp")).agg(countDistinct(col(idCol)).as("fp_df"))
+            .where(col("fp_df") <= cap).select(col("fp")))
+        fps.join(keep, "fp")
+    }
+    val train = pruned.where(!col("__is_bench")).select(col(idCol), col("fp"))
+    val bench = pruned.where(col("__is_bench"))
+      .select(col(idCol).as("__bench_id"), col("fp"))
+    train.join(broadcast(bench), "fp")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__bench_id")).as("n_bench_hits"),
+        count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minShared)
+  }
+
   /** Gopher quality rules (Rae et al. 2021 Appendix A) as per-doc
     * booleans over one [[graft.functions.GopherStatsExpr]] kernel pass:
     * word count in [minWords, maxWords], mean word length in [3, 10],

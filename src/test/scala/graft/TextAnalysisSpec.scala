@@ -121,6 +121,20 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     r(6L) shouldBe Seq(true, true, true, true, false)
   }
 
+  test("decontaminate: a cap above every df equals the uncapped result; cap 0 flags nothing") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(maxDf: Option[Int]) =
+      TextAnalysis.decontaminate(docs, "doc_id", "text",
+        isBench = col("doc_id") % 10 === 0, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = run(None)
+    uncapped should not be empty
+    run(Some(Int.MaxValue)) shouldBe uncapped // guard is pure prefilter
+    run(Some(0)) shouldBe empty               // everything is "boilerplate"
+    core.PlanCache.release(spark)
+  }
+
   test("gopher kernel counts code points and folds case locale-independently") {
     import graft.functions.GopherStatsExpr
     import org.apache.spark.sql.graftbridge.GraftBridge
