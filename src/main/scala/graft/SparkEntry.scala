@@ -1447,11 +1447,14 @@ object SparkEntry {
       val (index, codes) = SparkEntry.ivfpqIndex.synchronized {
         SparkEntry.ivfpqIndex.getOrElseUpdate((s, dir), {
           val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 16, m = 8, k = 256)
-          // the stored index is a CELL-PARTITIONED parquet table: probes
-          // prune unvisited cells at the directory level (PartitionFilters)
+          // the stored index: driver artifact (centroids+codebooks) and
+          // CELL-PARTITIONED code parquet — probes prune unvisited
+          // cells at the directory level (PartitionFilters). Read back
+          // through loadIndex so the query exercises the full at-rest
+          // round trip a deployment ships between build and serving.
           val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
-          ops.IvfPq.persistCodes(c0, path)
-          (ix, ops.IvfPq.loadCodes(s, path))
+          ops.IvfPq.persistIndex(ix, c0, path)
+          ops.IvfPq.loadIndex(s, path)
         })
       }
       val q = emb.where($"vec_id" < 10)

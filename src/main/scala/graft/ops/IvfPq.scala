@@ -115,6 +115,29 @@ object IvfPq {
   def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("cell").cast("int"), col("code"))
 
+  /** Persists the COMPLETE index at `root`: the broadcast-sized driver
+    * artifact (coarse centroids + PQ codebooks, java-serialized at
+    * `root/index.bin` through the Hadoop FS API so any warehouse
+    * scheme works) next to the cell-partitioned code table at
+    * `root/codes`. This is the full at-rest form a deployment ships
+    * between build and serving jobs. */
+  def persistIndex(index: Index, codes: DataFrame, root: String): Unit = {
+    persistCodes(codes, s"$root/codes")
+    val p = new org.apache.hadoop.fs.Path(s"$root/index.bin")
+    val fs = p.getFileSystem(codes.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new java.io.ObjectOutputStream(fs.create(p, true))
+    try out.writeObject(index) finally out.close()
+  }
+
+  /** Loads a [[persistIndex]] artifact: (driver index, lazy code table). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, root: String): (Index, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/index.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.ObjectInputStream(fs.open(p))
+    val index = try in.readObject().asInstanceOf[Index] finally in.close()
+    (index, loadCodes(spark, s"$root/codes"))
+  }
+
   /** IVF-ADC search with exact rerank — fully distributed in BOTH
     * dimensions. Queries are exploded to (query_id, cell, qv) probe
     * rows (nProbe per query, map-only, centroids broadcast) and

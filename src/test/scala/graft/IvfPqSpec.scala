@@ -44,6 +44,21 @@ class IvfPqSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("full index artifact round-trips: loadIndex search == in-memory search") {
+    val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 8, m = 8, k = 16)
+    val root = Files.createTempDirectory("graft-ivfpq-art").toString
+    ops.IvfPq.persistIndex(ix, c0, root)
+    val (ix2, codes2) = ops.IvfPq.loadIndex(spark, root)
+    ix2.nCells shouldBe ix.nCells
+    ix2.centers.map(_.toSeq).toSeq shouldBe ix.centers.map(_.toSeq).toSeq
+    val q = emb.where(col("vec_id") < 5)
+    def res(i: ops.IvfPq.Index, c: org.apache.spark.sql.DataFrame) =
+      ops.IvfPq.search(q, i, c, emb, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    res(ix2, codes2) shouldBe res(ix, c0)
+    core.PlanCache.release(spark)
+  }
+
   test("degenerate batches: empty query set yields empty result; one query yields k rows") {
     val (ix, c0, _) = buildPersisted()
     val none = ops.IvfPq.search(emb.where(col("vec_id") < 0), ix, c0, emb, k = 5, nProbe = 2)
