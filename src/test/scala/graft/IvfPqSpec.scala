@@ -68,6 +68,22 @@ class IvfPqSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("probing every cell with a corpus-wide shortlist reduces IVF-PQ to exact brute force") {
+    // the approximation must come ONLY from cell pruning + shortlist
+    // truncation: with nProbe = nCells and k·factor >= corpus, the ADC
+    // pass ranks everything and the exact rerank sees every candidate,
+    // so the result must equal bruteTopK bit-for-bit
+    val small = emb.where(col("vec_id") < 200)
+    val (ix, c0) = ops.IvfPq.build(small, dim = 64, nCells = 4, m = 8, k = 16)
+    val q = small.where(col("vec_id") < 5)
+    val exhaustive = ops.IvfPq.search(q, ix, c0, small, k = 5, nProbe = 4, shortlistFactor = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ops.Similarity.bruteTopK(q, small, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exhaustive shouldBe brute
+    core.PlanCache.release(spark)
+  }
+
   test("bulk-batch search (every vector a query) matches the in-memory-code answer") {
     val (ix, c0, codes) = buildPersisted()
     def run(c: org.apache.spark.sql.DataFrame) =
