@@ -46,4 +46,32 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       (sc.getPersistentRDDs.keySet -- baseline) shouldBe empty
     }
   }
+
+  test("concurrent child sessions register and release caches independently") {
+    val dir = "/root/testdata/sf0.001"
+    val (s1, s2) = (spark.newSession(), spark.newSession())
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // both queries persist through PlanCache; they run in parallel on
+      // isolated sessions of ONE context (the documented concurrency
+      // pattern) and must not see each other's registrations
+      val f1 = Future(SparkEntry.queries("search_bm25")(s1, dir).count())
+      val f2 = Future(SparkEntry.queries("dedup_minhash_lsh")(s2, dir).count())
+      Await.result(f1, 120.seconds) should be > 0L
+      Await.result(f2, 120.seconds) should be >= 0L
+      core.PlanCache.registered(s1) should be > 0
+      core.PlanCache.registered(s2) should be > 0
+      core.PlanCache.release(s1) // s1's release must not touch s2
+      core.PlanCache.registered(s1) shouldBe 0
+      core.PlanCache.registered(s2) should be > 0
+      core.PlanCache.release(s2)
+      core.PlanCache.registered(s2) shouldBe 0
+      SparkEntry.releaseSessionCaches(s1)
+      SparkEntry.releaseSessionCaches(s2)
+    } finally pool.shutdown()
+  }
 }
