@@ -954,6 +954,29 @@ object SparkEntry {
       Similarity.meanRecallGate(MlAnn.ivfProbe(index, q, k = 10, nProbe = 8),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
     }),
+    // ---- the same segment-append contract for the COMPOSED IVF-PQ
+    // index: the delta batch is residual-encoded map-only against the
+    // frozen centroids/codebooks and appended INTO the existing cell
+    // directories of the persisted code table (parquet append,
+    // partitionBy cell — no rewrite of existing segments, pruning
+    // intact). Gate: probing the appended index still recovers the
+    // brute-force top-k over the FULL corpus (measured mean recall
+    // 0.91 sf0.01 / 0.82 sf0.1; floor 0.7 like ann_index_incremental). ----
+    "ann_ivfpq_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val base = emb.where($"vec_id" % 5 =!= 0)
+      val delta = emb.where($"vec_id" % 5 === 0)
+      val q = emb.where($"vec_id" < 10)
+      val (ix, c0) = ops.IvfPq.build(base, dim = 64, nCells = 16, m = 8, k = 256)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc").toString
+      ops.IvfPq.persistCodes(c0, path)
+      ops.IvfPq.appendCodes(ix, delta, path)
+      Similarity.meanRecallGate(
+        ops.IvfPq.search(q, ix, ops.IvfPq.loadCodes(s, path), emb,
+          k = 10, nProbe = 8, shortlistFactor = 16),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
+    }),
     "ml_minhash_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       // expected sets = the deterministic banded-minhash pairs (both
@@ -1549,6 +1572,8 @@ object SparkEntry {
     "ml_ann_ivf" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_index_incremental" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_ivfpq_incremental" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",

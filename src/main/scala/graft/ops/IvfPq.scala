@@ -115,6 +115,36 @@ object IvfPq {
   def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("cell").cast("int"), col("code"))
 
+  /** Map-only encode of `vectors` against an EXISTING index: each row
+    * is assigned its nearest coarse cell and residual-PQ-encoded with
+    * the frozen codebooks — no refit, no shuffle, O(|vectors|). This is
+    * the incremental-append path (the segment-append pattern
+    * `ann_index_incremental` establishes for IVF-Flat, here for the
+    * composed index): delta batches become immediately searchable at
+    * the cost of quantizer staleness, which the recall gate bounds. */
+  def encode(index: Index, vectors: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bcIx = vectors.sparkSession.sparkContext.broadcast(index)
+    val enc = RowEncoder.encoderFor(codeSchema)
+    vectors.select(col(idCol), col(embCol)).mapPartitions { rows =>
+      val ix = bcIx.value
+      rows.map { r =>
+        val v = normalize(r.getSeq[Float](1).toArray)
+        val cell = ix.nearestCells(v, 1)(0)
+        Row(r.getLong(0), cell, ix.books.encode(ix.residual(v, cell)))
+      }
+    }(enc)
+  }
+
+  /** Appends a delta batch's codes to a [[persistCodes]]-partitioned
+    * table: new files land INSIDE the existing cell directories
+    * (parquet append, partitionBy cell), so probes keep pruning at the
+    * directory level with zero rewrite of the existing segments. */
+  def appendCodes(index: Index, delta: DataFrame, path: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    encode(index, delta, idCol, embCol)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Persists the COMPLETE index at `root`: the broadcast-sized driver
     * artifact (coarse centroids + PQ codebooks, java-serialized at
     * `root/index.bin` through the Hadoop FS API so any warehouse

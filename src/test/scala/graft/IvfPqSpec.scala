@@ -44,6 +44,27 @@ class IvfPqSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("segment append lands inside existing cell directories, rows all searchable") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val (ix, c0) = ops.IvfPq.build(base, dim = 64, nCells = 8, m = 8, k = 16)
+    val path = Files.createTempDirectory("graft-ivfpq-app").toString
+    ops.IvfPq.persistCodes(c0, path)
+    val dirsBefore = new java.io.File(path).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val filesBefore = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).length
+    ops.IvfPq.appendCodes(ix, delta, path)
+    val dirsAfter = new java.io.File(path).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val filesAfter = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).length
+    dirsAfter shouldBe dirsBefore      // no new partition dirs beyond the cells
+    filesAfter should be > filesBefore // append added segments, rewrote nothing
+    val codes = ops.IvfPq.loadCodes(spark, path)
+    codes.count() shouldBe emb.count() // every base + delta row searchable
+    codes.select("vec_id").distinct().count() shouldBe emb.count()
+    core.PlanCache.release(spark)
+  }
+
   test("full index artifact round-trips: loadIndex search == in-memory search") {
     val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = 8, m = 8, k = 16)
     val root = Files.createTempDirectory("graft-ivfpq-art").toString
