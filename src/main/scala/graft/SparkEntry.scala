@@ -787,6 +787,11 @@ object SparkEntry {
     // ---- streaming: watermark-bounded dedup-insert ----
     "stream_dedup_insert" -> ((s, dir) =>
       EventStream.runDedupInsertAvailableNow(s, dir)),
+    // ---- streaming ANN-index maintenance: per-micro-batch segment
+    // append into the persisted IVF-PQ code table (foreachBatch →
+    // IvfPq.appendCodes), recall-gated post-stream ----
+    "stream_ann_append" -> ((s, dir) =>
+      graft.streaming.AnnIngest.runIvfPqAppendAvailableNow(s, dir)),
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
     "stream_interval_join" -> ((s, dir) =>
       EventStream.runIntervalJoinAvailableNow(s, dir)),
@@ -1574,6 +1579,8 @@ object SparkEntry {
     "ann_index_incremental" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_ivfpq_incremental" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "stream_ann_append" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.ops.{IvfPq, Similarity}
+
+/** Streaming maintenance of the persisted IVF-PQ index — the
+  * production shape for keeping a vector index fresh under continuous
+  * ingest: each micro-batch of arriving vectors is residual-encoded
+  * map-only against the FROZEN coarse centroids and PQ codebooks and
+  * parquet-appended into the existing cell directories
+  * ([[IvfPq.appendCodes]]) via `foreachBatch`. No refit, no rewrite of
+  * existing segments, directory-level pruning intact; delta rows are
+  * searchable as soon as their batch commits. Quantizer staleness is
+  * the accepted trade, bounded by the probe-recall gate (the reference
+  * has no streaming path at all — its insert never even indexes,
+  * duckvdb.py:56-61 vs 37-45).
+  */
+object AnnIngest {
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Builds the index on the 80% base batch, streams the embeddings
+    * file and appends the 20% delta per micro-batch, then gates probe
+    * recall of the appended index against brute force over the FULL
+    * corpus (floor 0.7, like the batch append twin
+    * `ann_ivfpq_incremental` — same measured recall, since the stream
+    * commits the same segments). */
+  def runIvfPqAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val (ix, c0) = IvfPq.build(base, dim = 64, nCells = 16, m = 8, k = 256)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+    IvfPq.persistCodes(c0, s"$root/codes")
+    val delta = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") % 5 === 0)
+    val q = delta.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfPq.appendCodes(ix, batch, s"$root/codes")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val queries = emb.where(col("vec_id") < 10)
+    Similarity.meanRecallGate(
+      IvfPq.search(queries, ix, IvfPq.loadCodes(spark, s"$root/codes"), emb,
+        k = 10, nProbe = 8, shortlistFactor = 16),
+      Similarity.bruteTopK(queries, emb, k = 10), k = 10, floor = 0.7)
+  }
+}

@@ -122,4 +122,12 @@ class StreamingSpec extends SparkSpec with Matchers {
     result.length shouldBe 450                  // exactly once each
     result.map(_._1).sorted shouldBe (0L until 450L) // no loss
   }
+
+  test("streaming ANN append: delta segments searchable post-stream, recall gate holds") {
+    val gate = graft.streaming.AnnIngest
+      .runIvfPqAppendAvailableNow(spark, "/root/testdata/sf0.001").head()
+    gate.getLong(0) shouldBe 10L // n_queries
+    gate.getInt(1) shouldBe 1    // mean probe recall over the full corpus >= 0.7
+    graft.core.PlanCache.release(spark)
+  }
 }
