@@ -662,6 +662,25 @@ object SparkEntry {
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
     }),
+    // ---- domain mixture resampling: rebalance the training mix to
+    // per-domain target rates (keep all curated sources, downsample
+    // the bulk ones) with a DETERMINISTIC content-independent hash —
+    // no RNG, so the same doc keeps/drops on every engine, rerun, and
+    // shard. Map-only until the audit aggregation; at 100 TB the keep
+    // decision costs one md5 per row and no shuffle. ----
+    "text_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val rate = when($"source".isin((0 to 4).map("src" + _): _*), lit(1.0))
+        .when($"source".isin((5 to 9).map("src" + _): _*), lit(0.5))
+        .otherwise(lit(0.2))
+      val h = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("keep", pmod(h, lit(1000)) < rate * 1000)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+    }),
     // ---- Gopher quality rules (Rae et al. 2021): the published filter
     // battery as per-doc flags, audited per language — pass count plus
     // per-rule rejection counts (which rule fires is the actionable
@@ -2242,6 +2261,14 @@ object SparkEntry {
          |            THEN 'train' ELSE 'test' END AS split,
          |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_domain_mix" ->
+      s"""SELECT source, count(*) AS n_total,
+         |       CAST(sum(CASE WHEN ${hexLongSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+         |                          (CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
+         |                                WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+         |                                ELSE 0.2 END) * 1000
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY 1""".stripMargin,
     "text_profile" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.langIdSqlCase("ws")} AS pred_lang,

@@ -18,6 +18,16 @@ import graft.ops.{IvfPq, Similarity}
   * the accepted trade, bounded by the probe-recall gate (the reference
   * has no streaming path at all — its insert never even indexes,
   * duckvdb.py:56-61 vs 37-45).
+  *
+  * Delivery semantics: AvailableNow + checkpoint gives the standard
+  * foreachBatch contract — a batch whose job commits is never re-run,
+  * and a crash MID-append leaves only uncommitted `_temporary` files
+  * (invisible to readers), so retries do not duplicate visible rows.
+  * The residual at-least-once window (job committed, checkpoint write
+  * lost) is inherent to external-sink foreachBatch; a deployment
+  * needing exactly-once keys each batch's files by `batchId`
+  * (partitionBy(ingest_batch, cell) + dynamic partition overwrite) so
+  * the replay overwrites itself.
   */
 object AnnIngest {
 
