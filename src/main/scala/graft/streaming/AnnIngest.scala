@@ -36,33 +36,35 @@ object AnnIngest {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Builds the index on the 80% base batch, streams the embeddings
-    * file and appends the 20% delta per micro-batch, then gates probe
-    * recall of the appended index against brute force over the FULL
-    * corpus (floor 0.7, like the batch append twin
-    * `ann_ivfpq_incremental` — same measured recall, since the stream
-    * commits the same segments). */
-  def runIvfPqAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  /** Streams the embeddings file and appends the 20% delta per
+    * micro-batch onto a pre-built base index (pass the memoized
+    * `(index, baseCodesPath)` — the per-run contract is the stream +
+    * append + probe, not the base build), then gates probe recall of
+    * the appended index against brute force over the FULL corpus
+    * (floor 0.7, like the batch append twin `ann_ivfpq_incremental` —
+    * same measured recall, since the stream commits the same
+    * segments). Delta segments land in a per-run directory; searches
+    * read base ∪ delta. */
+  def runIvfPqAppendAvailableNow(spark: SparkSession, dir: String,
+      ix: IvfPq.Index, baseCodesPath: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val base = emb.where(col("vec_id") % 5 =!= 0)
-    val (ix, c0) = IvfPq.build(base, dim = 64, nCells = 16, m = 8, k = 256)
     val root = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
-    IvfPq.persistCodes(c0, s"$root/codes")
     val delta = spark.readStream.schema(embSchema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .where(col("vec_id") % 5 === 0)
     val q = delta.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfPq.appendCodes(ix, batch, s"$root/codes")
+        IvfPq.appendCodes(ix, batch, s"$root/delta")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val codes = IvfPq.loadCodes(spark, baseCodesPath)
+      .unionByName(IvfPq.loadCodes(spark, s"$root/delta"))
     val queries = emb.where(col("vec_id") < 10)
     Similarity.meanRecallGate(
-      IvfPq.search(queries, ix, IvfPq.loadCodes(spark, s"$root/codes"), emb,
-        k = 10, nProbe = 8, shortlistFactor = 16),
+      IvfPq.search(queries, ix, codes, emb, k = 10, nProbe = 8, shortlistFactor = 16),
       Similarity.bruteTopK(queries, emb, k = 10), k = 10, floor = 0.7)
   }
 }

@@ -124,8 +124,10 @@ class StreamingSpec extends SparkSpec with Matchers {
   }
 
   test("streaming ANN append: delta segments searchable post-stream, recall gate holds") {
+    val dir = "/root/testdata/sf0.001"
+    val (ix, basePath) = SparkEntry.ivfpqBaseIndex(spark, dir)
     val gate = graft.streaming.AnnIngest
-      .runIvfPqAppendAvailableNow(spark, "/root/testdata/sf0.001").head()
+      .runIvfPqAppendAvailableNow(spark, dir, ix, basePath).head()
     gate.getLong(0) shouldBe 10L // n_queries
     gate.getInt(1) shouldBe 1    // mean probe recall over the full corpus >= 0.7
     graft.core.PlanCache.release(spark)
