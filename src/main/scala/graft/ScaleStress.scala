@@ -49,6 +49,27 @@ object ScaleStress {
     translate(translate(c, abc, rotate(abc, k % 26)), vow, rotate(vow, (k / 26) % 5))
   }
 
+  /** Synthesizes `target/embeddings.parquet` as `copies`×src: copy k
+    * circularly shifts the 64 dims by k mod 64 (same norms, distinct
+    * vectors for k < 64) with offset ids — a corpus-dimension stress
+    * fixture for the ANN family (perf evidence; recall gates stay on
+    * the real fixtures). */
+  def generateEmbeddings(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$target/embeddings.parquet").exists) return
+    new java.io.File(target).mkdirs()
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { k =>
+      val r = k % 64
+      val shifted =
+        if (r == 0) $"embedding"
+        else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
+      emb.select(($"vec_id" + lit(k * 10000000L)).as("vec_id"),
+        shifted.as("embedding"), $"label")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$target/embeddings.parquet")
+  }
+
   /** Synthesizes `target/{documents,events}.parquet` as `copies`×src.
     * Events stay ONE FILE named events.parquet — the streaming source
     * glob-filters on that exact file name. */
@@ -133,6 +154,7 @@ object ScaleStress {
 
     for (name <- names) {
       if (name == "ivfpq_bulk") ivfpqBulk(spark, src)
+      else if (name == "ivfpq_corpus") ivfpqCorpus(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -141,6 +163,39 @@ object ScaleStress {
       }
     }
     spark.stop()
+  }
+
+  /** Corpus-dimension stress for the IVF-PQ index: build (KMeans +
+    * codebooks + encode + cell-partitioned persist) and probe over a
+    * `copies`× embeddings corpus, timed separately — the evidence that
+    * the index family scales in the CORPUS dimension (the recall gates
+    * run on the real fixtures; this measures the plan). nCells scales
+    * with sqrt(N) as the IVF sizing rule suggests. */
+  private def ivfpqCorpus(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    val emb = spark.read.parquet(s"$target/embeddings.parquet")
+    val n = emb.count()
+    val nCells = math.max(16, math.sqrt(n.toDouble).toInt / 4)
+    val t0 = System.nanoTime()
+    val (ix, c0) = ops.IvfPq.build(emb, dim = 64, nCells = nCells, m = 8, k = 256)
+    val path = s"$target/__ivfpq_corpus"
+    ops.IvfPq.persistCodes(c0, path)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] ivfpq_corpus build  n=$n nCells=$nCells $tBuild%8.2f s")
+    val codes = ops.IvfPq.loadCodes(spark, path)
+    val q = emb.where($"vec_id" < 1000)
+    def probe(tag: String): Double = {
+      val t1 = System.nanoTime()
+      ops.IvfPq.search(q, ix, codes, emb, k = 10, nProbe = 8)
+        .queryExecution.toRdd.foreach(_ => ())
+      val s = (System.nanoTime() - t1) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] ivfpq_corpus probe($tag) 1000q $s%8.2f s")
+      s
+    }
+    probe("warm-up")
+    probe("steady")
   }
 
   /** Query-batch-dimension stress for the distributed IVF-PQ search:
