@@ -58,6 +58,17 @@ class ShardingSpec extends SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("bloom dedup with an EMPTY existing table keeps the whole deduped batch") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows yields null: the no-filter
+    // fast path must return the batch (key-deduped), not throw or drop
+    val existing = spark.range(0).select(concat(lit("k"), col("id")).as("id"))
+    val batch = spark.range(100).select(concat(lit("k"), col("id") % 50).as("id"))
+    val got = graft.ops.BloomDedup.insertDedup(batch, existing, "id")
+      .collect().map(_.getString(0)).sorted
+    got shouldBe (0 until 50).map(i => s"k$i").sorted
+  }
+
   test("numbering survives a downstream coalesce(1) (regression: TaskContext pid collapse)") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id").as("k"))
