@@ -680,6 +680,29 @@ object SparkEntry {
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
     }),
+    // ---- sequence packing audit (the GPT-style document-concatenation
+    // dataloader shape): per shard, token counts stream in doc order
+    // and training sequences are cut every seqLen tokens — documents
+    // may straddle a boundary, and a doc's sequence id is fixed by the
+    // PRE-doc cumulative count, so the layout is deterministic and
+    // shard-parallel (one window per shard — thousands of independent
+    // partitions at scale, never a global sort). ----
+    "text_pack" -> ((s, dir) => {
+      import s.implicits._
+      val seqLen = 2048L
+      val toks = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"),
+          size(ops.TextPrimitives.words($"text")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"doc_id")
+      toks.withColumn("cum", sum($"n_tokens").over(w))
+        // `div`, not `/`: Spark's `/` promotes to double (and DuckDB
+        // CAST(double AS BIGINT) ROUNDS while Spark truncates) —
+        // integral division is the only cross-engine-exact form
+        .withColumn("seq_id", expr(s"(cum - n_tokens) div $seqLen"))
+        .groupBy($"shard", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    }),
     // ---- domain mixture resampling: rebalance the training mix to
     // per-domain target rates (keep all curated sources, downsample
     // the bulk ones) with a DETERMINISTIC content-independent hash —
@@ -2284,6 +2307,19 @@ object SparkEntry {
          |            THEN 'train' ELSE 'test' END AS split,
          |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT shard, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks
+         |)
+         |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "text_domain_mix" ->
       s"""SELECT source, count(*) AS n_total,
          |       CAST(sum(CASE WHEN ${hexLongSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 <

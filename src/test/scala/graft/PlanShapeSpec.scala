@@ -31,7 +31,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_histogram", "q_window_range", "agg_bitmap_distinct", "agg_heavy_hitters",
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
     "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
-    "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix")
+    "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
+    "text_pack")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
