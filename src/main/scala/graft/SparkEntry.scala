@@ -307,6 +307,18 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.7, blockCol = Some("label"))),
+    // ---- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
+    // dedup. Centroids here are the deterministic min-id seeds so the
+    // DuckDB twin can reproduce the assignment; the op takes ANY small
+    // (cluster, centroid) table — the fitted-KMeans path is spec'd in
+    // SemanticDedupSpec. Broadcast centroids + one linear window for
+    // argmin assignment; pair pruning never leaves its cluster. ----
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        Dedup.seedCentroids(emb, "vec_id", "embedding", k = 8),
+        pairThreshold = 0.7)
+    }),
     // ---- exact duplicated-substring spans (Lee et al. 2022): verbatim
     // token runs shared across ≥2 docs, merged into maximal per-doc
     // intervals — the span-level leak/boilerplate signal whole-doc
@@ -721,6 +733,16 @@ object SparkEntry {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_total"),
           sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+    }),
+    // ---- DSIR importance resampling (Xie et al. 2023): select the
+    // top-k docs whose hashed-unigram distribution looks most like the
+    // target domain (source = 'src1' here) relative to the raw corpus.
+    // One explode pass, two 64-row count tables, broadcast log-weight
+    // join, TakeOrderedAndProject — linear at 100 TB. ----
+    "text_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.dsirScores(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", isTarget = $"source" === "src1", buckets = 64, topK = 50)
     }),
     // ---- Gopher quality rules (Rae et al. 2021): the published filter
     // battery as per-doc flags, audited per language — pass count plus
@@ -2267,6 +2289,27 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                       CAST(b.embedding AS DOUBLE[])), 4) <= 0.7""".stripMargin,
+    "dedup_semantic" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (SELECT vec_id AS cluster, e AS ce FROM emb ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT vec_id, e, cluster,
+        |         round(1 - list_cosine_similarity(e, ce), 6) AS cdist,
+        |         row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY round(1 - list_cosine_similarity(e, ce), 6), cluster) AS rn
+        |  FROM emb CROSS JOIN seeds),
+        |asn AS (SELECT vec_id, e, cluster, cdist FROM scored WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.cluster, a.vec_id
+        |  FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |  WHERE round(1 - list_cosine_similarity(a.e, b.e), 4) <= 0.7
+        |    AND (b.cdist > a.cdist OR (b.cdist = a.cdist AND b.vec_id < a.vec_id)))
+        |SELECT asn.cluster, count(*) AS n_members,
+        |       count(d.vec_id) AS n_dropped,
+        |       round(avg(asn.cdist), 4) AS mean_cdist
+        |FROM asn LEFT JOIN dropped d
+        |  ON asn.cluster = d.cluster AND asn.vec_id = d.vec_id
+        |GROUP BY asn.cluster""".stripMargin,
     "dedup_substring" ->
       s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |offs AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 20 + 1, 10)) AS off
@@ -2328,6 +2371,22 @@ object SparkEntry {
          |                                ELSE 0.2 END) * 1000
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1""".stripMargin,
+    "text_dsir_select" ->
+      s"""WITH bt AS (
+         |  SELECT doc_id, source = 'src1' AS t,
+         |         ${hexLongSql("w")} % 64 AS b
+         |  FROM (SELECT doc_id, source, unnest(${wordsSql("text")}) AS w FROM documents)),
+         |db AS (SELECT doc_id, b, count(*) AS n FROM bt GROUP BY 1, 2),
+         |src AS (SELECT b, count(*) AS cs FROM bt GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM bt WHERE t GROUP BY 1),
+         |lw AS (
+         |  SELECT src.b,
+         |         ln((coalesce(ct, 0) + 1)::DOUBLE / ((SELECT sum(coalesce(ct, 0)) FROM src LEFT JOIN tgt ON src.b = tgt.b) + 64))
+         |       - ln((cs + 1)::DOUBLE / ((SELECT sum(cs) FROM src) + 64)) AS lw
+         |  FROM src LEFT JOIN tgt ON src.b = tgt.b),
+         |sc AS (SELECT doc_id, sum(n * lw) AS s FROM db JOIN lw USING (b) GROUP BY 1)
+         |SELECT doc_id, round(s, 4) AS dsir_score
+         |FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 50""".stripMargin,
     "text_profile" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.langIdSqlCase("ws")} AS pred_lang,

@@ -238,4 +238,70 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_tokens"))
   }
+
+  /** Deterministic centroid seeds for [[semanticDedup]]: the k rows with
+    * the smallest ids, as (cluster = id, centroid = embedding). A
+    * TakeOrderedAndProject, so only k rows ever leave the executors. The
+    * oracle-portable stand-in for fitted k-means centroids — at scale
+    * you'd pass MLlib KMeans centers (any small (cluster, centroid)
+    * DataFrame works; see SemanticDedupSpec's fitted-KMeans path). */
+  def seedCentroids(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cluster"), col(embCol).as("centroid"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster embeddings, then inside each cluster drop
+    * members that have a near-duplicate (cosine distance ≤
+    * `pairThreshold`) which the keep rule prefers. Per the paper, the
+    * survivor of a near-dup relation is the member with the LOWEST
+    * similarity to its centroid (largest distance — keeps the less
+    * typical, more informative example); ties break to the smaller id.
+    * The paper's per-group rule is applied as pairwise dominance (a
+    * member is dropped iff SOME preferred near-dup neighbor exists) —
+    * deterministic and closure-free, so both engines can express it.
+    *
+    * Scale shape (100 TB): `centroids` is small (k rows) and broadcast —
+    * assignment is a map-side cross join + one row_number window keyed
+    * by the row id (linear shuffle). The within-cluster self-join is the
+    * SemDeDup design point: k scales with the corpus (k ≈ n/E[cluster
+    * size]), so per-reducer pair work is bounded by cluster², never
+    * global n². Assignment distances are rounded to 6 dp before ranking
+    * so the argmin is engine-portable.
+    *
+    * Returns per-cluster audit rows: (cluster, n_members, n_dropped,
+    * mean_cdist). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, pairThreshold: Double): DataFrame = {
+    val asn = df.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(embCol), col("cluster"),
+        RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col(embCol), col("centroid")), 6).as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("cluster"))))
+      .where(col("rn") === 1)
+      .drop("rn", "centroid")
+    // Persisted: the assignment table feeds both sides of the
+    // within-cluster join AND the final stats scan; released by the
+    // materializing caller via PlanCache.
+    val asnP = graft.core.PlanCache.persist(asn)
+    val a = asnP.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      col("cluster"), col("cdist").as("cdist_a"))
+    val b = asnP.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      col("cluster"), col("cdist").as("cdist_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("id_a") =!= col("id_b") &&
+        RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col("emb_a"), col("emb_b")), 4) <= pairThreshold &&
+        (col("cdist_b") > col("cdist_a") ||
+          (col("cdist_b") === col("cdist_a") && col("id_b") < col("id_a"))))
+      .select(col("cluster"), col("id_a").as(idCol))
+      .distinct()
+    asnP.join(dropped.withColumn("__d", lit(1)), Seq("cluster", idCol), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        count(col("__d")).as("n_dropped"),
+        RoundPortableExpr.r(avg(col("cdist")), 4).as("mean_cdist"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextPrimitives._
@@ -127,6 +128,49 @@ object TextAnalysis {
       .agg(countDistinct(col("__bench_id")).as("n_bench_hits"),
         count(lit(1)).as("n_shared_fp"))
       .where(col("n_shared_fp") >= minShared)
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by its importance weight
+    * under hashed bag-of-words unigram models of a TARGET domain vs the
+    * RAW corpus, then keep the top-k. `log w(x) = Σ_tokens [ln p̂_t(b) −
+    * ln p̂_s(b)]` over hashed token buckets `b = H(w) mod buckets`, with
+    * add-1 smoothing on both models. Deterministic (no Gumbel noise —
+    * the paper's resampling becomes top-k so both engines agree).
+    *
+    * Scale shape (100 TB): one tokenize+explode pass feeds (a) the two
+    * bucket-count aggregates — `buckets` rows each, essentially free —
+    * and (b) per-(doc, bucket) counts; the log-weight table is tiny and
+    * broadcast back, so scoring is one linear groupBy(doc). The top-k is
+    * a TakeOrderedAndProject. Ranking uses 6-dp-rounded scores (ties →
+    * smaller id) so the cut is engine-portable.
+    *
+    * Returns the k selected rows as (idCol, dsir_score). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int, topK: Int): DataFrame = {
+    val bt = graft.core.PlanCache.persist(
+      docs.select(col(idCol), isTarget.as("__t"),
+          explode(words(col(textCol))).as("w"))
+        .select(col(idCol), col("__t"),
+          (hexLong(col("w")) % buckets).as("b")))
+    val src = bt.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgt = bt.where(col("__t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // totals over the tiny bucket tables (≤ `buckets` rows), not the corpus
+    val tot = Window.partitionBy()
+    val lw = src.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .withColumn("ns", sum(col("cs")).over(tot))
+      .withColumn("nt", sum(col("ct")).over(tot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
+          log((col("cs") + 1).cast("double") / (col("ns") + buckets))).as("lw"))
+    bt.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lw), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("lw")).as("s"))
+      .orderBy(graft.functions.RoundPortableExpr.r(col("s"), 6).desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), graft.functions.RoundPortableExpr.r(col("s"), 4).as("dsir_score"))
   }
 
   /** Gopher quality rules (Rae et al. 2021 Appendix A) as per-doc

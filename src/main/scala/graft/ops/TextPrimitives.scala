@@ -27,6 +27,12 @@ object TextPrimitives {
   /** Lowercased whitespace tokenization. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /** The shared 60-bit md5 base hash, Column form (twin of
+    * [[hexLongSql]]): `int(md5(s)[0:15], 16)` — non-negative, so `% n`
+    * is safe on both engines. */
+  def hexLong(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Jaccard similarity of two distinct-element arrays (builtin set ops,
     * fully codegen'd). Total function: two empty sets → 0.0 (not a
     * divide-by-zero — ANSI mode would throw on short/empty docs). */

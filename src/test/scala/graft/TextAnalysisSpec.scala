@@ -152,4 +152,27 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     val turk = kernel.compute(UTF8String.fromString("THE FOX"))
     turk.getLong(4) shouldBe 1L              // "the" recognized as stop word
   }
+
+  test("dsir ranks target-vocabulary documents above raw-vocabulary ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target domain speaks {alpha beta gamma}; the bulk corpus speaks
+    // {delta epsilon zeta}. Held-out doc 10 uses target vocabulary, doc
+    // 11 bulk vocabulary — DSIR must select 10 first.
+    val docs = (
+      (1L to 4L).map(i => (i, "alpha beta gamma alpha beta", "tgt")) ++
+      (5L to 9L).map(i => (i, "delta epsilon zeta delta epsilon", "raw")) ++
+      Seq((10L, "alpha gamma beta gamma", "raw"), (11L, "zeta delta epsilon zeta", "raw"))
+    ).toDF("doc_id", "text", "domain")
+    val top = TextAnalysis.dsirScores(docs, "doc_id", "text",
+      isTarget = col("domain") === "tgt", buckets = 32, topK = 5).collect()
+    core.PlanCache.release(spark)
+    val ids = top.map(_.getLong(0)).toSet
+    // the 4 target docs and the target-vocab held-out doc fill the top 5
+    ids should contain(10L)
+    (ids should not).contain(11L)
+    // scores descend
+    val scores = top.map(_.getAs[Double]("dsir_score"))
+    scores.sliding(2).foreach { case Array(a, b) => a should be >= b }
+  }
 }
