@@ -319,6 +319,18 @@ object SparkEntry {
         Dedup.seedCentroids(emb, "vec_id", "embedding", k = 8),
         pairThreshold = 0.7)
     }),
+    // ---- cross-shard near-dup (continual pretraining): flag incoming
+    // docs (20% modulo split) that near-duplicate the existing corpus.
+    // The banded bucket join is existing × incoming ONLY — appending a
+    // shard never re-pairs the existing corpus against itself. ----
+    "dedup_cross_shard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.crossShardNearDups(
+        docs.where(pmod($"doc_id", lit(5)) =!= 4),
+        docs.where(pmod($"doc_id", lit(5)) === 4),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+    }),
     // ---- exact duplicated-substring spans (Lee et al. 2022): verbatim
     // token runs shared across ≥2 docs, merged into maximal per-doc
     // intervals — the span-level leak/boilerplate signal whole-doc
@@ -734,6 +746,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_total"),
           sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
     }),
+    // ---- vocabulary induction + OOV audit: fit a top-V vocabulary on
+    // the corpus (the subword-tokenizer budget shape), then audit each
+    // language slice's out-of-vocabulary rate against it. One explode
+    // pass; vocabulary broadcast back. ----
+    "text_vocab_oov" -> ((s, dir) =>
+      TextAnalysis.vocabOov(s.read.parquet(t(dir, "documents")),
+        "doc_id", "lang", "text", vocabSize = 30)),
     // ---- DSIR importance resampling (Xie et al. 2023): select the
     // top-k docs whose hashed-unigram distribution looks most like the
     // target domain (source = 'src1' here) relative to the raw corpus.
@@ -2310,6 +2329,25 @@ object SparkEntry {
         |FROM asn LEFT JOIN dropped d
         |  ON asn.cluster = d.cluster AND asn.vec_id = d.vec_id
         |GROUP BY asn.cluster""".stripMargin,
+    "dedup_cross_shard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_ex, b.doc_id AS id_new
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+         |)
+         |SELECT c.id_new, count(*) AS n_matches,
+         |       max(round(${jaccardSql("sa.sh", "sb.sh")}, 4)) AS best_jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_ex JOIN sig sb ON sb.doc_id = c.id_new
+         |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8
+         |GROUP BY 1""".stripMargin,
     "dedup_substring" ->
       s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |offs AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 20 + 1, 10)) AS off
@@ -2371,6 +2409,19 @@ object SparkEntry {
          |                                ELSE 0.2 END) * 1000
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1""".stripMargin,
+    "text_vocab_oov" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(${wordsSql("text")}) AS w FROM documents),
+         |vocab AS (
+         |  SELECT w, 1 AS v FROM (
+         |    SELECT w, count(*) AS cnt FROM toks GROUP BY 1
+         |    ORDER BY cnt DESC, w LIMIT 30)),
+         |per AS (
+         |  SELECT doc_id, lang, (count(*) - count(v.v))::DOUBLE / count(*) AS oov
+         |  FROM toks LEFT JOIN vocab v USING (w) GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs, round(avg(oov), 4) AS avg_oov,
+         |       round(max(oov), 4) AS max_oov
+         |FROM per GROUP BY 1""".stripMargin,
     "text_dsir_select" ->
       s"""WITH bt AS (
          |  SELECT doc_id, source = 'src1' AS t,

@@ -239,6 +239,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_tokens"))
   }
 
+  /** Cross-shard near-dup detection — the continual-pretraining shape:
+    * which INCOMING documents are near-duplicates of the EXISTING
+    * corpus? Same shingle→MinHash→band→bucket pipeline as
+    * [[minhashLshPairs]], but the bucket join is strictly
+    * existing × incoming — never existing × existing, so appending a
+    * shard to a 100 TB corpus costs O(|incoming| × bands) join rows
+    * plus one pass over the existing side's signatures (which a real
+    * deployment would have materialized at ingest; see
+    * VectorTable's persisted-index pattern). Candidates are verified by
+    * exact Jaccard ≥ `threshold`.
+    *
+    * Returns one row per flagged incoming doc: (idCol, n_matches,
+    * best_jaccard). */
+  def crossShardNearDups(
+      existing: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    def sigs(df: DataFrame) = graft.core.PlanCache.persist(
+      minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+        .where(size(col("sh")) > 0)
+        .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand)))
+    val ex = sigs(existing)
+    val in = sigs(incoming)
+    def buckets(s: DataFrame, as: String) = s
+      .select(col(idCol).as(as), posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets(ex, "id_ex").join(buckets(in, "id_new"), Seq("band", "key"))
+      .select(col("id_ex"), col("id_new"))
+      .distinct()
+    cand
+      .join(ex.select(col(idCol).as("id_ex"), col("sh").as("sh_ex")), Seq("id_ex"))
+      .join(in.select(col(idCol).as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
+      .select(col("id_new"), col("id_ex"),
+        RoundPortableExpr.r(jaccard(col("sh_ex"), col("sh_new")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Deterministic centroid seeds for [[semanticDedup]]: the k rows with
     * the smallest ids, as (cluster = id, centroid = embedding). A
     * TakeOrderedAndProject, so only k rows ever leave the executors. The

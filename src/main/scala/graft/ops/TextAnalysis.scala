@@ -173,6 +173,38 @@ object TextAnalysis {
       .select(col(idCol), graft.functions.RoundPortableExpr.r(col("s"), 4).as("dsir_score"))
   }
 
+  /** Vocabulary induction + out-of-vocabulary audit: fit a top-V token
+    * vocabulary on the corpus (count-ranked, ties to the
+    * lexicographically smaller token — deterministic cut), then measure
+    * each document's OOV rate against it, aggregated per `groupCol`.
+    * The tokenizer-fitting shape: V is the budget a subword tokenizer
+    * would get, and the OOV tail tells you which slices of the corpus
+    * the vocabulary underserves.
+    *
+    * Scale shape (100 TB): one tokenize+explode pass feeds both the
+    * vocabulary aggregate (token-keyed shuffle, then a top-V
+    * TakeOrderedAndProject — only V rows reach the driver side) and the
+    * per-doc scoring join, where the vocabulary is broadcast. Everything
+    * else is linear groupBys.
+    *
+    * Returns (groupCol, n_docs, avg_oov, max_oov). */
+  def vocabOov(docs: DataFrame, idCol: String, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = graft.core.PlanCache.persist(
+      docs.select(col(idCol), col(groupCol), explode(words(col(textCol))).as("w")))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("__v"))
+    val perDoc = toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol), col(groupCol))
+      .agg(((count(lit(1)) - count(col("__v"))).cast("double") / count(lit(1))).as("oov"))
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.RoundPortableExpr.r(avg(col("oov")), 4).as("avg_oov"),
+        graft.functions.RoundPortableExpr.r(max(col("oov")), 4).as("max_oov"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021 Appendix A) as per-doc
     * booleans over one [[graft.functions.GopherStatsExpr]] kernel pass:
     * word count in [minWords, maxWords], mean word length in [3, 10],

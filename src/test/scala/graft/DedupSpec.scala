@@ -137,4 +137,25 @@ class DedupSpec extends SparkSpec with Matchers {
     assert(r.keySet == Set(20L, 21L))
     assert(r(20L) == ((1L, 10L)) && r(21L) == ((1L, 10L)))
   }
+
+  test("cross-shard near-dups: only incoming-vs-existing pairs are reported") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = Seq(
+      (1L, base),          // identical twin INSIDE existing — must not self-pair
+      (2L, base),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),         // duplicates the existing corpus → flagged, j = 1.0
+      (11L, "completely different words nothing shared here at all right now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossShardNearDups(existing, incoming, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8).collect()
+    core.PlanCache.release(spark)
+    r.map(_.getLong(0)).toSet shouldBe Set(10L)
+    val hit = r.head
+    hit.getAs[Long]("n_matches") shouldBe 2L      // matches BOTH existing twins
+    hit.getAs[Double]("best_jaccard") shouldBe 1.0
+  }
 }

@@ -153,6 +153,28 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     turk.getLong(4) shouldBe 1L              // "the" recognized as stop word
   }
 
+  test("vocab fit is deterministic and oov rates are exact fractions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "common" appears 6×, "shared" 4×; rare words once each. V=2 →
+    // vocab = {common, shared}; doc 3 is fully OOV.
+    val docs = Seq(
+      (1L, "g1", "common common shared rare1"),
+      (2L, "g1", "common common shared shared rare2 rare3"),
+      (3L, "g2", "unseen words only here"),
+      (4L, "g2", "common common shared")
+    ).toDF("doc_id", "grp", "text")
+    val out = TextAnalysis.vocabOov(docs, "doc_id", "grp", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("avg_oov"), r.getAs[Double]("max_oov"))).toMap
+    core.PlanCache.release(spark)
+    out("g1")._1 shouldBe 2L
+    out("g1")._2 shouldBe ((0.25 + 2.0 / 6) / 2 +- 1e-4)
+    out("g1")._3 shouldBe (2.0 / 6 +- 1e-4)
+    out("g2")._1 shouldBe 2L
+    out("g2")._3 shouldBe 1.0 // doc 3: every token OOV
+  }
+
   test("dsir ranks target-vocabulary documents above raw-vocabulary ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
