@@ -181,4 +181,48 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "windowspecdefinition\\(doc_id".r.findAllIn(o.toLowerCase).size should be >= 2
     physical("dedup_substring") should not include "CartesianProduct"
   }
+
+  test("semantic dedup: broadcast centroids, partial argmin heaps, cluster-keyed prune") {
+    val p = physical("dedup_semantic")
+    core.PlanCache.release(spark)
+    // the ONLY nested-loop is the deliberate k-row centroid broadcast
+    p should include("BroadcastNestedLoopJoin BuildRight, Cross")
+    p should include("TakeOrderedAndProject(limit=8")
+    p should not include "CartesianProduct"
+    // rank-1 assignment runs as WindowGroupLimit heaps (partial before
+    // the shuffle), not a full per-id sort of the n×k cross rows
+    p should include("WindowGroupLimit")
+    // the within-cluster prune shuffles on the cluster key
+    p should include("hashpartitioning(cluster")
+  }
+
+  test("dsir: top-k select is a heap, log-weight table broadcast into scoring") {
+    val p = physical("text_dsir_select")
+    core.PlanCache.release(spark)
+    p should include("TakeOrderedAndProject(limit=50")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // one corpus-wide explode feeds everything else via the persisted
+    // bucket table — no second tokenize of the raw documents
+    "InMemoryTableScan".r.findAllIn(p).size should be >= 2
+  }
+
+  test("vocab/oov: vocabulary cut is a heap and is broadcast back to the tokens") {
+    val p = physical("text_vocab_oov")
+    core.PlanCache.release(spark)
+    p should include("TakeOrderedAndProject(limit=30")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("cross-shard dedup: bucket join keyed on (band, key), no existing×existing pair") {
+    val p = physical("dedup_cross_shard")
+    core.PlanCache.release(spark)
+    p should not include "CartesianProduct"
+    // both sides scan with the pushed shard split (modulo filter reaches
+    // the scan's data filters)
+    p should include("pmod(doc_id")
+    // candidate generation joins band+key equality, never id inequality alone
+    (p.contains("band") && p.contains("key")) shouldBe true
+  }
 }
