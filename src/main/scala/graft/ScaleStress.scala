@@ -122,6 +122,7 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, target, copies)
+    generateEmbeddings(spark, src, target, copies)
 
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
@@ -155,6 +156,7 @@ object ScaleStress {
     for (name <- names) {
       if (name == "ivfpq_bulk") ivfpqBulk(spark, src)
       else if (name == "ivfpq_corpus") ivfpqCorpus(spark, src, target, copies)
+      else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -163,6 +165,31 @@ object ScaleStress {
       }
     }
     spark.stop()
+  }
+
+  /** SemDeDup at scale, CONFIGURED for scale: the registry query pins
+    * k = 8 so the oracle fixture exercises the prune, but the op's
+    * contract (and the paper's regime) is k ∝ corpus size, keeping
+    * E[cluster size] — and so per-reducer pair work — constant. This
+    * runs the op on the `copies`× embeddings corpus with k scaled by
+    * `copies`; the fixed-k registry entry at 10× is the wrong
+    * configuration by design (pair count grows ~copies² within each
+    * cluster) and is measured alongside for contrast. */
+  private def semanticScaled(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    def runOnce(dir: String, k: Int, tag: String): Unit = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
+          ops.Dedup.seedCentroids(emb, "vec_id", "embedding", k), pairThreshold = 0.7)
+        .queryExecution.toRdd.foreach(_ => ())
+      val s = (System.nanoTime() - t0) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] semantic_scaled $tag%-18s k=$k%-4d $s%8.2f s")
+    }
+    runOnce(src, 8, "sf0.1")
+    runOnce(target, 8 * copies, s"sf1-k-scaled")
   }
 
   /** Corpus-dimension stress for the IVF-PQ index: build (KMeans +
