@@ -763,6 +763,37 @@ object SparkEntry {
       TextAnalysis.dsirScores(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", isTarget = $"source" === "src1", buckets = 64, topK = 50)
     }),
+    // ---- the curation FUNNEL: quality gate → exact dedup → boilerplate
+    // span drop → DSIR target selection, COMPOSED sequentially in one
+    // plan (each stage filters the previous stage's survivors — span
+    // detection and the DSIR models are fit on the filtered corpus, not
+    // the raw one, exactly as a production pipeline stages them). Output
+    // is the per-stage survivor census. Every stage is one of this
+    // engine's audited linear operators; the five counts are independent
+    // single-row aggregates cross-joined (broadcast, no cartesian). ----
+    "pipeline_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"source", $"text")
+      val quality = graft.core.PlanCache.persist(
+        TextAnalysis.gopherQuality(docs, "doc_id", "text")
+          .where($"r_words" && $"r_wlen" && $"r_symbol" && $"r_alpha")
+          .select($"doc_id", $"source", $"text"))
+      val exact = graft.core.PlanCache.persist(
+        quality.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+          .where($"rk" === 1).select($"doc_id", $"source", $"text"))
+      val boiler = Dedup.duplicatedSpans(exact, "doc_id", "text", w = 20, stride = 10)
+        .where($"dup_tokens" >= 60).select($"doc_id")
+      val clean = graft.core.PlanCache.persist(
+        exact.join(boiler, Seq("doc_id"), "left_anti"))
+      val sel = TextAnalysis.dsirScores(clean, "doc_id", "text",
+        isTarget = $"source" === "src1", buckets = 64, topK = 20)
+      docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(sel.agg(count(lit(1)).as("n_selected")))
+    }),
     // ---- Gopher quality rules (Rae et al. 2021): the published filter
     // battery as per-doc flags, audited per language — pass count plus
     // per-rule rejection counts (which rule fires is the actionable
@@ -2409,6 +2440,74 @@ object SparkEntry {
          |                                ELSE 0.2 END) * 1000
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1""".stripMargin,
+    "pipeline_curation" ->
+      s"""WITH base AS (SELECT doc_id, source, text, lower(text) AS lt,
+         |                     ${wordsSql("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, text, ws,
+         |    len(ws) AS n_words,
+         |    round(CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws), 4)
+         |      AS mean_word_len,
+         |    round(((len(lt) - len(replace(lt, '#', '')))
+         |           + (len(lt) - len(replace(lt, '…', '')))
+         |           + (len(lt) - len(replace(lt, '...', ''))) // 3)
+         |          * 1.0 / len(ws), 4) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |          / len(ws), 4) AS alpha_frac
+         |  FROM base),
+         |quality AS (
+         |  SELECT doc_id, source, text, ws FROM m
+         |  WHERE (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)),
+         |exact AS (
+         |  SELECT doc_id, source, ws FROM (
+         |    SELECT doc_id, source, ws,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |    FROM quality) WHERE rk = 1),
+         |offs AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 20 + 1, 10)) AS off
+         |         FROM exact WHERE len(ws) >= 20),
+         |wins AS (SELECT doc_id, off,
+         |                md5(array_to_string(list_slice(ws, off + 1, off + 20), ' ')) AS h
+         |         FROM offs),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (
+         |  SELECT doc_id, off,
+         |         CASE WHEN max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |              OR off > max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM wins JOIN dup USING (h)),
+         |spans AS (
+         |  SELECT doc_id, off,
+         |         sum(is_new) OVER (PARTITION BY doc_id ORDER BY off) AS span_id
+         |  FROM marked),
+         |spanagg AS (
+         |  SELECT doc_id, sum(sl) AS dup_tokens FROM (
+         |    SELECT doc_id, span_id, max(off) + 20 - min(off) AS sl
+         |    FROM spans GROUP BY 1, 2) GROUP BY 1),
+         |boiler AS (SELECT doc_id FROM spanagg WHERE dup_tokens >= 60),
+         |clean AS (
+         |  SELECT e.doc_id, e.source, e.ws FROM exact e
+         |  LEFT JOIN boiler b USING (doc_id) WHERE b.doc_id IS NULL),
+         |bt AS (
+         |  SELECT doc_id, source = 'src1' AS t, ${hexLongSql("w")} % 64 AS b
+         |  FROM (SELECT doc_id, source, unnest(ws) AS w FROM clean)),
+         |db AS (SELECT doc_id, b, count(*) AS n FROM bt GROUP BY 1, 2),
+         |src AS (SELECT b, count(*) AS cs FROM bt GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM bt WHERE t GROUP BY 1),
+         |lw AS (
+         |  SELECT src.b,
+         |         ln((coalesce(ct, 0) + 1)::DOUBLE / ((SELECT sum(coalesce(ct, 0)) FROM src LEFT JOIN tgt ON src.b = tgt.b) + 64))
+         |       - ln((cs + 1)::DOUBLE / ((SELECT sum(cs) FROM src) + 64)) AS lw
+         |  FROM src LEFT JOIN tgt ON src.b = tgt.b),
+         |sc AS (SELECT doc_id, sum(n * lw) AS s FROM db JOIN lw USING (b) GROUP BY 1),
+         |sel AS (SELECT doc_id FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20)
+         |SELECT (SELECT count(*) FROM documents) AS n_total,
+         |       (SELECT count(*) FROM quality) AS n_quality,
+         |       (SELECT count(*) FROM exact) AS n_exact,
+         |       (SELECT count(*) FROM clean) AS n_clean,
+         |       (SELECT count(*) FROM sel) AS n_selected""".stripMargin,
     "text_vocab_oov" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest(${wordsSql("text")}) AS w FROM documents),

@@ -175,6 +175,18 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     out("g2")._3 shouldBe 1.0 // doc 3: every token OOV
   }
 
+  test("curation funnel counts are monotonically non-increasing") {
+    val r = SparkEntry.queries("pipeline_curation")(spark, "/root/testdata/sf0.001").head()
+    core.PlanCache.release(spark)
+    val Seq(total, quality, exact, clean, sel) =
+      Seq("n_total", "n_quality", "n_exact", "n_clean", "n_selected").map(r.getAs[Long])
+    total should be >= quality
+    quality should be >= exact
+    exact should be >= clean
+    clean should be >= sel
+    sel should be <= 20L
+  }
+
   test("dsir ranks target-vocabulary documents above raw-vocabulary ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
