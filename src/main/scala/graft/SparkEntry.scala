@@ -363,6 +363,29 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       Similarity.bruteTopK(emb.where($"vec_id" < 10), emb, k = 3)
     }),
+    // ---- JL sign random projection (Achlioptas 2003) + neighbor-
+    // preservation audit: project 64 → 32 dims with a stored-nothing
+    // md5-derived ±1 matrix (one codegen kernel pass), then measure
+    // top-5 overlap between full-space and projected-space brute kNN
+    // for a 10-query panel. The scale story: 2× fewer bytes/flops per
+    // candidate scan ahead of an exact rerank. (The iid-random fixture
+    // is the WORST case for this audit — neighbor margins are noise —
+    // so the overlap census is deliberately modest; RandomProjection-
+    // Spec shows near-perfect preservation on clustered data.) ----
+    "sim_rp_project" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val proj = graft.core.PlanCache.persist(emb.select($"vec_id",
+        graft.functions.RpProjectExpr.col($"embedding", 64, 32).as("p")))
+      val full = Similarity.bruteTopK(emb.where($"vec_id" < 10), emb, k = 5)
+      val red = Similarity.bruteTopK(proj.where($"vec_id" < 10), proj, k = 5, embCol = "p")
+      val common = full.select($"query_id", $"neighbor_id")
+        .join(red.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+      emb.where($"vec_id" < 10).select($"vec_id".as("query_id"))
+        .join(common, Seq("query_id"), "left")
+        .groupBy($"query_id")
+        .agg(count($"neighbor_id").as("n_common"))
+    }),
     // ---- approximate-ANN quality gates: each ANN path runs against its
     // exact twin and must recover ≥ floor of the true top-k per query;
     // the oracle asserts the contract (1 per query), so a recall
@@ -753,6 +776,51 @@ object SparkEntry {
     "text_vocab_oov" -> ((s, dir) =>
       TextAnalysis.vocabOov(s.read.parquet(t(dir, "documents")),
         "doc_id", "lang", "text", vocabSize = 30)),
+    // ---- length-bucketed batching audit: bucket docs by
+    // floor(log2(token count)) — the dataloader bucketing that keeps
+    // same-batch sequences similar length — and measure the padding
+    // waste a bucket-upper-bound pad policy pays per bucket. Map-only
+    // until one small aggregate. ----
+    "text_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val toks = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          size(ops.TextPrimitives.words($"text")).cast("long").as("n_tokens"))
+        .where($"n_tokens" > 0)
+      val b = toks.withColumn("bucket",
+        expr("cast(floor(log2(cast(n_tokens as double))) as bigint)"))
+      b.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("actual_tokens"),
+          (count(lit(1)) *
+            (expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int))") - 1))
+            .as("padded_tokens"))
+        .select($"bucket", $"n_docs", $"actual_tokens",
+          graft.functions.RoundPortableExpr.r(
+            ($"padded_tokens" - $"actual_tokens").cast("double") / $"padded_tokens", 4)
+            .as("pad_waste"))
+    }),
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): key_i = -ln(u_i)/w_i with u_i a DETERMINISTIC md5-uniform —
+    // the k smallest keys are a weighted sample, computable as one
+    // map pass + a TakeOrdered heap, no RNG state, reproducible across
+    // engines/shards/reruns. Weight = document length (longer docs
+    // proportionally likelier). ----
+    "text_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("samp2:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", $"n_chars",
+          (((h % 1000000L).cast("double") + 0.5) / lit(1000000.0)).as("u"))
+        .select($"doc_id", $"n_chars",
+          (-log(col("u")) / $"n_chars".cast("double")).as("k0"))
+        .select($"doc_id", $"n_chars",
+          graft.functions.RoundPortableExpr.r($"k0", 6).as("key"))
+        .orderBy($"key".asc, $"doc_id".asc)
+        .limit(40)
+        .select($"doc_id", $"n_chars", graft.functions.RoundPortableExpr.r($"key", 4).as("skey"))
+    }),
     // ---- DSIR importance resampling (Xie et al. 2023): select the
     // top-k docs whose hashed-unigram distribution looks most like the
     // target domain (source = 'src1' here) relative to the raw corpus.
@@ -2404,6 +2472,32 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
          |       CAST(sum(span_len) AS BIGINT) AS dup_tokens
          |FROM agg GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "sim_rp_project" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, ${graft.functions.RpProjectExpr.sql("embedding", 64, 32)} AS p
+         |  FROM embeddings),
+         |fq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+         |fd AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |              round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                               CAST(q.embedding AS DOUBLE[])), 4) AS distance
+         |       FROM embeddings c, fq q WHERE c.vec_id <> q.query_id),
+         |fr AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY distance, neighbor_id) AS rn FROM fd) WHERE rn <= 5),
+         |pq AS (SELECT vec_id AS query_id, p FROM proj WHERE vec_id < 10),
+         |pd AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |              round(1 - list_cosine_similarity(CAST(c.p AS DOUBLE[]),
+         |                                               CAST(q.p AS DOUBLE[])), 4) AS distance
+         |       FROM proj c, pq q WHERE c.vec_id <> q.query_id),
+         |pr AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY distance, neighbor_id) AS rn FROM pd) WHERE rn <= 5),
+         |common AS (SELECT fr.query_id, fr.neighbor_id FROM fr JOIN pr
+         |           USING (query_id, neighbor_id))
+         |SELECT q.query_id, count(c.neighbor_id) AS n_common
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN common c ON q.query_id = c.query_id
+         |GROUP BY 1""".stripMargin,
     "sim_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -2508,6 +2602,29 @@ object SparkEntry {
          |       (SELECT count(*) FROM exact) AS n_exact,
          |       (SELECT count(*) FROM clean) AS n_clean,
          |       (SELECT count(*) FROM sel) AS n_selected""".stripMargin,
+    "text_length_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |             CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS bucket
+         |      FROM toks WHERE n_tokens > 0),
+         |agg AS (
+         |  SELECT bucket, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS actual_tokens,
+         |         CAST(count(*) * ((1::BIGINT << (bucket + 1)) - 1) AS BIGINT) AS padded_tokens
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, actual_tokens,
+         |       round((padded_tokens - actual_tokens)::DOUBLE / padded_tokens, 4) AS pad_waste
+         |FROM agg""".stripMargin,
+    "text_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars,
+         |         round(-ln((${hexLongSql("'samp2:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5) / 1000000.0)
+         |               / n_chars, 6) AS key
+         |  FROM documents)
+         |SELECT doc_id, n_chars, round(key, 4) AS skey
+         |FROM k ORDER BY key ASC, doc_id ASC LIMIT 40""".stripMargin,
     "text_vocab_oov" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest(${wordsSql("text")}) AS w FROM documents),
