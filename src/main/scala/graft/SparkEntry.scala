@@ -987,6 +987,11 @@ object SparkEntry {
     // ---- streaming: watermark-bounded dedup-insert ----
     "stream_dedup_insert" -> ((s, dir) =>
       EventStream.runDedupInsertAvailableNow(s, dir)),
+    // ---- streaming curation gate: Gopher core rules on the ingest
+    // path (map-only stream, no state) — survivors' per-lang census
+    // must equal the batch filter's ----
+    "stream_quality_gate" -> ((s, dir) =>
+      EventStream.runQualityGateAvailableNow(s, dir)),
     // ---- streaming ANN-index maintenance: per-micro-batch segment
     // append into the persisted IVF-PQ code table (foreachBatch →
     // IvfPq.appendCodes), recall-gated post-stream ----
@@ -1852,6 +1857,24 @@ object SparkEntry {
         |WHERE session_id < (SELECT max(session_id) FROM c c2 WHERE c2.user_id = c.user_id)""".stripMargin,
     "stream_dedup_insert" ->
       "SELECT DISTINCT md5(text) AS h FROM documents",
+    "stream_quality_gate" ->
+      s"""WITH base AS (SELECT lang, lower(text) AS lt, ${wordsSql("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT lang,
+         |    len(ws) AS n_words,
+         |    round(CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws), 4)
+         |      AS mean_word_len,
+         |    round(((len(lt) - len(replace(lt, '#', '')))
+         |           + (len(lt) - len(replace(lt, '…', '')))
+         |           + (len(lt) - len(replace(lt, '...', ''))) // 3)
+         |          * 1.0 / len(ws), 4) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |          / len(ws), 4) AS alpha_frac
+         |  FROM base)
+         |SELECT lang, count(*) AS n_pass_core FROM m
+         |WHERE (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |  AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+         |GROUP BY 1""".stripMargin,
     "stream_sliding_window" ->
       """WITH w AS (
         |  SELECT u.ws AS window_start, event_type, value FROM events,

@@ -215,6 +215,29 @@ object EventStream {
     runToMemory(deduped.select(col("id").as("h")), "stream_dedup_insert")
   }
 
+  /** Streaming curation gate: the batch Gopher core-quality filter
+    * applied on the INGEST path — a map-only stream (one kernel pass
+    * per row, no state, no watermark), so a 100 TB/day feed filters at
+    * source parallelism before anything downstream pays for the
+    * rejected rows. Returns the per-language pass census over the sunk
+    * survivors, which must equal the batch twin's n_pass_core. */
+  def runQualityGateAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val gated = graft.ops.TextAnalysis
+      .gopherQuality(docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "text")
+      .where(col("r_words") && col("r_wlen") && col("r_symbol") && col("r_alpha"))
+      .select(col("doc_id"), col("lang"))
+    val sunk = runToMemory(gated, "stream_quality_gate")
+    sunk.groupBy(col("lang")).agg(count(lit(1)).as("n_pass_core"))
+  }
+
   /** Sliding-window (1h window / 30m slide) streaming aggregation —
     * each event lands in two overlapping windows. Complete mode like
     * the tumbling twin (final windows never close under AvailableNow

@@ -123,6 +123,20 @@ class StreamingSpec extends SparkSpec with Matchers {
     result.map(_._1).sorted shouldBe (0L until 450L) // no loss
   }
 
+  test("streaming quality gate equals the batch Gopher core filter") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.runQualityGateAvailableNow(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.TextAnalysis.gopherQuality(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text")
+      .where(col("r_words") && col("r_wlen") && col("r_symbol") && col("r_alpha"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed shouldBe batch
+  }
+
   test("streaming ANN append: delta segments searchable post-stream, recall gate holds") {
     val dir = "/root/testdata/sf0.001"
     val (ix, basePath) = SparkEntry.ivfpqBaseIndex(spark, dir)
