@@ -112,4 +112,35 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     mmr.map(_._2).sorted.toSeq shouldBe Seq(1, 2)
   }
+
+  test("round-5 curation operators on degenerate inputs") {
+    import spark.implicits._
+    // semantic dedup: singleton corpus — one cluster, no near-dup pairs
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sd = graft.ops.Dedup.semanticDedup(one, "vec_id", "embedding",
+      graft.ops.Dedup.seedCentroids(one, "vec_id", "embedding", 4), 0.5).collect()
+    core.PlanCache.release(spark)
+    sd.length shouldBe 1
+    sd.head.getAs[Long]("n_members") shouldBe 1L
+    sd.head.getAs[Long]("n_dropped") shouldBe 0L
+    // dsir with ZERO target docs: smoothing keeps log-weights finite;
+    // ranking degrades to least-source-typical first, still total
+    val docs = Seq((1L, "aa bb cc", "x"), (2L, "aa aa aa", "x")).toDF("doc_id", "text", "d")
+    val ds = graft.ops.TextAnalysis.dsirScores(docs, "doc_id", "text",
+      isTarget = lit(false), buckets = 8, topK = 5).collect()
+    core.PlanCache.release(spark)
+    ds.length shouldBe 2
+    ds.foreach(r => assert(!r.getAs[Double]("dsir_score").isNaN))
+    // vocab larger than the token universe: nothing is OOV
+    val vo = graft.ops.TextAnalysis.vocabOov(docs, "doc_id", "d", "text", vocabSize = 1000)
+      .collect()
+    core.PlanCache.release(spark)
+    vo.head.getAs[Double]("max_oov") shouldBe 0.0
+    // cross-shard with empty incoming: no candidates, no rows, no crash
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cs = graft.ops.Dedup.crossShardNearDups(
+      docs.select($"doc_id", $"text"), none, "doc_id", "text", 2, 4, 2, 0.5)
+    cs.count() shouldBe 0L
+    core.PlanCache.release(spark)
+  }
 }
