@@ -776,6 +776,15 @@ object SparkEntry {
     "text_vocab_oov" -> ((s, dir) =>
       TextAnalysis.vocabOov(s.read.parquet(t(dir, "documents")),
         "doc_id", "lang", "text", vocabSize = 30)),
+    // ---- Shannon-entropy quality signals: char-level (repetition /
+    // garbage detector) and token-level (vocabulary collapse detector)
+    // in one codegen kernel pass per row; map-only. ----
+    "text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", graft.functions.TextEntropyExpr.col($"text").as("e"))
+        .select($"doc_id", $"e.h_char", $"e.h_token")
+    }),
     // ---- length-bucketed batching audit: bucket docs by
     // floor(log2(token count)) — the dataloader bucketing that keeps
     // same-batch sequences similar length — and measure the padding
@@ -2625,6 +2634,20 @@ object SparkEntry {
          |       (SELECT count(*) FROM exact) AS n_exact,
          |       (SELECT count(*) FROM clean) AS n_clean,
          |       (SELECT count(*) FROM sel) AS n_selected""".stripMargin,
+    "text_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents),
+         |cf AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         |ct AS (SELECT doc_id, sum(n) AS nn FROM cf GROUP BY 1),
+         |hc AS (SELECT cf.doc_id,
+         |              round(-sum((n::DOUBLE / nn) * ln(n::DOUBLE / nn)), 4) AS h_char
+         |       FROM cf JOIN ct USING (doc_id) GROUP BY 1),
+         |tk AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS n FROM tk GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, sum(n) AS nn FROM tf GROUP BY 1),
+         |ht AS (SELECT tf.doc_id,
+         |              round(-sum((n::DOUBLE / nn) * ln(n::DOUBLE / nn)), 4) AS h_token
+         |       FROM tf JOIN tt USING (doc_id) GROUP BY 1)
+         |SELECT doc_id, h_char, h_token FROM hc JOIN ht USING (doc_id)""".stripMargin,
     "text_length_buckets" ->
       s"""WITH toks AS (
          |  SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens

@@ -175,6 +175,29 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     out("g2")._3 shouldBe 1.0 // doc 3: every token OOV
   }
 
+  test("entropy kernel: repetition scores low, diverse text high, code points count once") {
+    import spark.implicits._
+    import graft.functions.TextEntropyExpr
+    val df = Seq(
+      (1L, "aaaa aaaa aaaa aaaa"),              // repetition: low char AND token entropy
+      (2L, "the quick brown fox jumps over it"), // diverse: high both
+      (3L, "Qx7Zp9Kf3Lm2Vb8Rt4Ww Qx7Zp9Kf3Lm2Vb8Rt4Ww") // blob twice: high char, LOW token
+    ).toDF("doc_id", "text")
+    val e = df.select($"doc_id", TextEntropyExpr.col($"text").as("e"))
+      .select($"doc_id", $"e.h_char", $"e.h_token")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    e(1L)._1 should be < e(2L)._1   // char entropy: repetition < diverse
+    e(1L)._2 shouldBe 0.0           // one distinct token
+    e(3L)._1 should be > e(1L)._1   // blob chars are diverse
+    e(3L)._2 shouldBe 0.0           // but its token distribution collapsed
+    // astral code points count once each (not as surrogate pairs):
+    // 4 distinct emoji, uniform -> ln 4
+    val emoji = Seq((9L, "🎉🚀🌍🎯")).toDF("doc_id", "text")
+    val he = emoji.select(TextEntropyExpr.col($"text").as("e")).select($"e.h_char")
+      .head().getDouble(0)
+    he shouldBe (math.log(4.0) +- 1e-3)
+  }
+
   test("curation funnel counts are monotonically non-increasing") {
     val r = SparkEntry.queries("pipeline_curation")(spark, "/root/testdata/sf0.001").head()
     core.PlanCache.release(spark)
