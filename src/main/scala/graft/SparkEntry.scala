@@ -363,6 +363,29 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       Similarity.bruteTopK(emb.where($"vec_id" < 10), emb, k = 3)
     }),
+    // ---- embedding-space class statistics: per-label centroid (one
+    // element-wise aggregate over a posexplode — (label, dim)-keyed,
+    // never a driver collect) and the intra-class dispersion census —
+    // the standard training-data embedding diagnostic (collapsed or
+    // overlapping classes show up as dispersion outliers). Centroids
+    // are 64-float rows broadcast back for the distance pass. ----
+    "sim_class_stats" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val comp = e.select($"label", posexplode($"embedding").as(Seq("i", "x")))
+        .groupBy($"label", $"i").agg(avg($"x".cast("double")).as("v"))
+      val cent = comp.groupBy($"label")
+        .agg(array_sort(collect_list(struct($"i", $"v"))).as("sv"))
+        .select($"label", expr("transform(sv, s -> cast(s.v as float))").as("c"))
+      e.join(broadcast(cent), "label")
+        .select($"label",
+          RoundPortableExpr.r(
+            graft.functions.VectorFunctions.cosineDistance($"embedding", $"c"), 4).as("dist"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          RoundPortableExpr.r(avg($"dist"), 4).as("mean_dist"),
+          RoundPortableExpr.r(max($"dist"), 4).as("max_dist"))
+    }),
     // ---- JL sign random projection (Achlioptas 2003) + neighbor-
     // preservation audit: project 64 → 32 dims with a stored-nothing
     // md5-derived ±1 matrix (one codegen kernel pass), then measure
@@ -2504,6 +2527,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
          |       CAST(sum(span_len) AS BIGINT) AS dup_tokens
          |FROM agg GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "sim_class_stats" ->
+      """WITH comp AS (
+        |  SELECT label, t.i AS i, avg(CAST(embedding[t.i + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) t(i) GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list_transform(list(v ORDER BY i), x -> CAST(x AS REAL)) AS c
+        |  FROM comp GROUP BY 1),
+        |d AS (
+        |  SELECT e.label,
+        |         round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                          CAST(c AS DOUBLE[])), 4) AS dist
+        |  FROM embeddings e JOIN cent USING (label))
+        |SELECT label, count(*) AS n_vecs, round(avg(dist), 4) AS mean_dist,
+        |       round(max(dist), 4) AS max_dist
+        |FROM d GROUP BY 1""".stripMargin,
     "sim_rp_project" ->
       s"""WITH proj AS (
          |  SELECT vec_id, ${graft.functions.RpProjectExpr.sql("embedding", 64, 32)} AS p
