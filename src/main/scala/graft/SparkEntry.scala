@@ -799,6 +799,48 @@ object SparkEntry {
     "text_vocab_oov" -> ((s, dir) =>
       TextAnalysis.vocabOov(s.read.parquet(t(dir, "documents")),
         "doc_id", "lang", "text", vocabSize = 30)),
+    // ---- unigram-LM negative log likelihood (the ccnet/KenLM-style
+    // perplexity proxy): fit an add-1-smoothed unigram model on the
+    // corpus (token-keyed count shuffle + ONE broadcast stats row —
+    // never a driver-side vocabulary), score each doc by mean token
+    // NLL. High NLL = rare-token soup; low = boilerplate. ----
+    "text_unigram_nll" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", explode(ops.TextPrimitives.words($"text")).as("w")))
+      val cnt = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      val st = cnt.agg(sum($"c").as("nn"), count(lit(1)).as("v"))
+      val lm = cnt.crossJoin(broadcast(st))
+        .select($"w", (-log(($"c" + 1).cast("double") / ($"nn" + $"v"))).as("nl"))
+      toks.join(lm, "w")
+        .groupBy($"doc_id")
+        .agg(RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("nll"))
+    }),
+    // ---- embedding backfill: fill ONLY the rows missing a vector
+    // (here: a modulo-carved 25% gap), keep existing vectors untouched
+    // — the incremental-embed operational pattern (re-embedding 100 TB
+    // because 2% is new is the classic pipeline mistake). The census
+    // pins both populations' VALUES via a per-source component sum. ----
+    "vdb_embed_backfill" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"source", $"text")
+      val existing = s.read.parquet(t(dir, "embeddings"))
+        .where(pmod($"vec_id", lit(4)) =!= 0)
+        .select($"vec_id".as("doc_id"), $"embedding".as("existing"))
+      val joined = docs.join(existing, Seq("doc_id"), "left")
+      val filled = graft.embed.EmbedOps
+        .withEmbedding(joined.where($"existing".isNull).select($"doc_id", $"source", $"text"),
+          "text", "hashing")
+        .select($"doc_id", $"source", $"embedding", lit(true).as("backfilled"))
+      val kept = joined.where($"existing".isNotNull)
+        .select($"doc_id", $"source", $"existing".as("embedding"), lit(false).as("backfilled"))
+      kept.unionByName(filled)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"backfilled", 1L).otherwise(0L)).as("n_backfilled"),
+          RoundPortableExpr.r(sum(element_at($"embedding", 1).cast("double")), 4).as("dim0_sum"))
+    }),
     // ---- Shannon-entropy quality signals: char-level (repetition /
     // garbage detector) and token-level (vocabulary collapse detector)
     // in one codegen kernel pass per row; map-only. ----
@@ -2672,6 +2714,28 @@ object SparkEntry {
          |       (SELECT count(*) FROM exact) AS n_exact,
          |       (SELECT count(*) FROM clean) AS n_clean,
          |       (SELECT count(*) FROM sel) AS n_selected""".stripMargin,
+    "text_unigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
+         |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         |st AS (SELECT sum(c) AS nn, count(*) AS v FROM cnt),
+         |lm AS (SELECT w, -ln((c + 1)::DOUBLE / (nn + v)) AS nl FROM cnt, st)
+         |SELECT doc_id, round(sum(nl) / count(*), 4) AS nll
+         |FROM toks JOIN lm USING (w) GROUP BY 1""".stripMargin,
+    "vdb_embed_backfill" ->
+      s"""WITH ex AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+         |miss AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |         LEFT JOIN ex USING (doc_id) WHERE ex.doc_id IS NULL),
+         |acc AS (SELECT doc_id, source, ${hashingEmbedAccSql("text", 64)} AS a FROM miss),
+         |fill AS (SELECT doc_id, source, ${hashingEmbedNormSql("a")} AS embedding,
+         |                true AS backfilled FROM acc),
+         |kept AS (SELECT d.doc_id, d.source, ex.embedding, false AS backfilled
+         |         FROM documents d JOIN ex USING (doc_id)),
+         |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM fill)
+         |SELECT source, count(*) AS n_total,
+         |       CAST(sum(CASE WHEN backfilled THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+         |       round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS dim0_sum
+         |FROM allr GROUP BY 1""".stripMargin,
     "text_entropy" ->
       s"""WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents),
          |cf AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),

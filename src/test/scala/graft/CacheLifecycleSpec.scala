@@ -27,7 +27,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
     val names = Seq("search_bm25", "search_hybrid_rrf", "search_mmr",
       "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_substring",
       "dedup_semantic", "text_dsir_select", "text_vocab_oov", "dedup_cross_shard",
-      "pipeline_curation", "sim_rp_project",
+      "pipeline_curation", "sim_rp_project", "text_unigram_nll",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
       "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
       "ann_ivfpq_incremental", "stream_ann_append")
