@@ -102,4 +102,42 @@ class PropertySpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("entropy kernel: bounds, permutation invariance, uniform maximum") {
+    import graft.functions.TextEntropyExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = TextEntropyExpr(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(lit("x")))
+    val tokGen = Gen.listOfN(30, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    samples(tokGen, 150, 7L).foreach { toks =>
+      val text = toks.mkString(" ")
+      val row = kernel.compute(UTF8String.fromString(text))
+      val hTok = row.getDouble(1)
+      val distinct = toks.distinct.size
+      // 0 <= H <= ln(number of distinct tokens)
+      hTok should (be >= 0.0 and be <= math.log(distinct.toDouble) + 1e-9)
+      // permutation invariance: entropy depends on the multiset only
+      val shuffled = toks.reverse.mkString(" ")
+      kernel.compute(UTF8String.fromString(shuffled)).getDouble(1) shouldBe hTok
+    }
+    // uniform distribution attains the ln(n) maximum
+    val uni = kernel.compute(UTF8String.fromString("aa bb cc dd ee"))
+    uni.getDouble(1) shouldBe (math.log(5.0) +- 1e-3)
+  }
+
+  test("sign projection: linearity and sign flip") {
+    import graft.functions.RpProjectExpr
+    val kernel = RpProjectExpr(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(lit("x")), 16, 8)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5f, 5f))
+    samples(vecGen, 150, 8L).foreach { v =>
+      val p = kernel.computeProjection(arr(v)).toFloatArray()
+      val p2 = kernel.computeProjection(arr(v.map(x => -x))).toFloatArray()
+      // P(-v) = -P(v) exactly (sign matrix is linear)
+      p.zip(p2).foreach { case (a, b) => (a + b) shouldBe 0.0f }
+      // each component bounded by the l1 norm
+      val l1 = v.map(math.abs(_)).sum.toDouble
+      p.foreach(c => math.abs(c.toDouble) should be <= l1 + 1e-3)
+    }
+  }
 }
