@@ -799,6 +799,26 @@ object SparkEntry {
     "text_vocab_oov" -> ((s, dir) =>
       TextAnalysis.vocabOov(s.read.parquet(t(dir, "documents")),
         "doc_id", "lang", "text", vocabSize = 30)),
+    // ---- adaptive quality threshold: instead of a fixed cutoff, drop
+    // the bottom quartile PER LANGUAGE (fixed thresholds over-filter
+    // low-resource slices — the standard stratified-threshold fix).
+    // Exact per-group percentile (one partial-aggregable pass), the
+    // #langs-row threshold table broadcast back. ----
+    "text_quality_adaptive" -> ((s, dir) => {
+      import s.implicits._
+      val q = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", $"lang",
+            graft.functions.TextProfileExpr.col($"text",
+              TextAnalysis.stopwords, TextAnalysis.langs).getField("quality").as("q")))
+      val thr = q.groupBy($"lang")
+        .agg(RoundPortableExpr.r(expr("percentile(q, 0.25)"), 6).as("thr"))
+      q.join(broadcast(thr), "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          RoundPortableExpr.r(first($"thr"), 4).as("thr_q25"),
+          sum(when($"q" < $"thr", 1L).otherwise(0L)).as("n_below"))
+    }),
     // ---- unigram-LM negative log likelihood (the ccnet/KenLM-style
     // perplexity proxy): fit an add-1-smoothed unigram model on the
     // corpus (token-keyed count shuffle + ONE broadcast stats row —
@@ -2714,6 +2734,15 @@ object SparkEntry {
          |       (SELECT count(*) FROM exact) AS n_exact,
          |       (SELECT count(*) FROM clean) AS n_clean,
          |       (SELECT count(*) FROM sel) AS n_selected""".stripMargin,
+    "text_quality_adaptive" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, ${TextAnalysis.qualityExprSql("ltext", "ws")} AS q
+         |  FROM (SELECT doc_id, lang, lower(text) AS ltext, ${wordsSql("text")} AS ws
+         |        FROM documents)),
+         |thr AS (SELECT lang, round(quantile_cont(q, 0.25), 6) AS thr FROM q GROUP BY 1)
+         |SELECT q.lang, count(*) AS n_docs, round(any_value(thr), 4) AS thr_q25,
+         |       CAST(sum(CASE WHEN q.q < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+         |FROM q JOIN thr USING (lang) GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),

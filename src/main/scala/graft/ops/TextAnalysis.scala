@@ -47,15 +47,30 @@ object TextAnalysis {
       s"ELSE length(regexp_replace($textSql, '[^a-z0-9]', '', 'g'))::DOUBLE / $nChars END"
     val stopRatio =
       s"len(list_filter($wsSql, w -> w IN (${stopwords("en").map(s => s"'$s'").mkString(", ")})))::DOUBLE / $nWords"
-    // CAST(... AS DOUBLE) everywhere: DuckDB parses bare 0.3 as DECIMAL,
-    // Spark as double — the arithmetic must match bit-for-bit.
-    val lenScore = s"CASE WHEN $nChars BETWEEN 100 AND 2000 THEN CAST(1.0 AS DOUBLE) WHEN $nChars BETWEEN 30 AND 99 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END"
-    val wordScore = s"CASE WHEN $meanWordLen BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END"
     s"""$nWords AS n_words,
        |round($meanWordLen, 4) AS mean_word_len,
        |round($alnumRatio, 4) AS alnum_ratio,
        |round($stopRatio, 4) AS stop_ratio,
-       |round($lenScore * CAST(0.3 AS DOUBLE) + $wordScore * CAST(0.2 AS DOUBLE) + $alnumRatio * CAST(0.3 AS DOUBLE) + $stopRatio * CAST(0.2 AS DOUBLE), 4) AS quality""".stripMargin
+       |${qualityExprSql(textSql, wsSql)} AS quality""".stripMargin
+  }
+
+  /** Just the rounded quality blend (the `quality` column of
+    * [[qualitySqlSelect]]) as a standalone expression, for twins that
+    * aggregate over the score rather than projecting the full profile. */
+  def qualityExprSql(textSql: String, wsSql: String): String = {
+    val nChars = s"length($textSql)"
+    val nWords = s"len($wsSql)"
+    val meanWordLen = s"($nChars - $nWords + 1)::DOUBLE / $nWords"
+    val alnumRatio = s"CASE WHEN $nChars = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE length(regexp_replace($textSql, '[^a-z0-9]', '', 'g'))::DOUBLE / $nChars END"
+    val stopRatio =
+      s"len(list_filter($wsSql, w -> w IN (${stopwords("en").map(s => s"'$s'").mkString(", ")})))::DOUBLE / $nWords"
+    // CAST(... AS DOUBLE) everywhere: DuckDB parses bare 0.3 as DECIMAL,
+    // Spark as double — the arithmetic must match bit-for-bit.
+    val lenScore = s"CASE WHEN $nChars BETWEEN 100 AND 2000 THEN CAST(1.0 AS DOUBLE) WHEN $nChars BETWEEN 30 AND 99 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END"
+    val wordScore = s"CASE WHEN $meanWordLen BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END"
+    s"round($lenScore * CAST(0.3 AS DOUBLE) + $wordScore * CAST(0.2 AS DOUBLE) + " +
+      s"$alnumRatio * CAST(0.3 AS DOUBLE) + $stopRatio * CAST(0.2 AS DOUBLE), 4)"
   }
 
   /** Token counts (oracle twin): whitespace words plus a BPE-ish subword
