@@ -456,6 +456,69 @@ object SparkEntry {
         .select($"doc_id", $"chunk_idx", size($"chunk").as("n_tokens"),
           md5(array_join($"chunk", " ")).as("chunk_md5"))
     }),
+    // ---- C4-style line-rule filter (Raffel et al. 2020 §2.2): drop
+    // lines failing word-count / required-token / blocklist rules, then
+    // docs with too few surviving lines. Entirely map-side — one
+    // codegen'd projection, no shuffle. Lines are synthesized 8-word
+    // groups (the fixture is single-line); the rule machinery is the
+    // operator, the delimiter a parameter. ----
+    "text_line_filter" -> ((s, dir) =>
+      ops.LineCuration.c4LineFilter(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", lw = 8, minWords = 3,
+        required = Seq("the", "a"), blocked = Seq("slow"), minKeptLines = 2)),
+    // ---- RefinedWeb-style boilerplate line removal (Penedo et al. 2023
+    // §3.3): lines appearing in > 3% of documents are chrome/banners —
+    // dropped from every doc. One df-count shuffle with map-side
+    // combine; the frequent set is small by construction and broadcasts
+    // back. Relative threshold (integer compare) so the operator is
+    // scale-invariant. ----
+    "dedup_lines" -> ((s, dir) =>
+      ops.LineCuration.boilerplateLineDedup(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", lw = 2, pctDocs = 3)),
+    // ---- tokenizer-fertility audit per language: subword fertility
+    // (bpe/ws token ratio) and chars-per-token — the pre-training
+    // census that decides tokenizer fit per language (high fertility =
+    // wasted context window). One kernel pass + one small groupBy. ----
+    "text_fertility" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select($"lang", $"n_chars",
+          graft.functions.TextProfileExpr.col($"text",
+            TextAnalysis.stopwords, TextAnalysis.langs).as("p"))
+        .select($"lang", $"n_chars", $"p.ws_tokens", $"p.bpe_tokens")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          RoundPortableExpr.r(
+            avg($"bpe_tokens".cast("double") / $"ws_tokens"), 4).as("fertility"),
+          RoundPortableExpr.r(
+            avg($"n_chars".cast("double") / $"bpe_tokens"), 4).as("chars_per_token"),
+          sum(when($"bpe_tokens" > $"ws_tokens", 1).otherwise(0)).cast("int")
+            .as("n_subword_split"))
+    }),
+    // ---- cluster-balanced downsampling (DataComp/DoReMi-style bucket
+    // rebalance): hash embeddings into 256 sign-projection cells (8-dim
+    // JL projection — stored-nothing md5 matrix), cap each cell at 8
+    // docs by deterministic hash rank. Map-side cell assignment, ONE
+    // shuffle on the cell id shared by the window rank and the census
+    // aggregate. At corpus scale raise the projection dims so cells
+    // stay ~constant-sized (cells = 2^dims). ----
+    "sim_cluster_balance" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cap = 8
+      s.read.parquet(t(dir, "embeddings"))
+        .select($"vec_id",
+          graft.functions.RpProjectExpr.col($"embedding", 64, 8).as("p"))
+        .withColumn("bucket", expr(
+          "cast(aggregate(transform(p, (x, j) -> if(x > cast(0.0 as float), shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b) as int)"))
+        .withColumn("r", hexLong(concat(lit("cb:"), $"vec_id".cast("string"))))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"bucket").orderBy($"r", $"vec_id")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).cast("int").as("n_before"),
+          sum(when($"rn" <= cap, 1).otherwise(0)).cast("int").as("n_kept"),
+          expr(s"bit_xor(case when rn <= $cap then vec_id end)").as("kept_xor"))
+    }),
     // ---- stable global row numbers WITHOUT the single-partition sort:
     // range partition + per-partition counts + broadcast prefix sums
     // (two passes, no stage ever holds more than one partition — the
@@ -2028,6 +2091,62 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    "text_line_filter" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${lineGroupsSql("ws", 8)} AS lg FROM w),
+         |k AS (SELECT doc_id, lg,
+         |             list_filter(lg, l -> len(l) >= 3
+         |               AND len(list_intersect(l, ['the', 'a'])) > 0
+         |               AND NOT list_contains(l, 'slow')) AS kept
+         |      FROM g)
+         |SELECT doc_id, CAST(len(lg) AS INTEGER) AS n_lines,
+         |       CAST(len(kept) AS INTEGER) AS n_kept,
+         |       CAST(CASE WHEN len(kept) >= 2 THEN 1 ELSE 0 END AS INTEGER) AS doc_pass,
+         |       md5(coalesce(array_to_string(list_transform(kept, l -> array_to_string(l, ' ')),
+         |                                    chr(10)), '')) AS cleaned_md5
+         |FROM k""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |l AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+         |             array_to_string(ws[CAST(t.i * 2 + 1 AS INTEGER):CAST(t.i * 2 + 2 AS INTEGER)], ' ') AS line
+         |      FROM w, unnest(range(CAST(ceil(len(ws) / 2.0) AS BIGINT))) t(i)),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |f AS (SELECT line FROM l GROUP BY line
+         |      HAVING count(DISTINCT doc_id) * 100 > (SELECT n_docs FROM tot) * 3)
+         |SELECT l.doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+         |       CAST(sum(CASE WHEN f.line IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |       md5(coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+         |                               chr(10) ORDER BY l.pos), '')) AS kept_md5
+         |FROM l LEFT JOIN f ON l.line = f.line
+         |GROUP BY l.doc_id""".stripMargin,
+    "text_fertility" ->
+      s"""WITH tok AS (
+         |  SELECT lang, n_chars, ${TextAnalysis.tokenSqlSelect("ltext", "ws")}
+         |  FROM (SELECT lang, n_chars, lower(text) AS ltext, ${wordsSql("text")} AS ws
+         |        FROM documents))
+         |SELECT lang, count(*) AS n_docs,
+         |       round(avg(bpe_tokens::DOUBLE / ws_tokens), 4) AS fertility,
+         |       round(avg(n_chars::DOUBLE / bpe_tokens), 4) AS chars_per_token,
+         |       CAST(sum(CASE WHEN bpe_tokens > ws_tokens THEN 1 ELSE 0 END) AS INTEGER)
+         |         AS n_subword_split
+         |FROM tok GROUP BY 1""".stripMargin,
+    "sim_cluster_balance" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, ${graft.functions.RpProjectExpr.sql("embedding", 64, 8)} AS p
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |         CAST(list_sum(list_transform(range(8),
+         |           j -> CASE WHEN p[CAST(j + 1 AS INTEGER)] > 0 THEN 1 << j ELSE 0 END))
+         |           AS INTEGER) AS bucket,
+         |         ${hexLongSql("'cb:' || CAST(vec_id AS VARCHAR)")} AS r
+         |  FROM proj),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY r, vec_id) AS rn
+         |       FROM b)
+         |SELECT bucket, CAST(count(*) AS INTEGER) AS n_before,
+         |       CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |       bit_xor(CASE WHEN rn <= 8 THEN vec_id END) AS kept_xor
+         |FROM rk GROUP BY 1""".stripMargin,
     "q_global_rownum" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,

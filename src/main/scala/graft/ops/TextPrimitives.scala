@@ -33,6 +33,19 @@ object TextPrimitives {
   def hexLong(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Fixed-width word-group "lines": the fixture's documents are
+    * single-line, so line structure (for line-level curation ops — C4
+    * rule filters, RefinedWeb boilerplate removal) is synthesized
+    * deterministically as groups of `lw` consecutive words, identically
+    * on both engines. Returns array&lt;array&lt;string&gt;&gt;; the
+    * trailing group may be short. Pure per-row builtin higher-order
+    * functions — map-side, codegen'd, no shuffle. */
+  def lineGroups(ws: Column, lw: Int): Column =
+    when(size(ws) === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(ws).cast("double") / lw).cast("int") - 1),
+        i => slice(ws, i * lw + 1, lit(lw))))
+
   /** Jaccard similarity of two distinct-element arrays (builtin set ops,
     * fully codegen'd). Total function: two empty sets → 0.0 (not a
     * divide-by-zero — ANSI mode would throw on short/empty docs). */
@@ -45,6 +58,13 @@ object TextPrimitives {
   def wordsSql(text: String): String = s"regexp_split_to_array(lower($text), '\\s+')"
 
   def hexLongSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[lineGroups]] (DuckDB list slices are 1-based and
+    * end-inclusive, truncating past the end — same as Spark's
+    * `slice(arr, start, length)`). */
+  def lineGroupsSql(ws: String, lw: Int): String =
+    s"list_transform(range(CAST(ceil(len($ws) / $lw.0) AS BIGINT)), " +
+      s"i -> $ws[CAST(i * $lw + 1 AS INTEGER):CAST(i * $lw + $lw AS INTEGER)])"
 
   def shinglesSql(ws: String, n: Int): String = {
     val gram = (0 until n).map(o => s"$ws[i + ${o + 1}]").mkString(" || ' ' || ")

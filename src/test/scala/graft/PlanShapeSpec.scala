@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
     "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
     "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
-    "text_pack")
+    "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -224,5 +224,28 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should include("pmod(doc_id")
     // candidate generation joins band+key equality, never id inequality alone
     (p.contains("band") && p.contains("key")) shouldBe true
+  }
+
+  test("c4 line filter is pure map-side: one scan, no exchange, no generate") {
+    val p = physical("text_line_filter")
+    p should not include "Exchange"
+    p should not include "Generate"
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("boilerplate line dedup broadcasts the frequent set back") {
+    val p = physical("dedup_lines")
+    // removal flag join: frequent (small) side broadcast, never shuffled
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // df count partial-aggregates map-side before its shuffle
+    p should include("partial_count(distinct")
+  }
+
+  test("cluster balance: census reuses the window's bucket partitioning") {
+    val plan = SparkEntry.queries("sim_cluster_balance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one shuffle on bucket feeds both the rank window and the final agg
+    "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).size shouldBe 1
   }
 }
