@@ -439,6 +439,50 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 32)
       ops.Containment.containmentJoin(sk.where($"doc_id" < 20), sk, k = 32, threshold = 0.2)
     }),
+    // ---- ε-radius search: the range query of the vector-search
+    // surface — all neighbors within distance ε, exact, one map-side
+    // broadcast-panel pass (no top-k heap state). ε=0.72 ≈ the 1%
+    // distance quantile on the fixture. ----
+    "sim_range_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.rangeSearch(emb.where($"vec_id" < 5), emb, eps = 0.72)
+    }),
+    // ---- dedup threshold-sensitivity census: decile histogram of
+    // exact shingle-Jaccard over the blocked candidate pairs — the
+    // audit that sizes a dedup threshold before committing the merge.
+    // Same (block, shingle) equi-join shape as dedup_jaccard_block. ----
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.jaccardHistogram(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, blockCol = Some("source"))),
+    // ---- merge-on-read delete lifecycle: tombstone side table (the
+    // Iceberg/Delta delete-file pattern — O(matched) delete cost, no
+    // data rewrite), reads anti-join the broadcast tombstones, vacuum
+    // makes it physical. The census pins the contract: delete hides
+    // rows; a tombstoned id cannot resurrect until vacuum. ----
+    "vdb_delete" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-del").toString
+      val tbl = new graft.table.VectorTable(s, s"$wh/docs", 64).create()
+      val docs = s.read.parquet(t(dir, "documents")).where($"doc_id" < 400)
+      val rows = graft.embed.EmbedOps.withEmbedding(
+          docs.select($"doc_id", $"text", $"lang"), "text", "hashing", Map("dim" -> "64"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang")).as("metadata"), $"embedding")
+      tbl.insert(rows)
+      val before = tbl.numRows
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val afterDelete = tbl.numRows
+      tbl.insert(rows.where(get_json_object($"metadata", "$.lang") === "de"))
+      val afterReinsert = tbl.numRows // unchanged: tombstoned ids stay occupied
+      tbl.vacuum()
+      val afterVacuum = tbl.numRows
+      val xor = tbl.df.agg(expr("bit_xor(cast(id as bigint))")).head().getLong(0)
+      val out = Seq((before, afterDelete, afterReinsert, afterVacuum, xor))
+        .toDF("n_before", "n_after_delete", "n_after_reinsert", "n_after_vacuum", "id_xor")
+      tbl.drop()
+      out
+    }),
     // ---- token-window chunking: the doc→chunk explosion every
     // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
     // window − stride). Generator shape: chunks are born map-side from
@@ -2091,6 +2135,35 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    "sim_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, c.vec_id AS neighbor_id,
+        |       round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |FROM embeddings c, q
+        |WHERE c.vec_id <> q.query_id
+        |  AND round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                       CAST(q.embedding AS DOUBLE[])), 4) <= 0.72""".stripMargin,
+    "dedup_threshold_sweep" -> {
+      val base = s"SELECT doc_id, source, ${shinglesSql("ws", 3)} AS sh " +
+        s"FROM (SELECT doc_id, source, ${wordsSql("text")} AS ws FROM documents)"
+      s"""WITH base AS ($base),
+         |p AS (
+         |  SELECT round(${jaccardSql("a.sh", "b.sh")}, 4) AS jaccard
+         |  FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(${jaccardSql("a.sh", "b.sh")}, 4) >= 0.0001)
+         |SELECT CAST(floor(least(jaccard, 0.9999) * 10) AS INTEGER) AS decile,
+         |       count(*) AS n_pairs
+         |FROM p GROUP BY 1""".stripMargin
+    },
+    "vdb_delete" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 400),
+        |vis AS (SELECT * FROM base WHERE lang <> 'de')
+        |SELECT (SELECT count(*) FROM base) AS n_before,
+        |       (SELECT count(*) FROM vis) AS n_after_delete,
+        |       (SELECT count(*) FROM vis) AS n_after_reinsert,
+        |       (SELECT count(*) FROM vis) AS n_after_vacuum,
+        |       (SELECT bit_xor(doc_id) FROM vis) AS id_xor""".stripMargin,
     "text_line_filter" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |g AS (SELECT doc_id, ${lineGroupsSql("ws", 8)} AS lg FROM w),

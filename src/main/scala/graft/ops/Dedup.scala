@@ -61,6 +61,21 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Dedup threshold-sensitivity census: the decile histogram of exact
+    * n-gram Jaccard over the blocked candidate pairs — the one-pass
+    * audit run BEFORE committing to a dedup threshold (how many pairs
+    * would each threshold merge?). Same shuffle shape as
+    * [[jaccardPairs]] (equi-join on (block, shingle), never all-pairs);
+    * the histogram aggregation adds one tiny 10-key groupBy. The decile
+    * floor is computed from the SAME rounded double both engines
+    * produce, so bucket edges agree bit-for-bit. */
+  def jaccardHistogram(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, blockCol: Option[String]): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, threshold = 1e-4, blockCol)
+      .groupBy(floor(least(col("jaccard"), lit(0.9999)) * 10).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** MinHash signatures (k salted-md5 minima over n-gram shingles). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
     df.select(col(idCol), TextExprs.shingles(col(textCol), n).as("sh"))

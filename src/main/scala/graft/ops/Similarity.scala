@@ -148,6 +148,27 @@ object Similarity {
       .drop("rank")
   }
 
+  /** ε-radius search (the range query of the vector-search literature —
+    * "all neighbors within distance ε", the other half of the top-k
+    * surface): exact, one map-side pass. The query panel broadcasts;
+    * every candidate row is scored and filtered in place — no window
+    * state, no top-k heaps, output size is data-dependent. At 100 TB
+    * this is a full scan per panel by design (exact semantics); the
+    * approximate path for large ε workloads is the LSH-bucketed
+    * variant, same trade as [[lshBucketTopK]] vs [[bruteTopK]]. */
+  def rangeSearch(
+      queries: DataFrame, candidates: DataFrame, eps: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
+          .as("distance"))
+      .where(col("distance") <= eps)
+  }
+
   /** Bucket ids per hash table: `buckets` array<long>, index = table.
     * Hyperplanes are derived deterministically from `seed` inside
     * [[graft.functions.LshBucketsExpr]] (a native codegen expression),

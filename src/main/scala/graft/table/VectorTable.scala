@@ -97,16 +97,62 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def drop(): Unit = {
     if (exists) fs.delete(hadoopPath, true)
     fs.delete(metaPath, false)
+    fs.delete(tombPath, true)
   }
 
   def exists: Boolean = fs.exists(hadoopPath)
 
-  /** The table as a DataFrame. Schema pinned so an empty table still
-    * reads with the contract schema (extended with the bucket column
-    * when an ANN index is present). */
-  def df: DataFrame = {
+  // ---- merge-on-read row deletes (tombstone side table) ----
+
+  private def tombPath = new Path(root + ".tombstones")
+
+  /** The raw on-disk rows, tombstones NOT applied. Schema pinned so an
+    * empty table still reads with the contract schema (extended with
+    * the bucket column when an ANN index is present). */
+  private def rawDf: DataFrame = {
     val schema = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
     spark.read.schema(schema).parquet(root)
+  }
+
+  /** The table as a DataFrame: raw rows minus tombstoned ids. The
+    * anti-join build side is the tombstone id list — small relative to
+    * the data by the same argument as every delete-file design, so it
+    * broadcasts and reads stay one map-side pass. */
+  def df: DataFrame =
+    if (!fs.exists(tombPath)) rawDf
+    else rawDf.join(
+      broadcast(spark.read.parquet(tombPath.toString)),
+      Seq(VectorSchema.ID), "left_anti")
+
+  /** Merge-on-read delete (the Iceberg/Delta delete-file pattern): ids
+    * matching `cond` are appended to a tombstone side table; reads
+    * anti-join them out. Cost is O(matched ids) — a delete touching
+    * 0.1% of a 100 TB table must not rewrite the other 99.9%.
+    *
+    * Contract: a tombstoned id stays occupied — `insert` skips it (the
+    * id is still present on disk) — until [[vacuum]] makes the delete
+    * physical. Resurrecting an id before vacuum would need per-file
+    * sequence numbers to avoid un-hiding the old row; single-writer
+    * scope (SURVEY.md §7.4) keeps the simpler contract. */
+  def delete(cond: org.apache.spark.sql.Column): this.type = {
+    df.where(cond).select(VectorSchema.ID)
+      .write.mode("append").parquet(tombPath.toString)
+    this
+  }
+
+  /** Folds tombstones into the data: one rewrite of the surviving rows,
+    * then the tombstone table is dropped. The compaction half of
+    * merge-on-read — run it when the tombstone fraction makes the
+    * read-side anti-join worth reclaiming. */
+  def vacuum(): this.type = {
+    if (fs.exists(tombPath)) {
+      val tmp = new Path(root + "__vacuum")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(hadoopPath, true)
+      fs.rename(tmp, hadoopPath)
+      fs.delete(tombPath, true)
+    }
+    this
   }
 
   /** Dedup insert — the reference's `INSERT … ON CONFLICT (id) DO NOTHING`
@@ -138,8 +184,10 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     // anti-join unconditionally: against an empty table it is an
     // identity with a near-zero build side, and skipping it would cost
     // a driver-side existence job (df.isEmpty) on EVERY insert — at
-    // scale the constant join beats the extra action.
-    val fresh = deduped.join(df.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
+    // scale the constant join beats the extra action. Joins RAW ids
+    // (tombstones included): a deleted id stays occupied until vacuum —
+    // see [[delete]].
+    val fresh = deduped.join(rawDf.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
     fresh.write.mode("append").parquet(root)
   }
 
@@ -152,6 +200,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * built as part of the bulk-load path (duckvdb.py:45). */
   def loadFromParquet(path: String, buildIndex: Boolean = false): Unit = {
     fs.delete(metaPath, false)
+    fs.delete(tombPath, true)
     spark.read.parquet(path)
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .write.mode("overwrite").parquet(root)

@@ -158,4 +158,18 @@ class DedupSpec extends SparkSpec with Matchers {
     hit.getAs[Long]("n_matches") shouldBe 2L      // matches BOTH existing twins
     hit.getAs[Double]("best_jaccard") shouldBe 1.0
   }
+
+  test("jaccardHistogram buckets candidate pairs by decile, identical pair in decile 9") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // identical → j = 1.0 → decile 9
+      (3L, "alpha beta gamma nine ten eleven"),      // partial overlap with 1/2
+      (4L, "unrelated words entirely different here now")
+    ).toDF("doc_id", "text")
+    val h = Dedup.jaccardHistogram(df, "doc_id", "text", n = 3, blockCol = None)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    h(9) shouldBe 1L                         // the identical pair, capped into decile 9
+    h.values.sum shouldBe 3L                 // (1,2), (1,3), (2,3); doc 4 shares nothing
+  }
 }

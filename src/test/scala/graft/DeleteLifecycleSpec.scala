@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.core.VectorSchema
+import graft.table.VectorTable
+
+class DeleteLifecycleSpec extends SparkSpec with Matchers {
+
+  private def mkRows(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toString, s"""{"k":$i}""", Array.fill(4)(i.toFloat)))
+      .toDF(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
+  }
+
+  private def freshTable(name: String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    new VectorTable(spark, s"$wh/t", 4).create()
+  }
+
+  test("delete hides matching rows; data files are not rewritten") {
+    val tbl = freshTable("del1")
+    tbl.insert(mkRows(0 until 10))
+    val filesBefore = new java.io.File(tbl.root).listFiles().map(_.getName).toSet
+    tbl.delete(col(VectorSchema.ID).cast("int") < 3)
+    tbl.numRows shouldBe 7
+    new java.io.File(tbl.root).listFiles().map(_.getName).toSet shouldBe filesBefore
+    tbl.drop()
+  }
+
+  test("tombstoned id cannot resurrect until vacuum; vacuum makes delete physical") {
+    val tbl = freshTable("del2")
+    tbl.insert(mkRows(0 until 10))
+    tbl.delete(col(VectorSchema.ID) === "4")
+    tbl.insert(mkRows(4 until 5)) // still tombstoned: skipped
+    tbl.numRows shouldBe 9
+    tbl.vacuum()
+    tbl.numRows shouldBe 9
+    // after vacuum the id is free again
+    tbl.insert(mkRows(4 until 5))
+    tbl.numRows shouldBe 10
+    tbl.drop()
+  }
+
+  test("delete is cumulative and idempotent on already-deleted rows") {
+    val tbl = freshTable("del3")
+    tbl.insert(mkRows(0 until 10))
+    tbl.delete(col(VectorSchema.ID).cast("int") < 3)
+    tbl.delete(col(VectorSchema.ID).cast("int") < 5) // overlaps: only visible rows match
+    tbl.numRows shouldBe 5
+    tbl.vacuum()
+    tbl.numRows shouldBe 5
+    tbl.df.select(VectorSchema.ID).collect().map(_.getString(0)).sorted shouldBe
+      Array("5", "6", "7", "8", "9")
+    tbl.drop()
+  }
+
+  test("vacuum without tombstones is a no-op; drop removes tombstones") {
+    val tbl = freshTable("del4")
+    tbl.insert(mkRows(0 until 3))
+    tbl.vacuum()
+    tbl.numRows shouldBe 3
+    tbl.delete(lit(true))
+    tbl.numRows shouldBe 0
+    tbl.drop()
+    tbl.exists shouldBe false
+  }
+
+  test("reads anti-join tombstones with a broadcast, not a shuffle") {
+    val tbl = freshTable("del5")
+    tbl.insert(mkRows(0 until 10))
+    tbl.delete(col(VectorSchema.ID) === "1")
+    val plan = tbl.df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    tbl.drop()
+  }
+}

@@ -71,4 +71,20 @@ class SimilaritySpec extends SparkSpec with Matchers {
       .orderBy($"distance").collect().map(_.getLong(1))
     brute.toSeq shouldBe Seq(1L, 2L)
   }
+
+  test("rangeSearch returns exactly the neighbors within eps, excluding self") {
+    import spark.implicits._
+    // angles from the x-axis: 0° (query), 30°, 60°, 90° → cosine
+    // distances 0.134, 0.5, 1.0 from the query
+    val docs = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.866f, 0.5f)),
+      (2L, Seq(0.5f, 0.866f)),
+      (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(docs.where($"vec_id" === 0), docs, eps = 0.6)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    out.map(_._1).toSet shouldBe Set(1L, 2L) // 3L at distance 1.0 excluded
+    out.foreach { case (_, d) => d should be <= 0.6 }
+  }
 }
