@@ -1259,6 +1259,21 @@ object SparkEntry {
     "mm_resize_png" -> ((s, dir) =>
       Multimodal.decodePngStats(Multimodal.resizePngNearest(
         Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))), 4, 3))),
+    // ---- multimodal: dHash perceptual near-dup fingerprint, pinned by
+    // its defining property — the hash survives a REAL resize +
+    // re-encode roundtrip (decode → dHash → nearest-neighbor resample →
+    // PNG re-encode → re-decode → dHash). One map pass; pixels never
+    // shuffle, only the 8-byte fingerprints. The oracle recomputes both
+    // hashes closed-form from the pixel generator. ----
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.dhashResizeCensus(
+          Multimodal.pngMediaTable(s.read.parquet(t(dir, "documents"))), 4, 3)
+        .select($"media_id",
+          expr("cast(bit_count(h_orig ^ h_resized) as int)").as("hamming"),
+          expr("cast(case when bit_count(h_orig ^ h_resized) <= 16 then 1 else 0 end as int)")
+            .as("near"))
+    }),
     // ---- multimodal: REAL audio codec — synthesize 16-bit PCM WAVs,
     // decode via javax.sound (RIFF parse), pool sample stats; every
     // output is an exact SQL function of doc_id ----
@@ -2135,6 +2150,25 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    "mm_phash_dedup" -> {
+      // closed-form twin of the real-codec path: pixel(id,x,y) =
+      // (id·31 + 7x + 13y) mod 256, dims (id%7+2, id%5+2); dHash bit b
+      // compares the 9×8-grid samples at gx=b%8 (+1) , gy=b/8; the
+      // resized copy samples through the 4×3 intermediate grid first.
+      def px(x: String, y: String) = s"(doc_id * 31 + ($x) * 7 + ($y) * 13) % 256"
+      val ob = px("((b % 8) * w) // 9", "((b // 8) * h) // 8")
+      val ob2 = px("(((b % 8) + 1) * w) // 9", "((b // 8) * h) // 8")
+      val rb = px("((((b % 8) * 4) // 9) * w) // 4", "((((b // 8) * 3) // 8) * h) // 3")
+      val rb2 = px("(((((b % 8) + 1) * 4) // 9) * w) // 4", "((((b // 8) * 3) // 8) * h) // 3")
+      s"""WITH d AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h FROM documents),
+         |c AS (SELECT doc_id AS media_id,
+         |             CAST(len(list_filter(range(64), b ->
+         |               (($ob2) > ($ob)) <> (($rb2) > ($rb)))) AS INTEGER) AS hamming
+         |      FROM d)
+         |SELECT media_id, hamming,
+         |       CAST(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END AS INTEGER) AS near
+         |FROM c""".stripMargin
+    },
     "sim_range_search" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
         |SELECT q.query_id, c.vec_id AS neighbor_id,

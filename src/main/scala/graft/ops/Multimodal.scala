@@ -235,6 +235,91 @@ object Multimodal {
     }(enc)
   }
 
+  /** dHash perceptual fingerprint (difference hash, the standard cheap
+    * image near-dup signature): nearest-neighbor-sample the decoded
+    * image onto a 9×8 grid, emit one bit per horizontally adjacent
+    * pair (right > left), 64 bits total. Resize-invariant by
+    * construction — the property [[SparkEntry]]'s `mm_phash_dedup`
+    * pins against a REAL recompressed copy. Real ImageIO decode per
+    * row, map-only, binary never shuffles; at corpus scale the hashes
+    * (8 bytes/image) are what joins, never the pixels. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    var hash = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = r.getSample(gx * w / 9, gy * h / 8, 0)
+        val b = r.getSample((gx + 1) * w / 9, gy * h / 8, 0)
+        if (b > a) hash |= (1L << bit)
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** (media_id, dhash) per image — decode + fingerprint in one
+    * mapPartitions pass. */
+  def dhashTable(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](contentIdx)))
+        Row(row.getLong(idIdx), dHash(img))
+      }
+    }(enc)
+  }
+
+  /** Per-image dHash resize-invariance census, one map pass per row:
+    * decode → dHash → REAL nearest-neighbor resize → PNG re-encode →
+    * re-decode → dHash again. No shuffle anywhere — the pixel data
+    * never leaves the partition; only (id, hash, hash) rows emerge.
+    * This is the plumbing of perceptual near-dup dedup at corpus
+    * scale: fingerprints join/bucket downstream, pixels never do. */
+  def dhashResizeCensus(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("h_orig", LongType, nullable = false),
+      StructField("h_resized", LongType, nullable = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](contentIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val sr = img.getRaster; val or = out.getRaster
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            or.setSample(x, y, 0, sr.getSample(x * w / targetW, y * h / targetH, 0))
+            x += 1
+          }
+          y += 1
+        }
+        // real codec roundtrip for the resized copy
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val reread = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        Row(row.getLong(idIdx), dHash(img), dHash(reread))
+      }
+    }(enc)
+  }
+
   /** Byte-level stats of the binary column — pure column expressions,
     * fully oracle-checkable (md5 over bytes = DuckDB md5 over the same
     * text; length = octet_length). */

@@ -122,6 +122,23 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("dHash: identical images collide, gradient survives resize, noise differs") {
+    def gray(w: Int, h: Int)(px: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y))
+      img
+    }
+    // smooth horizontal gradient: every dHash bit is "right > left" = 1
+    val grad = gray(36, 24)((x, _) => x * 7)
+    val gradSmall = gray(9, 8)((x, _) => (x * 36 / 9) * 7) // its nearest-neighbor resize
+    Multimodal.dHash(grad) shouldBe Multimodal.dHash(gradSmall) // resize-invariant
+    Multimodal.dHash(grad) shouldBe -1L // all 64 bits set
+    // reversed gradient: maximal hamming from the forward one
+    val rev = gray(36, 24)((x, _) => (35 - x) * 7)
+    java.lang.Long.bitCount(Multimodal.dHash(grad) ^ Multimodal.dHash(rev)) shouldBe 64
+  }
+
   test("MLlib MinHashLSH finds the known near-dup pairs") {
     import spark.implicits._
     val withDup = docs.select($"doc_id", $"text").union(
