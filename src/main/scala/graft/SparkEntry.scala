@@ -1279,6 +1279,21 @@ object SparkEntry {
     // output is an exact SQL function of doc_id ----
     "mm_decode_wav" -> ((s, dir) =>
       Multimodal.decodeWavStats(Multimodal.wavMediaTable(s.read.parquet(t(dir, "documents"))))),
+    // ---- multimodal: banded-energy audio fingerprint, pinned by its
+    // defining property — survives a REAL half-gain re-encode roundtrip
+    // (decode → fingerprint → halve PCM → WAV re-encode → re-decode →
+    // fingerprint). Map-only; the oracle recomputes both fingerprints
+    // closed-form from the sample generator, integer truncation
+    // matched exactly. ----
+    "mm_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.audioFpGainCensus(
+          Multimodal.wavMediaTable(s.read.parquet(t(dir, "documents"))))
+        .select($"media_id", $"h_orig".as("fp"),
+          expr("cast(bit_count(h_orig ^ h_scaled) as int)").as("hamming"),
+          expr("cast(case when bit_count(h_orig ^ h_scaled) <= 2 then 1 else 0 end as int)")
+            .as("near"))
+    }),
     // ---- multimodal: video-style container demux + every-2nd-frame
     // sampling + REAL per-frame PNG decode (generator/flatMap shape —
     // frames multiply map-side, container bytes never shuffle) ----
@@ -2150,6 +2165,33 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    "mm_audio_fp" -> {
+      // closed-form twin of the real-codec path: sample(id,i) =
+      // (id·37 + 17i) mod 65536 − 32768, n = id%50+10; banded |PCM|
+      // energies over 16 windows, one bit per adjacent pair. The
+      // half-gain copy's |trunc(s/2)| = |s| // 2 exactly (trunc toward
+      // zero), so integer rounding matches the JVM.
+      def energies(scale: String) =
+        s"""list_transform(range(16), w -> coalesce(list_sum(list_transform(
+           |    list_filter(range(n), i -> i >= (w * n) // 16 AND i < ((w + 1) * n) // 16),
+           |    i -> abs((doc_id * 37 + i * 17) % 65536 - 32768)$scale)), 0))""".stripMargin
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+         |e AS (SELECT doc_id AS media_id,
+         |             ${energies("")} AS eo,
+         |             ${energies(" // 2")} AS es
+         |      FROM d),
+         |c AS (SELECT media_id,
+         |             CAST(coalesce(list_sum(list_transform(range(15), w ->
+         |               CASE WHEN eo[w + 2] > eo[w + 1] THEN 1 << w ELSE 0 END)), 0)
+         |               AS BIGINT) AS fp,
+         |             CAST(len(list_filter(range(15), w ->
+         |               (eo[w + 2] > eo[w + 1]) <> (es[w + 2] > es[w + 1])))
+         |               AS INTEGER) AS hamming
+         |      FROM e)
+         |SELECT media_id, fp, hamming,
+         |       CAST(CASE WHEN hamming <= 2 THEN 1 ELSE 0 END AS INTEGER) AS near
+         |FROM c""".stripMargin
+    },
     "mm_phash_dedup" -> {
       // closed-form twin of the real-codec path: pixel(id,x,y) =
       // (id·31 + 7x + 13y) mod 256, dims (id%7+2, id%5+2); dHash bit b

@@ -360,6 +360,78 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Banded-energy audio fingerprint (the energy-delta signature family
+    * of audio near-dup detection): split the clip into `bands` equal
+    * windows, one bit per adjacent window pair (right energy > left),
+    * `bands − 1` bits. Volume-invariant up to integer-rounding ties —
+    * the property the census below pins against a REAL re-encoded
+    * half-gain copy. */
+  def audioFingerprint(samples: Array[Int], bands: Int = 16): Long = {
+    val n = samples.length
+    val energy = new Array[Long](bands)
+    var w = 0
+    while (w < bands) {
+      var i = w * n / bands
+      val end = (w + 1) * n / bands
+      while (i < end) { energy(w) += math.abs(samples(i)); i += 1 }
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < bands - 1) {
+      if (energy(w + 1) > energy(w)) hash |= (1L << w)
+      w += 1
+    }
+    hash
+  }
+
+  /** Per-clip fingerprint volume-invariance census, one map pass:
+    * real decode → fingerprint → halve every sample (integer, toward
+    * zero) → REAL WAV re-encode → re-decode → fingerprint again. PCM
+    * never shuffles; only (id, fp, fp) rows emerge — the audio twin of
+    * [[dhashResizeCensus]]. */
+  def audioFpGainCensus(media: DataFrame, bands: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("h_orig", LongType, nullable = false),
+      StructField("h_scaled", LongType, nullable = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        def readSamples(bytes: Array[Byte]): (Array[Int], Float) = {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val n = ais.getFrameLength.toInt
+          val pcm = ais.readAllBytes()
+          val out = Array.tabulate(n) { i =>
+            ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          }
+          (out, ais.getFormat.getSampleRate)
+        }
+        val (samples, rate) = readSamples(row.getAs[Array[Byte]](contentIdx))
+        // half-gain copy through the real codec
+        val scaled = samples.map(_ / 2)
+        val pcm2 = new Array[Byte](scaled.length * 2)
+        var i = 0
+        while (i < scaled.length) {
+          pcm2(2 * i) = (scaled(i) & 0xff).toByte
+          pcm2(2 * i + 1) = ((scaled(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm2), fmt, scaled.length.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val (reread, _) = readSamples(bos.toByteArray)
+        Row(row.getLong(idIdx),
+          audioFingerprint(samples, bands), audioFingerprint(reread, bands))
+      }
+    }(enc)
+  }
+
   /** Media table with REAL WAV payloads (one clip per document id). */
   def wavMediaTable(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(

@@ -139,6 +139,18 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     java.lang.Long.bitCount(Multimodal.dHash(grad) ^ Multimodal.dHash(rev)) shouldBe 64
   }
 
+  test("audio fingerprint: rising energy sets all bits, gain change preserves it") {
+    // samples with strictly rising magnitude per band → every bit 1
+    val rising = Array.tabulate(64)(i => i * 100)
+    Multimodal.audioFingerprint(rising) shouldBe 0x7fffL // 15 bits set
+    // halving preserves all band-order relations here
+    Multimodal.audioFingerprint(rising.map(_ / 2)) shouldBe 0x7fffL
+    // falling magnitude → no bits
+    Multimodal.audioFingerprint(rising.reverse) shouldBe 0L
+    // negative samples count by magnitude
+    Multimodal.audioFingerprint(rising.map(-_)) shouldBe 0x7fffL
+  }
+
   test("MLlib MinHashLSH finds the known near-dup pairs") {
     import spark.implicits._
     val withDup = docs.select($"doc_id", $"text").union(
