@@ -483,6 +483,40 @@ object SparkEntry {
       tbl.drop()
       out
     }),
+    // ---- manifest snapshots / time travel: snapshot = the data-file
+    // list (append-only under insert — zero copy) + the tombstone ids
+    // at snapshot time. Reading v1 after later inserts AND deletes
+    // reproduces the v1 rows exactly; vacuum/reindex expire snapshots
+    // (Delta/Iceberg retention semantics). The census pins isolation:
+    // v1 is immune to everything that happened after it. ----
+    "vdb_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val tbl = new graft.table.VectorTable(s, s"$wh/docs", 64).create()
+      val docs = s.read.parquet(t(dir, "documents"))
+      def rows(lo: Long, hi: Long) = graft.embed.EmbedOps.withEmbedding(
+          docs.where($"doc_id" >= lo && $"doc_id" < hi)
+            .select($"doc_id", $"text", $"lang"), "text", "hashing", Map("dim" -> "64"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang")).as("metadata"), $"embedding")
+      tbl.insert(rows(0, 200))
+      val v1 = tbl.snapshot()
+      tbl.insert(rows(200, 350))
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val v2 = tbl.snapshot()
+      tbl.insert(rows(350, 400))
+      def census(d: org.apache.spark.sql.DataFrame) = {
+        val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(cast(id as bigint))"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n1, x1) = census(tbl.asOf(v1))
+      val (n2, x2) = census(tbl.asOf(v2))
+      val (nc, xc) = census(tbl.df)
+      val out = Seq((n1, x1, n2, x2, nc, xc)).toDF(
+        "n_v1", "xor_v1", "n_v2", "xor_v2", "n_current", "xor_current")
+      tbl.drop()
+      out
+    }),
     // ---- token-window chunking: the doc→chunk explosion every
     // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
     // window − stride). Generator shape: chunks are born map-side from
@@ -2232,6 +2266,18 @@ object SparkEntry {
          |       count(*) AS n_pairs
          |FROM p GROUP BY 1""".stripMargin
     },
+    "vdb_snapshot" ->
+      """WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |v2 AS (SELECT doc_id FROM documents WHERE doc_id < 350 AND lang <> 'de'),
+        |cur AS (SELECT doc_id FROM documents
+        |        WHERE (doc_id < 350 AND lang <> 'de')
+        |           OR (doc_id >= 350 AND doc_id < 400))
+        |SELECT (SELECT count(*) FROM v1) AS n_v1,
+        |       (SELECT coalesce(bit_xor(doc_id), 0) FROM v1) AS xor_v1,
+        |       (SELECT count(*) FROM v2) AS n_v2,
+        |       (SELECT coalesce(bit_xor(doc_id), 0) FROM v2) AS xor_v2,
+        |       (SELECT count(*) FROM cur) AS n_current,
+        |       (SELECT coalesce(bit_xor(doc_id), 0) FROM cur) AS xor_current""".stripMargin,
     "vdb_delete" ->
       """WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 400),
         |vis AS (SELECT * FROM base WHERE lang <> 'de')

@@ -57,6 +57,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     indexed.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(hadoopPath, true)
     fs.rename(tmp, hadoopPath)
+    fs.delete(snapsRoot, true) // rewrite: snapshots expire (see snapshot())
     val out = fs.create(metaPath, true)
     try out.write(s"""{"tables": $tables, "bits": $bits, "seed": $seed}""".getBytes("UTF-8"))
     finally out.close()
@@ -98,6 +99,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     if (exists) fs.delete(hadoopPath, true)
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
+    fs.delete(snapsRoot, true)
   }
 
   def exists: Boolean = fs.exists(hadoopPath)
@@ -140,6 +142,73 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  // ---- manifest snapshots (time travel) ----
+
+  private def snapsRoot = new Path(root + ".snapshots")
+
+  private def dataFiles: Seq[String] =
+    fs.listStatus(hadoopPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(_.toString)
+      .sorted
+
+  /** Versions that currently have a manifest, ascending. */
+  def snapshotVersions: Seq[Int] =
+    if (!fs.exists(snapsRoot)) Seq.empty
+    else fs.listStatus(snapsRoot).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+
+  /** Records a snapshot: the current data-file list (a manifest — data
+    * files are append-only under insert, so old files keep serving old
+    * snapshots at zero copy cost) plus a copy of the current tombstone
+    * ids (small by the delete-file argument). Returns the version id.
+    *
+    * Retention contract, same shape as Delta/Iceberg expiry: [[vacuum]]
+    * and [[buildAnnIndex]] REWRITE data files, so both invalidate all
+    * existing snapshots (retention zero) — time travel spans inserts
+    * and deletes, not physical rewrites. */
+  def snapshot(): Int = {
+    val version = snapshotVersions.lastOption.getOrElse(0) + 1
+    val vdir = new Path(snapsRoot, s"v$version")
+    fs.mkdirs(vdir)
+    if (fs.exists(tombPath)) {
+      spark.read.parquet(tombPath.toString)
+        .write.mode("overwrite").parquet(new Path(vdir, "tombstones").toString)
+    }
+    val out = fs.create(new Path(vdir, "manifest.json"), true)
+    val files = dataFiles.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    try out.write(s"""{"files": [${files.mkString(", ")}]}""".getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** The table as of snapshot `version`: exactly the manifest's files,
+    * minus the tombstones recorded AT snapshot time. */
+  def asOf(version: Int): DataFrame = {
+    val vdir = new Path(snapsRoot, s"v$version")
+    val mPath = new Path(vdir, "manifest.json")
+    if (!fs.exists(mPath))
+      throw new IllegalArgumentException(
+        s"no snapshot v$version (vacuum/reindex expire snapshots); have: $snapshotVersions")
+    val in = fs.open(mPath)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(txt).map(_.group(1))
+      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      .filterNot(_ == "files")
+    val schema = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val tombs = new Path(vdir, "tombstones")
+    if (!fs.exists(tombs)) base
+    else base.join(broadcast(spark.read.parquet(tombs.toString)),
+      Seq(VectorSchema.ID), "left_anti")
+  }
+
+  private def expireSnapshots(): Unit = fs.delete(snapsRoot, true)
+
   /** Folds tombstones into the data: one rewrite of the surviving rows,
     * then the tombstone table is dropped. The compaction half of
     * merge-on-read — run it when the tombstone fraction makes the
@@ -151,6 +220,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       fs.delete(hadoopPath, true)
       fs.rename(tmp, hadoopPath)
       fs.delete(tombPath, true)
+      expireSnapshots() // data files rewritten: retention-zero expiry
     }
     this
   }
@@ -201,6 +271,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def loadFromParquet(path: String, buildIndex: Boolean = false): Unit = {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
+    fs.delete(snapsRoot, true)
     spark.read.parquet(path)
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .write.mode("overwrite").parquet(root)

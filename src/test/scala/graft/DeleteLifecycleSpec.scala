@@ -67,6 +67,35 @@ class DeleteLifecycleSpec extends SparkSpec with Matchers {
     tbl.exists shouldBe false
   }
 
+  test("snapshots isolate against later inserts and deletes; vacuum expires them") {
+    val tbl = freshTable("snap1")
+    tbl.insert(mkRows(0 until 5))
+    val v1 = tbl.snapshot()
+    tbl.insert(mkRows(5 until 8))
+    tbl.delete(col(VectorSchema.ID) === "2")
+    val v2 = tbl.snapshot()
+    tbl.asOf(v1).count() shouldBe 5  // immune to the later insert AND delete
+    tbl.asOf(v1).where(col(VectorSchema.ID) === "2").count() shouldBe 1
+    tbl.asOf(v2).count() shouldBe 7
+    tbl.numRows shouldBe 7
+    tbl.snapshotVersions shouldBe Seq(1, 2)
+    tbl.vacuum()
+    tbl.snapshotVersions shouldBe empty
+    an[IllegalArgumentException] should be thrownBy tbl.asOf(v1)
+    tbl.drop()
+  }
+
+  test("snapshot of a tombstoned state is pinned even after more deletes") {
+    val tbl = freshTable("snap2")
+    tbl.insert(mkRows(0 until 6))
+    tbl.delete(col(VectorSchema.ID) === "0")
+    val v = tbl.snapshot()
+    tbl.delete(col(VectorSchema.ID) === "1")
+    tbl.asOf(v).count() shouldBe 5   // sees the first delete only
+    tbl.numRows shouldBe 4
+    tbl.drop()
+  }
+
   test("reads anti-join tombstones with a broadcast, not a shuffle") {
     val tbl = freshTable("del5")
     tbl.insert(mkRows(0 until 10))
