@@ -1234,6 +1234,12 @@ object SparkEntry {
       val (ix, basePath) = SparkEntry.ivfpqBaseIndex(s, dir)
       graft.streaming.AnnIngest.runIvfPqAppendAvailableNow(s, dir, ix, basePath)
     }),
+    // ---- streaming: exactly-once sink — idempotent per-batch-id
+    // overwrite directories absorb a simulated redelivery (every batch
+    // written twice); the sunk census must equal the batch aggregate,
+    // proving no duplication. ----
+    "stream_idempotent_sink" -> ((s, dir) =>
+      EventStream.runIdempotentSinkAvailableNow(s, dir)),
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
     "stream_interval_join" -> ((s, dir) =>
       EventStream.runIntervalJoinAvailableNow(s, dir)),
@@ -2560,6 +2566,10 @@ object SparkEntry {
         |         list_transform(range(doc_id % 5 + 2), y ->
         |           (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_gray
         |FROM documents""".stripMargin,
+    "stream_idempotent_sink" ->
+      """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

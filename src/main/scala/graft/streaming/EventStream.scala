@@ -182,6 +182,43 @@ object EventStream {
     df.sparkSession.table(unique)
   }
 
+  /** Exactly-once parquet sink via idempotent per-batch directories —
+    * the standard transactional-sink recipe: `foreachBatch` gives
+    * at-least-once delivery (a batch can be redelivered after a
+    * failure), so the writer keys every write by `batchId` and
+    * overwrites — a redelivered batch lands in the same directory and
+    * the table converges to exactly-once contents. The redelivery is
+    * SIMULATED here by writing every batch twice (the worst case the
+    * contract must absorb); the returned census over the sunk files
+    * must equal the batch aggregate of the source — proving no
+    * duplication. At scale this is the idempotence half of an
+    * exactly-once sink; the other half (atomic visibility) is the
+    * temp-dir + rename the batch writers already use. */
+  def runIdempotentSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val src = readEvents(spark, dir).select($"event_id", $"event_type", $"value")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          def deliver(): Unit = batch.write.mode("overwrite")
+            .parquet(s"$out/batch=$batchId")
+          deliver()
+          deliver() // simulated redelivery: same batch id, same directory
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"event_id").as("n_distinct"),
+        graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
+  }
+
   /** Stateful streaming sessionization over the events parquet; emits
     * CLOSED sessions (the per-user open tail never closes in a finite
     * run — the batch twin excludes each user's last session). Session
