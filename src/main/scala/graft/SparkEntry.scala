@@ -1234,6 +1234,12 @@ object SparkEntry {
       val (ix, basePath) = SparkEntry.ivfpqBaseIndex(s, dir)
       graft.streaming.AnnIngest.runIvfPqAppendAvailableNow(s, dir, ix, basePath)
     }),
+    // ---- streaming: near-dup ingest gate — incoming docs checked
+    // against the static existing-corpus SimHash quarter table
+    // (pigeonhole banding keys the stream-static join; stateless), per
+    // doc candidate + verified hamming≤3 flags. ----
+    "stream_neardup_gate" -> ((s, dir) =>
+      EventStream.runNearDupGateAvailableNow(s, dir)),
     // ---- streaming: exactly-once sink — idempotent per-batch-id
     // overwrite directories absorb a simulated redelivery (every batch
     // written twice); the sunk census must equal the batch aggregate,
@@ -2181,6 +2187,23 @@ object SparkEntry {
       """SELECT n.n_name, e.event_type, count(*) AS cnt, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY 1, 2""".stripMargin,
+    "stream_neardup_gate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${simhashSql("hw")} AS simhash
+         |  FROM (SELECT doc_id, list_transform(${wordsSql("text")}, w -> ${hexLongSql("w")}) AS hw
+         |        FROM documents)
+         |), exq AS (
+         |  SELECT t.q AS q, (s.simhash >> (t.q * 15)) & 32767 AS qv, s.simhash AS ex_sh
+         |  FROM s, range(4) t(q) WHERE s.doc_id < 250
+         |), incq AS (
+         |  SELECT s.doc_id, s.simhash, t.q AS q, (s.simhash >> (t.q * 15)) & 32767 AS qv
+         |  FROM s, range(4) t(q) WHERE s.doc_id >= 250
+         |)
+         |SELECT i.doc_id,
+         |       max(CASE WHEN e.ex_sh IS NOT NULL THEN 1 ELSE 0 END) AS is_candidate,
+         |       max(CASE WHEN bit_count(xor(i.simhash, e.ex_sh)) <= 3 THEN 1 ELSE 0 END) AS is_neardup
+         |FROM incq i LEFT JOIN exq e ON i.q = e.q AND i.qv = e.qv
+         |GROUP BY 1""".stripMargin,
     "layout_compact" ->
       """SELECT count(*) AS cnt,
         |       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum

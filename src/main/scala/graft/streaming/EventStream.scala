@@ -219,6 +219,47 @@ object EventStream {
         graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
   }
 
+  /** Streaming near-dup ingest gate: incoming documents are checked
+    * against a STATIC existing-corpus SimHash table — the "filter the
+    * new crawl against what we already have" pass, on the ingest path.
+    * Pigeonhole banding (any pair within hamming ≤ 3 of a 60-bit
+    * signature shares one of four 15-bit quarters) keys the
+    * stream-static join on (quarter, value), never all-pairs; the
+    * static quarter table is small (4 rows/doc of existing corpus keys
+    * only — at scale, partition it and let the join broadcast or
+    * bucket). Stateless join + per-doc aggregation; emits per incoming
+    * doc whether it has a banding candidate and whether a verified
+    * hamming ≤ 3 near-dup exists. */
+  def runNearDupGateAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def quarters(sh: org.apache.spark.sql.Column) =
+      posexplode(array((0 until 4).map(q =>
+        shiftright(sh, q * 15).bitwiseAND(0x7fff)): _*)).as(Seq("q", "qv"))
+    val existing = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" < 250)
+    val exQ = graft.ops.Dedup.simhashes(existing, "doc_id", "text")
+      .select($"simhash".as("ex_sh"), quarters($"simhash"))
+      .select($"q", $"qv", $"ex_sh")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val incoming = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .where($"doc_id" >= 250)
+    val strQ = graft.ops.Dedup.simhashes(incoming, "doc_id", "text")
+      .select($"doc_id", $"simhash", quarters($"simhash"))
+    val gated = strQ.join(exQ, Seq("q", "qv"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(
+        max(when($"ex_sh".isNotNull, 1).otherwise(0)).cast("int").as("is_candidate"),
+        max(when(bit_count($"simhash".bitwiseXOR($"ex_sh")) <= 3, 1).otherwise(0))
+          .cast("int").as("is_neardup"))
+    runToMemory(gated, "stream_neardup_gate", OutputMode.Complete())
+  }
+
   /** Stateful streaming sessionization over the events parquet; emits
     * CLOSED sessions (the per-user open tail never closes in a finite
     * run — the batch twin excludes each user's last session). Session

@@ -137,6 +137,30 @@ class StreamingSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming near-dup gate equals the batch quarter-banding twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.runNearDupGateAvailableNow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = graft.ops.Dedup.simhashes(docs, "doc_id", "text")
+    def quarters(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7fff)): _*)).as(Seq("q", "qv")))
+    val ex = quarters(sh.where(col("doc_id") < 250))
+      .select(col("q"), col("qv"), col("simhash").as("ex_sh"))
+    val batch = quarters(sh.where(col("doc_id") >= 250))
+      .join(ex, Seq("q", "qv"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("ex_sh").isNotNull, 1).otherwise(0)).cast("int").as("is_candidate"),
+        max(when(bit_count(col("simhash").bitwiseXOR(col("ex_sh"))) <= 3, 1).otherwise(0))
+          .cast("int").as("is_neardup"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    streamed should not be empty
+    // every doc with a verified near-dup must also be a banding candidate
+    streamed.foreach { case (_, cand, near) => if (near == 1) cand shouldBe 1 }
+    streamed shouldBe batch
+  }
+
   test("streaming ANN append: delta segments searchable post-stream, recall gate holds") {
     val dir = "/root/testdata/sf0.001"
     val (ix, basePath) = SparkEntry.ivfpqBaseIndex(spark, dir)
