@@ -978,6 +978,96 @@ object SparkEntry {
         .groupBy($"doc_id")
         .agg(RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("nll"))
     }),
+    // ---- bigram-LM held-out scoring (the KenLM-style quality filter,
+    // one order up from text_unigram_nll): fit add-1-smoothed bigram
+    // counts on the 80% train split, score each held-out doc by mean
+    // bigram NLL. All state is (w1,w2)- and w1-keyed count shuffles plus
+    // ONE broadcast vocab-size row — never a driver-side model. The
+    // token table is persisted once and feeds both the vocab scalar and
+    // the bigram window; bigrams are persisted once and feed fit+score. ----
+    "text_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val tok = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", posexplode(ops.TextPrimitives.words($"text")).as(Seq("pos", "w"))))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = graft.core.PlanCache.persist(
+        tok.withColumn("w2", lead($"w", 1).over(win))
+          .where($"w2".isNotNull)
+          .select($"doc_id", $"w".as("w1"), $"w2"))
+      val train = bi.where($"doc_id" % 5 < 4)
+      val cb = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      val cu = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val v = tok.where($"doc_id" % 5 < 4).agg(countDistinct($"w").as("v"))
+      bi.where($"doc_id" % 5 === 4)
+        .join(cb, Seq("w1", "w2"), "left_outer")
+        .join(cu, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(v))
+        .select($"doc_id",
+          (-log((coalesce($"c", lit(0L)) + 1).cast("double") /
+            (coalesce($"c1", lit(0L)) + $"v"))).as("nl"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("nll"))
+    }),
+    // ---- PageRank over the symmetrized user↔item click graph (crawl-
+    // curation authority signal; items live at id 1000000+k so the two
+    // node families share one id space). 5 power iterations, d = 0.85;
+    // relative-to-uniform output (rank·N) is scale-free and rounds
+    // safely. Iterative plan discipline lives in ops/Graph.scala. ----
+    "graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("src"),
+          (regexp_extract($"props", "[0-9]+", 0).cast("long") + 1000000L).as("dst"))
+      val sym = clicks.unionAll(clicks.select($"dst".as("src"), $"src".as("dst")))
+      ops.Graph.pageRank(sym, iters = 5, d = 0.85, relative = true)
+        .select($"id", RoundPortableExpr.r($"rank", 4).as("rank_rel"))
+    }),
+    // ---- day-over-day distribution drift (pipeline monitoring: a
+    // source whose event-type mix jumps is a crawl gone wrong). Total
+    // variation distance between consecutive daily event-type
+    // distributions over a dense (day × type) grid, so a type vanishing
+    // entirely still registers. One count shuffle + a tiny per-type
+    // window; the grid is |days|·|types| — never row-scale. ----
+    "drift_daily" -> ((s, dir) => {
+      import s.implicits._
+      val daily = graft.core.PlanCache.persist(
+        Tables.events(s, dir)
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n")))
+      val tot = daily.groupBy($"day").agg(sum($"n").as("nd"))
+      val grid = daily.select($"day").distinct()
+        .crossJoin(daily.select($"event_type").distinct())
+      val p = grid.join(daily, Seq("day", "event_type"), "left_outer")
+        .join(tot, "day")
+        .select($"day", $"event_type", (coalesce($"n", lit(0L)).cast("double") / $"nd").as("p"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")
+      p.withColumn("pp", lag($"p", 1).over(win))
+        .where($"pp".isNotNull)
+        .groupBy($"day")
+        .agg(RoundPortableExpr.r(sum(abs($"p" - $"pp")) / 2, 4).as("tv_drift"))
+    }),
+    // ---- blocked fuzzy entity resolution: candidate pairs from an
+    // equi-join on (nation, mid-digit block) — never all-pairs — then
+    // an edit-distance ≤ 1 verifier inside the block. The standard
+    // record-linkage shape: blocking bounds per-reducer work (skew cap
+    // as in dedup_minhash_capped applies if a block runs hot); the
+    // verifier only ever sees candidate pairs. ----
+    "link_fuzzy_blocked" -> ((s, dir) => {
+      import s.implicits._
+      val b = s.read.parquet(t(dir, "customer"))
+        .select($"c_custkey", $"c_nationkey", $"c_name",
+          substring($"c_name", 13, 3).as("blk"))
+      b.alias("a").join(b.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" < $"bb.c_custkey")
+        .select($"a.c_custkey".as("id_a"), $"bb.c_custkey".as("id_b"),
+          levenshtein($"a.c_name", $"bb.c_name").as("dist"))
+        .where($"dist" <= 1)
+    }),
     // ---- embedding backfill: fill ONLY the rows missing a vector
     // (here: a modulo-carved 25% gap), keep existing vectors untouched
     // — the incremental-embed operational pattern (re-embedding 100 TB
@@ -3098,6 +3188,49 @@ object SparkEntry {
          |lm AS (SELECT w, -ln((c + 1)::DOUBLE / (nn + v)) AS nl FROM cnt, st)
          |SELECT doc_id, round(sum(nl) / count(*), 4) AS nll
          |FROM toks JOIN lm USING (w) GROUP BY 1""".stripMargin,
+    "text_bigram_lm" ->
+      s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, ws[CAST(i + 1 AS INTEGER)] AS w1, ws[CAST(i + 2 AS INTEGER)] AS w2 FROM ix),
+         |cb AS (SELECT w1, w2, count(*) AS c FROM bi WHERE doc_id % 5 < 4 GROUP BY 1, 2),
+         |cu AS (SELECT w1, count(*) AS c1 FROM bi WHERE doc_id % 5 < 4 GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w) AS v
+         |       FROM (SELECT unnest(ws) AS w FROM tw WHERE doc_id % 5 < 4)),
+         |ho AS (SELECT doc_id, bi.w1, bi.w2,
+         |              -ln((coalesce(cb.c, 0) + 1)::DOUBLE / (coalesce(cu.c1, 0) + vv.v)) AS nl
+         |       FROM bi LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vv
+         |       WHERE doc_id % 5 = 4)
+         |SELECT doc_id, count(*) AS n_bigrams, round(sum(nl) / count(*), 4) AS nll
+         |FROM ho GROUP BY 1""".stripMargin,
+    "graph_pagerank" ->
+      ops.Graph.pageRankRelSql(
+        """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS src, user_id AS dst
+          |  FROM events WHERE event_type = 'click'""".stripMargin,
+        iters = 5, d = 0.85),
+    "drift_daily" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, sum(n) AS nd FROM daily GROUP BY 1),
+        |grid AS (SELECT d.day, e.event_type
+        |         FROM (SELECT DISTINCT day FROM daily) d
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM daily) e),
+        |p AS (SELECT g.day, g.event_type, coalesce(daily.n, 0)::DOUBLE / tot.nd AS p
+        |      FROM grid g LEFT JOIN daily USING (day, event_type) JOIN tot USING (day)),
+        |l AS (SELECT day, event_type, p,
+        |             lag(p) OVER (PARTITION BY event_type ORDER BY day) AS pp FROM p)
+        |SELECT day, round(sum(abs(p - pp)) / 2, 4) AS tv_drift
+        |FROM l WHERE pp IS NOT NULL GROUP BY 1""".stripMargin,
+    "link_fuzzy_blocked" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey, c_name, substr(c_name, 13, 3) AS blk
+        |           FROM customer)
+        |SELECT a.c_custkey AS id_a, bb.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, bb.c_name) AS INT) AS dist
+        |FROM b a JOIN b bb ON a.c_nationkey = bb.c_nationkey AND a.blk = bb.blk
+        |                  AND a.c_custkey < bb.c_custkey
+        |WHERE levenshtein(a.c_name, bb.c_name) <= 1""".stripMargin,
     "vdb_embed_backfill" ->
       s"""WITH ex AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
          |miss AS (SELECT d.doc_id, d.source, d.text FROM documents d

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics: PageRank power iteration over an edge table.
+  *
+  * The training-data use case is crawl curation — rank hosts/pages of a
+  * link (or click) graph so downstream sampling can weight by
+  * authority (the OpenWebText/CCNet "quality via links" signal). The
+  * reference engine has no graph operator; this is a scale extension in
+  * the spirit of `Components` (same iterative-DataFrame discipline).
+  *
+  * Scale design: the edge+outdegree table is the only large state and
+  * is persisted ONCE and re-joined per iteration (hash-partitioned on
+  * `src`, so every iteration's contribution join reuses one shuffle of
+  * the rank table, never of the edges). Each round is cut with an eager
+  * `localCheckpoint` — without it the nested join plan re-analyzes
+  * per round and codegen goes exponential (see Components.scala) — and
+  * the superseded round's blocks are dropped immediately, so peak
+  * storage is two rank tables (O(nodes)) regardless of iteration count.
+  * Rank updates are a (src-keyed join → dst-keyed partial agg) pair:
+  * exactly the map-side-combined shuffle Spark picks for groupBy, linear
+  * in edges per iteration. No driver-side collection anywhere; the only
+  * driver scalar is the node count.
+  */
+object Graph {
+
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  private def dropCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** PageRank over a directed edge list (src, dst). Nodes = every id
+    * appearing as src or dst; fixed `iters` power iterations with
+    * damping `d`, uniform init 1/N. Dangling mass is NOT redistributed
+    * (symmetrize the edge list if every node must emit rank — a node
+    * with out-edges only in one direction still RECEIVES (1-d)/N).
+    * Returns (id, rank) where ranks sum to ≤ 1; `relative = true`
+    * instead emits rank·N (rank relative to uniform — the
+    * scale-independent form, and the numerically safest to round).
+    *
+    * Persisted subtrees (edges+degrees, nodes, and the final round's
+    * checkpoint) are registered with [[graft.core.PlanCache]]; the
+    * caller that materializes the result releases them.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
+      relative: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val ed = edges.toDF("src", "dst").distinct()
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = graft.core.PlanCache.persist(ed.join(deg, "src"))
+    val nodes = graft.core.PlanCache.persist(
+      ed.select(col("src").as("id")).unionAll(ed.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+      val next = nodes
+        .join(contrib.groupBy(col("dst").as("id")).agg(sum(col("c")).as("s")),
+          Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      dropCheckpoint(ranks)
+      ranks = next
+    }
+    checkpointRdd(ranks).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    if (relative) ranks.select(col("id"), (col("rank") * lit(n.toDouble)).as("rank"))
+    else ranks
+  }
+
+  /** DuckDB twin of [[pageRank]] (relative form): the power iteration
+    * unrolled as chained CTEs — no recursive aggregation, which DuckDB's
+    * recursive CTEs disallow. `edgesSql` must yield (src, dst) of the
+    * DIRECTED edge list (pre-symmetrized by the caller, exactly as the
+    * Spark side). All float literals are written in e-notation so DuckDB
+    * parses them as DOUBLE, not DECIMAL — decimal arithmetic would
+    * diverge from the Spark side's IEEE doubles.
+    */
+  def pageRankRelSql(edgesSql: String, iters: Int, d: Double): String = {
+    val ds = s"${d}e0"
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.id, (1 - $ds) / nn.n + $ds * coalesce(s.s, 0.0e0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT ed.dst AS id, sum(r.rank / deg.outdeg) AS s
+         |             FROM r${i - 1} r JOIN ed ON r.id = ed.src JOIN deg ON deg.src = r.id
+         |             GROUP BY 1) s USING (id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT id, round(r$iters.rank * nn.n, 4) AS rank_rel
+       |FROM r$iters CROSS JOIN nn""".stripMargin
+  }
+}
