@@ -103,6 +103,23 @@ object ScaleStress {
     new java.io.File(tmp).delete()
   }
 
+  /** Synthesizes `target/customer.parquet` as `copies`×src with keys
+    * offset per copy and names REGENERATED from the new key (same
+    * `Customer#%09d` shape the blocking join parses), so the fuzzy-ER
+    * block distribution scales the way a real customer table would. */
+  def generateCustomer(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$target/customer.parquet").exists) return
+    new java.io.File(target).mkdirs()
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until copies).map { k =>
+      cust.select(($"c_custkey" + lit(k * 1000000L)).as("c_custkey"),
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    }.reduce(_ unionByName _)
+      .withColumn("c_name", format_string("Customer#%09d", $"c_custkey"))
+      .write.mode("overwrite").parquet(s"$target/customer.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")
     val target = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-sf1")
@@ -123,6 +140,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, target, copies)
     generateEmbeddings(spark, src, target, copies)
+    generateCustomer(spark, src, target, copies)
 
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong

@@ -25,6 +25,28 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet. The table may be a
+    * single file (the sf fixtures) or a directory of part files
+    * (synthesized stress corpora): a directory is streamed directly
+    * (the file source's basePath must be a directory), while a single
+    * file keeps the glob-filter-over-the-sf-dir form. Always branching
+    * on the actual layout matters because the leaf-name glob
+    * `documents.parquet` matches ZERO files inside a directory table —
+    * a silently-empty stream that makes every downstream number a lie.
+    * (Local-FS check; a cluster deployment would ask the Hadoop
+    * FileSystem the same question.) */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/documents.parquet"
+    val rdr = spark.readStream.schema(docsSchema)
+    if (new java.io.File(table).isDirectory) rdr.parquet(table)
+    else rdr.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** Streaming source over the events parquet (file-stream source with a
     * glob filter so the sf dir can hold the other tables too). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
@@ -240,15 +262,7 @@ object EventStream {
     val exQ = graft.ops.Dedup.simhashes(existing, "doc_id", "text")
       .select($"simhash".as("ex_sh"), quarters($"simhash"))
       .select($"q", $"qv", $"ex_sh")
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val incoming = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .where($"doc_id" >= 250)
+    val incoming = readDocuments(spark, dir).where($"doc_id" >= 250)
     val strQ = graft.ops.Dedup.simhashes(incoming, "doc_id", "text")
       .select($"doc_id", $"simhash", quarters($"simhash"))
     val gated = strQ.join(exQ, Seq("q", "qv"), "left_outer")
@@ -278,14 +292,7 @@ object EventStream {
     * watermark wide enough to span the whole fixture (so the result is
     * exactly the distinct content set = the batch DISTINCT twin). */
   def runDedupInsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val docs = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val docs = readDocuments(spark, dir)
       // +1e6 s base: an event time of exactly 0 sits ON the initial
       // watermark floor and is dropped as late (StreamingSpec gotcha)
       .withColumn("ts", timestamp_micros((col("doc_id") + 1000000L) * 1000000L))
@@ -300,14 +307,7 @@ object EventStream {
     * rejected rows. Returns the per-language pass census over the sunk
     * survivors, which must equal the batch twin's n_pass_core. */
   def runQualityGateAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val docs = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val docs = readDocuments(spark, dir)
     val gated = graft.ops.TextAnalysis
       .gopherQuality(docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "text")
       .where(col("r_words") && col("r_wlen") && col("r_symbol") && col("r_alpha"))
