@@ -32,7 +32,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
     "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
     "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
-    "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance")
+    "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance",
+    "text_bigram_lm", "drift_daily", "link_fuzzy_blocked")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -240,6 +241,23 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "CartesianProduct"
     // df count partial-aggregates map-side before its shuffle
     p should include("partial_count(distinct")
+  }
+
+  test("fuzzy ER: candidates come from an equi-join on the block key, verifier after") {
+    val p = physical("link_fuzzy_blocked")
+    p should not include "CartesianProduct"
+    // the join must be hash-keyed on (nation, blk) — the levenshtein
+    // verifier runs on candidates, never as the join condition itself
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+    p should include("blk")
+  }
+
+  test("bigram LM: counts aggregate partially before the shuffle, vocab row broadcast") {
+    val p = physical("text_bigram_lm")
+    p should include("partial_count")
+    p should include("BroadcastExchange") // the 1-row vocab stats
+    p should not include "CartesianProduct"
   }
 
   test("cluster balance: census reuses the window's bucket partitioning") {
