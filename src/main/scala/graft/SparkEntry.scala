@@ -1025,6 +1025,38 @@ object SparkEntry {
       ops.Graph.pageRank(sym, iters = 5, d = 0.85, relative = true)
         .select($"id", RoundPortableExpr.r($"rank", 4).as("rank_rel"))
     }),
+    // ---- personalized PageRank: teleport restricted to users who
+    // purchased — ranks every node by random-walk proximity to the
+    // converting population (conversion-weighted authority; the
+    // frontier-prioritization form of PageRank). Same persisted-edge /
+    // per-round-checkpoint loop as graph_pagerank. ----
+    "graph_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("src"),
+          (regexp_extract($"props", "[0-9]+", 0).cast("long") + 1000000L).as("dst"))
+      val sym = clicks.unionAll(clicks.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = ev.where($"event_type" === "purchase").select($"user_id".as("id"))
+      ops.Graph.personalizedPageRank(sym, seeds, iters = 5, d = 0.85, relative = true)
+        .select($"id", RoundPortableExpr.r($"rank", 4).as("ppr_rel"))
+    }),
+    // ---- per-source token-budget packing (data mixing under a fixed
+    // token budget): longest-first greedy fill per source via a
+    // windowed running token sum, cut at the budget. One shuffle keyed
+    // by source; the window never sees more than one source's docs. ----
+    "text_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", $"source", size(ops.TextPrimitives.words($"text")).as("n_tok"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_tok".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.withColumn("cum", sum($"n_tok").over(win))
+        .where($"cum" <= 20000)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+    }),
     // ---- day-over-day distribution drift (pipeline monitoring: a
     // source whose event-type mix jumps is a crawl gone wrong). Total
     // variation distance between consecutive daily event-type
@@ -3210,6 +3242,24 @@ object SparkEntry {
           |  SELECT 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS src, user_id AS dst
           |  FROM events WHERE event_type = 'click'""".stripMargin,
         iters = 5, d = 0.85),
+    "graph_ppr" ->
+      ops.Graph.personalizedPageRankRelSql(
+        """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS src, user_id AS dst
+          |  FROM events WHERE event_type = 'click'""".stripMargin,
+        "SELECT user_id AS id FROM events WHERE event_type = 'purchase'",
+        iters = 5, d = 0.85),
+    "text_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, len(${wordsSql("text")}) AS n_tok FROM documents),
+         |c AS (SELECT source, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY source
+         |                              ORDER BY n_tok DESC, doc_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum <= 20000 GROUP BY 1""".stripMargin,
     "drift_daily" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
         |               FROM events GROUP BY 1, 2),

@@ -3,11 +3,14 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Link-graph analytics: PageRank power iteration over an edge table.
+/** Link-graph analytics: PageRank / personalized PageRank power
+  * iteration over an edge table.
   *
   * The training-data use case is crawl curation — rank hosts/pages of a
   * link (or click) graph so downstream sampling can weight by
-  * authority (the OpenWebText/CCNet "quality via links" signal). The
+  * authority (the OpenWebText/CCNet "quality via links" signal); the
+  * personalized variant restricts the teleport to a seed set, the
+  * standard frontier-prioritization / conversion-proximity form. The
   * reference engine has no graph operator; this is a scale extension in
   * the spirit of `Components` (same iterative-DataFrame discipline).
   *
@@ -22,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Rank updates are a (src-keyed join → dst-keyed partial agg) pair:
   * exactly the map-side-combined shuffle Spark picks for groupBy, linear
   * in edges per iteration. No driver-side collection anywhere; the only
-  * driver scalar is the node count.
+  * driver scalars are the node and seed counts.
   */
 object Graph {
 
@@ -44,12 +47,25 @@ object Graph {
     * instead emits rank·N (rank relative to uniform — the
     * scale-independent form, and the numerically safest to round).
     *
-    * Persisted subtrees (edges+degrees, nodes, and the final round's
-    * checkpoint) are registered with [[graft.core.PlanCache]]; the
-    * caller that materializes the result releases them.
+    * Persisted subtrees (edges+degrees, nodes, the teleport base, and
+    * the final round's checkpoint) are registered with
+    * [[graft.core.PlanCache]]; the caller that materializes the result
+    * releases them.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
-      relative: Boolean = false): DataFrame = {
+      relative: Boolean = false): DataFrame =
+    run(edges, None, iters, d, relative)
+
+  /** Personalized PageRank: the teleport (and the initial mass) is
+    * uniform over `seeds` ∩ graph nodes instead of all nodes — ranks
+    * are proximity to the seed set under the same power iteration.
+    * Seed ids absent from the graph are ignored; throws if none match. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      d: Double = 0.85, relative: Boolean = false): DataFrame =
+    run(edges, Some(seeds), iters, d, relative)
+
+  private def run(edges: DataFrame, teleport: Option[DataFrame], iters: Int,
+      d: Double, relative: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val ed = edges.toDF("src", "dst").distinct()
     val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -57,15 +73,31 @@ object Graph {
     val nodes = graft.core.PlanCache.persist(
       ed.select(col("src").as("id")).unionAll(ed.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    // base = per-node teleport mass t; init = the starting distribution
+    val (base, init) = teleport match {
+      case None =>
+        (nodes.select(col("id"), lit((1 - d) / n).as("t")),
+          nodes.select(col("id"), lit(1.0 / n).as("rank")))
+      case Some(seedDf) =>
+        val sn = nodes.join(seedDf.toDF("id").distinct(), "id")
+        val ns = sn.count()
+        require(ns > 0, "personalizedPageRank: no teleport seed is a graph node")
+        val marked = nodes.join(sn.select(col("id"), lit(true).as("is_seed")),
+          Seq("id"), "left_outer")
+        (marked.select(col("id"),
+          when(col("is_seed"), lit((1 - d) / ns)).otherwise(lit(0.0)).as("t")),
+          marked.select(col("id"),
+            when(col("is_seed"), lit(1.0 / ns)).otherwise(lit(0.0)).as("rank")))
+    }
+    val baseP = graft.core.PlanCache.persist(base)
+    var ranks = init.localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-      val next = nodes
+      val next = baseP
         .join(contrib.groupBy(col("dst").as("id")).agg(sum(col("c")).as("s")),
           Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit((1 - d) / n) + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .select(col("id"), (col("t") + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint()
       dropCheckpoint(ranks)
       ranks = next
@@ -83,12 +115,38 @@ object Graph {
     * parses them as DOUBLE, not DECIMAL — decimal arithmetic would
     * diverge from the Spark side's IEEE doubles.
     */
-  def pageRankRelSql(edgesSql: String, iters: Int, d: Double): String = {
+  def pageRankRelSql(edgesSql: String, iters: Int, d: Double): String =
+    relSql(edgesSql, None, iters, d, "rank_rel")
+
+  /** DuckDB twin of [[personalizedPageRank]] (relative form);
+    * `seedsSql` yields one `id` column. */
+  def personalizedPageRankRelSql(edgesSql: String, seedsSql: String,
+      iters: Int, d: Double, outCol: String = "ppr_rel"): String =
+    relSql(edgesSql, Some(seedsSql), iters, d, outCol)
+
+  private def relSql(edgesSql: String, seedsSql: Option[String], iters: Int,
+      d: Double, outCol: String): String = {
     val ds = s"${d}e0"
+    val (teleCtes, baseCte, r0Cte) = seedsSql match {
+      case None => ("",
+        s"base AS (SELECT id, (1 - $ds) / nn.n AS t FROM nodes CROSS JOIN nn)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)")
+      case Some(sq) => (
+        s"""seeds AS ($sq),
+           |sn AS (SELECT DISTINCT nodes.id FROM nodes JOIN seeds USING (id)),
+           |ns AS (SELECT count(*) AS n FROM sn),
+           |""".stripMargin,
+        s"""base AS (SELECT nodes.id,
+           |            CASE WHEN sn.id IS NOT NULL THEN (1 - $ds) / ns.n ELSE 0.0e0 END AS t
+           |          FROM nodes LEFT JOIN sn USING (id) CROSS JOIN ns)""".stripMargin,
+        s"""r0 AS (SELECT nodes.id,
+           |          CASE WHEN sn.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.n ELSE 0.0e0 END AS rank
+           |        FROM nodes LEFT JOIN sn USING (id) CROSS JOIN ns)""".stripMargin)
+    }
     val iterCtes = (1 to iters).map { i =>
       s"""r$i AS (
-         |  SELECT nodes.id, (1 - $ds) / nn.n + $ds * coalesce(s.s, 0.0e0) AS rank
-         |  FROM nodes CROSS JOIN nn
+         |  SELECT base.id, base.t + $ds * coalesce(s.s, 0.0e0) AS rank
+         |  FROM base
          |  LEFT JOIN (SELECT ed.dst AS id, sum(r.rank / deg.outdeg) AS s
          |             FROM r${i - 1} r JOIN ed ON r.id = ed.src JOIN deg ON deg.src = r.id
          |             GROUP BY 1) s USING (id)
@@ -98,9 +156,10 @@ object Graph {
        |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
        |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$teleCtes$baseCte,
+       |$r0Cte,
        |$iterCtes
-       |SELECT id, round(r$iters.rank * nn.n, 4) AS rank_rel
+       |SELECT id, round(r$iters.rank * nn.n, 4) AS $outCol
        |FROM r$iters CROSS JOIN nn""".stripMargin
   }
 }

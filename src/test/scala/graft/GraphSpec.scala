@@ -44,6 +44,41 @@ class GraphSpec extends SparkSpec with Matchers {
     rel.foreach { case (id, v) => v shouldBe abs(id) * 5 +- 1e-12 }
   }
 
+  test("personalized pagerank: mass concentrates around the seed, decays with distance") {
+    // path 0-1-2-3-4 symmetrized, seed at the CENTER node 2 — a
+    // degree-1 endpoint seed would hand its entire rank to its one
+    // neighbor, which then legitimately outranks the seed; the center
+    // seed decays monotonically by symmetry. A path graph is also
+    // bipartite, so the iteration oscillates with parity and only the
+    // damping contracts it (0.85^k) — run enough rounds for the fixed
+    // point to show through.
+    val path = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = spark.createDataFrame(path).toDF("src", "dst")
+    val seeds = spark.createDataFrame(Seq(Tuple1(2L))).toDF("id")
+    val pr = Graph.personalizedPageRank(edges, seeds, iters = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.core.PlanCache.release(spark)
+    pr(2L) should be > pr(1L)
+    pr(1L) shouldBe pr(3L) +- 1e-9 // symmetric arms tie
+    pr(1L) should be > pr(0L)
+    pr(0L) shouldBe pr(4L) +- 1e-9
+    pr.values.sum shouldBe 1.0 +- 1e-9
+  }
+
+  test("personalized pagerank ignores seeds outside the graph, throws when none match") {
+    val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 0L))).toDF("src", "dst")
+    val mixed = spark.createDataFrame(Seq(Tuple1(0L), Tuple1(99L))).toDF("id")
+    val pr = Graph.personalizedPageRank(edges, mixed, iters = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.core.PlanCache.release(spark)
+    pr.keySet shouldBe Set(0L, 1L) // 99 is not a node and gets no rank row
+    pr(0L) should be > pr(1L)
+    val none = spark.createDataFrame(Seq(Tuple1(99L))).toDF("id")
+    an[IllegalArgumentException] should be thrownBy
+      Graph.personalizedPageRank(edges, none, iters = 3)
+    graft.core.PlanCache.release(spark)
+  }
+
   test("more iterations move a chain's ranks monotonically toward the hub") {
     // path 0-1-2-3-4 symmetrized: the middle node gains rank with depth
     val path = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
