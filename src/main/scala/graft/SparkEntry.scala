@@ -517,6 +517,57 @@ object SparkEntry {
       tbl.drop()
       out
     }),
+    // ---- snapshot CDC: the delta between two manifest snapshots as
+    // (id, added|deleted) rows — the incremental-reprocessing contract
+    // (re-embed/re-index exactly the delta, never rescan the table).
+    // Two id-only anti-joins; census pins both populations' values. ----
+    "vdb_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+      val tbl = new graft.table.VectorTable(s, s"$wh/docs", 64).create()
+      val docs = s.read.parquet(t(dir, "documents"))
+      def rows(lo: Long, hi: Long) = graft.embed.EmbedOps.withEmbedding(
+          docs.where($"doc_id" >= lo && $"doc_id" < hi)
+            .select($"doc_id", $"text", $"lang"), "text", "hashing", Map("dim" -> "64"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang")).as("metadata"), $"embedding")
+      tbl.insert(rows(0, 200))
+      val v1 = tbl.snapshot()
+      tbl.insert(rows(200, 350))
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val v2 = tbl.snapshot()
+      val diff = tbl.diffSnapshots(v1, v2)
+      val out = diff.groupBy($"change")
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(cast(id as bigint))"), lit(0L)).as("id_xor"))
+      val r = out.collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+      tbl.drop()
+      val (na, xa) = r.getOrElse("added", (0L, 0L))
+      val (nd, xd) = r.getOrElse("deleted", (0L, 0L))
+      Seq((na, xa, nd, xd)).toDF("n_added", "xor_added", "n_deleted", "xor_deleted")
+    }),
+    // ---- triangle census over the co-click graph (users linked by >= 2
+    // shared items; analysis restricted to a user-id slab so the exact
+    // SQL triple-join oracle stays bounded — the OPERATOR is generic).
+    // Degree-ordered wedge enumeration in ops/Graph.scala: O(m^1.5)
+    // even on power-law degree sequences. ----
+    "graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir)
+        .where($"event_type" === "click" && $"user_id" < 300)
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val co = clicks.alias("a").join(clicks.alias("b"),
+          $"a.i" === $"b.i" && $"a.u" < $"b.u")
+        .groupBy($"a.u".as("u"), $"b.u".as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 2)
+        .select($"u", $"v")
+      ops.Graph.triangleStats(co)
+        .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+          RoundPortableExpr.r($"clustering", 4).as("clustering"))
+    }),
     // ---- token-window chunking: the doc→chunk explosion every
     // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
     // window − stride). Generator shape: chunks are born map-side from
@@ -2429,6 +2480,35 @@ object SparkEntry {
         |       (SELECT coalesce(bit_xor(doc_id), 0) FROM v2) AS xor_v2,
         |       (SELECT count(*) FROM cur) AS n_current,
         |       (SELECT coalesce(bit_xor(doc_id), 0) FROM cur) AS xor_current""".stripMargin,
+    "vdb_snapshot_diff" ->
+      """WITH added AS (SELECT doc_id FROM documents
+        |               WHERE doc_id >= 200 AND doc_id < 350 AND lang <> 'de'),
+        |deleted AS (SELECT doc_id FROM documents WHERE doc_id < 200 AND lang = 'de')
+        |SELECT (SELECT count(*) FROM added) AS n_added,
+        |       (SELECT coalesce(bit_xor(doc_id), 0) FROM added) AS xor_added,
+        |       (SELECT count(*) FROM deleted) AS n_deleted,
+        |       (SELECT coalesce(bit_xor(doc_id), 0) FROM deleted) AS xor_deleted""".stripMargin,
+    "graph_triangles" ->
+      """WITH cl AS (SELECT DISTINCT user_id AS u,
+        |                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |            FROM events WHERE event_type = 'click' AND user_id < 300),
+        |co AS (SELECT a.u AS u, b.u AS v FROM cl a JOIN cl b ON a.i = b.i AND a.u < b.u
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT id, count(*) AS deg
+        |        FROM (SELECT u AS id FROM co UNION ALL SELECT v FROM co) GROUP BY 1),
+        |tri AS (SELECT count(*) AS n
+        |        FROM co e1 JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                   JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM co) AS n_edges,
+        |       CAST(coalesce((SELECT sum((deg * (deg - 1)) // 2) FROM deg), 0) AS BIGINT)
+        |         AS n_wedges,
+        |       (SELECT n FROM tri) AS n_triangles,
+        |       CASE WHEN coalesce((SELECT sum((deg * (deg - 1)) // 2) FROM deg), 0) = 0
+        |            THEN 0.0e0
+        |            ELSE round(3.0e0 * (SELECT n FROM tri) /
+        |                       (SELECT sum((deg * (deg - 1)) // 2) FROM deg), 4) END
+        |         AS clustering""".stripMargin,
     "vdb_delete" ->
       """WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 400),
         |vis AS (SELECT * FROM base WHERE lang <> 'de')

@@ -107,6 +107,44 @@ object Graph {
     else ranks
   }
 
+  /** Degree-ordered triangle counting over an undirected edge list —
+    * the classic distributed formulation: canonicalize edges (u < v),
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher, enumerate wedges as pairs of OUT-neighbors of one node,
+    * close them against the canonical edge set. Degree ordering bounds
+    * each node's out-degree by O(√m), so the wedge join does O(m^1.5)
+    * work even on power-law graphs where a naive neighbor join
+    * quadratically explodes at the hubs. Returns ONE row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    * clustering = 3·triangles / wedges (0 when wedge-free). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = graft.core.PlanCache.persist(
+      edges.toDF("u", "v").where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = graft.core.PlanCache.persist(
+      e.join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .select(when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("st"))
+        .select(col("st.s").as("s"), col("st.t").as("t")))
+    val wedgePairs = o.alias("a").join(o.alias("b"),
+        col("a.s") === col("b.s") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("u"), col("b.t").as("v")) // candidate closing edge, u < v
+    val triAgg = wedgePairs.join(e, Seq("u", "v")).agg(count(lit(1)).as("n_triangles"))
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
+    nodeAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+
   /** DuckDB twin of [[pageRank]] (relative form): the power iteration
     * unrolled as chained CTEs — no recursive aggregation, which DuckDB's
     * recursive CTEs disallow. `edgesSql` must yield (src, dst) of the

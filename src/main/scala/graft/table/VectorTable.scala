@@ -207,6 +207,20 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       Seq(VectorSchema.ID), "left_anti")
   }
 
+  /** CDC between two snapshots: (id, change) with change ∈
+    * {'added','deleted'} — ids present only in the later/earlier
+    * snapshot respectively. The incremental-reprocessing contract: a
+    * downstream consumer re-embeds/re-indexes exactly this delta
+    * instead of rescanning the table. Two anti-joins on the id column
+    * only — never the payload. */
+  def diffSnapshots(from: Int, to: Int): DataFrame = {
+    val a = asOf(from).select(col(VectorSchema.ID))
+    val b = asOf(to).select(col(VectorSchema.ID))
+    b.join(a, Seq(VectorSchema.ID), "left_anti").withColumn("change", lit("added"))
+      .unionByName(
+        a.join(b, Seq(VectorSchema.ID), "left_anti").withColumn("change", lit("deleted")))
+  }
+
   private def expireSnapshots(): Unit = fs.delete(snapsRoot, true)
 
   /** Folds tombstones into the data: one rewrite of the surviving rows,

@@ -96,6 +96,26 @@ class DeleteLifecycleSpec extends SparkSpec with Matchers {
     tbl.drop()
   }
 
+  test("snapshot diff emits exactly the added and deleted ids between versions") {
+    val tbl = freshTable("diff1")
+    tbl.insert(mkRows(0 until 10))
+    val v1 = tbl.snapshot()
+    tbl.insert(mkRows(10 until 15))
+    tbl.delete(col(VectorSchema.ID).cast("int") < 3)
+    val v2 = tbl.snapshot()
+    val diff = tbl.diffSnapshots(v1, v2)
+      .collect().map(r => r.getString(0).toInt -> r.getString(1)).toMap
+    diff.filter(_._2 == "added").keySet shouldBe (10 until 15).toSet
+    diff.filter(_._2 == "deleted").keySet shouldBe (0 until 3).toSet
+    // diff of a version with itself is empty; reversed diff swaps roles
+    tbl.diffSnapshots(v2, v2).count() shouldBe 0
+    val rev = tbl.diffSnapshots(v2, v1)
+      .collect().map(r => r.getString(0).toInt -> r.getString(1)).toMap
+    rev.filter(_._2 == "added").keySet shouldBe (0 until 3).toSet
+    rev.filter(_._2 == "deleted").keySet shouldBe (10 until 15).toSet
+    tbl.drop()
+  }
+
   test("reads anti-join tombstones with a broadcast, not a shuffle") {
     val tbl = freshTable("del5")
     tbl.insert(mkRows(0 until 10))

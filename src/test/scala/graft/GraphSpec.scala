@@ -79,6 +79,24 @@ class GraphSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
   }
 
+  test("triangle census: complete graphs, triangle-free graphs, clustering") {
+    def stats(edges: Seq[(Long, Long)]) = {
+      val r = Graph.triangleStats(spark.createDataFrame(edges).toDF("u", "v")).head()
+      graft.core.PlanCache.release(spark)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    def clique(n: Int) =
+      for (i <- 0L until n; j <- i + 1 to n - 1L) yield (i, j)
+    stats(clique(3)) shouldBe ((3L, 3L, 3L, 1L, 1.0)) // K3: clustering exactly 1
+    stats(clique(4))._4 shouldBe 4L                    // K4 holds C(4,3) triangles
+    val star = (1L to 5L).map(l => (0L, l))
+    stats(star) shouldBe ((6L, 5L, 10L, 0L, 0.0))      // star: wedges but no closure
+    val path = (0L until 4L).map(i => (i, i + 1))
+    stats(path)._4 shouldBe 0L                         // path: triangle-free
+    // duplicate + reversed edges collapse to the canonical set
+    stats(clique(3) ++ clique(3).map(_.swap)) shouldBe ((3L, 3L, 3L, 1L, 1.0))
+  }
+
   test("more iterations move a chain's ranks monotonically toward the hub") {
     // path 0-1-2-3-4 symmetrized: the middle node gains rank with depth
     val path = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
