@@ -1092,6 +1092,21 @@ object SparkEntry {
       ops.Graph.personalizedPageRank(sym, seeds, iters = 5, d = 0.85, relative = true)
         .select($"id", RoundPortableExpr.r($"rank", 4).as("ppr_rel"))
     }),
+    // ---- HITS hubs/authorities over the DIRECTED user→item click
+    // graph: power users are hubs, popular-with-power-users items are
+    // authorities (the curation "which sources do good crawlers hit"
+    // signal). L1-normalized per side each round; side-relative
+    // rounded output. ----
+    "graph_hits" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("src"),
+          (regexp_extract($"props", "[0-9]+", 0).cast("long") + 1000000L).as("dst"))
+      val out = ops.Graph.hits(clicks, iters = 5)
+      val cnt = out.groupBy($"kind").agg(count(lit(1)).as("n"))
+      out.join(broadcast(cnt), "kind")
+        .select($"kind", $"id", RoundPortableExpr.r($"score" * $"n", 4).as("score_rel"))
+    }),
     // ---- per-source token-budget packing (data mixing under a fixed
     // token budget): longest-first greedy fill per source via a
     // windowed running token sum, cut at the budget. One shuffle keyed
@@ -3331,6 +3346,11 @@ object SparkEntry {
           |  FROM events WHERE event_type = 'click'""".stripMargin,
         "SELECT user_id AS id FROM events WHERE event_type = 'purchase'",
         iters = 5, d = 0.85),
+    "graph_hits" ->
+      ops.Graph.hitsRelSql(
+        """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+          |  FROM events WHERE event_type = 'click'""".stripMargin,
+        iters = 5),
     "text_token_budget" ->
       s"""WITH d AS (SELECT doc_id, source, len(${wordsSql("text")}) AS n_tok FROM documents),
          |c AS (SELECT source, n_tok,

@@ -107,6 +107,70 @@ object Graph {
     else ranks
   }
 
+  /** HITS over a DIRECTED edge list (src = hub side, dst = authority
+    * side — e.g. the bipartite user→item click graph): hub score =
+    * sum of pointed-to authority scores, authority score = sum of
+    * pointing hub scores, L1-normalized per side each round (the
+    * normalization is what keeps the power iteration bounded). Returns
+    * (kind ∈ hub|auth, id, score); scores sum to 1 within each side.
+    * Each half-step is one src- or dst-keyed join + partial-agg
+    * shuffle; the L1 norm is a single-row aggregate broadcast back —
+    * nothing driver-side except the initial hub count. */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
+    val nH = ed.select(col("src")).distinct().count()
+    var hub = ed.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / nH).as("score")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = ed.join(hub, ed("src") === hub("id"))
+        .groupBy(ed("dst").as("id")).agg(sum(col("score")).as("s"))
+      val a2 = araw.crossJoin(broadcast(araw.agg(sum(col("s")).as("n"))))
+        .select(col("id"), (col("s") / col("n")).as("score")).localCheckpoint()
+      if (auth != null) dropCheckpoint(auth)
+      auth = a2
+      val hraw = ed.join(auth, ed("dst") === auth("id"))
+        .groupBy(ed("src").as("id")).agg(sum(col("score")).as("s"))
+      val h2 = hraw.crossJoin(broadcast(hraw.agg(sum(col("s")).as("n"))))
+        .select(col("id"), (col("s") / col("n")).as("score")).localCheckpoint()
+      dropCheckpoint(hub)
+      hub = h2
+    }
+    checkpointRdd(hub).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    checkpointRdd(auth).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    hub.select(lit("hub").as("kind"), col("id"), col("score"))
+      .unionByName(auth.select(lit("auth").as("kind"), col("id"), col("score")))
+  }
+
+  /** DuckDB twin of [[hits]] in side-relative form (score scaled by the
+    * side's node count, rounded): the alternating half-steps unrolled
+    * as chained CTEs, L1 norms as scalar subqueries. Every iteration
+    * CTE is `AS MATERIALIZED` — each level references its predecessor
+    * twice (once for scores, once for the norm), so DuckDB's default
+    * CTE inlining would re-evaluate the chain 2^iters times. */
+  def hitsRelSql(edgesSql: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a${i}raw AS MATERIALIZED (SELECT ed.dst AS id, sum(h.score) AS s
+         |             FROM ed JOIN h${i - 1} h ON h.id = ed.src GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM a${i}raw) AS score FROM a${i}raw),
+         |h${i}raw AS MATERIALIZED (SELECT ed.src AS id, sum(a.score) AS s
+         |             FROM ed JOIN a$i a ON a.id = ed.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM h${i}raw) AS score FROM h${i}raw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |hn AS (SELECT count(DISTINCT src) AS n FROM ed),
+       |an AS (SELECT count(DISTINCT dst) AS n FROM ed),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) / hn.n AS score
+       |       FROM ed CROSS JOIN hn),
+       |$iterCtes
+       |SELECT 'hub' AS kind, id, round(score * hn.n, 4) AS score_rel
+       |FROM h$iters CROSS JOIN hn
+       |UNION ALL
+       |SELECT 'auth' AS kind, id, round(score * an.n, 4) AS score_rel
+       |FROM a$iters CROSS JOIN an""".stripMargin
+  }
+
   /** Degree-ordered triangle counting over an undirected edge list —
     * the classic distributed formulation: canonicalize edges (u < v),
     * orient every edge from its lower-(degree, id) endpoint to the

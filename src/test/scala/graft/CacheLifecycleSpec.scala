@@ -29,7 +29,8 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "dedup_semantic", "text_dsir_select", "text_vocab_oov", "dedup_cross_shard",
       "pipeline_curation", "sim_rp_project", "text_unigram_nll",
       "text_quality_adaptive",
-      "text_bigram_lm", "graph_pagerank", "graph_ppr", "graph_triangles", "drift_daily",
+      "text_bigram_lm", "graph_pagerank", "graph_ppr", "graph_triangles",
+      "graph_hits", "drift_daily",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
       "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
       "ann_ivfpq_incremental", "stream_ann_append")

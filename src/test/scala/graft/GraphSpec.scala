@@ -79,6 +79,25 @@ class GraphSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
   }
 
+  test("hits: broad hubs and co-cited authorities rank higher, sides sum to 1") {
+    // users 0,1,2 → items 10,11,12: user 0 clicks everything, item 10
+    // is clicked by everyone
+    val edges = spark.createDataFrame(Seq(
+      (0L, 10L), (0L, 11L), (0L, 12L), (1L, 10L), (2L, 10L), (2L, 11L)))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.core.PlanCache.release(spark)
+    val hubs = out.collect { case (("hub", id), s) => id -> s }
+    val auths = out.collect { case (("auth", id), s) => id -> s }
+    hubs.values.sum shouldBe 1.0 +- 1e-9
+    auths.values.sum shouldBe 1.0 +- 1e-9
+    hubs(0L) should be > hubs(1L)  // 3-item hub beats 1-item hub
+    hubs(2L) should be > hubs(1L)
+    auths(10L) should be > auths(11L) // universally-clicked item on top
+    auths(11L) should be > auths(12L) // two hubs beat one
+  }
+
   test("triangle census: complete graphs, triangle-free graphs, clustering") {
     def stats(edges: Seq[(Long, Long)]) = {
       val r = Graph.triangleStats(spark.createDataFrame(edges).toDF("u", "v")).head()
