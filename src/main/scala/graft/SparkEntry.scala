@@ -833,6 +833,19 @@ object SparkEntry {
       TextAnalysis.decontaminate(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", isBench = $"doc_id" % 10 === 0, maxDf = Some(200))
     }),
+    // ---- eval-set contamination audit, the REVERSE direction: per
+    // BENCH doc, how many training docs share an exact word 8-gram
+    // (GPT-3 App. C / PaLM "dirty eval example" protocol — exact
+    // n-grams, not winnowing's subsample, because this is a per-example
+    // audit). Grams hash to 60-bit longs map-side; bench side
+    // broadcast; maxDf=50 is the boilerplate/quadratic-head guard and
+    // deliberately bites on the fixture's template grams. ----
+    "text_eval_contamination" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.evalContamination(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", isBench = $"doc_id" % 10 === 0, n = 8, maxDf = Some(50))
+        .orderBy($"bench_id")
+    }),
     // ---- BM25 lexical top-k: the keyword half of hybrid retrieval.
     // Corpus stats broadcast from a one-row agg; non-matching docs are
     // pruned BEFORE the token explode; top-k is TakeOrderedAndProject.
@@ -2660,6 +2673,20 @@ object SparkEntry {
          |       count(*) AS n_shared_fp
          |FROM tr JOIN be ON tr.fp = be.fp
          |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
+    "text_eval_contamination" ->
+      s"""WITH g0 AS (SELECT doc_id, unnest(${shinglesSql(wordsSql("text"), 8)}) AS gs
+         |            FROM documents),
+         |g AS (SELECT doc_id, ${hexLongSql("gs")} AS g FROM g0),
+         |keep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS g_df
+         |                        FROM g GROUP BY 1) WHERE g_df <= 50),
+         |p AS (SELECT g.doc_id, g.g FROM g JOIN keep USING (g)),
+         |tr AS (SELECT doc_id AS train_id, g FROM p WHERE doc_id % 10 <> 0),
+         |be AS (SELECT doc_id AS bench_id, g FROM p WHERE doc_id % 10 = 0)
+         |SELECT be.bench_id,
+         |       CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_dirty_train,
+         |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
+         |FROM tr JOIN be ON tr.g = be.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_bm25" ->
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25

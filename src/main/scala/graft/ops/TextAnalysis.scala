@@ -235,4 +235,51 @@ object TextAnalysis {
       .withColumn("r_alpha", col("g.alpha_frac") >= 0.8)
       .withColumn("r_stop", col("g.stop_hits") >= 2)
       .drop("g")
+
+  /** Eval-set contamination report — the REVERSE direction of
+    * [[decontaminate]]: instead of flagging training docs to drop, audit
+    * each benchmark doc for how dirty it already is (the GPT-3 Appendix
+    * C / PaLM protocol: an eval example is "dirty" if it shares at least
+    * one exact word n-gram with any training document). Overlap here is
+    * EXACT n-grams (every gram, not winnowing's subsample) because the
+    * point is a per-eval-doc audit, not a cheap corpus-wide screen.
+    *
+    * Scale shape (100 TB train corpus, fixed-size eval set): grams are
+    * hashed to 60-bit longs map-side before the join so the shuffle
+    * carries 8-byte keys, the bench side is broadcast (eval sets are
+    * thousands of docs, never corpus-scale), and the train side never
+    * aggregates globally — the only groupBy is per bench doc, bounded by
+    * the eval-set size. `maxDf` drops grams present in more than maxDf
+    * distinct docs before joining — exactly [[decontaminate]]'s
+    * boilerplate/quadratic-head guard (an n-gram in T train × B bench
+    * docs emits T×B join rows); the keep-set is persisted via
+    * [[graft.core.PlanCache]] because it feeds both join branches.
+    *
+    * Returns one row per DIRTY bench doc: (bench_id, n_dirty_train =
+    * distinct training docs sharing ≥1 gram, n_shared_grams = distinct
+    * shared grams). Clean bench docs are absent — the consumer treats
+    * the report as a blocklist/discount list (the GPT-3 "clean subset"
+    * is the complement). */
+  def evalContamination(docs: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int = 8, maxDf: Option[Int] = None): DataFrame = {
+    val grams = docs.select(col(idCol), isBench.as("__is_bench"),
+      explode(graft.functions.TextExprs.shingles(col(textCol), n)).as("gs"))
+      .select(col(idCol), col("__is_bench"), hexLong(col("gs")).as("g"))
+    val pruned = maxDf match {
+      case None => grams
+      case Some(cap) =>
+        val keep = graft.core.PlanCache.persist(
+          grams.groupBy(col("g")).agg(countDistinct(col(idCol)).as("g_df"))
+            .where(col("g_df") <= cap).select(col("g")))
+        grams.join(keep, "g")
+    }
+    val train = pruned.where(!col("__is_bench"))
+      .select(col(idCol).as("__train_id"), col("g"))
+    val bench = pruned.where(col("__is_bench"))
+      .select(col(idCol).as("bench_id"), col("g"))
+    train.join(broadcast(bench), "g")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("__train_id")).as("n_dirty_train"),
+        countDistinct(col("g")).as("n_shared_grams"))
+  }
 }

@@ -135,6 +135,40 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("evalContamination matches a brute-force n-gram overlap audit") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = 8
+    def grams(s: String): Set[String] =
+      graft.functions.TextKernels.shingles(graft.functions.TextKernels.words(s), n).toSet
+    val all = rows.map { case (id, s) => id -> grams(s) }
+    val df = all.values.flatten.groupBy(identity).map { case (g, o) =>
+      g -> all.count(_._2.contains(g)) }
+    def expected(cap: Option[Int]): Set[(Long, Long, Long)] = {
+      val kept: String => Boolean = g => cap.forall(c => df(g) <= c)
+      val bench = all.filter(_._1 % 10 == 0)
+      val train = all.filter(_._1 % 10 != 0)
+      bench.flatMap { case (bid, bg) =>
+        val bk = bg.filter(kept)
+        val dirty = train.filter { case (_, tg) => tg.exists(g => kept(g) && bk(g)) }
+        val shared = train.iterator.flatMap(_._2.filter(g => kept(g) && bk(g))).toSet
+        if (dirty.isEmpty) None
+        else Some((bid, dirty.size.toLong, shared.size.toLong))
+      }.toSet
+    }
+    def run(cap: Option[Int]) =
+      TextAnalysis.evalContamination(docs, "doc_id", "text",
+        isBench = col("doc_id") % 10 === 0, n = n, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = run(None)
+    uncapped should not be empty
+    uncapped shouldBe expected(None)
+    run(Some(3)) shouldBe expected(Some(3))   // cap bites and both sides agree
+    core.PlanCache.release(spark)
+  }
+
   test("gopher kernel counts code points and folds case locale-independently") {
     import graft.functions.GopherStatsExpr
     import org.apache.spark.sql.graftbridge.GraftBridge
