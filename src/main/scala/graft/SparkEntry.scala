@@ -1120,6 +1120,21 @@ object SparkEntry {
       out.join(broadcast(cnt), "kind")
         .select($"kind", $"id", RoundPortableExpr.r($"score" * $"n", 4).as("score_rel"))
     }),
+    // ---- neighborhood link prediction (common-neighbors / Adamic–Adar
+    // / Jaccard) over the user→item click bipartite graph: the
+    // source-affinity candidate generator. Same u<300 fixture subset as
+    // graph_triangles; maxItemDf=250 is the hub guard bounding per-item
+    // join work at df² (the quadratic-head family: minhash bucket cap,
+    // decontamination df cap). Top-30 by Adamic–Adar. ----
+    "graph_link_pred" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir)
+        .where($"event_type" === "click" && $"user_id" < 300)
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+      ops.Graph.linkPrediction(clicks, maxItemDf = 250, minShared = 3)
+        .orderBy($"aa".desc, $"u".asc, $"v".asc).limit(30)
+    }),
     // ---- per-source token-budget packing (data mixing under a fixed
     // token budget): longest-first greedy fill per source via a
     // windowed running token sum, cut at the budget. One shuffle keyed
@@ -3378,6 +3393,12 @@ object SparkEntry {
         """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
           |  FROM events WHERE event_type = 'click'""".stripMargin,
         iters = 5),
+    "graph_link_pred" ->
+      (ops.Graph.linkPredictionSql(
+        """SELECT user_id AS u, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+          |  FROM events WHERE event_type = 'click' AND user_id < 300""".stripMargin,
+        maxItemDf = 250, minShared = 3) +
+        "\nORDER BY aa DESC, p.u, p.v LIMIT 30"),
     "text_token_budget" ->
       s"""WITH d AS (SELECT doc_id, source, len(${wordsSql("text")}) AS n_tok FROM documents),
          |c AS (SELECT source, n_tok,

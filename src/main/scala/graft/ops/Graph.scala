@@ -264,4 +264,63 @@ object Graph {
        |SELECT id, round(r$iters.rank * nn.n, 4) AS $outCol
        |FROM r$iters CROSS JOIN nn""".stripMargin
   }
+
+  /** Link prediction over a bipartite (user, item) interaction table:
+    * for every user pair sharing ≥ `minShared` items, the three classic
+    * neighborhood scores — common-neighbor count, Adamic–Adar
+    * (Σ_shared 1/ln df(item)), and Jaccard of the item neighborhoods.
+    * The curation use is crawl-frontier / source-affinity mining (which
+    * sources behave alike), and it is the candidate generator for the
+    * fuzzy-ER blocking family.
+    *
+    * Scale shape: candidate pairs come from an equi-join on item, so
+    * per-item work is df², and `maxItemDf` is the mandatory hub guard —
+    * a power-law hub item (df ~ users) otherwise emits a quadratic
+    * cross product (the same quadratic-head family as the minhash
+    * bucket cap and the decontamination df cap). Dropping hubs is also
+    * the standard IDF argument: an item everyone touches carries no
+    * affinity signal (its AA weight 1/ln(df) → 0 anyway). Degrees and
+    * Jaccard are computed over the CAPPED edge set, so the three scores
+    * are mutually consistent. The per-pair aggregate is a map-side-
+    * combinable groupBy; nothing is collected to the driver.
+    *
+    * Returns (u, v, cn, aa, jacc) with u < v; aa/jacc rounded to 4 dp
+    * portably. */
+  def linkPrediction(interactions: DataFrame, maxItemDf: Int,
+      minShared: Int = 2): DataFrame = {
+    val uv = interactions.toDF("u", "i").distinct()
+    val idf = uv.groupBy("i").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxItemDf)
+    val e = graft.core.PlanCache.persist(uv.join(idf, "i"))
+    val udeg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val pairs = e.alias("a").join(e.alias("b"),
+        col("a.i") === col("b.i") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("u"), col("b.u").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log(col("a.df").cast("double"))).as("aa"))
+      .where(col("cn") >= minShared)
+    pairs
+      .join(udeg.select(col("u"), col("deg").as("du")), "u")
+      .join(udeg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        graft.functions.RoundPortableExpr.r(col("aa"), 4).as("aa"),
+        graft.functions.RoundPortableExpr.r(
+          col("cn").cast("double") / (col("du") + col("dv") - col("cn")), 4).as("jacc"))
+  }
+
+  /** DuckDB twin of [[linkPrediction]]; `interactionsSql` yields (u, i). */
+  def linkPredictionSql(interactionsSql: String, maxItemDf: Int,
+      minShared: Int = 2): String =
+    s"""WITH uv AS (SELECT DISTINCT u, i FROM ($interactionsSql)),
+       |idf AS (SELECT i, count(*) AS df FROM uv GROUP BY 1
+       |        HAVING count(*) BETWEEN 2 AND $maxItemDf),
+       |e AS (SELECT uv.u, uv.i, idf.df FROM uv JOIN idf USING (i)),
+       |udeg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+       |p AS (SELECT a.u AS u, b.u AS v, count(*) AS cn,
+       |             sum(1.0e0 / ln(CAST(a.df AS DOUBLE))) AS aa
+       |      FROM e a JOIN e b ON a.i = b.i AND a.u < b.u
+       |      GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT p.u, p.v, CAST(p.cn AS BIGINT) AS cn, round(p.aa, 4) AS aa,
+       |       round(CAST(p.cn AS DOUBLE) / (da.deg + db.deg - p.cn), 4) AS jacc
+       |FROM p JOIN udeg da ON p.u = da.u JOIN udeg db ON p.v = db.u""".stripMargin
 }

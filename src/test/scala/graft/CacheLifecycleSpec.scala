@@ -30,7 +30,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "pipeline_curation", "sim_rp_project", "text_unigram_nll",
       "text_quality_adaptive",
       "text_bigram_lm", "graph_pagerank", "graph_ppr", "graph_triangles",
-      "graph_hits", "drift_daily",
+      "graph_hits", "graph_link_pred", "drift_daily",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
       "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
       "text_eval_contamination",

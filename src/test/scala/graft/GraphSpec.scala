@@ -116,6 +116,34 @@ class GraphSpec extends SparkSpec with Matchers {
     stats(clique(3) ++ clique(3).map(_.swap)) shouldBe ((3L, 3L, 3L, 1L, 1.0))
   }
 
+  test("link prediction: hand-checked scores, hub guard drops hub items") {
+    // users 1,2 share items 10,11; user 3 shares only 10 with them;
+    // item 99 is a hub everyone touched (df 3 > cap 2 → contributes nothing)
+    val uv = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (1L, 99L), (2L, 99L), (3L, 99L))
+    def run(cap: Int, minShared: Int) =
+      Graph.linkPrediction(spark.createDataFrame(uv).toDF("u", "i"), cap, minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val capped = run(2, 1)
+    graft.core.PlanCache.release(spark)
+    // with the hub (99) and the df-3 item (10) dropped, only 11 remains
+    val aa11 = BigDecimal(1.0 / math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_EVEN)
+    capped.keySet shouldBe Set((1L, 2L))
+    capped((1L, 2L))._1 shouldBe 1L
+    capped((1L, 2L))._2 shouldBe aa11.toDouble
+    capped((1L, 2L))._3 shouldBe 1.0 // deg(1)=deg(2)=1 over the capped set
+    val open = run(3, 1) // cap admits df-3 items: all three pairs appear
+    graft.core.PlanCache.release(spark)
+    open.keySet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+    open((1L, 2L))._1 shouldBe 3L // shares 10, 11, 99
+    open((1L, 3L))._1 shouldBe 2L // shares 10, 99
+    // minShared prunes the weaker pairs
+    val strict = run(3, 3)
+    graft.core.PlanCache.release(spark)
+    strict.keySet shouldBe Set((1L, 2L))
+  }
+
   test("more iterations move a chain's ranks monotonically toward the hub") {
     // path 0-1-2-3-4 symmetrized: the middle node gains rank with depth
     val path = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
