@@ -386,6 +386,17 @@ object SparkEntry {
           RoundPortableExpr.r(avg($"dist"), 4).as("mean_dist"),
           RoundPortableExpr.r(max($"dist"), 4).as("max_dist"))
     }),
+    // ---- embedding outlier audit: per label, the count of vectors
+    // whose centroid cosine distance clears the Tukey upper fence
+    // (q3 + 1.5·IQR over exact per-group percentiles, the
+    // text_quality_adaptive pattern). The embedding-space twin of the
+    // quality screens: mislabeled / degenerate vectors surface as
+    // distance-tail mass before they poison ANN training or dedup.
+    // Centroids and the 10-row fence table broadcast; the distance
+    // pass is one codegen'd kernel scan. ----
+    "sim_dist_outliers" -> ((s, dir) =>
+      Similarity.centroidDistOutliers(s.read.parquet(t(dir, "embeddings")),
+        "label", "vec_id", "embedding")),
     // ---- JL sign random projection (Achlioptas 2003) + neighbor-
     // preservation audit: project 64 → 32 dims with a stored-nothing
     // md5-derived ±1 matrix (one codegen kernel pass), then measure
@@ -3210,6 +3221,27 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs, round(avg(dist), 4) AS mean_dist,
         |       round(max(dist), 4) AS max_dist
         |FROM d GROUP BY 1""".stripMargin,
+    "sim_dist_outliers" ->
+      """WITH comp AS (
+        |  SELECT label, t.i AS i, avg(CAST(embedding[t.i + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) t(i) GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list_transform(list(v ORDER BY i), x -> CAST(x AS REAL)) AS c
+        |  FROM comp GROUP BY 1),
+        |d AS (
+        |  SELECT e.label, e.vec_id,
+        |         round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                          CAST(c AS DOUBLE[])), 4) AS dist
+        |  FROM embeddings e JOIN cent USING (label)),
+        |fen AS (
+        |  SELECT label, round(round(quantile_cont(dist, 0.75), 6) +
+        |           (round(quantile_cont(dist, 0.75), 6) -
+        |            round(quantile_cont(dist, 0.25), 6)) * 1.5, 6) AS hi
+        |  FROM d GROUP BY 1)
+        |SELECT d.label, count(*) AS n_vecs, any_value(hi) AS hi_fence,
+        |       CAST(sum(CASE WHEN dist > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(max(dist), 4) AS max_dist
+        |FROM d JOIN fen USING (label) GROUP BY 1""".stripMargin,
     "sim_rp_project" ->
       s"""WITH proj AS (
          |  SELECT vec_id, ${graft.functions.RpProjectExpr.sql("embedding", 64, 32)} AS p

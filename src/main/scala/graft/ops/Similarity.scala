@@ -273,4 +273,45 @@ object Similarity {
       .where(col("rank") <= k)
       .drop("rank")
   }
+
+  /** Embedding outlier audit: per group (label/source shard), the count
+    * of vectors whose cosine distance to the GROUP CENTROID clears the
+    * Tukey upper fence q3 + 1.5·IQR (exact per-group percentiles,
+    * rounded portably at 6 dp like the adaptive quality threshold).
+    * The embedding-space twin of the text quality screens — mislabeled
+    * or degenerate vectors surface as distance-tail mass before they
+    * poison ANN indexes or semantic dedup.
+    *
+    * Scale shape: centroids come from a posexplode + (group, dim)
+    * partial-aggregable average — never a collect; the #groups-row
+    * centroid and fence tables broadcast back, and the distance pass is
+    * one codegen'd kernel scan. The per-vector distance table is
+    * persisted via [[graft.core.PlanCache]] (it feeds both the fence
+    * aggregate and the final audit).
+    *
+    * Returns (groupCol, n_vecs, hi_fence, n_outliers, max_dist). */
+  def centroidDistOutliers(df: DataFrame, groupCol: String, idCol: String,
+      embCol: String): DataFrame = {
+    val comp = df.select(col(groupCol), posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col(groupCol), col("i")).agg(avg(col("x").cast("double")).as("v"))
+    val cent = comp.groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("sv"))
+      .select(col(groupCol), expr("transform(sv, s -> cast(s.v as float))").as("c"))
+    val d = graft.core.PlanCache.persist(
+      df.join(broadcast(cent), groupCol)
+        .select(col(groupCol), col(idCol),
+          RoundPortableExpr.r(
+            VectorFunctions.cosineDistance(col(embCol), col("c")), 4).as("dist")))
+    val fen = d.groupBy(col(groupCol))
+      .agg(RoundPortableExpr.r(expr("percentile(dist, 0.25)"), 6).as("q1"),
+        RoundPortableExpr.r(expr("percentile(dist, 0.75)"), 6).as("q3"))
+      .select(col(groupCol),
+        RoundPortableExpr.r(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi"))
+    d.join(broadcast(fen), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        first(col("hi")).as("hi_fence"),
+        sum(when(col("dist") > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+        RoundPortableExpr.r(max(col("dist")), 4).as("max_dist"))
+  }
 }

@@ -24,6 +24,26 @@ class SimilaritySpec extends SparkSpec with Matchers {
     res.map(_.getLong(0)).distinct.toSeq shouldBe Seq(0L)
   }
 
+  test("centroidDistOutliers flags a planted far vector and only it") {
+    import spark.implicits._
+    // group "a": a tight cluster around +x plus one ANTIPODAL outlier;
+    // group "b": a clean cluster (no outliers past the Tukey fence)
+    val tight = (0 until 8).map(i => (i.toLong, "a",
+      Seq(1f, 0.01f * i, 0f, 0f)))
+    val far = Seq((8L, "a", Seq(-1f, 0f, 0f, 0f)))
+    val clean = (10 until 18).map(i => (i.toLong, "b",
+      Seq(0f, 1f, 0.01f * (i - 10), 0f)))
+    val df = (tight ++ far ++ clean).toDF("vec_id", "grp", "embedding")
+    val out = Similarity.centroidDistOutliers(df, "grp", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    graft.core.PlanCache.release(spark)
+    out("a")._1 shouldBe 9L
+    out("a")._2 shouldBe 1L          // exactly the antipodal vector
+    out("a")._3 should be > 1.5      // its distance dominates the fence
+    out("b") shouldBe ((8L, 0L, out("b")._3)) // clean cluster: no outliers
+  }
+
   test("lshBucketTopK finds the same top-1 as brute force on separated clusters") {
     import spark.implicits._
     val brute = Similarity.bruteTopK(vecs.where($"vec_id" <= 1), vecs, k = 1)
