@@ -869,6 +869,17 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- materialized inverted index (dictionary + bounded posting
+    // prefixes): df is a combinable count, the stored prefix is rank-
+    // bounded (WindowGroupLimit heaps) — never a full-posting
+    // collect_list, which for a stopword term is gigabytes at corpus
+    // scale. Top-20 dictionary head by df. ----
+    "search_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      LexicalSearch.invertedIndex(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", prefixLen = 10)
+        .orderBy($"df".desc, $"term".asc).limit(20)
+    }),
     // ---- hybrid search: reciprocal-rank fusion of the BM25 shortlist
     // with the embedding-cosine shortlist (the retrieval mode production
     // vector stores pair with ANN; the reference is vector-only). Both
@@ -2713,6 +2724,10 @@ object SparkEntry {
          |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
          |FROM tr JOIN be ON tr.g = be.g
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_inverted_index" ->
+      s"""WITH ${LexicalSearch.invertedIndexSql(10)}
+         |SELECT term, df, postings FROM inv
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "search_bm25" ->
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25

@@ -99,4 +99,52 @@ object LexicalSearch {
        |FROM tf JOIN dfreq d USING (term), stats s
        |GROUP BY 1)""".stripMargin
   }
+
+  /** Materialized inverted index: one row per distinct term with its
+    * document frequency and the first `prefixLen` posting ids (the
+    * dictionary+postings layout BM25/phrase search would serve from, and
+    * the vocabulary census a tokenizer-training pass reads).
+    *
+    * Scale shape: term presence (doc, term) comes from a map-side
+    * `array_distinct` before the explode, so the shuffle carries each
+    * (doc, term) once, not per occurrence. df is a map-side-combinable
+    * count — NEVER a `collect_list` of the full posting list, which at
+    * corpus scale is gigabytes for a stopword term; the stored prefix is
+    * bounded by `prefixLen` via a rank window (WindowGroupLimit pushes
+    * per-partition heaps), and both aggregates share the one exploded
+    * shuffle. Postings serialize as a comma-joined string (driver-side
+    * checker can't hash ARRAY columns).
+    *
+    * Returns (term, df, postings). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 10): DataFrame = {
+    val toks = graft.core.PlanCache.persist(
+      docs.select(col(idCol),
+          explode(array_distinct(TextPrimitives.words(col(textCol)))).as("term"))
+        .where(col("term") =!= ""))
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term").orderBy(col(idCol).asc)
+    val prefix = toks.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= prefixLen)
+      .groupBy("term")
+      .agg(array_join(transform(array_sort(collect_list(col(idCol))),
+        x => x.cast("string")), ",").as("postings"))
+    dfreq.join(prefix, "term")
+  }
+
+  /** DuckDB twin of [[invertedIndex]] over `documents`, as a CTE block
+    * ending in `inv(term, df, postings)`. */
+  def invertedIndexSql(prefixLen: Int = 10): String =
+    s"""itoks AS (SELECT doc_id, unnest(list_distinct(${TextPrimitives.wordsSql("text")})) AS term
+       |          FROM documents),
+       |it AS (SELECT doc_id, term FROM itoks WHERE term <> ''),
+       |idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM it GROUP BY 1),
+       |ipre AS (SELECT term, doc_id FROM (
+       |           SELECT term, doc_id,
+       |                  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |           FROM it) WHERE rn <= $prefixLen),
+       |ip AS (SELECT term,
+       |              array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+       |       FROM ipre GROUP BY 1),
+       |inv AS (SELECT idf.term, idf.df, ip.postings FROM idf JOIN ip USING (term))""".stripMargin
 }

@@ -33,7 +33,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "graph_hits", "graph_link_pred", "drift_daily",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
       "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
-      "text_eval_contamination", "sim_dist_outliers",
+      "text_eval_contamination", "sim_dist_outliers", "search_inverted_index",
       "ann_ivfpq_incremental", "stream_ann_append")
     for (name <- names) {
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())

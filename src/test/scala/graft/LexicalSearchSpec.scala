@@ -63,6 +63,22 @@ class LexicalSearchSpec extends SparkSpec {
     assert(rrf(1L) > rrf(3L) && rrf(3L) > rrf(2L))
   }
 
+  test("invertedIndex: df counts docs once, prefix is bounded and sorted") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "b b b a"),   // repeated term counts once toward df
+      (1L, "a c"),
+      (2L, "a b")
+    ).toDF("doc_id", "text")
+    val out = LexicalSearch.invertedIndex(df, "doc_id", "text", prefixLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    graft.core.PlanCache.release(spark)
+    assert(out("a") == ((3L, "1,2")))  // prefix capped at 2, lowest ids, sorted
+    assert(out("b") == ((2L, "2,3")))  // b's repeat in doc 3 counted once
+    assert(out("c") == ((1L, "1")))
+    assert(out.keySet == Set("a", "b", "c"))
+  }
+
   test("bm25 keeps the arrays_overlap prune ahead of the explode on a file source") {
     // a LocalRelation input would be constant-folded at optimization time,
     // so prove the plan shape against a real parquet scan
