@@ -1046,6 +1046,36 @@ object SparkEntry {
           RoundPortableExpr.r(first($"thr"), 4).as("thr_q25"),
           sum(when($"q" < $"thr", 1L).otherwise(0L)).as("n_below"))
     }),
+    // ---- curriculum schedule: quartile quality buckets (1 = best)
+    // with per-bucket token/quality stats — the ordering table a
+    // quality-curriculum training run consumes (easy→hard phase mix).
+    // Deliberately NOT a global ntile: a corpus-wide Window.orderBy is
+    // a single-partition sort at scale. Bucket = comparison against the
+    // broadcast one-row exact-percentile thresholds — one map-side
+    // pass, same threshold discipline as text_quality_adaptive. ----
+    "text_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val q = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id",
+            graft.functions.TextProfileExpr.col($"text",
+              TextAnalysis.stopwords, TextAnalysis.langs).getField("quality").as("q"),
+            size(ops.TextPrimitives.words($"text")).as("n_tok")))
+      val thr = q.agg(
+        RoundPortableExpr.r(expr("percentile(q, 0.25)"), 6).as("t25"),
+        RoundPortableExpr.r(expr("percentile(q, 0.5)"), 6).as("t50"),
+        RoundPortableExpr.r(expr("percentile(q, 0.75)"), 6).as("t75"))
+      q.crossJoin(broadcast(thr))
+        .select($"q", $"n_tok",
+          when($"q" >= $"t75", 1).when($"q" >= $"t50", 2)
+            .when($"q" >= $"t25", 3).otherwise(4).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          RoundPortableExpr.r(avg($"q"), 4).as("mean_q"),
+          RoundPortableExpr.r(min($"q"), 4).as("min_q"),
+          RoundPortableExpr.r(max($"q"), 4).as("max_q"),
+          RoundPortableExpr.r(avg($"n_tok".cast("double")), 2).as("mean_tok"))
+    }),
     // ---- unigram-LM negative log likelihood (the ccnet/KenLM-style
     // perplexity proxy): fit an add-1-smoothed unigram model on the
     // corpus (token-keyed count shuffle + ONE broadcast stats row —
@@ -3396,6 +3426,22 @@ object SparkEntry {
          |SELECT q.lang, count(*) AS n_docs, round(any_value(thr), 4) AS thr_q25,
          |       CAST(sum(CASE WHEN q.q < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_below
          |FROM q JOIN thr USING (lang) GROUP BY 1""".stripMargin,
+    "text_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityExprSql("ltext", "ws")} AS q, len(ws) AS n_tok
+         |  FROM (SELECT doc_id, lower(text) AS ltext, ${wordsSql("text")} AS ws
+         |        FROM documents)),
+         |thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS t25,
+         |               round(quantile_cont(q, 0.5), 6) AS t50,
+         |               round(quantile_cont(q, 0.75), 6) AS t75 FROM q),
+         |b AS (SELECT q, n_tok,
+         |             CASE WHEN q >= t75 THEN 1 WHEN q >= t50 THEN 2
+         |                  WHEN q >= t25 THEN 3 ELSE 4 END AS bucket
+         |      FROM q CROSS JOIN thr)
+         |SELECT bucket, count(*) AS n_docs, round(avg(q), 4) AS mean_q,
+         |       round(min(q), 4) AS min_q, round(max(q), 4) AS max_q,
+         |       round(avg(CAST(n_tok AS DOUBLE)), 2) AS mean_tok
+         |FROM b GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),

@@ -28,7 +28,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_substring",
       "dedup_semantic", "text_dsir_select", "text_vocab_oov", "dedup_cross_shard",
       "pipeline_curation", "sim_rp_project", "text_unigram_nll",
-      "text_quality_adaptive",
+      "text_quality_adaptive", "text_curriculum",
       "text_bigram_lm", "graph_pagerank", "graph_ppr", "graph_triangles",
       "graph_hits", "graph_link_pred", "drift_daily",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",

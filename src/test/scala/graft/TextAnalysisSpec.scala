@@ -169,6 +169,22 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("curriculum buckets partition the corpus and order by quality") {
+    val out = SparkEntry.queries("text_curriculum")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    graft.core.PlanCache.release(spark)
+    out.keySet shouldBe Set(1, 2, 3, 4)
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    out.values.map(_._1).sum shouldBe total
+    // mean quality decreases down the curriculum; bucket ranges don't overlap
+    out(1)._2 should be >= out(2)._2
+    out(2)._2 should be >= out(3)._2
+    out(3)._2 should be >= out(4)._2
+    out(1)._3 should be >= out(2)._4 // min of bucket 1 ≥ max of bucket 2
+    out(3)._3 should be >= out(4)._4
+  }
+
   test("gopher kernel counts code points and folds case locale-independently") {
     import graft.functions.GopherStatsExpr
     import org.apache.spark.sql.graftbridge.GraftBridge
