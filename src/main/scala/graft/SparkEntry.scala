@@ -397,6 +397,18 @@ object SparkEntry {
     "sim_dist_outliers" -> ((s, dir) =>
       Similarity.centroidDistOutliers(s.read.parquet(t(dir, "embeddings")),
         "label", "vec_id", "embedding")),
+    // ---- Matryoshka truncation audit (Kusupati et al. 2022): per-query
+    // top-10 overlap between full 64-dim and prefix-16-dim cosine
+    // retrieval — the go/no-go measurement for serving from truncated
+    // vectors at 1/4 the memory. Query panel = first 5 corpus vectors,
+    // broadcast; both distances computed in one candidate pass. ----
+    "sim_matryoshka" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val queries = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity.matryoshkaAgreement(emb, queries, k = 10, prefixDim = 16)
+    }),
     // ---- JL sign random projection (Achlioptas 2003) + neighbor-
     // preservation audit: project 64 → 32 dims with a stored-nothing
     // md5-derived ±1 matrix (one codegen kernel pass), then measure
@@ -3307,6 +3319,23 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN dist > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       round(max(dist), 4) AS max_dist
         |FROM d JOIN fen USING (label) GROUP BY 1""".stripMargin,
+    "sim_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |d AS (
+        |  SELECT q.qid, e.vec_id,
+        |         round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                          CAST(q.qe AS DOUBLE[])), 6) AS fd,
+        |         round(1 - list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]),
+        |                                          CAST(q.qe[1:16] AS DOUBLE[])), 6) AS pd
+        |  FROM embeddings e, q),
+        |r AS (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY fd, vec_id) AS rf,
+        |         row_number() OVER (PARTITION BY qid ORDER BY pd, vec_id) AS rp
+        |  FROM d)
+        |SELECT qid, CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       round(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) / 10.0, 4) AS overlap_at_k
+        |FROM r WHERE rf <= 10 OR rp <= 10 GROUP BY 1""".stripMargin,
     "sim_rp_project" ->
       s"""WITH proj AS (
          |  SELECT vec_id, ${graft.functions.RpProjectExpr.sql("embedding", 64, 32)} AS p

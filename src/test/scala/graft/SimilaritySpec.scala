@@ -107,4 +107,25 @@ class SimilaritySpec extends SparkSpec with Matchers {
     out.map(_._1).toSet shouldBe Set(1L, 2L) // 3L at distance 1.0 excluded
     out.foreach { case (_, d) => d should be <= 0.6 }
   }
+
+  test("matryoshkaAgreement counts full-vs-prefix top-k overlap per query") {
+    import spark.implicits._
+    // 4-dim vectors, prefix = first 2 dims. Query along +x. Candidate 1
+    // matches on the prefix AND the tail; candidate 2 matches on the
+    // prefix but points away in the tail; candidate 3 is orthogonal in
+    // the prefix but aligned in the tail. With k=2: full-space top-2 =
+    // {1, 3}, prefix-space top-2 = {1, 2} → overlap 1.
+    val cands = Seq(
+      (1L, Seq(1f, 0f, 1f, 0f)),
+      (2L, Seq(1f, 0f, -1f, 0f)),
+      (3L, Seq(0f, 0.6f, 5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1f, 0f, 1f, 0f))).toDF("qid", "qe")
+    val out = Similarity.matryoshkaAgreement(cands, q, k = 2, prefixDim = 2)
+      .collect()
+    out.length shouldBe 1
+    out.head.getLong(0) shouldBe 0L
+    out.head.getLong(1) shouldBe 1L
+    out.head.getDouble(2) shouldBe 0.5
+  }
 }
