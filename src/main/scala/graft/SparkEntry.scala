@@ -1660,6 +1660,25 @@ object SparkEntry {
         .orderBy($"est_count".desc, $"word".asc)
         .limit(12)
     }),
+    // ---- count-min sketch point queries: the 4×256 counter matrix is
+    // the ENTIRE shuffled state (bounded per map partition by partial
+    // agg), and the estimate provably never under-counts — est vs exact
+    // shown side by side because this sketch, hashes included, is
+    // bit-reproducible in the oracle. "zzz_absent" pins the
+    // never-occurred path (est = collision mass only). ----
+    "agg_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val keys = Seq("table", "join", "filter", "quantum", "zzz_absent")
+      val est = ops.CountMin.estimates(
+        ops.CountMin.sketch(docs, "text", d = 4, w = 256), keys, d = 4, w = 256)
+      val exact = docs.select(explode(ops.TextPrimitives.words($"text")).as("term"))
+        .where($"term".isin(keys: _*))
+        .groupBy($"term").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("term"), "left")
+        .select($"term", $"est", coalesce($"exact", lit(0L)).as("exact"),
+          ($"est" >= coalesce($"exact", lit(0L))).cast("int").as("over_ok"))
+    }),
     // ---- grouped heavy hitters: top bigrams PER LANGUAGE — the MG
     // counter map composes with groupBy (partial sketches merge
     // map-side per group). Bigrams are per-doc-distinct (shingles
@@ -3052,6 +3071,29 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
         |WHERE w <> ''
         |GROUP BY 1 ORDER BY est_count DESC, word LIMIT 12""".stripMargin,
+    "agg_countmin" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(${wordsSql("text")}) AS term FROM documents),
+         |tok AS (SELECT term FROM tk WHERE term <> ''),
+         |sk AS (
+         |  SELECT t.i AS i, ${ops.CountMin.bucketSql("term", "t.i", 256)} AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM tok, range(4) t(i) GROUP BY 1, 2),
+         |keys AS (SELECT * FROM (VALUES ('table'), ('join'), ('filter'),
+         |                               ('quantum'), ('zzz_absent')) k(term)),
+         |kq AS (
+         |  SELECT term, t.i AS i, ${ops.CountMin.bucketSql("term", "t.i", 256)} AS bucket
+         |  FROM keys, range(4) t(i)),
+         |est AS (
+         |  SELECT kq.term, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
+         |  FROM kq LEFT JOIN sk USING (i, bucket) GROUP BY 1),
+         |ex AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS exact FROM tok
+         |  WHERE term IN ('table', 'join', 'filter', 'quantum', 'zzz_absent')
+         |  GROUP BY 1)
+         |SELECT est.term, est.est, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
+         |       CASE WHEN est.est >= coalesce(ex.exact, 0) THEN 1 ELSE 0 END AS over_ok
+         |FROM est LEFT JOIN ex USING (term)""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
         |FROM lineitem GROUP BY 1""".stripMargin,

@@ -65,4 +65,22 @@ class HeavyHittersSpec extends SparkSpec with Matchers {
     }
     err.getMessage should include("outside dense range")
   }
+
+  test("count-min estimates never under-count and are exact absent collisions") {
+    import spark.implicits._
+    // skewed corpus: "hot" 300×, "warm" 40×, "cold" 1×
+    val docs = (Seq.fill(300)("hot") ++ Seq.fill(40)("warm") ++ Seq("cold"))
+      .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val sk = graft.ops.CountMin.sketch(docs, "text", d = 4, w = 256)
+    sk.agg(sum($"c")).head().getLong(0) shouldBe 341L * 4 // mass conserved per row
+    val est = graft.ops.CountMin
+      .estimates(sk, Seq("hot", "warm", "cold", "never"), d = 4, w = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic md5 hashes: 3 tokens in 4×256 counters don't
+    // collide, so the one-sided estimates are exact and absent = 0
+    est("hot") shouldBe 300L
+    est("warm") shouldBe 40L
+    est("cold") shouldBe 1L
+    est("never") shouldBe 0L
+  }
 }
