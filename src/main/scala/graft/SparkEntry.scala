@@ -1305,6 +1305,33 @@ object SparkEntry {
     // ---- Shannon-entropy quality signals: char-level (repetition /
     // garbage detector) and token-level (vocabulary collapse detector)
     // in one codegen kernel pass per row; map-only. ----
+    // ---- distinct-n diversity (the distinct-1/2/3 corpus metric of
+    // Li et al. 2016, the repetition complement of per-doc entropy):
+    // unique n-grams / total n-gram occurrences per language. One
+    // corpus pass: the three per-doc-DISTINCT shingle arrays ride one
+    // explode tagged by n (union of per-doc distinct = corpus
+    // distinct), totals are map-side length arithmetic — the only
+    // shuffles are the (lang, n, gram) distinct and a 15-row join. ----
+    "text_distinct_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val ns = Seq(1, 2, 3)
+      val base = s.read.parquet(t(dir, "documents"))
+        .select($"lang", size(ops.TextPrimitives.words($"text")).as("len"), $"text")
+      val totals = base
+        .select($"lang", explode(array(ns.map(lit): _*)).as("n"), $"len")
+        .groupBy($"lang", $"n")
+        .agg(sum(greatest($"len" - $"n" + 1, lit(0))).as("total"))
+      val distincts = base
+        .select($"lang", explode(concat(ns.map(n => transform(
+          graft.functions.TextExprs.shingles($"text", n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*)).as("s"))
+        .groupBy($"lang", $"s.n".as("n"))
+        .agg(countDistinct($"s.g").as("n_distinct"))
+      totals.join(distincts, Seq("lang", "n"))
+        .select($"lang", $"n", $"total", $"n_distinct",
+          RoundPortableExpr.r($"n_distinct".cast("double") / $"total", 6)
+            .as("distinct_ratio"))
+    }),
     "text_entropy" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(t(dir, "documents"))
@@ -3631,6 +3658,21 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN backfilled THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
          |       round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS dim0_sum
          |FROM allr GROUP BY 1""".stripMargin,
+    "text_distinct_ngrams" ->
+      s"""WITH w AS (SELECT lang, ${wordsSql("text")} AS ws FROM documents),
+         |t AS (
+         |  SELECT lang, v.n AS n,
+         |         CAST(sum(greatest(len(ws) - v.n + 1, 0)) AS BIGINT) AS total
+         |  FROM w, (VALUES (1), (2), (3)) v(n) GROUP BY 1, 2),
+         |g AS (
+         |  SELECT lang, 1 AS n, unnest(${shinglesSql("ws", 1)}) AS g FROM w
+         |  UNION ALL SELECT lang, 2, unnest(${shinglesSql("ws", 2)}) FROM w
+         |  UNION ALL SELECT lang, 3, unnest(${shinglesSql("ws", 3)}) FROM w),
+         |d AS (SELECT lang, n, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |      FROM g GROUP BY 1, 2)
+         |SELECT t.lang, t.n, t.total, d.n_distinct,
+         |       round(d.n_distinct::DOUBLE / t.total, 6) AS distinct_ratio
+         |FROM t JOIN d USING (lang, n)""".stripMargin,
     "text_entropy" ->
       s"""WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents),
          |cf AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
