@@ -286,6 +286,28 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)),
+    // ---- split-leakage audit: near-dup pairs that CROSS the hash
+    // train/test split — the contamination dedup-after-split creates
+    // (Lee et al. 2022 §6.2: near-dup test docs with a train twin
+    // inflate eval). Shares the banded pair pipeline (and its shuffle
+    // bounds); the split is the same salted-hash rule as
+    // text_train_split, so the audit composes with the real splitter.
+    // One summary row: pairs, crossing pairs, distinct contaminated
+    // test docs. ----
+    "dedup_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = when(pmod(
+        conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(100)) < 80, "train").otherwise("test")
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+          "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+        .select($"id_a", $"id_b", splitOf($"id_a").as("sa"), splitOf($"id_b").as("sb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)), lit(0L)).as("n_leaking"),
+          countDistinct(when($"sa" === "test" && $"sb" === "train", $"id_a")
+            .when($"sb" === "test" && $"sa" === "train", $"id_b"))
+            .as("n_test_contaminated"))
+    }),
     // ---- the same pipeline under the hot-bucket skew guard: buckets
     // over maxBucket docs are excluded from candidate generation, which
     // bounds per-reducer join work at maxBucket² regardless of corpus
@@ -3224,6 +3246,35 @@ object SparkEntry {
          |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
          |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
          |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
+    "dedup_split_leakage" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8
+         |), sp AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN ${hexLongSql("'split:' || CAST(id_a AS VARCHAR)")} % 100 < 80
+         |         THEN 'train' ELSE 'test' END AS sa,
+         |    CASE WHEN ${hexLongSql("'split:' || CAST(id_b AS VARCHAR)")} % 100 < 80
+         |         THEN 'train' ELSE 'test' END AS sb
+         |  FROM pairs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaking,
+         |       CAST(count(DISTINCT CASE WHEN sa = 'test' AND sb = 'train' THEN id_a
+         |                                WHEN sb = 'test' AND sa = 'train' THEN id_b END)
+         |            AS BIGINT) AS n_test_contaminated
+         |FROM sp""".stripMargin,
     "dedup_minhash_capped" ->
       s"""WITH base AS (
          |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
