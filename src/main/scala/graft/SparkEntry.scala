@@ -939,6 +939,36 @@ object SparkEntry {
         .orderBy($"rrf".desc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- late-interaction retrieval (ColBERT MaxSim, Khattab &
+    // Zaharia 2020): score(doc) = Σ_terms max_chunks sim(term, chunk) —
+    // fine-grained term-to-passage matching that single-vector-per-doc
+    // retrieval can't express (a doc matching ALL terms in DIFFERENT
+    // chunks outranks one matching one term everywhere). Plan: one
+    // chunk explode + one embed pass over chunks, the 3-term query
+    // side broadcast, then two map-side-combinable aggregates (min
+    // distance per (doc, term), sum per doc) and a TakeOrdered top-k —
+    // nothing corpus-quadratic, distances stay in the same rounded
+    // space on both engines. ----
+    "search_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val (window, stride) = (40, 40)
+      val qterms = Seq("spark", "join", "shuffle")
+      val emb = graft.embed.Embedders.forName("hashing")
+      val qdf = broadcast(qterms.map(tm => (tm, emb.embed(tm))).toDF("term", "qv"))
+      val chunks = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", ops.TextPrimitives.words($"text").as("ws"))
+        .where(size($"ws") > 0)
+        .withColumn("off", explode(sequence(lit(0), size($"ws") - 1, lit(stride))))
+        .select($"doc_id", array_join(slice($"ws", $"off" + 1, lit(window)), " ").as("ctext"))
+      graft.embed.EmbedOps.withEmbedding(chunks, "ctext", "hashing")
+        .crossJoin(qdf)
+        .select($"doc_id", $"term",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", $"qv"), 6).as("dist"))
+        .groupBy($"doc_id", $"term").agg(min($"dist").as("md"))
+        .groupBy($"doc_id").agg(RoundPortableExpr.r(sum(lit(1.0) - $"md"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     // ---- MMR diversity rerank: greedy λ·rel − (1−λ)·max-sim selection
     // over the k-NN shortlist (Carbonell & Goldstein), so near-identical
     // hits stop crowding out distinct-but-relevant ones. Sequential by
@@ -2862,6 +2892,25 @@ object SparkEntry {
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_maxsim" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |ch AS (
+         |  SELECT doc_id, array_to_string(ws[t.off + 1 : t.off + 40], ' ') AS ctext
+         |  FROM w, unnest(range(0, len(ws), 40)) t(off)
+         |  WHERE len(ws) > 0),
+         |cacc AS (SELECT doc_id, ${hashingEmbedAccSql("ctext", 64)} AS a FROM ch),
+         |cemb AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS e FROM cacc),
+         |q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('shuffle')) v(term)),
+         |qacc AS (SELECT term, ${hashingEmbedAccSql("term", 64)} AS a FROM q),
+         |qemb AS (SELECT term, ${hashingEmbedNormSql("a")} AS qv FROM qacc),
+         |d AS (
+         |  SELECT c.doc_id, q.term,
+         |         round(1 - list_cosine_similarity(CAST(c.e AS DOUBLE[]),
+         |                                          CAST(q.qv AS DOUBLE[])), 6) AS dist
+         |  FROM cemb c, qemb q),
+         |m AS (SELECT doc_id, term, min(dist) AS md FROM d GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, round(sum(1 - md), 6) AS score FROM m GROUP BY 1)
+         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_hybrid_rrf" ->
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
          |lex_top AS (SELECT doc_id, round(score, 4) AS score FROM bm25

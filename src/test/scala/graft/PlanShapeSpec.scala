@@ -266,4 +266,24 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // one shuffle on bucket feeds both the rank window and the final agg
     "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("maxsim: broadcast query terms, partial aggs, heap top-k — no cartesian") {
+    val p = physical("search_maxsim")
+    p should not include "CartesianProduct" // 3-term side is broadcast NLJ
+    p should include("BroadcastNestedLoopJoin")
+    p should include("partial_min") // per-(doc, term) min combines map-side
+    p should include("TakeOrderedAndProject") // top-k never global-sorts
+  }
+
+  test("matryoshka: both ranks share one shuffle keyed by query id") {
+    val p = physical("sim_matryoshka")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(qid".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("count-min: sketch counters partial-aggregate before the shuffle") {
+    val p = physical("agg_countmin")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
 }
