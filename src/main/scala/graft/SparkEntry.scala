@@ -969,6 +969,39 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    // ---- ranker-agreement eval: NDCG@10 of the embedding retrieval
+    // leg scored against BM25's top-10 as graded pseudo-labels
+    // (rel = 11 − lexical rank) — the zero-annotation IR eval loop that
+    // tunes hybrid weights. Both legs are k-row shortlists computed by
+    // the same machinery as search_hybrid_rrf; the metric math touches
+    // only 10-row frames, so the ONLY corpus-scale work is the two
+    // scoring passes. ----
+    "search_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val lexScored = LexicalSearch.bm25(docs, "doc_id", "text", searchTerms)
+        .select($"doc_id", RoundPortableExpr.r($"score", 4).as("score"))
+      val rel = LexicalSearch.rankedTopK(lexScored, "doc_id",
+          Seq(col("score").desc, col("doc_id").asc), 10)
+        .select($"doc_id", (lit(11) - $"rank").cast("double").as("rel"))
+      val embedded = graft.embed.EmbedOps.withEmbedding(
+        docs.select($"doc_id", $"text"), "text", "hashing")
+      val qvec = graft.embed.Embedders.forName("hashing").embed(searchTerms.mkString(" "))
+      val vec = LexicalSearch.rankedTopK(embedded.select($"doc_id",
+          RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+            .as("distance")),
+          "doc_id", Seq(col("distance").asc, col("doc_id").asc), 10)
+        .withColumnRenamed("rank", "rk")
+      val dcg = vec.join(rel, Seq("doc_id"), "left")
+        .agg(RoundPortableExpr.r(
+          sum(coalesce($"rel", lit(0.0)) / log2($"rk" + 1)), 6).as("dcg"))
+      val idcg = rel
+        .withColumn("r", row_number().over( // 10-row frame: safe unpartitioned
+          org.apache.spark.sql.expressions.Window.orderBy($"rel".desc, $"doc_id".asc)))
+        .agg(RoundPortableExpr.r(sum($"rel" / log2($"r" + 1)), 6).as("idcg"))
+      dcg.crossJoin(idcg)
+        .select($"dcg", $"idcg", RoundPortableExpr.r($"dcg" / $"idcg", 6).as("ndcg"))
+    }),
     // ---- MMR diversity rerank: greedy λ·rel − (1−λ)·max-sim selection
     // over the k-NN shortlist (Carbonell & Goldstein), so near-identical
     // hits stop crowding out distinct-but-relevant ones. Sequential by
@@ -2911,6 +2944,28 @@ object SparkEntry {
          |m AS (SELECT doc_id, term, min(dist) AS md FROM d GROUP BY 1, 2),
          |sc AS (SELECT doc_id, round(sum(1 - md), 6) AS score FROM m GROUP BY 1)
          |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_ndcg" ->
+      s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
+         |lex_top AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |            ORDER BY score DESC, doc_id LIMIT 10),
+         |rel AS (SELECT doc_id,
+         |               CAST(11 - row_number() OVER (ORDER BY score DESC, doc_id) AS DOUBLE) AS rel
+         |        FROM lex_top),
+         |eacc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
+         |eemb AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM eacc),
+         |qacc AS (SELECT ${hashingEmbedAccSql(s"'${searchTerms.mkString(" ")}'", 64)} AS a),
+         |qv AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc),
+         |vtop AS (SELECT e.doc_id,
+         |                round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                                 CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |         FROM eemb e, qv q ORDER BY distance, doc_id LIMIT 10),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS rk FROM vtop),
+         |dcg AS (SELECT round(sum(coalesce(rel, 0) / log2(rk + 1)), 6) AS dcg
+         |        FROM vr LEFT JOIN rel USING (doc_id)),
+         |idcg AS (SELECT round(sum(rel / log2(r + 1)), 6) AS idcg FROM (
+         |           SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS r FROM rel))
+         |SELECT dcg.dcg, idcg.idcg, round(dcg.dcg / idcg.idcg, 6) AS ndcg
+         |FROM dcg, idcg""".stripMargin,
     "search_hybrid_rrf" ->
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
          |lex_top AS (SELECT doc_id, round(score, 4) AS score FROM bm25

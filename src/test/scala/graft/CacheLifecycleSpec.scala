@@ -24,7 +24,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
     // the registry queries that persist mid-plan subtrees (minhash
     // signatures, BM25 tf, duplicated windows — directly or through an
     // op) or build memoized tables
-    val names = Seq("search_bm25", "search_hybrid_rrf", "search_mmr",
+    val names = Seq("search_bm25", "search_hybrid_rrf", "search_mmr", "search_ndcg",
       "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_substring",
       "dedup_split_leakage",
       "dedup_semantic", "text_dsir_select", "text_vocab_oov", "dedup_cross_shard",
