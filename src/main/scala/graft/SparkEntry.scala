@@ -286,6 +286,17 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)),
+    // ---- incremental dedup maintenance: pairs touching the new 10%
+    // batch only (batch×corpus + batch×batch), never re-enumerating
+    // corpus×corpus — the per-ingest cost shape that keeps minhash
+    // dedup viable on a continuously-growing 100 TB corpus. ----
+    "dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.minhashIncrementalPairs(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+    }),
     // ---- split-leakage audit: near-dup pairs that CROSS the hash
     // train/test split — the contamination dedup-after-split creates
     // (Lee et al. 2022 §6.2: near-dup test docs with a train twin
@@ -3348,6 +3359,29 @@ object SparkEntry {
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |)
          |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
+         |), eb AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |  WHERE doc_id % 10 <> 0
+         |), bb AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |  WHERE doc_id % 10 = 0
+         |), cand AS (
+         |  SELECT DISTINCT y.doc_id AS id_a, x.doc_id AS id_b, 'corpus' AS pair_src
+         |  FROM bb x JOIN eb y ON x.band = y.band AND x.key = y.key
+         |  UNION
+         |  SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |)
+         |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard, c.pair_src
          |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
          |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
     "dedup_split_leakage" ->

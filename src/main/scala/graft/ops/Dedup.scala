@@ -136,6 +136,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup maintenance: pairs touching a NEW batch —
+    * batch×corpus plus batch×batch — WITHOUT re-enumerating
+    * corpus×corpus pairs. This is the ingest-time shape of minhash
+    * dedup: the corpus's signature/bucket table is the stored index
+    * (built once, appended per batch — cf. the persisted ANN index),
+    * and per-batch work is proportional to the batch's bucket matches,
+    * never corpus². The pair set equals [[minhashLshPairs]] over
+    * corpus ∪ batch restricted to pairs with a batch member
+    * (DedupSpec pins that equivalence). Complements
+    * [[crossShardNearDups]]: that op answers "which incoming docs have
+    * a twin anywhere" (per-doc census, corpus side only); this one
+    * yields the actual pair table — including batch-internal pairs —
+    * that downstream component-building consumes.
+    *
+    * Returns (id_a, id_b, jaccard, pair_src) with pair_src ∈
+    * {corpus, batch}; for corpus×batch pairs id_a is the corpus doc. */
+  def minhashIncrementalPairs(
+      existing: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    def sigs(df: DataFrame) = graft.core.PlanCache.persist(
+      minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+        .where(size(col("sh")) > 0)
+        .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand)))
+    def buckets(s: DataFrame) =
+      s.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
+    val (eSigs, bSigs) = (sigs(existing), sigs(batch))
+    val (eB, bB) = (buckets(eSigs), buckets(bSigs))
+    val candCross = bB.alias("x").join(eB.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col(s"y.$idCol").as("id_a"), col(s"x.$idCol").as("id_b"),
+        lit("corpus").as("pair_src"))
+    val candNew = bB.alias("x").join(bB.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit("batch").as("pair_src"))
+    val sh = eSigs.select(col(idCol), col("sh"))
+      .unionByName(bSigs.select(col(idCol), col("sh")))
+    candCross.unionByName(candNew).distinct()
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        RoundPortableExpr.r(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"),
+        col("pair_src"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 60-bit SimHash fingerprint per document. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextExprs.simhash(col(textCol)).as("simhash"))

@@ -26,7 +26,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
     // op) or build memoized tables
     val names = Seq("search_bm25", "search_hybrid_rrf", "search_mmr", "search_ndcg",
       "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_substring",
-      "dedup_split_leakage",
+      "dedup_split_leakage", "dedup_incremental",
       "dedup_semantic", "text_dsir_select", "text_vocab_oov", "dedup_cross_shard",
       "pipeline_curation", "sim_rp_project", "text_unigram_nll",
       "text_quality_adaptive", "text_curriculum",

@@ -159,6 +159,31 @@ class DedupSpec extends SparkSpec with Matchers {
     hit.getAs[Double]("best_jaccard") shouldBe 1.0
   }
 
+  test("incremental pairs == full banded pairs restricted to batch-touching") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                            // corpus-internal twin pair
+      (3L, "one two three four five six seven eight nine ten"),
+      (10L, base),                                       // batch doc: twins 1 and 2
+      (20L, "one two three four five six seven eight nine ten"), // batch: twins 3
+      (30L, base)                                        // batch-internal twin of 10
+    ).toDF("doc_id", "text")
+    val isBatch = $"doc_id" >= 10L
+    val inc = Dedup.minhashIncrementalPairs(docs.where(!isBatch), docs.where(isBatch),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 10L || b >= 10L }
+    core.PlanCache.release(spark)
+    inc.map { case (a, b, _) => (a, b) }.toSet shouldBe full.toSet
+    inc.collect { case (a, b, "batch") => (a, b) }.toSet shouldBe Set((10L, 30L))
+    inc.collect { case (_, _, "corpus") => () }.size shouldBe inc.size - 1
+    full.toSet should not be empty // 5 batch-touching pairs — non-vacuous
+  }
+
   test("jaccardHistogram buckets candidate pairs by decile, identical pair in decile 9") {
     import spark.implicits._
     val df = Seq(
