@@ -85,7 +85,7 @@ object ScaleStress {
         $"lang", $"source", $"n_chars")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$target/documents.parquet")
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts reads as long nanos
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts copied as stored (any encoding)
     val evX = (0 until copies).map { k =>
       ev.select(($"event_id" + lit(k * 100000000L)).as("event_id"), $"ts",
         ($"user_id" + lit(k * 10000000L)).as("user_id"),

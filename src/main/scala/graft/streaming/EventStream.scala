@@ -18,10 +18,16 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts = TIMESTAMP(NANOS) read as long under
-    * spark.sql.legacy.parquet.nanosAsLong). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema as stored. `ts`'s on-disk encoding varies by fixture
+    * generation (TIMESTAMP(NANOS) → long under
+    * spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS, NTZ) →
+    * TimestampNTZ), so the stream's user-provided schema is probed from
+    * a one-off batch footer read and `ts` normalized after the source —
+    * the same contract as the batch loader (graft.Tables.normalizeTs).
+    * A stream declaring the wrong ts type would not fail: it would
+    * silently mis-scale every window (nanos÷1000 applied to micros). */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -48,15 +54,17 @@ object EventStream {
   }
 
   /** Streaming source over the events parquet (file-stream source with a
-    * glob filter so the sf dir can hold the other tables too). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * glob filter so the sf dir can hold the other tables too). The ts
+    * storage type is probed batch-side once (driver-only footer read),
+    * then normalized identically to the batch loader. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // Integral div, not `/`: long `/` promotes to Double and epoch-nanos
-      // exceed the 53-bit mantissa (see Tables.events).
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(raw, "ts")
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark for
     * late data. At scale this is a streaming shuffle keyed by
