@@ -27,6 +27,11 @@ object SparkEntry {
     * search_bm25 / search_hybrid_rrf and their oracle twins. */
   private val searchTerms = Seq("dup", "vector", "query")
 
+  /** Exact consecutive phrase for search_phrase (31 fixture docs
+    * contain it adjacently; many more contain both words apart —
+    * exactly the distinction positional search exists to draw). */
+  private val phraseTerms = Seq("vector", "query")
+
   /** DuckDB twin of [[graft.ops.Similarity.mmrRerank]]: the greedy MMR
     * selection is sequential, so each of the k argmax steps unrolls as
     * one chained CTE pair (candidate scoring vs the picks so far →
@@ -504,6 +509,20 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       Similarity.rangeSearch(emb.where($"vec_id" < 5), emb, eps = 0.72)
     }),
+    // ---- margin-based parallel-pair mining (Artetxe & Schwenk, the
+    // CCMatrix bitext criterion): even-label rows are corpus side A,
+    // odd-label side B; each side-A query's best side-B candidate by
+    // neighborhood-normalized margin, kept when margin > 1. The
+    // backward kNN leg scores only the distinct forward candidates
+    // (semi-join prune) — see Similarity.bitextMarginPairs. ----
+    "sim_bitext_margin" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val src = emb.where(pmod($"label", lit(2)) === 0).select($"vec_id", $"embedding")
+      val tgt = emb.where(pmod($"label", lit(2)) === 1).select($"vec_id", $"embedding")
+      Similarity.bitextMarginPairs(src.where($"vec_id" < 50), src, tgt, k = 4)
+        .orderBy($"src_id".asc)
+    }),
     // ---- dedup threshold-sensitivity census: decile histogram of
     // exact shingle-Jaccard over the blocked candidate pairs — the
     // audit that sizes a dedup threshold before committing the merge.
@@ -925,6 +944,17 @@ object SparkEntry {
         "doc_id", "text", prefixLen = 10)
         .orderBy($"df".desc, $"term".asc).limit(20)
     }),
+    // ---- positional phrase search: exact consecutive "vector query"
+    // occurrences via posting-list adjacency joins — postings pruned to
+    // the phrase's terms before any shuffle, each leg O(df(term)).
+    // Term-presence retrieval can't express this (see
+    // LexicalSearch.phraseSearch). ----
+    "search_phrase" -> ((s, dir) => {
+      import s.implicits._
+      LexicalSearch.phraseSearch(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", phraseTerms)
+        .orderBy($"n_hits".desc, $"doc_id".asc).limit(10)
+    }),
     // ---- hybrid search: reciprocal-rank fusion of the BM25 shortlist
     // with the embedding-cosine shortlist (the retrieval mode production
     // vector stores pair with ANN; the reference is vector-only). Both
@@ -1284,6 +1314,26 @@ object SparkEntry {
       val seeds = ev.where($"event_type" === "purchase").select($"user_id".as("id"))
       ops.Graph.personalizedPageRank(sym, seeds, iters = 5, d = 0.85, relative = true)
         .select($"id", RoundPortableExpr.r($"rank", 4).as("ppr_rel"))
+    }),
+    // ---- clamped label propagation (Zhu & Ghahramani): purchasing
+    // users carry a fixed audit label (user_id mod 3 — deterministic
+    // fixture stand-in for a human-audited domain tag); two rounds
+    // spread it over the symmetric click graph by per-node majority
+    // vote (ties → smaller label). Output is the bounded label census,
+    // never the node table. Same persisted-edges / per-round-checkpoint
+    // loop as graph_pagerank (ops/Graph.scala). ----
+    "graph_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("src"),
+          (regexp_extract($"props", "[0-9]+", 0).cast("long") + 1000000L).as("dst"))
+      val sym = clicks.unionAll(clicks.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("id")).distinct()
+        .select($"id", pmod($"id", lit(3L)).as("label"))
+      ops.Graph.labelPropagation(sym, seeds, iters = 2)
+        .orderBy($"label".asc)
     }),
     // ---- HITS hubs/authorities over the DIRECTED user→item click
     // graph: power users are hubs, popular-with-power-users items are
@@ -2725,6 +2775,45 @@ object SparkEntry {
         |WHERE c.vec_id <> q.query_id
         |  AND round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
         |                                       CAST(q.embedding AS DOUBLE[])), 4) <= 0.72""".stripMargin,
+    "sim_bitext_margin" ->
+      """WITH bsrc AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+        |btgt AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+        |bq AS (SELECT * FROM bsrc WHERE vec_id < 50),
+        |fwd_d AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                          CAST(q.embedding AS DOUBLE[])), 4) AS distance
+        |  FROM btgt c, bq q),
+        |fwd AS (
+        |  SELECT query_id, neighbor_id, 1 - distance AS sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY distance, neighbor_id) AS rn
+        |        FROM fwd_d) WHERE rn <= 4),
+        |favg AS (SELECT query_id, round(avg(sim), 6) AS fwd_avg FROM fwd GROUP BY 1),
+        |cand AS (SELECT DISTINCT neighbor_id FROM fwd),
+        |bwd_d AS (
+        |  SELECT t.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(1 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                          CAST(t.embedding AS DOUBLE[])), 4) AS distance
+        |  FROM bsrc c, (SELECT b.* FROM btgt b JOIN cand ON b.vec_id = cand.neighbor_id) t),
+        |bwd AS (
+        |  SELECT query_id, 1 - distance AS sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY distance, neighbor_id) AS rn
+        |        FROM bwd_d) WHERE rn <= 4),
+        |bavg AS (SELECT query_id AS neighbor_id, round(avg(sim), 6) AS bwd_avg
+        |         FROM bwd GROUP BY 1),
+        |pairs AS (
+        |  SELECT f.query_id AS src_id, f.neighbor_id AS tgt_id, f.sim,
+        |         round(f.sim / ((fa.fwd_avg + ba.bwd_avg) / 2), 6) AS margin
+        |  FROM fwd f JOIN favg fa USING (query_id)
+        |             JOIN bavg ba ON f.neighbor_id = ba.neighbor_id)
+        |SELECT src_id, tgt_id, sim, margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+        |                                   ORDER BY margin DESC, tgt_id) AS rn
+        |      FROM pairs)
+        |WHERE rn = 1 AND margin > 1.0
+        |ORDER BY src_id""".stripMargin,
     "dedup_threshold_sweep" -> {
       val base = s"SELECT doc_id, source, ${shinglesSql("ws", 3)} AS sh " +
         s"FROM (SELECT doc_id, source, ${wordsSql("text")} AS ws FROM documents)"
@@ -2932,6 +3021,10 @@ object SparkEntry {
       s"""WITH ${LexicalSearch.invertedIndexSql(10)}
          |SELECT term, df, postings FROM inv
          |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "search_phrase" ->
+      s"""WITH ${LexicalSearch.phraseSearchSql(phraseTerms)}
+         |SELECT doc_id, n_hits FROM ph
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin,
     "search_bm25" ->
       s"""WITH ${LexicalSearch.bm25Sql(searchTerms)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25
@@ -3783,6 +3876,19 @@ object SparkEntry {
           |  SELECT 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS src, user_id AS dst
           |  FROM events WHERE event_type = 'click'""".stripMargin,
         iters = 5, d = 0.85),
+    "graph_label_prop" -> {
+      val edgesSql =
+        """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS src, user_id AS dst
+          |  FROM events WHERE event_type = 'click'""".stripMargin
+      val seedsSql =
+        """SELECT DISTINCT user_id AS id, CAST(user_id % 3 AS BIGINT) AS label
+          |  FROM events WHERE event_type = 'purchase'""".stripMargin
+      s"""WITH ${ops.Graph.labelPropCensusSql(edgesSql, seedsSql, iters = 2)}
+         |SELECT label, n_nodes FROM lpcensus ORDER BY label""".stripMargin
+    },
     "graph_ppr" ->
       ops.Graph.personalizedPageRankRelSql(
         """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics: PageRank / personalized PageRank power
@@ -323,4 +324,81 @@ object Graph {
        |SELECT p.u, p.v, CAST(p.cn AS BIGINT) AS cn, round(p.aa, 4) AS aa,
        |       round(CAST(p.cn AS DOUBLE) / (da.deg + db.deg - p.cn), 4) AS jacc
        |FROM p JOIN udeg da ON p.u = da.u JOIN udeg db ON p.v = db.u""".stripMargin
+
+  /** Clamped (semi-supervised) label propagation: seed nodes carry a
+    * fixed label; each round, every still-unlabeled node adopts the
+    * majority label of its LABELED in-neighbors (ties → smaller label —
+    * a total, engine-independent order, unlike hash-dependent argmax).
+    * Seeds never change (the "clamping" of Zhu & Ghahramani 2002); the
+    * propagation frontier expands one hop per round, so `iters` bounds
+    * the label horizon. The training-data use: spread a small set of
+    * audited domain/quality labels over an interaction graph to
+    * weak-label the unaudited remainder.
+    *
+    * Scale shape: same discipline as [[pageRank]] — the edge table is
+    * persisted once and re-joined per round (the vote pass is a
+    * src-keyed join then a (dst, label)-keyed partial aggregate, linear
+    * in edges); each round's label table is cut with an eager
+    * localCheckpoint (nested-plan analysis goes exponential otherwise)
+    * and the superseded round is dropped immediately, so peak storage
+    * is two O(nodes) tables. Returns a bounded census, not the node
+    * table: (label, n_nodes) with label −1 = still unlabeled. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 2): DataFrame = {
+    val spark = edges.sparkSession
+    val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
+    val nodes = ed.select(col("src").as("id"))
+      .unionAll(ed.select(col("dst").as("id"))).distinct()
+    var lab = nodes.join(seeds.toDF("id", "label"), Seq("id"), "left")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = ed.join(
+          lab.where(col("label").isNotNull).select(col("id").as("src"), col("label")),
+          "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("id").orderBy(col("votes").desc, col("label").asc)
+      val newly = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+      val next = lab.join(newly, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("new_label")).as("label"))
+        .localCheckpoint()
+      dropCheckpoint(lab)
+      lab = next
+    }
+    checkpointRdd(lab).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    lab.groupBy(coalesce(col("label"), lit(-1L)).as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: the rounds unrolled as chained
+    * CTEs ending in `lpcensus(label, n_nodes)`. `seedsSql` yields
+    * (id, label). Iteration CTEs are MATERIALIZED — each level is
+    * referenced twice (votes + carry-forward). */
+  def labelPropCensusSql(edgesSql: String, seedsSql: String,
+      iters: Int = 2): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT ed.dst AS id, l.label, count(*) AS votes
+         |  FROM ed JOIN lab${i - 1} l ON ed.src = l.id
+         |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |n$i AS (SELECT id, label AS new_label FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY id
+         |                      ORDER BY votes DESC, label) AS rn FROM v$i)
+         |        WHERE rn = 1),
+         |lab$i AS MATERIALIZED (
+         |  SELECT l.id, coalesce(l.label, n$i.new_label) AS label
+         |  FROM lab${i - 1} l LEFT JOIN n$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |lpnodes AS (SELECT DISTINCT id FROM
+       |            (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+       |lab0 AS MATERIALIZED (
+       |  SELECT n.id, s.label FROM lpnodes n LEFT JOIN ($seedsSql) s USING (id)),
+       |$rounds,
+       |lpcensus AS (SELECT coalesce(label, -1) AS label,
+       |                    CAST(count(*) AS BIGINT) AS n_nodes
+       |             FROM lab$iters GROUP BY 1)""".stripMargin
+  }
 }

@@ -132,6 +132,54 @@ object LexicalSearch {
     dfreq.join(prefix, "term")
   }
 
+  /** Positional phrase search: documents containing the exact
+    * consecutive phrase, scored by occurrence count — the positional-
+    * inverted-index query (Manning IR §2.4) that term-presence search
+    * (BM25, [[invertedIndex]]) cannot express: "vector query" must NOT
+    * match a doc with the two words far apart.
+    *
+    * Scale shape: the (doc, pos, term) postings are pruned to the
+    * phrase's own terms with an `isin` BEFORE anything shuffles, so
+    * each join leg is one term's posting list — O(df(term)), never the
+    * corpus token stream. Adjacency is chained as equi-joins on
+    * (doc, pos − offset): leg i matches term i at start+i, exactly the
+    * intersect-by-(docId, position) merge a serving-time positional
+    * index performs. The pruned postings are persisted once and shared
+    * by every leg (registered with PlanCache; the materializing caller
+    * releases). Returns (idCol, n_hits) for matching docs. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch needs a multi-word phrase")
+    val pos = graft.core.PlanCache.persist(
+      docs.select(col(idCol),
+          posexplode(TextPrimitives.words(col(textCol))).as(Seq("pos", "term")))
+        .where(col("term").isin(phrase: _*)))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      pos.where(col("term") === t).select(col(idCol), (col("pos") - i).as("start"))
+    }
+    legs.reduce(_.join(_, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB twin of [[phraseSearch]] over `documents`, as a CTE block
+    * ending in `ph(doc_id, n_hits)`. */
+  def phraseSearchSql(phrase: Seq[String]): String = {
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      val lit = t.replace("'", "''")
+      s"pl$i AS (SELECT doc_id, pos - $i AS start FROM ppos WHERE term = '$lit')"
+    }
+    val joined = (1 until phrase.size)
+      .foldLeft("pl0") { (acc, i) => s"$acc JOIN pl$i USING (doc_id, start)" }
+    s"""pw AS (SELECT doc_id, ${TextPrimitives.wordsSql("text")} AS ws FROM documents),
+       |ppos AS (SELECT doc_id, t.i AS pos, ws[t.i + 1] AS term
+       |         FROM pw, unnest(range(len(ws))) t(i)
+       |         WHERE ws[t.i + 1] IN (${phrase.map(t => s"'${t.replace("'", "''")}'").mkString(", ")})),
+       |${legs.mkString(",\n")},
+       |ph AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM $joined GROUP BY 1)""".stripMargin
+  }
+
   /** DuckDB twin of [[invertedIndex]] over `documents`, as a CTE block
     * ending in `inv(term, df, postings)`. */
   def invertedIndexSql(prefixLen: Int = 10): String =

@@ -148,6 +148,56 @@ object Similarity {
       .drop("rank")
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining criterion): for each query vector in
+    * corpus side A, score its k nearest neighbors in side B by
+    * margin(x, y) = sim(x, y) / ((avgSim_k(x→B) + avgSim_k(y→A)) / 2)
+    * — raw cosine is incomparable across queries (hubness), the ratio
+    * to both points' local neighborhood density is. Keeps each query's
+    * best-margin candidate when margin > 1 (closer than its
+    * neighborhood average on BOTH sides).
+    *
+    * Scale shape: the two kNN legs are the pluggable part — here exact
+    * [[bruteTopK]] (query panel broadcast, candidates never shuffle);
+    * at corpus scale both legs substitute any shortlist operator with
+    * the same (query_id, neighbor_id, distance) contract (LSH / IVF /
+    * PQ — this is how CCMatrix runs it, FAISS shards per side). The
+    * backward leg only ever scores the ≤ q·k DISTINCT forward
+    * candidates (semi-join prune), not all of side B; the margin join
+    * itself is shortlist-sized: q·k rows joined to two avg tables of
+    * ≤ q and ≤ q·k rows (both broadcastable). Forward shortlist is
+    * persisted once for its three consumers (PlanCache; the
+    * materializing caller releases).
+    *
+    * `queries` ⊆ `src` is the mined panel (at 100 TB: a shard of side
+    * A per job). Returns (src_id, tgt_id, sim, margin). */
+  def bitextMarginPairs(
+      queries: DataFrame, src: DataFrame, tgt: DataFrame, k: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val fwd = graft.core.PlanCache.persist(
+      bruteTopK(queries, tgt, k, idCol, embCol)
+        .withColumn("sim", lit(1.0) - col("distance")))
+    val fwdAvg = fwd.groupBy(col("query_id"))
+      .agg(RoundPortableExpr.r(avg(col("sim")), 6).as("fwd_avg"))
+    val cands = fwd.select(col("neighbor_id").as(idCol)).distinct()
+    val bwdQueries = tgt.join(cands, Seq(idCol), "left_semi")
+    val bwdAvg = bruteTopK(bwdQueries, src, k, idCol, embCol)
+      .withColumn("sim", lit(1.0) - col("distance"))
+      .groupBy(col("query_id"))
+      .agg(RoundPortableExpr.r(avg(col("sim")), 6).as("bwd_avg"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    val w = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id").asc)
+    fwd.join(broadcast(fwdAvg), "query_id")
+      .join(broadcast(bwdAvg), "neighbor_id")
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"),
+        RoundPortableExpr.r(
+          col("sim") / ((col("fwd_avg") + col("bwd_avg")) / lit(2.0)), 6).as("margin"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("margin") > 1.0)
+      .drop("rn")
+  }
+
   /** ε-radius search (the range query of the vector-search literature —
     * "all neighbors within distance ε", the other half of the top-k
     * surface): exact, one map-side pass. The query panel broadcasts;

@@ -152,4 +152,32 @@ class GraphSpec extends SparkSpec with Matchers {
     r8(2L) should be > r1(2L) - 1e-12
     r8(0L) should be < r8(2L) // endpoints below the center at the fixed point
   }
+
+  test("labelPropagation: frontier expands one hop per round, seeds clamp, census totals hold") {
+    // path 0-1-2-3-4 (symmetric), seed 0 labeled 7: two rounds reach 1 and 2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val edges = spark.createDataFrame(path).toDF("src", "dst")
+    val seeds = spark.createDataFrame(Seq((0L, 7L))).toDF("id", "label")
+    val census = Graph.labelPropagation(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(census == Map(7L -> 3L, -1L -> 2L)) // 0,1,2 labeled; 3,4 beyond the horizon
+  }
+
+  test("labelPropagation: majority wins, ties break to the smaller label, seeds never flip") {
+    // node 9 has two label-5 neighbors and one label-3 neighbor -> 5;
+    // node 8 has one of each -> tie -> 3; seed 1 (label 5) adjacent to
+    // two label-3 seeds keeps 5
+    val edges = spark.createDataFrame(Seq(
+      (1L, 9L), (2L, 9L), (3L, 9L),
+      (2L, 8L), (3L, 8L),
+      (2L, 1L), (3L, 1L)
+    ).flatMap { case (u, v) => Seq((u, v), (v, u)) }).toDF("src", "dst")
+    val seeds = spark.createDataFrame(Seq((1L, 5L), (2L, 5L), (3L, 3L))).toDF("id", "label")
+    val out = Graph.labelPropagation(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(out == Map(5L -> 3L, 3L -> 2L)) // 9->5 (majority), 8->3 (tie->min), seeds keep 5,5,3
+  }
 }

@@ -89,4 +89,31 @@ class LexicalSearchSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("arrays_overlap"))
   }
+
+  test("phraseSearch counts only adjacent occurrences, duplicate-term phrases included") {
+    val pd = Seq(
+      (1L, "alpha beta gamma"),       // one "beta gamma"
+      (2L, "beta filler gamma"),      // words present but apart -> no hit
+      (3L, "beta gamma beta gamma"),  // two occurrences
+      (4L, "gamma beta"),             // reversed -> no hit
+      (5L, "beta beta beta")          // for the duplicate-term phrase below
+    ).toDF("doc_id", "text")
+    val hits = LexicalSearch.phraseSearch(pd, "doc_id", "text", Seq("beta", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(hits == Map(1L -> 1L, 3L -> 2L)) // 2, 4, 5 absent, not zero-rowed
+    val dup = LexicalSearch.phraseSearch(pd, "doc_id", "text", Seq("beta", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(dup == Map(5L -> 2L)) // overlapping starts both count; doc 3's betas are 2 apart
+  }
+
+  test("phraseSearch prunes postings to the phrase terms before the joins") {
+    val pd = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = LexicalSearch.phraseSearch(pd, "doc_id", "text", Seq("beta", "gamma"))
+      .queryExecution.optimizedPlan.toString
+    graft.core.PlanCache.release(spark)
+    assert(plan.contains("IN (beta,gamma)") || plan.contains("term IN"),
+      s"posting prune missing from plan:\n$plan")
+  }
 }

@@ -33,7 +33,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
     "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
     "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance",
-    "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget")
+    "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget",
+    "search_phrase", "sim_bitext_margin")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query

