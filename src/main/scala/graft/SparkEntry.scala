@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filters.Filters
@@ -39,13 +39,18 @@ object SparkEntry {
     * Scala loop multiplies by (1−λ in particular is NOT the decimal 0.3)
     * so both engines compute bit-identical scores before the 6-decimal
     * round. */
-  private def mmrOracleSql(k: Int, lambda: Double, shortlist: Int): String = {
+  /** The generic greedy-MMR CTE chain `sel1..selK`, assuming CTEs
+    * `short(doc_id, emb, distance)` (the bounded shortlist; relevance =
+    * 1 − distance) and `pairs(ia, ib, pdist)` (its pairwise rounded
+    * distances) are already defined. λ literals are printed from the
+    * SAME doubles the Scala loop multiplies by. Every multiply-
+    * referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and the sel chain references its predecessor 3× per
+    * step — inlining would re-expand the source scan 3^k times
+    * (observed as "too many open files" at k=10). */
+  private def mmrSelChainSql(k: Int, lambda: Double): String = {
     val lam = lambda.toString
     val oneMinus = (1.0 - lambda).toString
-    // Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
-    // plain CTEs per reference, and the sel chain references its
-    // predecessor 3× per step — inlining would re-expand the parquet
-    // scan 3^k times (observed as "too many open files" at k=10).
     val steps = (2 to k).map { i =>
       s"""cand$i AS (
          |  SELECT c.doc_id, round($lam * (1 - c.distance) - $oneMinus * max(1 - p.pdist), 6) AS score
@@ -60,6 +65,12 @@ object SparkEntry {
          |  (SELECT doc_id, $i AS rank, score AS mmr FROM cand$i
          |   ORDER BY score DESC, doc_id LIMIT 1))""".stripMargin
     }.mkString(",\n")
+    s"""sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, round($lam * (1 - distance), 6) AS mmr
+       |         FROM short ORDER BY mmr DESC, doc_id LIMIT 1),
+       |$steps""".stripMargin
+  }
+
+  private def mmrOracleSql(k: Int, lambda: Double, shortlist: Int): String = {
     s"""WITH acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
        |e AS (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
        |qacc AS (SELECT ${hashingEmbedAccSql(s"'${searchTerms.mkString(" ")}'", 64)} AS a),
@@ -72,9 +83,7 @@ object SparkEntry {
        |            round(1 - list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
        |                                             CAST(b.emb AS DOUBLE[])), 4) AS pdist
        |          FROM short a JOIN short b ON a.doc_id <> b.doc_id),
-       |sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, round($lam * (1 - distance), 6) AS mmr
-       |         FROM short ORDER BY mmr DESC, doc_id LIMIT 1),
-       |$steps
+       |${mmrSelChainSql(k, lambda)}
        |SELECT doc_id, rank, mmr FROM sel$k ORDER BY rank""".stripMargin
   }
 
@@ -1285,6 +1294,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"),
           RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("nll"))
     }),
+    // ---- interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998
+    // — the smoothing the CCNet/KenLM quality filters actually use,
+    // one rung up from text_bigram_lm's add-1): discounted bigram mass
+    // interpolated with the CONTINUATION unigram (how many distinct
+    // left-contexts a word has, not how often it occurs — "francisco"
+    // is frequent but single-context and correctly gets a tiny backoff
+    // weight). All model state is (w1,w2)-/w1-/w2-keyed count shuffles
+    // plus one broadcast (T, V) row; unseen-context rows back off to
+    // the continuation LM with a deterministic 1/(T+V) floor so the
+    // NLL stays finite on both engines. ----
+    "text_kneser_ney" -> ((s, dir) => {
+      import s.implicits._
+      val D = 0.75
+      val tok = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", posexplode(ops.TextPrimitives.words($"text")).as(Seq("pos", "w"))))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = graft.core.PlanCache.persist(
+        tok.withColumn("w2", lead($"w", 1).over(win))
+          .where($"w2".isNotNull)
+          .select($"doc_id", $"w".as("w1"), $"w2"))
+      val train = bi.where($"doc_id" % 5 < 4)
+      val cb = graft.core.PlanCache.persist(
+        train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")))
+      val cu = train.groupBy($"w1")
+        .agg(count(lit(1)).as("c1"), countDistinct($"w2").as("n1f"))
+      val n1b = cb.groupBy($"w2").agg(count(lit(1)).as("nb"))
+      val st = cb.agg(count(lit(1)).as("tt"))
+        .crossJoin(tok.where($"doc_id" % 5 < 4).agg(countDistinct($"w").as("v")))
+      val eps = lit(1.0) / ($"tt" + $"v")
+      val pcont = coalesce($"nb".cast("double") / $"tt", eps)
+      val p = when($"c1".isNull, pcont)
+        .otherwise(
+          greatest(coalesce($"c", lit(0L)).cast("double") - lit(D), lit(0.0)) / $"c1"
+            + lit(D) * $"n1f".cast("double") / $"c1" * pcont)
+      bi.where($"doc_id" % 5 === 4)
+        .join(cb, Seq("w1", "w2"), "left_outer")
+        .join(cu, Seq("w1"), "left_outer")
+        .join(n1b, Seq("w2"), "left_outer")
+        .crossJoin(broadcast(st))
+        .select($"doc_id", (-log(p)).as("nl"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("kn_nll"))
+    }),
     // ---- PageRank over the symmetrized user↔item click graph (crawl-
     // curation authority signal; items live at id 1000000+k so the two
     // node families share one id space). 5 power iterations, d = 0.85;
@@ -1539,6 +1594,39 @@ object SparkEntry {
       TextAnalysis.dsirScores(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", isTarget = $"source" === "src1", buckets = 64, topK = 50)
     }),
+    // ---- the RETRIEVAL funnel, composed end-to-end: BM25 and
+    // embedding-cosine shortlists → reciprocal-rank fusion → MMR
+    // diversity rerank with the FUSED score as relevance (normalized to
+    // [0,1] by a one-row max broadcast so the λ trade-off spans both
+    // legs, not just the vector one). Integration check that the
+    // retrieval operators compose: every stage is shortlist-sized after
+    // the two corpus passes (one token explode, one embed pass —
+    // persisted, shared by the vec leg and the diversity kernel). ----
+    "pipeline_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val lexScored = LexicalSearch.bm25(docs, "doc_id", "text", searchTerms)
+        .select($"doc_id", RoundPortableExpr.r($"score", 4).as("score"))
+      val lex = LexicalSearch.rankedTopK(lexScored, "doc_id",
+        Seq(col("score").desc, col("doc_id").asc), 50)
+      val embedded = graft.core.PlanCache.persist(graft.embed.EmbedOps.withEmbedding(
+        docs.select($"doc_id", $"text"), "text", "hashing")
+        .select($"doc_id", $"embedding"))
+      val qvec = graft.embed.Embedders.forName("hashing").embed(searchTerms.mkString(" "))
+      val vecScored = embedded.select($"doc_id",
+        RoundPortableExpr.r(VectorFunctions.cosineDistance($"embedding", typedlit(qvec)), 4)
+          .as("distance"))
+      val vec = LexicalSearch.rankedTopK(vecScored, "doc_id",
+        Seq(col("distance").asc, col("doc_id").asc), 50)
+      val fused = LexicalSearch.rrfFuse(lex, vec, "doc_id")
+        .select($"doc_id", RoundPortableExpr.r($"rrf", 6).as("rrf"))
+      val mx = fused.agg(max($"rrf").as("mx"))
+      val scored = fused.crossJoin(broadcast(mx))
+        .join(embedded, "doc_id")
+        .select($"doc_id", $"embedding",
+          RoundPortableExpr.r(lit(1.0) - $"rrf" / $"mx", 6).as("distance"))
+      Similarity.mmrRerank(scored, k = 8, lambda = 0.7, shortlist = 20, idCol = "doc_id")
+    }),
     // ---- the curation FUNNEL: quality gate → exact dedup → boilerplate
     // span drop → DSIR target selection, COMPOSED sequentially in one
     // plan (each stage filters the previous stage's survivors — span
@@ -1636,6 +1724,51 @@ object SparkEntry {
         // serialize: the driver checker can't sort array cells (pandas
         // factorize crashes on ndarray) — emit a scalar on both sides
         .select($"lang", array_join(transform($"sk", _.cast("string")), ",").as("sketch"))
+    }),
+    // ---- KMV sketch ALGEBRA (the reason sketches beat exact distinct
+    // at 100 TB: set operations compose on the O(k) summaries without
+    // touching the data again): per-source 64-min-value sketches over
+    // token hashes, then pairwise union cardinality from the MERGED
+    // sketch (k smallest of the concatenation — itself a valid KMV) and
+    // intersection by inclusion–exclusion, floored at 0. Exact
+    // union/intersection twins ride along so the estimate error is
+    // visible in-oracle; both engines compute the identical estimator
+    // ((k−1)·2^60 / kth-min) on the identical sketches. Sketch build is
+    // one token-keyed partial-agg shuffle; the pair join is 4 one-row
+    // sketches self-joined — constant work however large the corpus. ----
+    "agg_sketch_algebra" -> ((s, dir) => {
+      import s.implicits._
+      val k = 64
+      val kU = lit((k - 1).toDouble * graft.functions.KmvSketch.HashSpace)
+      val h = conv(substring(md5($"w"), 1, 15), 16, 10).cast("long")
+      val toks = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .where($"source".isin("src0", "src1", "src2", "src3"))
+          .select($"source", explode(ops.TextPrimitives.words($"text")).as("w"))
+          .select($"source", h.as("h")))
+      val sk = toks.groupBy($"source")
+        .agg(graft.functions.KmvSketch.sketch($"h", k).as("sk"),
+          countDistinct($"h").as("exact"))
+      def est(c: Column) = when(size(c) < k, size(c).cast("double"))
+        .otherwise(kU / element_at(c, k).cast("double"))
+      val pairs = sk.select($"source".as("src_a"), $"sk".as("ska"), $"exact".as("exa"))
+        .crossJoin(sk.select($"source".as("src_b"), $"sk".as("skb"), $"exact".as("exb")))
+        .where($"src_a" < $"src_b")
+      val dist = toks.distinct()
+      val exInt = dist.alias("p").join(dist.alias("q"),
+          col("p.h") === col("q.h") && col("p.source") < col("q.source"))
+        .groupBy(col("p.source").as("src_a"), col("q.source").as("src_b"))
+        .agg(count(lit(1)).as("ex_int"))
+      val sku = slice(array_sort(array_union($"ska", $"skb")), 1, k)
+      pairs
+        .join(exInt, Seq("src_a", "src_b"), "left_outer")
+        .select($"src_a", $"src_b",
+          RoundPortableExpr.r(est(sku), 2).as("est_union"),
+          RoundPortableExpr.r(
+            greatest(est($"ska") + est($"skb") - est(sku), lit(0.0)), 2).as("est_int"),
+          ($"exa" + $"exb" - coalesce($"ex_int", lit(0L))).as("ex_union"),
+          coalesce($"ex_int", lit(0L)).as("ex_int"))
+        .orderBy($"src_a", $"src_b")
     }),
     // ---- approximate aggregates, tolerance-gated vs exact twins: the
     // sketches that replace exact distinct/quantiles at 100 TB, proven
@@ -3091,6 +3224,37 @@ object SparkEntry {
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "search_mmr" -> mmrOracleSql(k = 10, lambda = 0.7, shortlist = 50),
+    "pipeline_retrieval" ->
+      s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
+         |lex_top AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |            ORDER BY score DESC, doc_id LIMIT 50),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+         |        FROM lex_top),
+         |acc AS (SELECT doc_id, ${hashingEmbedAccSql("text", 64)} AS a FROM documents),
+         |e AS MATERIALIZED (SELECT doc_id, ${hashingEmbedNormSql("a")} AS emb FROM acc),
+         |qacc AS (SELECT ${hashingEmbedAccSql(s"'${searchTerms.mkString(" ")}'", 64)} AS a),
+         |q AS (SELECT ${hashingEmbedNormSql("a")} AS qv FROM qacc),
+         |vec_top AS (SELECT e.doc_id,
+         |              round(1 - list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                               CAST(q.qv AS DOUBLE[])), 4) AS distance
+         |            FROM e, q ORDER BY distance, doc_id LIMIT 50),
+         |vec AS (SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS rank_b
+         |        FROM vec_top),
+         |fused AS MATERIALIZED (
+         |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |         round(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+         |fmax AS (SELECT max(rrf) AS mx FROM fused),
+         |short AS MATERIALIZED (
+         |  SELECT f.doc_id, e.emb, round(1 - f.rrf / x.mx, 6) AS distance
+         |  FROM fused f JOIN e USING (doc_id), fmax x
+         |  ORDER BY distance, doc_id LIMIT 20),
+         |pairs AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |            round(1 - list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
+         |                                             CAST(b.emb AS DOUBLE[])), 4) AS pdist
+         |          FROM short a JOIN short b ON a.doc_id <> b.doc_id),
+         |${mmrSelChainSql(8, 0.7)}
+         |SELECT doc_id, rank, mmr FROM sel8 ORDER BY rank""".stripMargin,
     "text_quality_gopher" ->
       s"""WITH base AS (SELECT lang, lower(text) AS lt, ${wordsSql("text")} AS ws FROM documents),
          |m AS (
@@ -3868,6 +4032,30 @@ object SparkEntry {
          |       WHERE doc_id % 5 = 4)
          |SELECT doc_id, count(*) AS n_bigrams, round(sum(nl) / count(*), 4) AS nll
          |FROM ho GROUP BY 1""".stripMargin,
+    "text_kneser_ney" ->
+      s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, ws[CAST(i + 1 AS INTEGER)] AS w1, ws[CAST(i + 2 AS INTEGER)] AS w2 FROM ix),
+         |cb AS (SELECT w1, w2, count(*) AS c FROM bi WHERE doc_id % 5 < 4 GROUP BY 1, 2),
+         |cu AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1f
+         |       FROM bi WHERE doc_id % 5 < 4 GROUP BY 1),
+         |n1b AS (SELECT w2, count(*) AS nb FROM cb GROUP BY 1),
+         |tt AS (SELECT count(*) AS tt FROM cb),
+         |vv AS (SELECT count(DISTINCT w) AS v
+         |       FROM (SELECT unnest(ws) AS w FROM tw WHERE doc_id % 5 < 4)),
+         |ho AS (SELECT bi.doc_id,
+         |         CASE WHEN cu.c1 IS NULL
+         |              THEN coalesce(CAST(n1b.nb AS DOUBLE) / tt.tt, 1.0 / (tt.tt + vv.v))
+         |              ELSE greatest(CAST(coalesce(cb.c, 0) AS DOUBLE) - 0.75, 0.0) / cu.c1
+         |                   + 0.75 * CAST(cu.n1f AS DOUBLE) / cu.c1
+         |                     * coalesce(CAST(n1b.nb AS DOUBLE) / tt.tt, 1.0 / (tt.tt + vv.v))
+         |         END AS p
+         |       FROM bi LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1)
+         |               LEFT JOIN n1b USING (w2) CROSS JOIN tt CROSS JOIN vv
+         |       WHERE bi.doc_id % 5 = 4)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(sum(-ln(p)) / count(*), 4) AS kn_nll
+         |FROM ho GROUP BY 1""".stripMargin,
     "graph_pagerank" ->
       ops.Graph.pageRankRelSql(
         """SELECT user_id AS src, 1000000 + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
@@ -4060,6 +4248,34 @@ object SparkEntry {
          |         list_sort(list_distinct(list(h)))[1:8], x -> CAST(x AS VARCHAR)), ',') AS sketch
          |FROM (SELECT lang, ${hexLongSql("text")} AS h FROM documents)
          |GROUP BY lang""".stripMargin,
+    "agg_sketch_algebra" -> {
+      val kuLit = (63.0 * graft.functions.KmvSketch.HashSpace).toString
+      def estSql(c: String) =
+        s"""CASE WHEN len($c) < 64 THEN CAST(len($c) AS DOUBLE)
+           |     ELSE $kuLit / CAST($c[64] AS DOUBLE) END""".stripMargin
+      s"""WITH stk AS (SELECT source, ${hexLongSql("w")} AS h
+         |             FROM (SELECT source, unnest(${wordsSql("text")}) AS w FROM documents
+         |                   WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+         |ssk AS (SELECT source, list_sort(list_distinct(list(h)))[1:64] AS sk,
+         |               count(DISTINCT h) AS exact
+         |        FROM stk GROUP BY 1),
+         |sdist AS (SELECT DISTINCT source, h FROM stk),
+         |spairs AS (SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+         |                  a.exact AS exa, b.exact AS exb
+         |           FROM ssk a, ssk b WHERE a.source < b.source),
+         |sint AS (SELECT p.source AS src_a, q.source AS src_b, count(*) AS ex_int
+         |         FROM sdist p JOIN sdist q ON p.h = q.h AND p.source < q.source
+         |         GROUP BY 1, 2),
+         |su AS (SELECT *, list_sort(list_distinct(ska || skb))[1:64] AS sku FROM spairs)
+         |SELECT src_a, src_b,
+         |       round(${estSql("sku")}, 2) AS est_union,
+         |       round(greatest((${estSql("ska")}) + (${estSql("skb")})
+         |                      - (${estSql("sku")}), 0.0), 2) AS est_int,
+         |       CAST(exa + exb - coalesce(s.ex_int, 0) AS BIGINT) AS ex_union,
+         |       CAST(coalesce(s.ex_int, 0) AS BIGINT) AS ex_int
+         |FROM su LEFT JOIN sint s USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     // incremental merge must equal the from-scratch sketch — same SQL
     "agg_incremental_sketch" ->
       s"""SELECT lang, array_to_string(list_transform(

@@ -36,7 +36,8 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
       "text_eval_contamination", "sim_dist_outliers", "search_inverted_index",
       "ann_ivfpq_incremental", "stream_ann_append", "ml_quality_classifier",
-      "search_phrase", "sim_bitext_margin", "graph_label_prop")
+      "search_phrase", "sim_bitext_margin", "graph_label_prop",
+      "pipeline_retrieval", "text_kneser_ney", "agg_sketch_algebra")
     for (name <- names) {
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
       core.PlanCache.release(spark)

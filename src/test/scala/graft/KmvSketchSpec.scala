@@ -30,4 +30,24 @@ class KmvSketchSpec extends SparkSpec with Matchers {
       .agg(KmvSketch.sketch($"h", 64).as("s")).head.getSeq[Long](0)
     KmvSketch.estimate(small, 64) shouldBe 10.0
   }
+
+  test("sketch algebra: pairwise union/intersection estimates land within tolerance of exact") {
+    // the oracle pins both engines to the SAME estimates; this pins the
+    // estimates to the TRUTH (k=64 → σ ≈ 1/√63 ≈ 12.6%; 35% is ~2.8σ
+    // plus inclusion-exclusion error stacking for the intersection)
+    val out = SparkEntry.queries("agg_sketch_algebra")(spark, "/root/testdata/sf0.001")
+      .collect()
+    graft.core.PlanCache.release(spark)
+    out.length shouldBe 6
+    for (r <- out) {
+      val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+      val (exU, exI) = (r.getLong(4), r.getLong(5))
+      withClue(s"pair ${r.getString(0)}-${r.getString(1)} union $estU vs $exU: ") {
+        math.abs(estU - exU) / exU.toDouble should be < 0.35
+      }
+      withClue(s"pair ${r.getString(0)}-${r.getString(1)} intersect $estI vs $exI: ") {
+        math.abs(estI - exI) / exU.toDouble should be < 0.35
+      }
+    }
+  }
 }
