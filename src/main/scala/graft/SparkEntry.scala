@@ -1294,6 +1294,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"),
           RoundPortableExpr.r(sum($"nl") / count(lit(1)), 4).as("nll"))
     }),
+    // ---- BPE merge training, two rounds unrolled (Sennrich et al.
+    // 2016 — the tokenizer-training inner loop): word-frequency table →
+    // weighted adjacent-symbol-pair counts → argmax merge (ties →
+    // lexicographic pair, a total engine-independent order) → apply the
+    // merge → recount. Words are canonicalized as space-delimited
+    // symbol sequences; the merge is applied as FOUR bounded
+    // left-to-right non-overlapping `replace` passes — both engines
+    // share that exact replace semantic (verified), and four passes
+    // close the " a b a b a b " alternation chains the delimiter
+    // pattern can stride over. State is one (word, freq, seq) table —
+    // O(vocab), not O(corpus) — so every round is a vocab-sized
+    // map + pair-keyed partial-agg shuffle; the argmax is a one-row
+    // broadcast. Output: top-5 pair census per round. ----
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val wf = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select(explode(ops.TextPrimitives.words($"text")).as("w"))
+          .where($"w" =!= "")
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+          .select($"freq",
+            concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("seq")))
+      def pairCounts(df: DataFrame): DataFrame = df
+        .withColumn("tk", split(trim(col("seq")), " "))
+        // single-symbol sequences have no pairs; Spark's sequence(0, -1)
+        // would DESCEND instead of returning empty, so filter first
+        .where(size(col("tk")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS t1, tk[i + 1] AS t2))"))
+          .as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(sum(col("freq")).as("cnt"))
+      def top5(counts: DataFrame, round: Int): DataFrame = counts
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(5)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)))
+        .select(lit(round).as("round"), col("rank"),
+          concat(col("t1"), lit("+"), col("t2")).as("pair"), col("cnt"))
+      val c1 = graft.core.PlanCache.persist(pairCounts(wf))
+      val m1 = c1.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(1)
+        .select(concat(lit(" "), $"t1", lit(" "), $"t2", lit(" ")).as("pat"),
+          concat(lit(" "), $"t1", $"t2", lit(" ")).as("rep"))
+      val merged = wf.crossJoin(broadcast(m1))
+        .select($"freq", expr(
+          "replace(replace(replace(replace(seq, pat, rep), pat, rep), pat, rep), pat, rep)")
+          .as("seq"))
+      val c2 = pairCounts(merged)
+      top5(c1, 1).unionByName(top5(c2, 2)).orderBy($"round", $"rank")
+    }),
     // ---- interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998
     // — the smoothing the CCNet/KenLM quality filters actually use,
     // one rung up from text_bigram_lm's add-1): discounted bigram mass
@@ -4032,6 +4081,35 @@ object SparkEntry {
          |       WHERE doc_id % 5 = 4)
          |SELECT doc_id, count(*) AS n_bigrams, round(sum(nl) / count(*), 4) AS nll
          |FROM ho GROUP BY 1""".stripMargin,
+    "text_bpe_merges" -> {
+      val pairsOver = (src: String) =>
+        s"""SELECT t1, t2, sum(freq) AS cnt FROM (
+           |  SELECT freq, tk[CAST(i + 1 AS INTEGER)] AS t1, tk[CAST(i + 2 AS INTEGER)] AS t2
+           |  FROM (SELECT freq, regexp_split_to_array(trim(seq), ' ') AS tk FROM $src),
+           |       unnest(range(len(tk) - 1)) t(i)
+           |  WHERE len(tk) >= 2) GROUP BY 1, 2""".stripMargin
+      s"""WITH bwf AS (
+         |  SELECT count(*) AS freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+         |  FROM (SELECT unnest(${wordsSql("text")}) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |bp1 AS MATERIALIZED (${pairsOver("bwf")}),
+         |bm1 AS (SELECT ' ' || t1 || ' ' || t2 || ' ' AS pat, ' ' || t1 || t2 || ' ' AS rep
+         |        FROM bp1 ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         |bseq2 AS (
+         |  SELECT freq,
+         |         replace(replace(replace(replace(seq, pat, rep), pat, rep), pat, rep), pat, rep) AS seq
+         |  FROM bwf, bm1),
+         |bp2 AS (${pairsOver("bseq2")}),
+         |br1 AS (SELECT 1 AS round, CAST(row_number() OVER (ORDER BY cnt DESC, t1, t2) AS INTEGER) AS rank,
+         |               t1 || '+' || t2 AS pair, cnt
+         |        FROM bp1 ORDER BY cnt DESC, t1, t2 LIMIT 5),
+         |br2 AS (SELECT 2 AS round, CAST(row_number() OVER (ORDER BY cnt DESC, t1, t2) AS INTEGER) AS rank,
+         |               t1 || '+' || t2 AS pair, cnt
+         |        FROM bp2 ORDER BY cnt DESC, t1, t2 LIMIT 5)
+         |SELECT round, rank, pair, CAST(cnt AS BIGINT) AS cnt
+         |FROM (SELECT * FROM br1 UNION ALL SELECT * FROM br2)
+         |ORDER BY round, rank""".stripMargin
+    },
     "text_kneser_ney" ->
       s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),

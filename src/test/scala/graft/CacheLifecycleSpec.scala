@@ -37,7 +37,7 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "text_eval_contamination", "sim_dist_outliers", "search_inverted_index",
       "ann_ivfpq_incremental", "stream_ann_append", "ml_quality_classifier",
       "search_phrase", "sim_bitext_margin", "graph_label_prop",
-      "pipeline_retrieval", "text_kneser_ney", "agg_sketch_algebra")
+      "pipeline_retrieval", "text_kneser_ney", "agg_sketch_algebra", "text_bpe_merges")
     for (name <- names) {
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
       core.PlanCache.release(spark)

@@ -34,7 +34,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
     "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance",
     "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget",
-    "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra")
+    "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
+    "text_bpe_merges")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
