@@ -1904,6 +1904,13 @@ object SparkEntry {
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
     "stream_interval_join" -> ((s, dir) =>
       EventStream.runIntervalJoinAvailableNow(s, dir)),
+    // ---- streaming: CDC apply — keyed upsert/delete change stream
+    // merged into a persisted base table per micro-batch (in-batch LWW
+    // by descending version, key-anti-join + union, batch-versioned
+    // state dirs with pointer-advance-after-write). Final census must
+    // equal the batch MERGE of the whole change set. ----
+    "stream_cdc_apply" -> ((s, dir) =>
+      EventStream.runCdcUpsertAvailableNow(s, dir)),
     // ---- streaming: stream-static enrichment join (dim broadcast into
     // each micro-batch — stateless, the standard ingest-enrichment shape) ----
     "stream_static_join" -> ((s, dir) =>
@@ -2861,6 +2868,25 @@ object SparkEntry {
       """SELECT n.n_name, e.event_type, count(*) AS cnt, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY 1, 2""".stripMargin,
+    "stream_cdc_apply" ->
+      """WITH cbase AS (SELECT doc_id AS key, lang, n_chars AS val
+        |              FROM documents WHERE doc_id < 250),
+        |cch AS (SELECT ((doc_id - 250) * 2) % 300 AS key, lang, n_chars AS val, doc_id,
+        |               CASE WHEN ((doc_id - 250) * 2) % 300 % 20 = 0 THEN 'd' ELSE 'u' END AS op
+        |        FROM documents WHERE doc_id >= 250),
+        |clww AS (SELECT * FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id DESC) AS rn
+        |           FROM cch) WHERE rn = 1),
+        |cfin AS (
+        |  SELECT b.key, b.val FROM cbase b LEFT JOIN clww ON b.key = clww.key
+        |  WHERE clww.key IS NULL
+        |  UNION ALL
+        |  SELECT key, val FROM clww WHERE op = 'u')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+        |       CAST(sum(val) AS BIGINT) AS sum_val,
+        |       CAST(count(CASE WHEN key >= 250 THEN 1 END) AS BIGINT) AS n_inserted
+        |FROM cfin""".stripMargin,
     "stream_neardup_gate" ->
       s"""WITH s AS (
          |  SELECT doc_id, ${simhashSql("hw")} AS simhash

@@ -249,6 +249,64 @@ object EventStream {
         graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
   }
 
+  /** Streaming CDC apply: a keyed change stream (upserts + deletes,
+    * derived deterministically from the incoming-doc half of the
+    * fixture) is MERGED into a persisted base table per micro-batch —
+    * the continuous analogue of the batch `vdb_upsert` MERGE, and the
+    * op every lakehouse ingestion path runs. Each batch applies
+    * last-writer-wins within the batch (row_number over the key by
+    * descending version — deterministic, never a hash-dependent
+    * `first`), then key-anti-joins the current table and unions the
+    * surviving upserts — O(|batch| + |table|) per batch, all keyed
+    * joins. The new state lands in a batch-versioned directory and the
+    * pointer advances only after the write completes (atomic-visibility
+    * half of the exactly-once recipe; the idempotence half is
+    * `stream_idempotent_sink`'s). Per-batch LWW composes to global LWW
+    * when versions are monotone across batches — file-ordered ingestion
+    * here; the fixture streams as ONE file = one batch, which is what
+    * the batch-merge oracle checks. Returns the final-state census. */
+  def runCdcUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    spark.read.parquet(s"$dir/documents.parquet").where($"doc_id" < 250)
+      .select($"doc_id".as("key"), $"lang", $"n_chars".as("val"))
+      .write.mode("overwrite").parquet(s"$root/v0")
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](s"$root/v0")
+    val key = (($"doc_id" - 250) * 2) % 300
+    val changes = readDocuments(spark, dir).where($"doc_id" >= 250)
+      .select(key.as("key"), $"lang", $"n_chars".as("val"), $"doc_id",
+        when(key % 20 === 0, lit("d")).otherwise(lit("u")).as("op"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = changes.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("key").orderBy(col("doc_id").desc)
+          val lww = batch.withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val current = batch.sparkSession.read.parquet(cur.get)
+          val next = current.join(lww.select(col("key")), Seq("key"), "left_anti")
+            .unionByName(lww.where(col("op") === "u")
+              .select(col("key"), col("lang"), col("val")))
+          val path = s"$root/v${batchId + 1}"
+          next.write.mode("overwrite").parquet(path)
+          lww.unpersist()
+          cur.set(path)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(cur.get)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"key").as("n_keys"),
+        sum($"val").as("sum_val"),
+        count(when($"key" >= 250, 1)).as("n_inserted"))
+  }
+
   /** Streaming near-dup ingest gate: incoming documents are checked
     * against a STATIC existing-corpus SimHash table — the "filter the
     * new crawl against what we already have" pass, on the ingest path.
