@@ -143,4 +143,42 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
     cs.count() shouldBe 0L
     core.PlanCache.release(spark)
   }
+
+  test("phrase search and BPE degrade gracefully on empty/degenerate corpora") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.ops.LexicalSearch.phraseSearch(noDocs, "doc_id", "text", Seq("a", "b"))
+      .collect() shouldBe empty
+    graft.core.PlanCache.release(spark)
+    // single-char-word corpus: no pairs anywhere, phrase finds nothing
+    val singles = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    graft.ops.LexicalSearch.phraseSearch(singles, "doc_id", "text", Seq("q", "r"))
+      .collect() shouldBe empty
+    graft.core.PlanCache.release(spark)
+  }
+
+  test("bitext margin mining: candidate pool smaller than k still mines, empty side yields empty") {
+    import spark.implicits._
+    val a = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val b = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding") // |B| = 1 < k
+    val out = graft.ops.Similarity.bitextMarginPairs(a, a, b, k = 4).collect()
+    graft.core.PlanCache.release(spark)
+    // with one candidate, sim == fwd_avg for each query; margin hinges on
+    // the backward leg — whatever survives must be one pair per query
+    out.map(_.getLong(0)).distinct.length shouldBe out.length
+    val none = graft.ops.Similarity.bitextMarginPairs(
+      a, a, Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), k = 4).collect()
+    graft.core.PlanCache.release(spark)
+    none shouldBe empty
+  }
+
+  test("label propagation with no seeds leaves every node unlabeled (-1 census)") {
+    val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)))
+      .toDF("src", "dst")
+    val noSeeds = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id", "label")
+    val census = graft.ops.Graph.labelPropagation(edges, noSeeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    census shouldBe Map(-1L -> 3L)
+  }
 }
