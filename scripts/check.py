@@ -13,7 +13,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Filtered Verify runs write oracle_sql.partial.json (never clobbering the
+# full manifest); prefer it when present so a debug loop checks exactly the
+# subset it just dumped.
+import os
+partial = f"{out_dir}/oracle_sql.partial.json"
+oracle = json.load(open(partial if os.path.exists(partial) else f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")

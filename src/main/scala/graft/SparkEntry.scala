@@ -297,9 +297,27 @@ object SparkEntry {
     "dedup_jaccard_block" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, threshold = 0.8, blockCol = Some("source"))),
+    // ---- banded MinHash near-dup pairs, production default: the
+    // hot-bucket skew guard (Dedup.DefaultMaxBucket = 100) is ON —
+    // a (band, key) bucket of b docs emits b² candidates on one
+    // reducer, and the uncapped 100× run needed a 48 GiB heap where
+    // the guarded plan runs in the default 8 GiB (BENCHNOTES r5).
+    // The cap does not bite on realistic fixtures (max bucket 3 at
+    // sf0.01); dedup_minhash_capped (cap=2) pins the exclusion
+    // semantics, dedup_minhash_exact is the uncapped baseline. ----
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)),
+    // ---- EXPLICIT EXACT BASELINE (uncapped banded semantics): every
+    // bucket joins regardless of size, so one degenerate boilerplate
+    // key goes quadratic on a single reducer. Envelope (measured,
+    // BENCHNOTES r5): needs ~48 GiB heap at 100× sf0.1 where the
+    // capped default runs in 8 GiB. Keep for exactness audits at
+    // small/medium scale; the default-named query is the one to ship.
+    "dedup_minhash_exact" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = Int.MaxValue)),
     // ---- incremental dedup maintenance: pairs touching the new 10%
     // batch only (batch×corpus + batch×batch), never re-enumerating
     // corpus×corpus — the per-ingest cost shape that keeps minhash
@@ -893,29 +911,34 @@ object SparkEntry {
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
           countDistinct($"chunk_md5").as("n_distinct_chunks"))
     }),
-    // ---- benchmark decontamination: find training docs that share
-    // winnowing fingerprints with any held-out/benchmark doc (the
-    // substring-level leak detector — whole-doc minhash misses partial
-    // inclusions). Equi-join on fingerprint, never all-pairs; at
-    // 100 TB the benchmark side is tiny and broadcasts. ----
+    // ---- benchmark decontamination, production default: training docs
+    // sharing winnowing fingerprints with any held-out/benchmark doc
+    // (the substring-level leak detector — whole-doc minhash misses
+    // partial inclusions). Equi-join on fingerprint, never all-pairs;
+    // at 100 TB the benchmark side is tiny and broadcasts. The
+    // boilerplate guard (TextAnalysis.DefaultMaxDf = 200) is ON: a
+    // fingerprint in >200 DISTINCT docs is template boilerplate, not
+    // leakage — and it is the join's quadratic head (a fp in T train ×
+    // B bench docs emits T×B rows; at 100× the uncapped join shuffled
+    // 5.2 GB / 245×-of-linear and spilled 9.5 GB, the capped one is
+    // exactly linear — BENCHNOTES r5). The cap deliberately BITES on
+    // the fixture (max df 328 at sf0.01) so the engines must agree on
+    // the exclusion, not just the happy path. ----
     "sim_decontaminate" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.decontaminate(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", isBench = $"doc_id" % 10 === 0)
     }),
-    // ---- decontamination under the boilerplate guard: a fingerprint
-    // occurring in more than maxDf DISTINCT documents is template
-    // boilerplate, not benchmark leakage — and at scale it is also the
-    // quadratic head of the fingerprint join (a fp in T train × B bench
-    // docs emits T×B rows; measured at 100× the uncapped join shuffles
-    // 5.2 GB and spills, the capped one is linear — BENCHNOTES r5).
-    // Same guard family as dedup_minhash_capped; the cap (200)
-    // deliberately BITES on the fixture (max df 328 at sf0.01) so the
-    // engines must agree on the exclusion, not just the happy path. ----
-    "sim_decontaminate_capped" -> ((s, dir) => {
+    // ---- EXPLICIT EXACT BASELINE (no boilerplate guard): every shared
+    // fingerprint joins, including template boilerplate. Envelope
+    // (measured, BENCHNOTES r5): at 100× sf0.1 the fingerprint join
+    // shuffles 245×-of-linear (5.2 GB) and spills 9.5 GB to disk.
+    // Keep for exact-overlap audits at small/medium scale; the
+    // default-named query is the one to ship. ----
+    "sim_decontaminate_exact" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.decontaminate(s.read.parquet(t(dir, "documents")),
-        "doc_id", "text", isBench = $"doc_id" % 10 === 0, maxDf = Some(200))
+        "doc_id", "text", isBench = $"doc_id" % 10 === 0, maxDf = None)
     }),
     // ---- eval-set contamination audit, the REVERSE direction: per
     // BENCH doc, how many training docs share an exact word 8-gram
@@ -2158,7 +2181,8 @@ object SparkEntry {
       // guard's semantic — the cap drops only over-full-bucket
       // candidates, never genuine pairs elsewhere — is pinned in-oracle
       val expected = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = Int.MaxValue)
       val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8, maxBucket = 2)
       Similarity.pairRecallGates(MlAnn.minhashLshJoin(docs, "doc_id", "text"),
@@ -3191,21 +3215,21 @@ object SparkEntry {
     "sim_decontaminate" ->
       s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs FROM documents),
          |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
-         |tr AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
-         |be AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0)
-         |SELECT tr.doc_id,
-         |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
-         |       count(*) AS n_shared_fp
-         |FROM tr JOIN be ON tr.fp = be.fp
-         |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
-    "sim_decontaminate_capped" ->
-      s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs FROM documents),
-         |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
          |keep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS fp_df
          |                         FROM f GROUP BY 1) WHERE fp_df <= 200),
          |p AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
          |tr AS (SELECT doc_id, fp FROM p WHERE doc_id % 10 <> 0),
          |be AS (SELECT doc_id AS bench_id, fp FROM p WHERE doc_id % 10 = 0)
+         |SELECT tr.doc_id,
+         |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
+         |       count(*) AS n_shared_fp
+         |FROM tr JOIN be ON tr.fp = be.fp
+         |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
+    "sim_decontaminate_exact" ->
+      s"""WITH h AS (SELECT doc_id, ${winnowHashesSql("text", 8)} AS hs FROM documents),
+         |f AS (SELECT doc_id, unnest(${winnowFromHashesSql("hs", 4)}) AS fp FROM h),
+         |tr AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
+         |be AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0)
          |SELECT tr.doc_id,
          |       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_hits,
          |       count(*) AS n_shared_fp
@@ -3684,6 +3708,27 @@ object SparkEntry {
          |), sig AS (
          |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
          |  WHERE len(sh) > 0
+         |), bands_all AS (
+         |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), bands AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+         |    FROM bands_all)
+         |  WHERE bsz <= 100
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE round(${jaccardSql("sa.sh", "sb.sh")}, 4) >= 0.8""".stripMargin,
+    "dedup_minhash_exact" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
+         |  WHERE len(sh) > 0
          |), bands AS (
          |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
          |), cand AS (
@@ -3723,8 +3768,13 @@ object SparkEntry {
          |), sig AS (
          |  SELECT doc_id, sh, ${bandKeysSql(minhashSigSql("sh", 16), 8, 2)} AS bk FROM base
          |  WHERE len(sh) > 0
-         |), bands AS (
+         |), bands_all AS (
          |  SELECT doc_id, t.j AS band, bk[t.j + 1] AS key FROM sig, range(8) t(j)
+         |), bands AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+         |    FROM bands_all)
+         |  WHERE bsz <= 100
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

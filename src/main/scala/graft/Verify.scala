@@ -49,7 +49,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered debug run must not overwrite the full-suite manifest a
+    // later differential pass would read — partial subsets go to a
+    // distinct file (scripts/check.py prefers the partial when present).
+    val manifest = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$manifest"), json)
+    // ...and a FULL run clears any stale partial so downstream readers
+    // can't pick up an old debug subset.
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json"))
     SparkEntry.releaseSessionCaches(spark)
     spark.stop()
   }

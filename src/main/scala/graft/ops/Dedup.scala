@@ -26,6 +26,19 @@ import graft.ops.TextPrimitives.jaccard
   */
 object Dedup {
 
+  /** Default hot-bucket cap for [[minhashLshPairs]]. A bucket of b docs
+    * emits b² candidate pairs on ONE reducer, so the skew guard is on
+    * by default: any (band, key) bucket holding more than this many
+    * docs is a degenerate boilerplate key, not a near-dup signal, and
+    * is excluded from candidate generation. 100 is far above every
+    * bucket the realistic fixtures produce (max 3 at sf0.01, linear
+    * under the 100× transliterated stress) while bounding per-reducer
+    * join work at 10⁴ pairs regardless of corpus skew. Exact banded
+    * semantics (no guard) remain available via
+    * `maxBucket = Int.MaxValue` — see the registry's
+    * `dedup_minhash_exact` baseline and its documented envelope. */
+  val DefaultMaxBucket: Int = 100
+
   /** Exact dedup: keep the first (min orderCol) row per content hash.
     * Survivor list with duplicate counts. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -94,12 +107,15 @@ object Dedup {
     * is a low-information key, and any true near-dup pair it contains
     * still collides in one of the other bands with overwhelming
     * probability. The cap makes per-reducer work ≤ maxBucket² REGARDLESS
-    * of corpus skew. Default keeps every bucket (exact banded
-    * semantics). */
+    * of corpus skew, and is ON by default ([[DefaultMaxBucket]]): the
+    * uncapped run at 100× needs a 48 GiB heap where the capped plan
+    * runs in the harness default 8 GiB (BENCHNOTES r5 memory-envelope
+    * finding). Pass `maxBucket = Int.MaxValue` only for the exact
+    * banded baseline, and only inside that measured envelope. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Docs with no shingles (shorter than n words) are excluded: their
     // all-identical "empty" signatures would otherwise bucket every
     // short doc into one giant candidate clique.

@@ -68,22 +68,35 @@ object LineCuration {
     * The threshold compare is kept in integer arithmetic
     * (`df * 100 > n_docs * pctDocs`) so both engines decide identically
     * at the boundary. Output: per-doc line census + md5 of the
-    * surviving text (kept lines joined by '\n', original order). */
+    * surviving text (kept lines joined by '\n', original order).
+    *
+    * Plan shape: the exploded line table is computed ONCE and persisted
+    * via [[graft.core.PlanCache]] — it feeds both the
+    * document-frequency aggregate and the removal join, and without the
+    * persist Catalyst duplicates the whole split+join kernel pass into
+    * each branch (this was the single most expensive query in the r5
+    * bench). The df aggregate and the removal join key on
+    * `xxhash64(line)` — an 8-byte shuffle/broadcast key instead of the
+    * full line text (a 64-bit collision would need ~2³² distinct lines
+    * to become likely; at that scale switch the key to a 128-bit
+    * digest). Line TEXT leaves the executors only inside the per-doc
+    * md5 reassembly, partitioned by doc id. */
   def boilerplateLineDedup(docs: DataFrame, idCol: String, textCol: String,
       lw: Int, pctDocs: Int): DataFrame = {
-    val lined = docs
+    val lined = graft.core.PlanCache.persist(docs
       .select(col(idCol), posexplode(
         TextPrimitives.lineGroups(TextPrimitives.words(col(textCol)), lw))
         .as(Seq("pos", "lww")))
       .select(col(idCol), col("pos"), array_join(col("lww"), " ").as("line"))
+      .withColumn("lh", xxhash64(col("line"))))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     // Boilerplate set: small by construction — broadcast it back.
-    val frequent = lined.groupBy(col("line"))
+    val frequent = lined.groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("df"))
       .crossJoin(broadcast(total))
       .where(col("df") * 100 > col("n_docs") * pctDocs)
-      .select(col("line"), lit(1).as("boiler"))
-    lined.join(broadcast(frequent), Seq("line"), "left")
+      .select(col("lh"), lit(1).as("boiler"))
+    lined.join(broadcast(frequent), Seq("lh"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_lines"),

@@ -12,6 +12,16 @@ import graft.ops.TextPrimitives._
   * DuckDB-SQL twin for the differential oracle. */
 object TextAnalysis {
 
+  /** Default document-frequency cap for [[decontaminate]]'s
+    * boilerplate guard. A winnowing fingerprint occurring in more than
+    * this many DISTINCT documents is template boilerplate, not
+    * benchmark leakage, and is the fingerprint join's quadratic head
+    * (T train × B bench rows per shared fp). On by default — the
+    * uncapped join at 100× shuffled 245×-of-linear and spilled 9.5 GB
+    * (BENCHNOTES r5); exact-overlap semantics remain available via
+    * `maxDf = None` (registry baseline `sim_decontaminate_exact`). */
+  val DefaultMaxDf: Int = 200
+
   /** Tiny per-language stopword lexicons for the n-gram/stopword
     * language-ID heuristic. Deterministic and oracle-expressible; a
     * production system would swap in larger lexicons — the operator
@@ -116,7 +126,11 @@ object TextAnalysis {
     * not leakage — and they are the join's quadratic heads: a fp in T
     * train × B bench docs emits T×B rows (the 100× stress measured
     * 245×-of-linear shuffle + spill uncapped vs exactly linear capped,
-    * BENCHNOTES r5). The keep-set is persisted via [[graft.core.PlanCache]]
+    * BENCHNOTES r5). The guard is ON by default ([[DefaultMaxDf]]);
+    * pass `maxDf = None` only for the exact-overlap baseline, and only
+    * inside that measured envelope — at 100× the uncapped join
+    * shuffled 245×-of-linear (5.2 GB) and spilled 9.5 GB to disk.
+    * The keep-set is persisted via [[graft.core.PlanCache]]
     * (it feeds both join branches; without it Catalyst duplicates the
     * whole winnow+aggregate subtree into each).
     *
@@ -124,7 +138,8 @@ object TextAnalysis {
     * n_shared_fp counts occurrence pairs (a fp appearing twice in both
     * sides contributes 4), matching the winnowing-overlap literature. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String, isBench: Column,
-      k: Int = 8, w: Int = 4, minShared: Int = 4, maxDf: Option[Int] = None): DataFrame = {
+      k: Int = 8, w: Int = 4, minShared: Int = 4,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val fps = docs.select(col(idCol), isBench.as("__is_bench"),
       explode(graft.functions.TextExprs.winnow(col(textCol), k, w)).as("fp"))
     val pruned = maxDf match {

@@ -33,11 +33,12 @@ class CacheLifecycleSpec extends SparkSpec with Matchers {
       "text_bigram_lm", "graph_pagerank", "graph_ppr", "graph_triangles",
       "graph_hits", "graph_link_pred", "drift_daily",
       "ml_minhash_dedup", "dedup_components", "dedup_keep_one",
-      "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate_capped",
+      "sim_ann_pq", "sim_ann_ivfpq", "sim_decontaminate",
       "text_eval_contamination", "sim_dist_outliers", "search_inverted_index",
       "ann_ivfpq_incremental", "stream_ann_append", "ml_quality_classifier",
       "search_phrase", "sim_bitext_margin", "graph_label_prop",
-      "pipeline_retrieval", "text_kneser_ney", "agg_sketch_algebra", "text_bpe_merges")
+      "pipeline_retrieval", "text_kneser_ney", "agg_sketch_algebra", "text_bpe_merges",
+      "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact")
     for (name <- names) {
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
       core.PlanCache.release(spark)

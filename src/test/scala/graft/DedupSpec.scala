@@ -96,10 +96,34 @@ class DedupSpec extends SparkSpec with Matchers {
     assert(capped.contains((100L, 101L)))
     // uncapped finds the clique — proving the cap (not the bands) removed it
     val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count { case (a, b) => a <= 30 && b <= 30 } == 435)
     assert((uncapped -- capped).forall { case (a, b) => a <= 30 && b <= 30 })
+  }
+
+  test("minhash LSH hot-bucket guard is ON by default (DefaultMaxBucket)") {
+    import spark.implicits._
+    Dedup.DefaultMaxBucket shouldBe 100
+    // A 120-doc verbatim clique exceeds the default cap: its buckets are
+    // excluded wholesale by the DEFAULT call, while a small real pair
+    // survives — and the explicit exact baseline still finds the clique.
+    val boiler = (1L to 120L).toList.map(i => (i, "standard legal disclaimer text repeated verbatim"))
+    val real = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, "the quick brown fox jumps over the lazy dog today"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+    val default = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!default.exists { case (a, b) => a <= 120 && b <= 120 })
+    assert(default.contains((1000L, 1001L)))
+    val exact = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count { case (a, b) => a <= 120 && b <= 120 } == 120 * 119 / 2)
   }
 
   test("duplicated substring spans: shared runs found, merged, unique docs absent") {

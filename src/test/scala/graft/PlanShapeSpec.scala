@@ -31,11 +31,11 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_histogram", "q_window_range", "agg_bitmap_distinct", "agg_heavy_hitters",
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
     "pipeline_e2e", "vdb_insert_bloom", "dedup_substring", "dedup_minhash_capped",
-    "text_quality_gopher", "sim_decontaminate_capped", "text_domain_mix",
+    "text_quality_gopher", "sim_decontaminate", "text_domain_mix",
     "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance",
     "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget",
     "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
-    "text_bpe_merges")
+    "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -238,11 +238,27 @@ class PlanShapeSpec extends SparkSpec with Matchers {
 
   test("boilerplate line dedup broadcasts the frequent set back") {
     val p = physical("dedup_lines")
+    core.PlanCache.release(spark)
     // removal flag join: frequent (small) side broadcast, never shuffled
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
     // df count partial-aggregates map-side before its shuffle
     p should include("partial_count(distinct")
+  }
+
+  test("boilerplate line dedup: one explode pass, hash-keyed shuffles (r5 review #3)") {
+    val p = physical("dedup_lines")
+    core.PlanCache.release(spark)
+    // the persisted line table feeds BOTH the df aggregate and the
+    // removal join — the split+join kernel is computed once, not twice
+    // (each InMemoryTableScan prints its cached subtree, so the Generate
+    // count in the flat string is not a pass count; the reuse is what
+    // proves single-pass)
+    "InMemoryTableScan".r.findAllIn(p).size should be >= 2
+    // every repartitioning exchange keys on xxhash64(line) or the doc
+    // id — full line text never becomes a shuffle key
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    exchanges should not include "line#"
   }
 
   test("fuzzy ER: candidates come from an equi-join on the block key, verifier after") {

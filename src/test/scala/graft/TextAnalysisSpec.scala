@@ -135,6 +135,20 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("decontaminate boilerplate guard is ON by default (DefaultMaxDf = 200)") {
+    import org.apache.spark.sql.functions.col
+    TextAnalysis.DefaultMaxDf shouldBe 200
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the default call (no maxDf arg) equals the explicit cap-200 run
+    val default = run(TextAnalysis.decontaminate(docs, "doc_id", "text",
+      isBench = col("doc_id") % 10 === 0))
+    default shouldBe run(TextAnalysis.decontaminate(docs, "doc_id", "text",
+      isBench = col("doc_id") % 10 === 0, maxDf = Some(200)))
+    core.PlanCache.release(spark)
+  }
+
   test("evalContamination matches a brute-force n-gram overlap audit") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
