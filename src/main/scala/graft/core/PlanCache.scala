@@ -38,11 +38,12 @@ object PlanCache {
     df
   }
 
-  /** Register an already-persisted RDD (e.g. the FINAL `localCheckpoint`
-    * of an iterative computation, which the returned lazy plan still
-    * reads) for release with the session's other transient caches.
-    * Checkpoint blocks are unrecoverable once dropped — callers must
-    * release only after every downstream result is materialized. */
+  /** Register an already-checkpointed RDD (the FINAL round of an
+    * iterative computation, which the returned lazy plan still reads)
+    * for release with the session's other transient caches. Release
+    * deletes reliable-checkpoint files and drops any blocks
+    * ([[Iterate.releaseRdd]]) — callers must release only after every
+    * downstream result is materialized. */
   def registerRdd(session: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit =
     synchronized {
       transientRdds.getOrElseUpdate(session, mutable.Buffer.empty) += rdd
@@ -67,10 +68,7 @@ object PlanCache {
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // a stopped session has nothing to free
     })
-    rdds.foreach(_.foreach { rdd =>
-      try rdd.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-    })
+    rdds.foreach(_.foreach(Iterate.releaseRdd))
   }
 
   /** Number of currently-registered transient caches for `session`. */

@@ -19,28 +19,21 @@ import org.apache.spark.sql.functions._
   * That removes the label-propagation weakness where one adversarial
   * long-chain component costs O(diameter) rounds.
   *
-  * Lineage per round is cut with `localCheckpoint` (eager): without it
-  * the k-th round's un-truncated logical plan nests all previous
+  * Lineage per round is cut with an eager checkpoint
+  * ([[graft.core.Iterate.cut]]: reliable files when a checkpoint dir
+  * exists, so executor loss re-reads instead of failing): without the
+  * cut the k-th round's un-truncated logical plan nests all previous
   * rounds and analysis/codegen OOMs the driver long before the (small)
-  * edge table does. Checkpoint lifecycle: each round's blocks are
-  * dropped as soon as the next round is materialized (they are pure
-  * garbage then — and at scale, the memory that matters); the FINAL
+  * edge table does. Checkpoint lifecycle: each round's storage is
+  * dropped as soon as the next round is materialized (it is pure
+  * garbage then — and at scale, the space that matters); the FINAL
   * round's checkpoint, which the returned lazy plan reads, is
   * registered with [[graft.core.PlanCache]] for the materializing
   * caller to release.
   */
 object Components {
 
-  /** The persisted RDD behind an (eagerly) localCheckpoint-ed frame —
-    * the handle needed to drop its blocks once superseded. */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
-
-  private def dropCheckpoint(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+  import graft.core.Iterate.{checkpointRdd, cut, drop => dropCheckpoint}
 
   /** `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
     * (isolated nodes keep their own label). Returns (id, component)
@@ -59,9 +52,9 @@ object Components {
   def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
     // canonical orientation big→small; self-loops dropped
-    var e = edges.toDF("u", "v").where(col("u") =!= col("v"))
+    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIters && !converged) {
@@ -79,11 +72,10 @@ object Components {
       // Γ⁻(u) = the v's stored under u. m = min(Γ⁻(u) ∪ u); hook u and
       // all its smaller neighbors to m.
       val mins2 = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(mins2, "u")
+      val ss = cut(ls.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mins2.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+        .where(col("u") =!= col("v")).distinct())
       // fixed point ⟺ canonical edge set unchanged (symmetric
       // difference empty) — one aggregation over both checkpointed sets
       val changed = ss.unionAll(e).groupBy("u", "v").agg(count(lit(1)).as("c"))
@@ -120,8 +112,8 @@ object Components {
       .distinct().persist()
     // ck is always THE checkpointed frame of the current round (labels
     // may be a projection over it, which dropCheckpoint couldn't see)
-    var ck = nodes.toDF("id").distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var ck = cut(nodes.toDF("id").distinct()
+      .select(col("id"), col("id").as("component")))
     var labels = ck
     var iter = 0
     var converged = false
@@ -129,10 +121,9 @@ object Components {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      val next = cut(labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       val changed = next.where(col("component") =!= col("old")).limit(1).count()
       dropCheckpoint(ck) // superseded round: next is materialized
       ck = next

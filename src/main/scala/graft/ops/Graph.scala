@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * is persisted ONCE and re-joined per iteration (hash-partitioned on
   * `src`, so every iteration's contribution join reuses one shuffle of
   * the rank table, never of the edges). Each round is cut with an eager
-  * `localCheckpoint` — without it the nested join plan re-analyzes
-  * per round and codegen goes exponential (see Components.scala) — and
-  * the superseded round's blocks are dropped immediately, so peak
-  * storage is two rank tables (O(nodes)) regardless of iteration count.
+  * checkpoint ([[graft.core.Iterate.cut]]: reliable files when a
+  * checkpoint dir exists, so a preempted executor's lost partition is
+  * re-read rather than unrecoverable) — without the cut the nested
+  * join plan re-analyzes per round and codegen goes exponential (see
+  * Components.scala) — and the superseded round's storage is dropped
+  * immediately, so peak state is two rank tables (O(nodes)) regardless
+  * of iteration count.
   * Rank updates are a (src-keyed join → dst-keyed partial agg) pair:
   * exactly the map-side-combined shuffle Spark picks for groupBy, linear
   * in edges per iteration. No driver-side collection anywhere; the only
@@ -30,14 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
-
-  private def dropCheckpoint(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+  import graft.core.Iterate.{checkpointRdd, cut, drop => dropCheckpoint}
 
   /** PageRank over a directed edge list (src, dst). Nodes = every id
     * appearing as src or dst; fixed `iters` power iterations with
@@ -91,15 +87,14 @@ object Graph {
             when(col("is_seed"), lit(1.0 / ns)).otherwise(lit(0.0)).as("rank")))
     }
     val baseP = graft.core.PlanCache.persist(base)
-    var ranks = init.localCheckpoint()
+    var ranks = cut(init)
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-      val next = baseP
+      val next = cut(baseP
         .join(contrib.groupBy(col("dst").as("id")).agg(sum(col("c")).as("s")),
           Seq("id"), "left_outer")
-        .select(col("id"), (col("t") + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .select(col("id"), (col("t") + lit(d) * coalesce(col("s"), lit(0.0))).as("rank")))
       dropCheckpoint(ranks)
       ranks = next
     }
@@ -121,20 +116,20 @@ object Graph {
     val spark = edges.sparkSession
     val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
     val nH = ed.select(col("src")).distinct().count()
-    var hub = ed.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1.0 / nH).as("score")).localCheckpoint()
+    var hub = cut(ed.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / nH).as("score")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = ed.join(hub, ed("src") === hub("id"))
         .groupBy(ed("dst").as("id")).agg(sum(col("score")).as("s"))
-      val a2 = araw.crossJoin(broadcast(araw.agg(sum(col("s")).as("n"))))
-        .select(col("id"), (col("s") / col("n")).as("score")).localCheckpoint()
+      val a2 = cut(araw.crossJoin(broadcast(araw.agg(sum(col("s")).as("n"))))
+        .select(col("id"), (col("s") / col("n")).as("score")))
       if (auth != null) dropCheckpoint(auth)
       auth = a2
       val hraw = ed.join(auth, ed("dst") === auth("id"))
         .groupBy(ed("src").as("id")).agg(sum(col("score")).as("s"))
-      val h2 = hraw.crossJoin(broadcast(hraw.agg(sum(col("s")).as("n"))))
-        .select(col("id"), (col("s") / col("n")).as("score")).localCheckpoint()
+      val h2 = cut(hraw.crossJoin(broadcast(hraw.agg(sum(col("s")).as("n"))))
+        .select(col("id"), (col("s") / col("n")).as("score")))
       dropCheckpoint(hub)
       hub = h2
     }
@@ -339,7 +334,7 @@ object Graph {
     * persisted once and re-joined per round (the vote pass is a
     * src-keyed join then a (dst, label)-keyed partial aggregate, linear
     * in edges); each round's label table is cut with an eager
-    * localCheckpoint (nested-plan analysis goes exponential otherwise)
+    * checkpoint (nested-plan analysis goes exponential otherwise)
     * and the superseded round is dropped immediately, so peak storage
     * is two O(nodes) tables. Returns a bounded census, not the node
     * table: (label, n_nodes) with label −1 = still unlabeled. */
@@ -349,8 +344,7 @@ object Graph {
     val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
     val nodes = ed.select(col("src").as("id"))
       .unionAll(ed.select(col("dst").as("id"))).distinct()
-    var lab = nodes.join(seeds.toDF("id", "label"), Seq("id"), "left")
-      .localCheckpoint()
+    var lab = cut(nodes.join(seeds.toDF("id", "label"), Seq("id"), "left"))
     for (_ <- 1 to iters) {
       val votes = ed.join(
           lab.where(col("label").isNotNull).select(col("id").as("src"), col("label")),
@@ -361,9 +355,8 @@ object Graph {
       val newly = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("id"), col("label").as("new_label"))
-      val next = lab.join(newly, Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("new_label")).as("label"))
-        .localCheckpoint()
+      val next = cut(lab.join(newly, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("new_label")).as("label")))
       dropCheckpoint(lab)
       lab = next
     }
