@@ -1551,6 +1551,36 @@ object SparkEntry {
           levenshtein($"a.c_name", $"bb.c_name").as("dist"))
         .where($"dist" <= 1)
     }),
+    // ---- fuzzy ER under the hot-block guard — the
+    // dedup_minhash_capped family applied to the ER verifier: a block
+    // of b records emits b² levenshtein candidates on one reducer, and
+    // block size tracks data skew, not match likelihood (the 10×
+    // stress measured 9.09× wall on the uncapped verifier,
+    // BENCHNOTES r5 — in-block pairs, not the corpus, dominate).
+    // Blocks over maxBlock=40 records are excluded wholesale, bounding
+    // per-reducer work at 40² regardless of skew; an over-full block
+    // signals the BLOCKING KEY is too coarse there (fix the key — at
+    // production scale add a second blocking pass for the excluded
+    // stratum). The cap deliberately BITES on the fixture (blocks run
+    // 14-54 records at sf0.01) so both engines must agree on the
+    // exclusion, not just the happy path. The size count windows on
+    // the SAME (nation, blk) key the self-join shuffles on — no extra
+    // shuffle key. ----
+    "link_fuzzy_capped" -> ((s, dir) => {
+      import s.implicits._
+      val b = s.read.parquet(t(dir, "customer"))
+        .select($"c_custkey", $"c_nationkey", $"c_name",
+          substring($"c_name", 13, 3).as("blk"))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+        .where($"__bsz" <= 40).drop("__bsz")
+      b.alias("a").join(b.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" < $"bb.c_custkey")
+        .select($"a.c_custkey".as("id_a"), $"bb.c_custkey".as("id_b"),
+          levenshtein($"a.c_name", $"bb.c_name").as("dist"))
+        .where($"dist" <= 1)
+    }),
     // ---- embedding backfill: fill ONLY the rows missing a vector
     // (here: a modulo-carved 25% gap), keep existing vectors untouched
     // — the incremental-embed operational pattern (re-embedding 100 TB
@@ -4276,6 +4306,17 @@ object SparkEntry {
     "link_fuzzy_blocked" ->
       """WITH b AS (SELECT c_custkey, c_nationkey, c_name, substr(c_name, 13, 3) AS blk
         |           FROM customer)
+        |SELECT a.c_custkey AS id_a, bb.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, bb.c_name) AS INT) AS dist
+        |FROM b a JOIN b bb ON a.c_nationkey = bb.c_nationkey AND a.blk = bb.blk
+        |                  AND a.c_custkey < bb.c_custkey
+        |WHERE levenshtein(a.c_name, bb.c_name) <= 1""".stripMargin,
+    "link_fuzzy_capped" ->
+      """WITH b0 AS (SELECT c_custkey, c_nationkey, c_name, substr(c_name, 13, 3) AS blk
+        |            FROM customer),
+        |b AS (SELECT c_custkey, c_nationkey, c_name, blk FROM (
+        |        SELECT *, count(*) OVER (PARTITION BY c_nationkey, blk) AS bsz FROM b0)
+        |      WHERE bsz <= 40)
         |SELECT a.c_custkey AS id_a, bb.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, bb.c_name) AS INT) AS dist
         |FROM b a JOIN b bb ON a.c_nationkey = bb.c_nationkey AND a.blk = bb.blk

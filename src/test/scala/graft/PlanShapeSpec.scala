@@ -35,7 +35,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_pack", "text_line_filter", "text_fertility", "sim_cluster_balance",
     "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget",
     "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
-    "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact")
+    "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact",
+    "link_fuzzy_capped")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -268,6 +269,15 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // verifier runs on candidates, never as the join condition itself
     (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin")) shouldBe true
+    p should include("blk")
+  }
+
+  test("capped fuzzy ER: block-size guard windows on the join's own key") {
+    val p = physical("link_fuzzy_capped")
+    p should not include "CartesianProduct"
+    // the guard is a count window over (nation, blk) — the same key the
+    // verifier self-join shuffles on, so the cap adds no extra shuffle key
+    p should include("windowspecdefinition(c_nationkey")
     p should include("blk")
   }
 
