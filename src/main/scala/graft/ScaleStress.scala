@@ -128,9 +128,17 @@ object ScaleStress {
     val names = if (args.nonEmpty) args.toSeq
     else Seq("dedup_minhash_lsh", "sim_decontaminate", "ml_minhash_dedup",
       "dedup_components", "dedup_keep_one", "stream_interval_join")
+    // Shuffle partitions scale with the corpus (the brief's sizing rule:
+    // partitions must fit the executor memory budget at the target SF) —
+    // 32 at the 10× round, 320 at 100×; a fixed 32 over a 100× corpus
+    // makes ~700 MB reduce partitions whose sort buffers spill under the
+    // 8 GiB harness heap, which measures the partition SIZING, not the
+    // plan. Overridable via SPARK_GRAFT_STRESS_PARTITIONS.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_STRESS_PARTITIONS",
+      math.max(32, math.min(512, 32 * copies / 10)).toString)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

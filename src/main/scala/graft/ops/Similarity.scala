@@ -132,15 +132,25 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query row.
-    * `queries`/`candidates`: (id, embedding). Self-matches excluded. */
+    * `queries`/`candidates`: (id, embedding).
+    *
+    * `excludeSelf` (default true) drops candidates whose id equals the
+    * query id — correct whenever queries ⊆ candidates (kNN within one
+    * corpus, the recall-gate baselines). Pass `excludeSelf = false`
+    * when query and candidate CORPORA are distinct (cross-lingual kNN,
+    * bitext legs): there an id collision is two different vectors that
+    * happen to share a key, and silently dropping the pair — while a
+    * SQL oracle with no such filter keeps it — is a latent divergence
+    * (r6 advice). */
   def bruteTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4).as("distance"))
       .withColumn("rank", row_number().over(w))
@@ -174,14 +184,17 @@ object Similarity {
   def bitextMarginPairs(
       queries: DataFrame, src: DataFrame, tgt: DataFrame, k: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // src and tgt are DISTINCT corpora: a src id equal to a tgt id is
+    // two different vectors, not a self-match — keep it (excludeSelf
+    // off on both kNN legs; the DuckDB twin has no <> filter either)
     val fwd = graft.core.PlanCache.persist(
-      bruteTopK(queries, tgt, k, idCol, embCol)
+      bruteTopK(queries, tgt, k, idCol, embCol, excludeSelf = false)
         .withColumn("sim", lit(1.0) - col("distance")))
     val fwdAvg = fwd.groupBy(col("query_id"))
       .agg(RoundPortableExpr.r(avg(col("sim")), 6).as("fwd_avg"))
     val cands = fwd.select(col("neighbor_id").as(idCol)).distinct()
     val bwdQueries = tgt.join(cands, Seq(idCol), "left_semi")
-    val bwdAvg = bruteTopK(bwdQueries, src, k, idCol, embCol)
+    val bwdAvg = bruteTopK(bwdQueries, src, k, idCol, embCol, excludeSelf = false)
       .withColumn("sim", lit(1.0) - col("distance"))
       .groupBy(col("query_id"))
       .agg(RoundPortableExpr.r(avg(col("sim")), 6).as("bwd_avg"))

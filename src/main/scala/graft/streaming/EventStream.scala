@@ -243,10 +243,11 @@ object EventStream {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(out)
+    val census = spark.read.parquet(out)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"event_id").as("n_distinct"),
         graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("sum_value"))
+    eagerThenDelete(spark, census, out)
   }
 
   /** Streaming CDC apply: a keyed change stream (upserts + deletes,
@@ -256,25 +257,35 @@ object EventStream {
     * op every lakehouse ingestion path runs. Each batch applies
     * last-writer-wins within the batch (row_number over the key by
     * descending version — deterministic, never a hash-dependent
-    * `first`), then key-anti-joins the current table and unions the
-    * surviving upserts — O(|batch| + |table|) per batch, all keyed
-    * joins. The new state lands in a batch-versioned directory and the
-    * pointer advances only after the write completes (atomic-visibility
-    * half of the exactly-once recipe; the idempotence half is
-    * `stream_idempotent_sink`'s). Per-batch LWW composes to global LWW
-    * when versions are monotone across batches — file-ordered ingestion
-    * here; the fixture streams as ONE file = one batch, which is what
-    * the batch-merge oracle checks. Returns the final-state census. */
+    * `first`), then a key-keyed full-outer merge against the current
+    * state keeps whichever side carries the HIGHER version — state
+    * rows store (ver, op) including delete tombstones, so the result
+    * equals global max-version LWW for ANY split of the change set
+    * into micro-batches, in any order (the r5 advice: per-batch LWW
+    * alone silently diverges from the batch-MERGE oracle the moment
+    * Spark splits a multi-file change set). O(|batch| + |table|) per
+    * batch, all keyed joins. The new state lands in a batch-versioned
+    * directory and the pointer advances only after the write completes
+    * (atomic-visibility half of the exactly-once recipe; the
+    * idempotence half is `stream_idempotent_sink`'s); the superseded
+    * version's directory is deleted as soon as the pointer moves, and
+    * the whole scratch root is deleted once the final census is taken
+    * — repeated bench/verify passes leak nothing. Returns the
+    * final-state census (live rows only; tombstones excluded). */
   def runCdcUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // base rows enter versioned state as live upserts; base versions
+    // (doc_id < 250) sort below every change version (doc_id ≥ 250),
+    // matching the oracle where any change beats the base row
     spark.read.parquet(s"$dir/documents.parquet").where($"doc_id" < 250)
-      .select($"doc_id".as("key"), $"lang", $"n_chars".as("val"))
+      .select($"doc_id".as("key"), $"lang", $"n_chars".as("val"),
+        $"doc_id".as("ver"), lit("u").as("op"))
       .write.mode("overwrite").parquet(s"$root/v0")
     val cur = new java.util.concurrent.atomic.AtomicReference[String](s"$root/v0")
     val key = (($"doc_id" - 250) * 2) % 300
     val changes = readDocuments(spark, dir).where($"doc_id" >= 250)
-      .select(key.as("key"), $"lang", $"n_chars".as("val"), $"doc_id",
+      .select(key.as("key"), $"lang", $"n_chars".as("val"), $"doc_id".as("ver"),
         when(key % 20 === 0, lit("d")).otherwise(lit("u")).as("op"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
@@ -283,28 +294,59 @@ object EventStream {
       val q = changes.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("key").orderBy(col("doc_id").desc)
+            .partitionBy("key").orderBy(col("ver").desc)
           val lww = batch.withColumn("rn", row_number().over(w))
             .where(col("rn") === 1).drop("rn")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val current = batch.sparkSession.read.parquet(cur.get)
-          val next = current.join(lww.select(col("key")), Seq("key"), "left_anti")
-            .unionByName(lww.where(col("op") === "u")
-              .select(col("key"), col("lang"), col("val")))
+          // max-version merge: tombstones participate like any row, so
+          // a late-arriving lower-version upsert cannot resurrect a
+          // newer delete, and batch order never matters
+          val keepCurrent = col("n.ver").isNull ||
+            (col("c.ver").isNotNull && col("c.ver") > col("n.ver"))
+          def side(p: String) = struct(col(s"$p.lang").as("lang"),
+            col(s"$p.val").as("val"), col(s"$p.ver").as("ver"), col(s"$p.op").as("op"))
+          val next = current.alias("c")
+            .join(lww.alias("n"), col("c.key") === col("n.key"), "full_outer")
+            .select(coalesce(col("c.key"), col("n.key")).as("key"),
+              when(keepCurrent, side("c")).otherwise(side("n")).as("r"))
+            .select(col("key"), col("r.lang").as("lang"), col("r.val").as("val"),
+              col("r.ver").as("ver"), col("r.op").as("op"))
           val path = s"$root/v${batchId + 1}"
           next.write.mode("overwrite").parquet(path)
           lww.unpersist()
-          cur.set(path)
+          val superseded = cur.getAndSet(path)
+          deleteRecursively(new java.io.File(superseded))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(cur.get)
+    val census = spark.read.parquet(cur.get)
+      .where($"op" === "u")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"key").as("n_keys"),
         sum($"val").as("sum_val"),
         count(when($"key" >= 250, 1)).as("n_inserted"))
+    eagerThenDelete(spark, census, root)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Materialize a small result eagerly so its scratch directory can be
+    * deleted NOW instead of leaking until JVM exit (streaming runners
+    * return tiny censuses; holding a lazy plan over a temp dir is what
+    * made repeated bench/verify passes accumulate disk — r5 advice). */
+  private def eagerThenDelete(spark: SparkSession, df: DataFrame,
+      scratch: String): DataFrame = {
+    val rows = df.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), df.schema)
+    deleteRecursively(new java.io.File(scratch))
+    out
   }
 
   /** Streaming near-dup ingest gate: incoming documents are checked

@@ -160,4 +160,25 @@ class SimilaritySpec extends SparkSpec with Matchers {
     // leg; assert it is NOT mined with a high margin even if present
     out.find(_._1 == 101L).foreach { case (_, _, margin) => assert(margin < m(100L)._2) }
   }
+
+  test("bitext legs keep cross-corpus candidates whose id collides with the query id") {
+    import spark.implicits._
+    // side A and side B each have a vector keyed 100 — DIFFERENT vectors
+    // in different corpora. The kNN legs must not treat the collision as
+    // a self-match (r6 advice: bruteTopK's self-exclusion silently
+    // dropped it while the SQL oracle kept it).
+    val a = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (100L, Array(0.99f, 0.05f, 0f, 0f)), // shares the id, is the true match
+      (201L, Array(0f, 1f, 0f, 0f)),
+      (202L, Array(0f, 0.7f, 0.7f, 0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteTopK(a, b, k = 2, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(knn.contains((100L, 100L)), s"cross-corpus id collision dropped: $knn")
+    // and the default (queries ⊆ candidates) still excludes the self-row
+    val self = Similarity.bruteTopK(b, b, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(self.forall { case (q, n) => q != n })
+  }
 }
