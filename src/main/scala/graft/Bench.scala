@@ -41,6 +41,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val sentinels = scala.collection.mutable.ListBuffer[Double]()
+    sentinelOnce() // unmeasured: absorb the sentinel plan's own JIT/codegen
     for (_ <- 1 to runs) {
       sentinels += sentinelOnce()
       for (name <- names) {
