@@ -46,9 +46,11 @@ object EventStream {
     * a silently-empty stream that makes every downstream number a lie.
     * (Local-FS check; a cluster deployment would ask the Hadoop
     * FileSystem the same question.) */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def readDocuments(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val table = s"$dir/documents.parquet"
-    val rdr = spark.readStream.schema(docsSchema)
+    var rdr = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => rdr = rdr.option("maxFilesPerTrigger", n))
     if (new java.io.File(table).isDirectory) rdr.parquet(table)
     else rdr.option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
@@ -272,7 +274,8 @@ object EventStream {
     * the whole scratch root is deleted once the final census is taken
     * — repeated bench/verify passes leak nothing. Returns the
     * final-state census (live rows only; tombstones excluded). */
-  def runCdcUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runCdcUpsertAvailableNow(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     // base rows enter versioned state as live upserts; base versions
@@ -284,7 +287,7 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$root/v0")
     val cur = new java.util.concurrent.atomic.AtomicReference[String](s"$root/v0")
     val key = (($"doc_id" - 250) * 2) % 300
-    val changes = readDocuments(spark, dir).where($"doc_id" >= 250)
+    val changes = readDocuments(spark, dir, maxFilesPerTrigger).where($"doc_id" >= 250)
       .select(key.as("key"), $"lang", $"n_chars".as("val"), $"doc_id".as("ver"),
         when(key % 20 === 0, lit("d")).otherwise(lit("u")).as("op"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -161,6 +161,49 @@ class StreamingSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("CDC apply equals global LWW under a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    // The sf fixtures stream as ONE file = one batch, which never
+    // exercises cross-batch conflicts. Re-lay the corpus as a 4-file
+    // directory table and force maxFilesPerTrigger=1 → 4 micro-batches
+    // with same-key changes scattered across them; the versioned
+    // tombstone merge must still equal the single-batch (= batch MERGE
+    // oracle) census.
+    val src = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-multi").toString
+    spark.read.parquet(s"$src/documents.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("n_rows"), col("n_keys"), col("sum_val"), col("n_inserted"))
+        .head()
+    val single = census(graft.streaming.EventStream.runCdcUpsertAvailableNow(spark, src))
+    // count data-carrying micro-batches so a silently-ignored
+    // maxFilesPerTrigger can't make this test vacuous
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) { batches.incrementAndGet(); () }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val multi =
+      try census(graft.streaming.EventStream.runCdcUpsertAvailableNow(
+        spark, tmp, maxFilesPerTrigger = Some(1)))
+      finally {
+        Thread.sleep(1000) // listener bus is async
+        spark.streams.removeListener(listener)
+      }
+    assert(batches.get >= 2, s"expected a multi-batch run, saw ${batches.get} batch(es)")
+    multi shouldBe single
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+    rm(new java.io.File(tmp))
+  }
+
   test("streaming ANN append: delta segments searchable post-stream, recall gate holds") {
     val dir = "/root/testdata/sf0.001"
     val (ix, basePath) = SparkEntry.ivfpqBaseIndex(spark, dir)
