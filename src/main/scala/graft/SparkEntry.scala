@@ -3625,14 +3625,16 @@ object SparkEntry {
       s"""WITH tk AS (
          |  SELECT unnest(${wordsSql("text")}) AS term FROM documents),
          |tok AS (SELECT term FROM tk WHERE term <> ''),
+         |th AS (SELECT term, ${graft.ops.TextPrimitives.hexLongSql("term")} AS h FROM tok),
          |sk AS (
-         |  SELECT t.i AS i, ${ops.CountMin.bucketSql("term", "t.i", 256)} AS bucket,
+         |  SELECT t.i AS i, ${ops.CountMin.bucketSql("h", "t.i", 256)} AS bucket,
          |         CAST(count(*) AS BIGINT) AS c
-         |  FROM tok, range(4) t(i) GROUP BY 1, 2),
-         |keys AS (SELECT * FROM (VALUES ('table'), ('join'), ('filter'),
-         |                               ('quantum'), ('zzz_absent')) k(term)),
+         |  FROM th, range(4) t(i) GROUP BY 1, 2),
+         |keys AS (SELECT term, ${graft.ops.TextPrimitives.hexLongSql("term")} AS h
+         |         FROM (VALUES ('table'), ('join'), ('filter'),
+         |                      ('quantum'), ('zzz_absent')) k(term)),
          |kq AS (
-         |  SELECT term, t.i AS i, ${ops.CountMin.bucketSql("term", "t.i", 256)} AS bucket
+         |  SELECT term, t.i AS i, ${ops.CountMin.bucketSql("h", "t.i", 256)} AS bucket
          |  FROM keys, range(4) t(i)),
          |est AS (
          |  SELECT kq.term, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est

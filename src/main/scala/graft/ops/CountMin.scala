@@ -18,20 +18,34 @@ import org.apache.spark.sql.functions._
   * the data). Point queries join a keys×d literal frame against the
   * d·w-row sketch — broadcast, constant cost.
   *
-  * Hashing: row i's bucket for token t is `H("cm" + i + ":" + t) mod w`
-  * with the shared 60-bit md5 base hash ([[TextPrimitives.hexLong]]) —
-  * d independent-enough hash functions with an exact DuckDB twin, so
-  * the WHOLE sketch (not just its guarantees) is oracle-reproducible. */
+  * Hashing: the token is md5-hashed ONCE to the shared 60-bit base
+  * hash h ([[TextPrimitives.hexLong]]); row i's bucket is the textbook
+  * pairwise-independent derivation `((2i+1)·h + 97i + 31) mod p mod w`
+  * with p = 2⁶¹−1 (Cormode & Muthukrishnan §2.1's `(a_i·x + b_i) mod p`
+  * family with fixed odd multipliers, so the fixture is
+  * deterministic). One string hash per token instead of d — the string
+  * kernel is the map-side hot path at corpus scale, and the d-fold
+  * expansion now carries an 8-byte long, not the token text. All
+  * arithmetic stays inside signed 64-bit ((2d−1)·2⁶⁰ < 2⁶³ for d ≤ 4)
+  * and has an exact DuckDB twin, so the WHOLE sketch (not just its
+  * guarantees) is oracle-reproducible. */
 object CountMin {
+
+  /** p = 2⁶¹ − 1, the Mersenne prime of the hash family. */
+  val P: Long = 2305843009213693951L
+
+  private def bucketCol(h: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column =
+    (((lit(2L) * i + 1L) * h + lit(97L) * i + 31L) % P) % w
 
   /** The d×w sketch of the whitespace-token stream of `textCol`:
     * (i, bucket, c) with one row per non-empty counter. */
   def sketch(docs: DataFrame, textCol: String, d: Int, w: Int): DataFrame =
     docs.select(explode(TextPrimitives.words(col(textCol))).as("term"))
       .where(col("term") =!= "")
-      .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("term"))
-      .select(col("i"), (TextPrimitives.hexLong(
-        concat(lit("cm"), col("i").cast("string"), lit(":"), col("term"))) % w).as("bucket"))
+      .select(TextPrimitives.hexLong(col("term")).as("h"))
+      .select(explode(sequence(lit(0L), lit(d - 1L))).as("i"), col("h"))
+      .select(col("i"), bucketCol(col("h"), col("i"), w).as("bucket"))
       .groupBy(col("i"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
@@ -42,9 +56,9 @@ object CountMin {
     val spark = sk.sparkSession
     import spark.implicits._
     val q = keys.toDF("term")
-      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("term"), col("i"), (TextPrimitives.hexLong(
-        concat(lit("cm"), col("i").cast("string"), lit(":"), col("term"))) % w).as("bucket"))
+      .select(col("term"), TextPrimitives.hexLong(col("term")).as("h"))
+      .select(col("term"), explode(sequence(lit(0L), lit(d - 1L))).as("i"), col("h"))
+      .select(col("term"), col("i"), bucketCol(col("h"), col("i"), w).as("bucket"))
     // the d·w-row sketch broadcasts (the LEFT of a left-outer can't be
     // the build side); the keys frame is driver-literal anyway
     q.join(broadcast(sk), Seq("i", "bucket"), "left")
@@ -52,7 +66,9 @@ object CountMin {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
-  /** DuckDB twin of the (i, bucket) hash for a term expression. */
-  def bucketSql(term: String, i: String, w: Int): String =
-    s"${TextPrimitives.hexLongSql(s"'cm' || CAST($i AS VARCHAR) || ':' || $term")} % $w"
+  /** DuckDB twin of the (i, bucket) hash. `h` is the SQL of the 60-bit
+    * base hash of the term (hash the token ONCE, mirror of the Spark
+    * side), `i` the row index expression. */
+  def bucketSql(h: String, i: String, w: Int): String =
+    s"(((2 * $i + 1) * $h + 97 * $i + 31) % ${P}) % $w"
 }
