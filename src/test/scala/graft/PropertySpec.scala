@@ -140,4 +140,33 @@ class PropertySpec extends SparkSpec with Matchers {
       p.foreach(c => math.abs(c.toDouble) should be <= l1 + 1e-3)
     }
   }
+
+  test("count-min row hashes: in range, deterministic, rows disagree, overflow-free") {
+    import spark.implicits._
+    import graft.ops.CountMin
+    val d = 4
+    val w = 256
+    val termGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(24))
+    val terms = samples(termGen, 200, 9L).distinct
+    // run the ACTUAL column expressions on a literal frame for per-term checks
+    val df = terms.map(t => Tuple1(t)).toDF("term")
+      .select($"term", graft.ops.TextPrimitives.hexLong($"term").as("h"))
+      .select($"term", explode(sequence(lit(0L), lit(d - 1L))).as("i"), $"h")
+      .selectExpr("term", "i", "h",
+        s"(((2 * i + 1) * h + 97 * i + 31) % ${CountMin.P}) % $w AS bucket")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (t, i, h, b) =>
+      withClue(s"term=$t i=$i h=$h:") {
+        b should (be >= 0L and be < w.toLong)   // in range, no signed overflow
+        h should be >= 0L                       // 60-bit base stays non-negative
+        // re-derivation in plain scala agrees with the SQL/Column math
+        (((2 * i + 1) * h + 97 * i + 31) % CountMin.P) % w shouldBe b
+      }
+    }
+    // the d rows of one term are not all equal for the vast majority of
+    // terms (pairwise-independent family actually varies with i)
+    val allSame = rows.groupBy(_._1).count { case (_, rs) => rs.map(_._4).distinct.size == 1 }
+    allSame.toDouble / terms.size should be < 0.05
+  }
 }
