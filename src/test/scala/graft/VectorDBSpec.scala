@@ -14,6 +14,19 @@ import graft.filters.Filters._
   * re-insert → unfiltered query → filtered query. */
 class VectorDBSpec extends SparkSpec with Matchers {
 
+  test("every registered query carries an oracle, and every oracle a query") {
+    // the driver's correctness gate only checks queries that have BOTH a
+    // queries entry and an oracleSql entry — a key-set drift silently
+    // downgrades a query to a weaker rows-only check (or orphans an
+    // oracle), so parity is pinned here
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue(s"queries without oracle: ${q -- o}; oracles without query: ${o -- q}:") {
+      q shouldBe o
+    }
+    q.size should be >= 172
+  }
+
   private def newDb(name: String) = {
     val wh = Files.createTempDirectory("graft-test").toString
     new VectorDB(spark, name, wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
