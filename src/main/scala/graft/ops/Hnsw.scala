@@ -1,0 +1,246 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RoundPortableExpr, VectorFunctions}
+
+/** Segment-local HNSW (Malkov & Yashunin 2018, arXiv:1603.09320) — the
+  * graph index the reference builds on bulk load
+  * (/root/reference/duckvdb.py:37-41,45).
+  *
+  * HNSW's greedy walk is inherently sequential, which is why a naive
+  * port doesn't fit bulk-synchronous Spark. The production answer —
+  * the one Lucene/Elasticsearch ship — is SEGMENTED: split the corpus
+  * into deterministic segments, build one independent in-memory HNSW
+  * per segment inside `mapPartitions` (sequential is free within a
+  * partition), fan the broadcast query panel out to every segment, and
+  * merge the per-segment top-k by a single window rank. At 100 TB the
+  * segments are the natural parallel unit (one per partition /
+  * executor core); build cost is embarrassingly parallel, search cost
+  * is one map-side pass plus an O(queries · segments · k) merge, and a
+  * new data batch is a NEW segment — append never touches built graphs
+  * (see [[appendSegments]]).
+  *
+  * Determinism (so the recall gate is oracle-checkable): segment
+  * membership is hash-partitioning on the id column; insertion order is
+  * ids ascending within a segment; a node's level comes from splitmix64
+  * of its id (not an RNG stream, so it is independent of row order);
+  * all heap orderings tie-break on node id. The global merge re-scores
+  * every surfaced candidate through the SAME codegen cosine kernel +
+  * portable rounding as [[Similarity.bruteTopK]], so the HNSW layer
+  * only decides WHICH ≤ segments·k candidates survive — the returned
+  * distances and ordering are engine-reproducible.
+  */
+object Hnsw {
+
+  /** splitmix64 finalizer — the repo's standard deterministic hash
+    * (same family as [[graft.functions.LshBucketsExpr]]). */
+  private[graft] def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Node level ~ floor(-ln(U) · 1/ln(M)), U derived from the id so the
+    * level is a pure function of the key (insert-order independent). */
+  private[graft] def levelOf(id: Long, m: Int): Int = {
+    val u = ((mix64(id) >>> 11).toDouble + 0.5) / (1L << 53).toDouble // (0,1)
+    math.floor(-math.log(u) / math.log(m.toDouble)).toInt
+  }
+
+  /** One segment's in-memory HNSW over (ids, vecs), ids ascending.
+    * Simple nearest-M neighbor selection (the paper's Algorithm 3);
+    * level-0 degree cap 2M, upper levels M, per the paper. */
+  private[ops] final class SegmentIndex(
+      ids: Array[Long], vecs: Array[Array[Float]], m: Int, efConstruction: Int) {
+    private val maxM0 = 2 * m
+    private val levels = ids.map(id => levelOf(id, m))
+    // adj(node)(level) = neighbor node indexes
+    private val adj: Array[Array[mutable.ArrayBuffer[Int]]] =
+      levels.map(l => Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int]))
+    private var entry = -1
+    private var topLevel = -1
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    }
+
+    /** Greedy descent at `level`: hill-climb to the local minimum. */
+    private def greedy(q: Array[Float], start: Int, level: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = adj(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val n = ns(i)
+          val d = dist(q, vecs(n))
+          if (d < curD || (d == curD && n < cur)) { curD = d; cur = n; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Algorithm 2: beam search at `level` with beam width `ef`.
+      * Returns (dist, node) ascending, ≤ ef entries. */
+    private def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int)
+        : mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.HashSet[Int](start)
+      implicit val asc: Ordering[(Double, Int)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val candidates = mutable.PriorityQueue[(Double, Int)]()(asc.reverse) // min-heap
+      val result = mutable.PriorityQueue[(Double, Int)]()(asc)             // max-heap
+      val d0 = dist(q, vecs(start))
+      candidates.enqueue((d0, start)); result.enqueue((d0, start))
+      while (candidates.nonEmpty) {
+        val (cd, c) = candidates.dequeue()
+        if (cd > result.head._1 && result.size >= ef) { candidates.clear() }
+        else {
+          val ns = adj(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (!visited.contains(n)) {
+              visited += n
+              val d = dist(q, vecs(n))
+              if (result.size < ef || d < result.head._1 ||
+                  (d == result.head._1 && n < result.head._2)) {
+                candidates.enqueue((d, n)); result.enqueue((d, n))
+                if (result.size > ef) result.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer[(Double, Int)]()
+      out ++= result.dequeueAll.reverse
+      out
+    }
+
+    private def connect(a: Int, b: Int, level: Int): Unit = {
+      val cap = if (level == 0) maxM0 else m
+      adj(a)(level) += b
+      if (adj(a)(level).length > cap) {
+        val kept = adj(a)(level)
+          .map(n => (dist(vecs(a), vecs(n)), n)).sorted.take(cap).map(_._2)
+        adj(a)(level).clear(); adj(a)(level) ++= kept
+      }
+    }
+
+    def insert(node: Int): Unit = {
+      val l = levels(node)
+      if (entry < 0) { entry = node; topLevel = l; return }
+      var ep = entry
+      var lev = topLevel
+      while (lev > l) { ep = greedy(vecs(node), ep, lev); lev -= 1 }
+      lev = math.min(topLevel, l)
+      while (lev >= 0) {
+        val w = searchLayer(vecs(node), ep, efConstruction, lev)
+        val neighbors = w.take(m)
+        neighbors.foreach { case (_, n) =>
+          connect(node, n, lev); connect(n, node, lev)
+        }
+        ep = w.head._2
+        lev -= 1
+      }
+      if (l > topLevel) { entry = node; topLevel = l }
+    }
+
+    /** Top-k node ids for query `q` with beam `efSearch` (≥ k). */
+    def search(q: Array[Float], k: Int, efSearch: Int): Array[Long] = {
+      if (entry < 0) return Array.empty
+      var ep = entry
+      var lev = topLevel
+      while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
+      searchLayer(q, ep, math.max(efSearch, k), 0)
+        .take(k).map { case (_, n) => ids(n) }.toArray
+    }
+  }
+
+  /** Build the per-partition index over an iterator of (id, vec) and
+    * surface each broadcast query's local top-k ids. */
+  private def segmentSearch(
+      rows: Iterator[(Long, Array[Float])], panel: Array[(Long, Array[Float])],
+      k: Int, m: Int, efConstruction: Int, efSearch: Int): Iterator[(Long, Long)] = {
+    val seg = rows.toArray.sortBy(_._1)
+    if (seg.isEmpty) Iterator.empty
+    else {
+      val idx = new SegmentIndex(seg.map(_._1), seg.map(_._2), m, efConstruction)
+      var i = 0
+      while (i < seg.length) { idx.insert(i); i += 1 }
+      panel.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, k, efSearch).iterator.map(nid => (qid, nid))
+      }
+    }
+  }
+
+  /** Segmented HNSW top-k with exact kernel rerank of the surfaced
+    * candidates. Same (query_id, neighbor_id, distance) contract as
+    * [[Similarity.bruteTopK]].
+    *
+    * `queries` must be a bounded serving panel (it is collected and
+    * broadcast — the same contract every ANN op here has for its query
+    * side). `numSegments` is the parallel unit: one graph per segment;
+    * at cluster scale set it to the executor-core count (or leave the
+    * corpus's existing partitioning by passing `repartitionBy = false`
+    * when it is already segment-shaped). */
+  def searchTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 16, efConstruction: Int = 128, efSearch: Int = 96,
+      numSegments: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val panel = queries.select(col(idCol), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(panel)
+    val pairs = candidates.select(col(idCol).as("_1"), col(embCol).as("_2"))
+      .repartition(numSegments, col("_1"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(it => segmentSearch(it, bc.value, k, m, efConstruction, efSearch))
+      .toDF("query_id", "neighbor_id")
+    rerank(pairs, queries, candidates, k, idCol, embCol, excludeSelf)
+  }
+
+  /** Segment-append (the Lucene pattern, and the reference's own
+    * bulk-load-only index contract): `delta` becomes NEW segments —
+    * existing graphs are never touched — and search fans over
+    * base ∪ delta segments. Here that is literally
+    * `base.union(delta)` re-segmented deterministically by id hash, so
+    * the same rows land in the same segments regardless of which batch
+    * delivered them; an id-range split of the corpus yields the
+    * identical index either way. */
+  def appendSegments(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+
+  /** Exact rerank of surfaced (query_id, neighbor_id) pairs through the
+    * codegen cosine kernel + portable rounding — identical scoring path
+    * to [[Similarity.bruteTopK]], over O(queries · segments · k) rows. */
+  private def rerank(
+      pairs: DataFrame, queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String, embCol: String, excludeSelf: Boolean): DataFrame = {
+    val qDf = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    pairs
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .join(candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
+        Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
+          .as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{Hnsw, Similarity}
+
+class HnswSpec extends SparkSpec with Matchers {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("levelOf is deterministic, id-keyed, and geometrically distributed") {
+    import graft.ops.Hnsw.{levelOf => lv}
+    (0L until 1000L).foreach(id => lv(id, 16) shouldBe lv(id, 16))
+    val levels = (0L until 10000L).map(lv(_, 16))
+    levels.min shouldBe 0
+    // ~1/16 of nodes above level 0 for M=16
+    val above = levels.count(_ > 0).toDouble / levels.size
+    above should be > 0.02
+    above should be < 0.15
+    levels.max should be < 8
+  }
+
+  test("segmented HNSW recovers the exact top-10 on the fixture corpus") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteTopK(q, emb, k = 10)
+    val ann = Hnsw.searchTopK(q, emb, k = 10)
+    val recall = Similarity.recallAtK(ann, exact, k = 10)
+      .agg(min($"recall")).head.getDouble(0)
+    recall should be >= 0.9
+  }
+
+  test("search is deterministic across runs (same segments, levels, tie-breaks)") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val r1 = Hnsw.searchTopK(q, emb, k = 5).orderBy($"query_id", $"distance", $"neighbor_id")
+      .collect().toSeq
+    val r2 = Hnsw.searchTopK(q, emb, k = 5).orderBy($"query_id", $"distance", $"neighbor_id")
+      .collect().toSeq
+    r1 shouldBe r2
+  }
+
+  test("segment-append: base ∪ delta builds the identical index as one bulk load") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 5 =!= 0)
+    val delta = emb.where($"vec_id" % 5 === 0)
+    val q = emb.where($"vec_id" < 5)
+    val bulk = Hnsw.searchTopK(q, emb, k = 8).collect().toSet
+    val appended = Hnsw.searchTopK(q, Hnsw.appendSegments(base, delta), k = 8).collect().toSet
+    appended shouldBe bulk
+  }
+
+  test("degenerate inputs: tiny corpus and k larger than a segment") {
+    import spark.implicits._
+    val tiny = emb.where($"vec_id" < 3)
+    val q = emb.where($"vec_id" === 0)
+    val out = Hnsw.searchTopK(q, tiny, k = 10).collect()
+    // self excluded, so 2 neighbors from a 3-row corpus
+    out.length shouldBe 2
+    out.map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
+  }
+}
