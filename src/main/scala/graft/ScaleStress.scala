@@ -182,6 +182,7 @@ object ScaleStress {
     for (name <- names) {
       if (name == "ivfpq_bulk") ivfpqBulk(spark, src)
       else if (name == "ivfpq_corpus") ivfpqCorpus(spark, src, target, copies)
+      else if (name == "hnsw_corpus") hnswCorpus(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
@@ -216,6 +217,39 @@ object ScaleStress {
     }
     runOnce(src, 8, "sf0.1")
     runOnce(target, 8 * copies, s"sf1-k-scaled")
+  }
+
+  /** Corpus-dimension stress for the segmented HNSW, CONFIGURED for
+    * scale: the registry query pins numSegments = 4 (right for the
+    * 2k-row recall fixture); the op's contract is segments sized
+    * ~constant (one graph per executor core at cluster scale), so this
+    * scales numSegments with the corpus (~8k vectors/segment) and
+    * measures build+search wall plus mean recall@10 against the exact
+    * brute-force pass over the SAME scaled corpus — the evidence that
+    * per-segment build stays bounded and the candidate-union merge
+    * keeps recall as segments multiply. */
+  private def hnswCorpus(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    val emb = spark.read.parquet(s"$target/embeddings.parquet")
+    val n = emb.count()
+    val numSeg = math.max(4, (n / 8192L).toInt)
+    val q = emb.where($"vec_id" < 10)
+    val t0 = System.nanoTime()
+    val ann = ops.Hnsw.searchTopK(q, emb, k = 10, numSegments = numSeg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ann.queryExecution.toRdd.foreach(_ => ())
+    val tAnn = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val exact = ops.Similarity.bruteTopK(q, emb, k = 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.queryExecution.toRdd.foreach(_ => ())
+    val tExact = (System.nanoTime() - t1) / 1e9
+    val recall = ops.Similarity.recallAtK(ann, exact, k = 10)
+      .agg(avg($"recall")).head.getDouble(0)
+    println(f"[stress] hnsw_corpus n=$n segs=$numSeg build+search $tAnn%8.2f s" +
+      f"  brute $tExact%8.2f s  mean-recall@10 $recall%.3f")
+    ann.unpersist(); exact.unpersist()
   }
 
   /** Corpus-dimension stress for the IVF-PQ index: build (KMeans +
