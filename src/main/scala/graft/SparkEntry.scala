@@ -2172,6 +2172,26 @@ object SparkEntry {
       Similarity.recallGate(ops.Hnsw.searchTopK(q, emb, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
+    // ---- PERSISTED HNSW index + probe + segment-append — the
+    // reference's full index lifecycle (duckvdb.py:45: build once at
+    // bulk load, probe later): graph rows (seg, id, level-indexed
+    // neighbor ids) written to parquet, deltas appended as NEW segments
+    // (built graphs never rewritten), probe restores each segment's
+    // adjacency in memory and must still recover the brute-force top-k
+    // over the FULL corpus — appended rows searchable immediately. ----
+    "ann_hnsw_persist" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val base = emb.where($"vec_id" % 5 =!= 0)
+      val delta = emb.where($"vec_id" % 5 === 0)
+      val q = emb.where($"vec_id" < 10)
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+      ops.Hnsw.buildGraph(base, numSegments = 4).write.mode("overwrite").parquet(path)
+      ops.Hnsw.buildGraph(delta, numSegments = 2, segOffset = 4)
+        .write.mode("append").parquet(path)
+      Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(path), emb, q, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
+    }),
     // ---- incremental IVF index maintenance: 80% of the corpus is
     // indexed (quantizer fit + cell assign), the remaining 20% arrives
     // as a delta batch and is appended by a map-side assign against the
@@ -2806,6 +2826,8 @@ object SparkEntry {
     "sim_ann_sq8" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_hnsw" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_hnsw_persist" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "layout_zorder" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty

@@ -66,6 +66,33 @@ object Hnsw {
     private var entry = -1
     private var topLevel = -1
 
+    /** Per-node adjacency with neighbor NODE IDS (level-indexed) — the
+      * persistable form of the graph ([[Hnsw.buildGraph]]). */
+    def adjacencyIds(node: Int): Array[Array[Long]] =
+      adj(node).map(_.map(ids(_)).toArray)
+
+    /** Restore a built graph from persisted adjacency (aligned with
+      * `ids`): fills edges and re-derives the entry point (top level,
+      * min id — the same node the build path promotes last). */
+    def restore(adjIds: Array[Array[Array[Long]]]): Unit = {
+      val idToIdx = mutable.HashMap[Long, Int]()
+      var i = 0
+      while (i < ids.length) { idToIdx(ids(i)) = i; i += 1 }
+      i = 0
+      while (i < ids.length) {
+        var lev = 0
+        while (lev < adjIds(i).length && lev < adj(i).length) {
+          adj(i)(lev).clear()
+          adj(i)(lev) ++= adjIds(i)(lev).map(idToIdx)
+          lev += 1
+        }
+        if (levels(i) > topLevel || (levels(i) == topLevel && (entry < 0 || ids(i) < ids(entry)))) {
+          topLevel = levels(i); entry = i
+        }
+        i += 1
+      }
+    }
+
     private def dist(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -222,6 +249,73 @@ object Hnsw {
     * identical index either way. */
   def appendSegments(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
+
+  /** Build the PERSISTABLE index: one graph per segment, exported as
+    * rows (seg, id, adj) where `adj` is the node's level-indexed
+    * neighbor-id lists — the durable form of the reference's bulk-load
+    * HNSW (duckvdb.py:45: index built once at load, probed later).
+    * Write these rows to parquet next to the vectors; [[probeGraph]]
+    * searches them without rebuilding. Segment membership is
+    * `pmod(hash(id), numSegments)` (computable in SQL, stable across
+    * batches); `segOffset` names NEW segments for an appended batch so
+    * an append NEVER rewrites built graphs — the Lucene segment
+    * lifecycle. `m` is part of the on-disk contract (levels derive
+    * from it); probe with the same value. */
+  def buildGraph(
+      vectors: DataFrame, numSegments: Int, segOffset: Int = 0,
+      m: Int = 16, efConstruction: Int = 128,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(pmod(hash(col(idCol)), lit(numSegments)).cast("int").as("_1"),
+        col(idCol).as("_2"), col(embCol).as("_3"))
+      .repartition(numSegments, col("_1"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        // a partition may hold several segments (hash collisions of the
+        // seg key) — build one independent graph per segment
+        it.toArray.groupBy(_._1).iterator.flatMap { case (seg, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val idx = new SegmentIndex(sorted.map(_._2), sorted.map(_._3), m, efConstruction)
+          var i = 0
+          while (i < sorted.length) { idx.insert(i); i += 1 }
+          sorted.indices.iterator.map(i =>
+            (seg + segOffset, sorted(i)._2, idx.adjacencyIds(i)))
+        }
+      }.toDF("seg", "id", "adj")
+  }
+
+  /** Probe a persisted graph: co-locate graph rows with their vectors
+    * by segment, restore each segment's adjacency in memory, run the
+    * broadcast query panel through every segment, merge via the exact
+    * kernel rerank. `m` must match the build. */
+  def probeGraph(
+      graph: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, efSearch: Int = 96,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val panel = queries.select(col(idCol), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(panel)
+    val joined = graph
+      .join(vectors.select(col(idCol).as("id"), col(embCol).as("emb")), Seq("id"))
+      .select(col("seg").as("_1"), col("id").as("_2"), col("adj").as("_3"), col("emb").as("_4"))
+      .repartition(col("_1"))
+      .as[(Int, Long, Array[Array[Long]], Array[Float])]
+    val pairs = joined.mapPartitions { it =>
+      it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val idx = new SegmentIndex(sorted.map(_._2), sorted.map(_._4), m, efConstruction = m)
+        idx.restore(sorted.map(_._3))
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, efSearch).iterator.map(nid => (qid, nid))
+        }
+      }
+    }.toDF("query_id", "neighbor_id")
+    rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf)
+  }
 
   /** Exact rerank of surfaced (query_id, neighbor_id) pairs through the
     * codegen cosine kernel + portable rounding — identical scoring path

@@ -51,6 +51,44 @@ class HnswSpec extends SparkSpec with Matchers {
     appended shouldBe bulk
   }
 
+  test("persisted graph round-trips: probe(buildGraph) equals the true top-k") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-spec").toString
+    ops.Hnsw.buildGraph(emb, numSegments = 4).write.mode("overwrite").parquet(path)
+    val probed = ops.Hnsw.probeGraph(spark.read.parquet(path), emb, q, k = 10)
+    val exact = Similarity.bruteTopK(q, emb, k = 10)
+    val recall = Similarity.recallAtK(probed, exact, k = 10)
+      .agg(min($"recall")).head.getDouble(0)
+    recall should be >= 0.9
+    // the graph parquet holds every node exactly once, with its segment
+    val g = spark.read.parquet(path)
+    g.count() shouldBe emb.count()
+    g.select("id").distinct().count() shouldBe emb.count()
+  }
+
+  test("append lifecycle: delta segments never rewrite built graphs, stay searchable") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 5 =!= 0)
+    val delta = emb.where($"vec_id" % 5 === 0)
+    val q = emb.where($"vec_id" < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-app").toString
+    ops.Hnsw.buildGraph(base, numSegments = 4).write.mode("overwrite").parquet(path)
+    val baseRows = spark.read.parquet(path).orderBy($"seg", $"id").collect().toSeq
+    ops.Hnsw.buildGraph(delta, numSegments = 2, segOffset = 4)
+      .write.mode("append").parquet(path)
+    val all = spark.read.parquet(path)
+    // base segment rows are byte-identical after the append
+    all.where($"seg" < 4).orderBy($"seg", $"id").collect().toSeq shouldBe baseRows
+    all.where($"seg" >= 4).select("id").distinct().count() shouldBe delta.count()
+    // a query hitting only delta rows still finds them
+    val probed = ops.Hnsw.probeGraph(all, emb, q, k = 10)
+    val exact = Similarity.bruteTopK(q, emb, k = 10)
+    val recall = Similarity.recallAtK(probed, exact, k = 10)
+      .agg(min($"recall")).head.getDouble(0)
+    recall should be >= 0.9
+  }
+
   test("degenerate inputs: tiny corpus and k larger than a segment") {
     import spark.implicits._
     val tiny = emb.where($"vec_id" < 3)
