@@ -1942,6 +1942,11 @@ object SparkEntry {
       val (ix, basePath) = SparkEntry.ivfpqBaseIndex(s, dir)
       graft.streaming.AnnIngest.runIvfPqAppendAvailableNow(s, dir, ix, basePath)
     }),
+    // ---- streaming HNSW-index maintenance: each micro-batch becomes
+    // NEW graph segments (batchId-keyed, built graphs never rewritten);
+    // probe over base ∪ delta segments recall-gated post-stream ----
+    "stream_hnsw_append" -> ((s, dir) =>
+      graft.streaming.AnnIngest.runHnswAppendAvailableNow(s, dir)),
     // ---- streaming: near-dup ingest gate — incoming docs checked
     // against the static existing-corpus SimHash quarter table
     // (pigeonhole banding keys the stream-static join; stateless), per
@@ -2841,6 +2846,8 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "stream_ann_append" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "stream_hnsw_append" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_index_probe" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.ops.{IvfPq, Similarity}
+import graft.ops.{Hnsw, IvfPq, Similarity}
 
 /** Streaming maintenance of the persisted IVF-PQ index — the
   * production shape for keeping a vector index fresh under continuous
@@ -66,5 +66,38 @@ object AnnIngest {
     Similarity.meanRecallGate(
       IvfPq.search(queries, ix, codes, emb, k = 10, nProbe = 8, shortlistFactor = 16),
       Similarity.bruteTopK(queries, emb, k = 10), k = 10, floor = 0.7)
+  }
+
+  /** Streaming maintenance of the persisted HNSW index — same
+    * lifecycle as the IVF-PQ runner but for the graph family: the base
+    * corpus (80%) is bulk-built once into graph segments
+    * ([[Hnsw.buildGraph]]); each arriving micro-batch becomes NEW
+    * segments (segOffset keyed by batchId, so replays of a committed
+    * batch overwrite nothing and built graphs are never rewritten —
+    * the Lucene segment lifecycle under ingest). Probe restores
+    * base ∪ delta segments and must recover the brute-force top-k over
+    * the FULL corpus: delta rows are searchable as soon as their batch
+    * commits, with zero rebuild cost on the base. */
+  def runHnswAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-hnsw-stream").toString
+    Hnsw.buildGraph(emb.where(col("vec_id") % 5 =!= 0), numSegments = 4)
+      .write.mode("overwrite").parquet(s"$root/graph")
+    val delta = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") % 5 === 0)
+    val q = delta.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Hnsw.buildGraph(batch, numSegments = 2, segOffset = 4 + batchId.toInt * 2)
+          .write.mode("append").parquet(s"$root/graph")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val queries = emb.where(col("vec_id") < 10)
+    Similarity.recallGate(
+      Hnsw.probeGraph(spark.read.parquet(s"$root/graph"), emb, queries, k = 10),
+      Similarity.bruteTopK(queries, emb, k = 10), k = 10, floor = 0.9)
   }
 }

@@ -89,6 +89,13 @@ class HnswSpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("streaming append: micro-batch delta segments are searchable, recall gate green") {
+    val gate = SparkEntry.queries("stream_hnsw_append")(spark, "/root/testdata/sf0.001")
+    val rows = gate.collect()
+    rows.length shouldBe 10
+    all(rows.map(_.getAs[Int]("recall_ok"))) shouldBe 1
+  }
+
   test("degenerate inputs: tiny corpus and k larger than a segment") {
     import spark.implicits._
     val tiny = emb.where($"vec_id" < 3)
