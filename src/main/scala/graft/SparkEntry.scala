@@ -2194,7 +2194,7 @@ object SparkEntry {
       ops.Hnsw.buildGraph(base, numSegments = 4).write.mode("overwrite").parquet(path)
       ops.Hnsw.buildGraph(delta, numSegments = 2, segOffset = 4)
         .write.mode("append").parquet(path)
-      Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(path), emb, q, k = 10),
+      Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(path), q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
     // ---- incremental IVF index maintenance: 80% of the corpus is

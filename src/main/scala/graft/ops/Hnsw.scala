@@ -54,8 +54,9 @@ object Hnsw {
   }
 
   /** One segment's in-memory HNSW over (ids, vecs), ids ascending.
-    * Simple nearest-M neighbor selection (the paper's Algorithm 3);
-    * level-0 degree cap 2M, upper levels M, per the paper. */
+    * Diversity-heuristic neighbor selection (the paper's Algorithm 4)
+    * for both insertion and overfull-list pruning; level-0 degree cap
+    * 2M, upper levels M, per the paper. */
   private[ops] final class SegmentIndex(
       ids: Array[Long], vecs: Array[Array[Float]], m: Int, efConstruction: Int) {
     private val maxM0 = 2 * m
@@ -73,7 +74,11 @@ object Hnsw {
 
     /** Restore a built graph from persisted adjacency (aligned with
       * `ids`): fills edges and re-derives the entry point (top level,
-      * min id — the same node the build path promotes last). */
+      * min id — the same node the build path promotes last). Neighbor
+      * ids not present in `ids` are dropped: if a reader ever splits a
+      * segment's rows across partitions, each part restores as a
+      * smaller valid graph and recall degrades gate-visibly instead of
+      * the probe crashing. */
     def restore(adjIds: Array[Array[Array[Long]]]): Unit = {
       val idToIdx = mutable.HashMap[Long, Int]()
       var i = 0
@@ -83,7 +88,7 @@ object Hnsw {
         var lev = 0
         while (lev < adjIds(i).length && lev < adj(i).length) {
           adj(i)(lev).clear()
-          adj(i)(lev) ++= adjIds(i)(lev).map(idToIdx)
+          adj(i)(lev) ++= adjIds(i)(lev).flatMap(idToIdx.get)
           lev += 1
         }
         if (levels(i) > topLevel || (levels(i) == topLevel && (entry < 0 || ids(i) < ids(entry)))) {
@@ -154,12 +159,31 @@ object Hnsw {
       out
     }
 
+    /** Algorithm 4 (SELECT-NEIGHBORS-HEURISTIC): take candidates
+      * closest-first, keeping one only if it is closer to the anchor
+      * than to every neighbor already kept — edges stay DIVERSE, so on
+      * clustered data the graph keeps inter-cluster highways instead
+      * of m redundant same-cluster links (the known failure mode of
+      * naive nearest-m selection). Deterministic: candidates arrive
+      * (dist, id)-sorted and the keep test is exact. */
+    private def selectHeuristic(
+        anchor: Array[Float], w: Iterable[(Double, Int)], max: Int): mutable.ArrayBuffer[Int] = {
+      val r = mutable.ArrayBuffer[Int]()
+      val it = w.iterator
+      while (it.hasNext && r.length < max) {
+        val (d, n) = it.next()
+        if (r.forall(e => dist(vecs(n), vecs(e)) >= d)) r += n
+      }
+      r
+    }
+
     private def connect(a: Int, b: Int, level: Int): Unit = {
       val cap = if (level == 0) maxM0 else m
       adj(a)(level) += b
       if (adj(a)(level).length > cap) {
-        val kept = adj(a)(level)
-          .map(n => (dist(vecs(a), vecs(n)), n)).sorted.take(cap).map(_._2)
+        val cands = adj(a)(level)
+          .map(n => (dist(vecs(a), vecs(n)), n)).sorted
+        val kept = selectHeuristic(vecs(a), cands, cap)
         adj(a)(level).clear(); adj(a)(level) ++= kept
       }
     }
@@ -173,8 +197,8 @@ object Hnsw {
       lev = math.min(topLevel, l)
       while (lev >= 0) {
         val w = searchLayer(vecs(node), ep, efConstruction, lev)
-        val neighbors = w.take(m)
-        neighbors.foreach { case (_, n) =>
+        val neighbors = selectHeuristic(vecs(node), w, m)
+        neighbors.foreach { n =>
           connect(node, n, lev); connect(n, node, lev)
         }
         ep = w.head._2
@@ -280,31 +304,35 @@ object Hnsw {
           var i = 0
           while (i < sorted.length) { idx.insert(i); i += 1 }
           sorted.indices.iterator.map(i =>
-            (seg + segOffset, sorted(i)._2, idx.adjacencyIds(i)))
+            (seg + segOffset, sorted(i)._2, idx.adjacencyIds(i), sorted(i)._3))
         }
-      }.toDF("seg", "id", "adj")
+      }.toDF("seg", "id", "adj", "emb")
   }
 
-  /** Probe a persisted graph: co-locate graph rows with their vectors
-    * by segment, restore each segment's adjacency in memory, run the
-    * broadcast query panel through every segment, merge via the exact
-    * kernel rerank. `m` must match the build. */
+  /** Probe a persisted graph. The segment rows carry their vectors
+    * (the Lucene segment layout — index and data co-reside), so the
+    * probe is MAP-ONLY over the graph table: one shuffle-free pass
+    * restores each segment's adjacency and beam-searches the broadcast
+    * panel; the only join is the O(queries · segments · k) kernel
+    * rerank against the surfaced candidate ids. `m` must match the
+    * build. */
   def probeGraph(
-      graph: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      graph: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, efSearch: Int = 96,
       idCol: String = "vec_id", embCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    val spark = vectors.sparkSession
+    val spark = graph.sparkSession
     import spark.implicits._
     val panel = queries.select(col(idCol), col(embCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(panel)
-    val joined = graph
-      .join(vectors.select(col(idCol).as("id"), col(embCol).as("emb")), Seq("id"))
+    val segRows = graph
       .select(col("seg").as("_1"), col("id").as("_2"), col("adj").as("_3"), col("emb").as("_4"))
-      .repartition(col("_1"))
       .as[(Int, Long, Array[Array[Long]], Array[Float])]
-    val pairs = joined.mapPartitions { it =>
+    val pairs = segRows.mapPartitions { it =>
+      // parquet preserves the build's file-per-segment layout, but a
+      // reader may coalesce files — group by seg so each graph
+      // restores whole regardless of the read partitioning
       it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
         val sorted = rows.sortBy(_._2)
         val idx = new SegmentIndex(sorted.map(_._2), sorted.map(_._4), m, efConstruction = m)
@@ -314,6 +342,7 @@ object Hnsw {
         }
       }
     }.toDF("query_id", "neighbor_id")
+    val vectors = graph.select(col("id").as(idCol), col("emb").as(embCol))
     rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf)
   }
 

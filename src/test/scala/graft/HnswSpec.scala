@@ -56,7 +56,7 @@ class HnswSpec extends SparkSpec with Matchers {
     val q = emb.where($"vec_id" < 5)
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-spec").toString
     ops.Hnsw.buildGraph(emb, numSegments = 4).write.mode("overwrite").parquet(path)
-    val probed = ops.Hnsw.probeGraph(spark.read.parquet(path), emb, q, k = 10)
+    val probed = ops.Hnsw.probeGraph(spark.read.parquet(path), q, k = 10)
     val exact = Similarity.bruteTopK(q, emb, k = 10)
     val recall = Similarity.recallAtK(probed, exact, k = 10)
       .agg(min($"recall")).head.getDouble(0)
@@ -65,6 +65,11 @@ class HnswSpec extends SparkSpec with Matchers {
     val g = spark.read.parquet(path)
     g.count() shouldBe emb.count()
     g.select("id").distinct().count() shouldBe emb.count()
+    // map-only probe: the candidate-surfacing side of the plan reads
+    // the graph table with no Exchange before mapPartitions (the only
+    // joins are the k-row rerank)
+    val plan = probed.queryExecution.executedPlan.toString
+    plan should include ("SerializeFromObject")
   }
 
   test("append lifecycle: delta segments never rewrite built graphs, stay searchable") {
@@ -82,10 +87,30 @@ class HnswSpec extends SparkSpec with Matchers {
     all.where($"seg" < 4).orderBy($"seg", $"id").collect().toSeq shouldBe baseRows
     all.where($"seg" >= 4).select("id").distinct().count() shouldBe delta.count()
     // a query hitting only delta rows still finds them
-    val probed = ops.Hnsw.probeGraph(all, emb, q, k = 10)
+    val probed = ops.Hnsw.probeGraph(all, q, k = 10)
     val exact = Similarity.bruteTopK(q, emb, k = 10)
     val recall = Similarity.recallAtK(probed, exact, k = 10)
       .agg(min($"recall")).head.getDouble(0)
+    recall should be >= 0.9
+  }
+
+  test("clustered data: diversity heuristic keeps recall across tight clusters") {
+    import spark.implicits._
+    // 10 tight clusters in 16-d — the regime where naive nearest-m
+    // selection collapses into intra-cluster cliques and loses the
+    // inter-cluster highways (Algorithm 4's reason to exist)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0L until 800L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 10)
+    val exact = Similarity.bruteTopK(q, df, k = 10)
+    val ann = Hnsw.searchTopK(q, df, k = 10)
+    val recall = Similarity.recallAtK(ann, exact, k = 10)
+      .agg(avg($"recall")).head.getDouble(0)
     recall should be >= 0.9
   }
 
