@@ -2197,6 +2197,30 @@ object SparkEntry {
       Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(path), q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
+    // ---- HNSW segment compaction (the Lucene merge policy): three
+    // small appended batches accumulate as six under-sized segments;
+    // compaction rebuilds ONLY those into two fresh graphs (base
+    // segments pass through untouched) and the probe over the merged
+    // index must still recover the full-corpus exact top-k. ----
+    "ann_hnsw_compact" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp").toString
+      ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 > 1), numSegments = 4)
+        .write.mode("overwrite").parquet(path)
+      (0 to 1).foreach { b =>
+        ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 === b), numSegments = 2,
+            segOffset = 4 + b * 2)
+          .write.mode("append").parquet(path)
+      }
+      val merged = ops.Hnsw.compactSegments(s.read.parquet(path),
+        maxRows = emb.count() / 8, numSegments = 2, segOffset = 100)
+      val cmpPath = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp2").toString
+      merged.write.mode("overwrite").parquet(cmpPath)
+      Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(cmpPath), q, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
+    }),
     // ---- incremental IVF index maintenance: 80% of the corpus is
     // indexed (quantizer fit + cell assign), the remaining 20% arrives
     // as a delta batch and is appended by a map-side assign against the
@@ -2833,6 +2857,8 @@ object SparkEntry {
     "sim_ann_hnsw" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_persist" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_hnsw_compact" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "layout_zorder" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty

@@ -346,6 +346,28 @@ object Hnsw {
     rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf)
   }
 
+  /** Lucene-style segment merge policy: HNSW graphs don't merge
+    * structurally, so compaction REBUILDS the vectors of every segment
+    * at or below `maxRows` into `numSegments` fresh graphs (named from
+    * `segOffset`, disjoint from survivors), passing larger segments
+    * through untouched — the amortized maintenance that keeps probe
+    * cost bounded while streaming appends accumulate small
+    * batchId-keyed segments. Rebuild cost is proportional to the SMALL
+    * segments only; a caller runs this when the small-segment count
+    * crosses its merge threshold, exactly like a Lucene merge policy. */
+  def compactSegments(
+      graph: DataFrame, maxRows: Long, numSegments: Int, segOffset: Int,
+      m: Int = 16, efConstruction: Int = 128): DataFrame = {
+    val sizes = graph.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val small = broadcast(sizes.where(col("n") <= maxRows).select(col("seg")))
+    val keep = graph.join(small, Seq("seg"), "left_anti")
+    val rebuilt = buildGraph(
+      graph.join(small, Seq("seg"))
+        .select(col("id").as("vec_id"), col("emb").as("embedding")),
+      numSegments, segOffset, m, efConstruction)
+    keep.unionByName(rebuilt)
+  }
+
   /** Exact rerank of surfaced (query_id, neighbor_id) pairs through the
     * codegen cosine kernel + portable rounding — identical scoring path
     * to [[Similarity.bruteTopK]], over O(queries · segments · k) rows. */

@@ -94,6 +94,28 @@ class HnswSpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("compaction: small segments rebuild into fewer, survivors untouched, nodes conserved") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 5 > 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-c").toString
+    ops.Hnsw.buildGraph(base, numSegments = 4).write.mode("overwrite").parquet(path)
+    (0 to 1).foreach { b =>
+      ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 === b), numSegments = 2,
+          segOffset = 4 + b * 2)
+        .write.mode("append").parquet(path)
+    }
+    val g = spark.read.parquet(path)
+    val baseRows = g.where($"seg" < 4).orderBy($"seg", $"id").collect().toSeq
+    val merged = ops.Hnsw.compactSegments(g, maxRows = emb.count() / 8,
+      numSegments = 2, segOffset = 100)
+    val segs = merged.select("seg").distinct().collect().map(_.getInt(0)).toSet
+    segs shouldBe Set(0, 1, 2, 3, 100, 101)
+    // survivors byte-identical, every node still present exactly once
+    merged.where($"seg" < 4).orderBy($"seg", $"id").collect().toSeq shouldBe baseRows
+    merged.select("id").distinct().count() shouldBe emb.count()
+    merged.count() shouldBe emb.count()
+  }
+
   test("clustered data: diversity heuristic keeps recall across tight clusters") {
     import spark.implicits._
     // 10 tight clusters in 16-d — the regime where naive nearest-m
