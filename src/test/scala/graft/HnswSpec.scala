@@ -143,6 +143,21 @@ class HnswSpec extends SparkSpec with Matchers {
     all(rows.map(_.getAs[Int]("recall_ok"))) shouldBe 1
   }
 
+  test("degenerate inputs: zero vectors neither crash the build nor poison search") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      if (i % 10 == 0) (i, Array.fill(8)(0f))
+      else (i, Array.tabulate(8)(j => ((Hnsw.mix64(i * 8 + j) >>> 40).toFloat / (1 << 24)) - 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 1)
+    val out = Hnsw.searchTopK(q, df, k = 5, numSegments = 2).collect()
+    out.length shouldBe 5
+    // zero vectors sit at the max cosine distance (kernel convention) —
+    // they never outrank a real neighbor
+    out.map(_.getLong(1)) should not contain 0L
+  }
+
   test("degenerate inputs: tiny corpus and k larger than a segment") {
     import spark.implicits._
     val tiny = emb.where($"vec_id" < 3)
