@@ -2164,6 +2164,20 @@ object SparkEntry {
       Similarity.recallGate(Similarity.sq8TopK(q, emb, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.8)
     }),
+    // ---- binary-quantized (BQ) ANN: packed sign-bit codes (32×
+    // smaller than float32 — the cheapest memory tier) scanned through
+    // a Hamming → sign-asymmetric → exact-rerank cascade; floats are
+    // resident only for the O(q·k) rerank shortlist. Sign bits at the
+    // fixture's 64 dims are deliberately coarse (production BQ runs at
+    // 768+); measured mean recall 0.92 (sf0.01) / 0.91 (sf0.1) —
+    // gate the MEAN like the IVF family. ----
+    "sim_ann_bq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      Similarity.meanRecallGate(Similarity.bqTopK(q, emb, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
+    }),
     // ---- segmented HNSW (Malkov & Yashunin) — the reference's bulk-load
     // index family (duckvdb.py:37-41), re-expressed as the Lucene segment
     // design: one sequential graph per partition built in mapPartitions,
@@ -2854,6 +2868,8 @@ object SparkEntry {
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_sq8" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "sim_ann_bq" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_hnsw" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_persist" ->

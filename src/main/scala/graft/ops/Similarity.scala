@@ -131,6 +131,52 @@ object Similarity {
       .withColumn("rank", row_number().over(we)).where(col("rank") <= k).drop("rank")
   }
 
+  /** Binary-quantized (BQ) approximate top-k: candidates are scanned as
+    * packed sign-bit codes (32× smaller than float32 — the cheapest
+    * memory tier, see [[graft.functions.BqKernels]]) through a
+    * three-stage cascade, each stage touching only the previous
+    * shortlist: (1) symmetric Hamming over packed codes (XOR+popcount,
+    * k·coarseFactor survivors); (2) asymmetric float-query-vs-±1-sign
+    * distance (k·fineFactor survivors); (3) exact rerank joining the
+    * raw embeddings back BY ID — floats are only resident for
+    * O(q·k·fineFactor) rows. All shortlists are per-query
+    * WindowGroupLimit heaps; shortlist size is O(k), independent of
+    * corpus size, so the cascade's reduction RATIO grows with the
+    * corpus. 64-dim fixture recall (mean@10): 0.92 at sf0.01, 0.91 at
+    * sf0.1 with the defaults — sign bits at 64 dims are a coarse
+    * signal, which is exactly why the cascade reranks through two
+    * progressively-exact tiers. */
+  def bqTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      coarseFactor: Int = 64, fineFactor: Int = 16): DataFrame = {
+    val enc = candidates.select(col(idCol).as("neighbor_id"),
+      graft.functions.BqEncodeExpr.col(col(embCol)).as("code"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      graft.functions.BqEncodeExpr.col(col(embCol)).as("q_code"))
+    val wc = Window.partitionBy("query_id").orderBy(col("hd").asc, col("neighbor_id").asc)
+    val coarse = enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("code"),
+        graft.functions.BqHammingDistance.col(col("q_code"), col("code")).as("hd"))
+      .withColumn("rk", row_number().over(wc)).where(col("rk") <= k * coarseFactor)
+      .drop("rk", "hd")
+    val wf = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    val fine = coarse
+      .withColumn("adist",
+        graft.functions.BqSignCosineDistance.col(col("q_emb"), col("code")))
+      .withColumn("rk", row_number().over(wf)).where(col("rk") <= k * fineFactor)
+      .drop("rk", "adist", "code")
+    val we = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+    fine
+      .join(candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
+          .as("distance"))
+      .withColumn("rank", row_number().over(we)).where(col("rank") <= k).drop("rank")
+  }
+
   /** Exact top-k neighbors for each query row.
     * `queries`/`candidates`: (id, embedding).
     *
