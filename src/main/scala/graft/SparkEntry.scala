@@ -670,6 +670,28 @@ object SparkEntry {
         .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
           RoundPortableExpr.r($"clustering", 4).as("clustering"))
     }),
+    // ---- k-core decomposition (Seidman 1983): iteratively peel nodes
+    // of in-subgraph degree < k from the strongly-co-clicking user
+    // graph (>= 5 shared items) until the fixed point — the standard
+    // trim that isolates the durable community before expensive graph
+    // analytics. Fixture peels in 5 rounds (sf0.01) / 2 (sf0.1); each
+    // round is one degree agg + two semi-joins, O(|E|) shuffle, edge
+    // set monotonically shrinking. Oracle unrolls 8 peel rounds (extra
+    // rounds past the fixed point are idempotent). ----
+    "graph_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val co = clicks.alias("a").join(clicks.alias("b"),
+          $"a.i" === $"b.i" && $"a.u" < $"b.u")
+        .groupBy($"a.u".as("u"), $"b.u".as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 5)
+        .select($"u", $"v")
+      ops.Graph.kCore(co, k = 3)
+    }),
     // ---- token-window chunking: the doc→chunk explosion every
     // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
     // window − stride). Generator shape: chunks are born map-side from
@@ -3215,6 +3237,16 @@ object SparkEntry {
         |            ELSE round(3.0e0 * (SELECT n FROM tri) /
         |                       (SELECT sum((deg * (deg - 1)) // 2) FROM deg), 4) END
         |         AS clustering""".stripMargin,
+    "graph_kcore" -> ops.Graph.kCoreRelSql(
+      """SELECT a.u AS u, b.u AS v
+        |FROM (SELECT DISTINCT user_id AS u,
+        |             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |      FROM events WHERE event_type = 'click') a
+        |JOIN (SELECT DISTINCT user_id AS u,
+        |             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |      FROM events WHERE event_type = 'click') b
+        |  ON a.i = b.i AND a.u < b.u
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin, k = 3, rounds = 8),
     "vdb_delete" ->
       """WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 400),
         |vis AS (SELECT * FROM base WHERE lang <> 'de')

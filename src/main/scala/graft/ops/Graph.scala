@@ -205,6 +205,71 @@ object Graph {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the BSP
+    * formulation of Montresor et al.): repeatedly delete every node
+    * whose degree in the SURVIVING subgraph is < k until a fixed point
+    * — what remains is the (maximal) k-core, the standard spam / noise
+    * / weak-component trim before expensive graph analytics. Returns
+    * one row per surviving node: (id, core_deg), its degree INSIDE the
+    * core.
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * LEFT-SEMI joins keyed on the node id — O(|E|) shuffle per round,
+    * never all-pairs, and the edge set only shrinks. Rounds run to the
+    * fixed point (detected by the edge count of the round the lineage
+    * cut materializes anyway — no extra job), with `maxRounds` as a
+    * safety cap; real-world graphs peel in a handful of rounds because
+    * every round removes the entire current "shell". Lineage is cut per
+    * round with a reliable checkpoint ([[graft.core.Iterate.cut]]),
+    * superseded rounds released immediately. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v")).distinct())
+    var m = e.count()
+    var rounds = 0
+    var done = m == 0L
+    while (!done && rounds < maxRounds) {
+      val keep = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("id"))
+      val e2 = cut(
+        e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val m2 = e2.count()
+      dropCheckpoint(e)
+      e = e2
+      rounds += 1
+      done = m2 == m || m2 == 0L
+      m = m2
+    }
+    checkpointRdd(e).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB twin of [[kCore]]: the peel unrolled as chained CTEs.
+    * `rounds` must be ≥ the fixture's rounds-to-fixpoint (the Spark
+    * side stops at the fixed point; extra unrolled rounds are
+    * idempotent there). `edgesSql` must yield one (u, v) per undirected
+    * edge, u < v, deduplicated — same contract as the Spark input. */
+  def kCoreRelSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT id FROM (SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN k$i a ON e.u = a.id JOIN k$i b ON e.v = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM ($edgesSql) WHERE u <> v GROUP BY 1, 2),
+       |$peels
+       |SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]] (relative form): the power iteration
     * unrolled as chained CTEs — no recursive aggregation, which DuckDB's
     * recursive CTEs disallow. `edgesSql` must yield (src, dst) of the

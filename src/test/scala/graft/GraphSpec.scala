@@ -180,4 +180,35 @@ class GraphSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
     assert(out == Map(5L -> 3L, 3L -> 2L)) // 9->5 (majority), 8->3 (tie->min), seeds keep 5,5,3
   }
+
+  test("kCore: cascading peel removes the tail AND the node it exposes") {
+    // triangle {0,1,2} (the 2-core) + path 2-3-4: round 1 peels 4
+    // (deg 1), which drops 3 to deg 1, round 2 peels 3 — fixpoint at
+    // the triangle. A single-pass degree filter would keep 3.
+    val edges = spark.createDataFrame(Seq(
+      (0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))).toDF("u", "v")
+    val core = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCore: k above the degeneracy empties the graph; self-loops and dup edges ignored") {
+    val edges = spark.createDataFrame(Seq(
+      (0L, 1L), (1L, 0L), (1L, 1L), (1L, 2L), (0L, 2L))).toDF("u", "v")
+    val empty = Graph.kCore(edges, k = 3).collect()
+    graft.core.PlanCache.release(spark)
+    assert(empty.isEmpty)
+  }
+
+  test("kCore matches the unrolled SQL twin's shape on a two-shell graph") {
+    // 4-clique {0..3} (3-core) with pendant 4-5 chain; k=3 keeps the clique
+    val edges = spark.createDataFrame(
+      (for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v)) ++
+        Seq((3L, 4L), (4L, 5L))).toDF("u", "v")
+    val core = Graph.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
 }
