@@ -1388,6 +1388,16 @@ object SparkEntry {
       val c2 = pairCounts(merged)
       top5(c1, 1).unionByName(top5(c2, 2)).orderBy($"round", $"rank")
     }),
+    // ---- BPE APPLY (Sennrich et al. 2016): train 4 greedy merges,
+    // tokenize the corpus with them, census the top-20 tokens — the
+    // encode half of the tokenizer loop (text_bpe_merges pins the
+    // train half's candidate ranking). Only the word-frequency agg is
+    // corpus-sized; every merge round runs on the O(vocab) state with
+    // the argmax as a 1-row broadcast. Both engines unroll the same 4
+    // data-independent rounds. ----
+    "text_bpe_apply" -> ((s, dir) =>
+      ops.Bpe.tokenCensus(s.read.parquet(t(dir, "documents")),
+        org.apache.spark.sql.functions.col("text"), rounds = 4, topN = 20)),
     // ---- interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998
     // — the smoothing the CCNet/KenLM quality filters actually use,
     // one rung up from text_bigram_lm's add-1): discounted bigram mass
@@ -4336,6 +4346,7 @@ object SparkEntry {
          |FROM (SELECT * FROM br1 UNION ALL SELECT * FROM br2)
          |ORDER BY round, rank""".stripMargin
     },
+    "text_bpe_apply" -> ops.Bpe.tokenCensusSql(wordsSql("text"), rounds = 4, topN = 20),
     "text_kneser_ney" ->
       s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),
