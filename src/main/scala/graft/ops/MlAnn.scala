@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,7 +77,8 @@ object MlAnn {
     * name the columns new batches must carry. */
   case class IvfIndex(
       model: org.apache.spark.ml.clustering.KMeansModel,
-      indexed: DataFrame, idCol: String, embCol: String)
+      indexed: DataFrame, idCol: String, embCol: String,
+      keepCols: Seq[String] = Nil)
 
   /** IVF index build: fit the KMeans coarse quantizer and cell-assign
     * the corpus. Quantizer fit reads the features column only
@@ -86,13 +87,13 @@ object MlAnn {
     * on a sample. */
   def ivfBuild(
       candidates: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
-      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+      nCells: Int = 16, seed: Long = 42L, keepCols: Seq[String] = Nil): IvfIndex = {
     val cand = withNormalizedFeatures(candidates, embCol)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(cand.select("features"))
-    IvfIndex(model, assign(model, cand, idCol, embCol), idCol, embCol)
+    IvfIndex(model, assign(model, cand, idCol, embCol, keepCols), idCol, embCol, keepCols)
   }
 
   /** Incremental index maintenance: cell-assign a delta batch against
@@ -105,12 +106,28 @@ object MlAnn {
   def ivfAppend(index: IvfIndex, delta: DataFrame): IvfIndex =
     index.copy(indexed = index.indexed.unionByName(
       assign(index.model, withNormalizedFeatures(delta, index.embCol),
-        index.idCol, index.embCol)))
+        index.idCol, index.embCol, index.keepCols)))
 
   private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
-      featured: DataFrame, idCol: String, embCol: String): DataFrame =
+      featured: DataFrame, idCol: String, embCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
     model.transform(featured)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cell"))
+      .select(col(idCol).as("neighbor_id") +: col(embCol).as("c_emb") +: col("cell") +:
+        keepCols.map(col): _*)
+
+  /** FILTERED index probe — metadata-constrained vector search, the
+    * production feature every vector store exposes ("WHERE label = …
+    * ORDER BY distance LIMIT k"): the predicate is applied to the
+    * cell-assigned corpus BEFORE the probe join, so it prunes rows at
+    * the index scan (pre-filtering, in vector-store terms), not after
+    * the top-k (post-filtering, which silently returns < k rows at low
+    * selectivity). Candidates per query stay ≤ (nProbe/nCells) ·
+    * selectivity · corpus; recall is gated against the FILTERED exact
+    * ground truth. The predicate can reference any `keepCols` column
+    * carried into the index at build time. */
+  def ivfProbeFiltered(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
+      pred: Column): DataFrame =
+    ivfProbe(index.copy(indexed = index.indexed.where(pred)), queries, k, nProbe)
 
   /** Index probe: each query expands to its nProbe nearest centroids
     * (centroid set broadcasts) and brute-forces only those cells via an

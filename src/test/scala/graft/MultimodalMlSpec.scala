@@ -159,4 +159,39 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 until 5).foreach { i => pairs should contain((i.toLong, i + 10000L)) }
   }
+
+  test("filtered IVF probe: predicate prunes before the scan, full probe equals filtered brute") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 5)
+    val index = MlAnn.ivfBuild(emb, nCells = 4, keepCols = Seq("label"))
+    // nProbe = nCells degenerates to exact search over the FILTERED corpus
+    val probed = MlAnn.ivfProbeFiltered(index, queries, k = 3, nProbe = 4,
+        pred = $"label" === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(queries, emb.where($"label" === 2), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probed shouldBe brute
+    // pre-filtering: every query still gets k rows, and only allowed ids
+    val allowed = emb.where($"label" === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    probed.map(_._2).subsetOf(allowed) shouldBe true
+    probed.groupBy(_._1).values.foreach(_.size shouldBe 3)
+  }
+
+  test("filtered IVF append preserves kept metadata columns") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 4 =!= 0)
+    val delta = emb.where($"vec_id" % 4 === 0)
+    val appended = MlAnn.ivfAppend(
+      MlAnn.ivfBuild(base, nCells = 4, keepCols = Seq("label")), delta)
+    appended.indexed.columns should contain("label")
+    // a delta-only row is reachable through the filtered probe
+    val queries = emb.where($"vec_id" < 5)
+    val probed = MlAnn.ivfProbeFiltered(appended, queries, k = 3, nProbe = 4,
+        pred = $"label" === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(queries, emb.where($"label" === 2), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probed shouldBe brute
+  }
 }
