@@ -674,17 +674,28 @@ object SparkEntry {
     // of in-subgraph degree < k from the strongly-co-clicking user
     // graph (>= 5 shared items) until the fixed point — the standard
     // trim that isolates the durable community before expensive graph
-    // analytics. Fixture peels in 5 rounds (sf0.01) / 2 (sf0.1); each
-    // round is one degree agg + two semi-joins, O(|E|) shuffle, edge
-    // set monotonically shrinking. Oracle unrolls 8 peel rounds (extra
-    // rounds past the fixed point are idempotent). ----
+    // analytics. The co-visitation self-join is guarded by a
+    // DETERMINISTIC per-item neighbor cap (≤ 40 users per item, rank by
+    // user id): co-click pair count is quadratic in item popularity,
+    // and the unguarded join measured 24× wall and 21 GB spill at a
+    // mere 10× (every fixture item is a hub) — the cap bounds pairs at
+    // items · cap² regardless of corpus size, the same hub-sampling
+    // guard production co-visitation graphs use. Cap is a no-op at
+    // sf0.01 (≤ 28 users/item). Fixture peels in 5 rounds (sf0.01) / 4
+    // (sf0.1); each round is one degree agg + two semi-joins, O(|E|)
+    // shuffle, edge set monotonically shrinking. Oracle unrolls 8 peel
+    // rounds (extra rounds past the fixed point are idempotent). ----
     "graph_kcore" -> ((s, dir) => {
       import s.implicits._
       val clicks = Tables.events(s, dir).where($"event_type" === "click")
         .select($"user_id".as("u"),
           regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
         .distinct()
-      val co = clicks.alias("a").join(clicks.alias("b"),
+      val wcap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val capped = clicks.withColumn("rn", row_number().over(wcap))
+        .where($"rn" <= 40).drop("rn")
+      val co = capped.alias("a").join(capped.alias("b"),
           $"a.i" === $"b.i" && $"a.u" < $"b.u")
         .groupBy($"a.u".as("u"), $"b.u".as("v"))
         .agg(count(lit(1)).as("n_shared"))
@@ -3270,12 +3281,18 @@ object SparkEntry {
         |         AS clustering""".stripMargin,
     "graph_kcore" -> ops.Graph.kCoreRelSql(
       """SELECT a.u AS u, b.u AS v
-        |FROM (SELECT DISTINCT user_id AS u,
-        |             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
-        |      FROM events WHERE event_type = 'click') a
-        |JOIN (SELECT DISTINCT user_id AS u,
-        |             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
-        |      FROM events WHERE event_type = 'click') b
+        |FROM (SELECT u, i FROM (
+        |        SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+        |        FROM (SELECT DISTINCT user_id AS u,
+        |                     CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |              FROM events WHERE event_type = 'click'))
+        |      WHERE rn <= 40) a
+        |JOIN (SELECT u, i FROM (
+        |        SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+        |        FROM (SELECT DISTINCT user_id AS u,
+        |                     CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |              FROM events WHERE event_type = 'click'))
+        |      WHERE rn <= 40) b
         |  ON a.i = b.i AND a.u < b.u
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin, k = 3, rounds = 8),
     "vdb_delete" ->

@@ -36,7 +36,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_bigram_lm", "drift_daily", "link_fuzzy_blocked", "text_token_budget",
     "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
     "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact",
-    "link_fuzzy_capped")
+    "link_fuzzy_capped", "sim_ann_bq", "text_bpe_apply")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -313,5 +313,24 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     val p = physical("agg_countmin")
     p should include("partial_count")
     p should not include "CartesianProduct"
+  }
+
+  test("bq cascade: queries broadcast, every shortlist is a per-partition heap, codegen kernels") {
+    val p = physical("sim_ann_bq")
+    p should not include "CartesianProduct"
+    // three ranked shortlists (coarse, fine, exact) all bound their
+    // window with per-partition heaps
+    "WindowGroupLimit".r.findAllIn(p).size should be >= 3
+    // the packed-code scan never shuffles: the only exchanges key on
+    // query_id for the rank windows / recall join
+    p should include("bq_hamming")
+    p should include("bq_sign_cosine_distance")
+    p should not include "BatchEvalPython"
+  }
+
+  test("bpe apply: merge argmax broadcasts, token census aggregates partially") {
+    val p = physical("text_bpe_apply")
+    p should include("BroadcastNestedLoopJoin BuildRight, Cross") // 1-row merge pattern
+    p should include("partial_sum")
   }
 }
