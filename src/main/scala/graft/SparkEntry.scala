@@ -1399,6 +1399,18 @@ object SparkEntry {
       val c2 = pairCounts(merged)
       top5(c1, 1).unionByName(top5(c2, 2)).orderBy($"round", $"rank")
     }),
+    // ---- TRAINED language ID (Cavnar–Trenkle 1994 textcat): top-100
+    // char-trigram rank profiles per language from the 80% train
+    // split, tf·rank-weight scoring over the test split, confusion
+    // census vs the labeled lang column. One corpus explode, profile
+    // broadcast (langs·topM rows), per-doc argmax heap. The labels are
+    // fixture-synthetic (same vocabulary per lang) so the confusion
+    // matrix is near-uniform — the MACHINERY (trained profile model +
+    // scoring join) is the operator; real corpora give it signal. ----
+    "text_langid_ngram" -> ((s, dir) =>
+      ops.TextAnalysis.langIdNgram(s.read.parquet(t(dir, "documents")),
+        "doc_id", "lang", "text",
+        isTrain = org.apache.spark.sql.functions.col("doc_id") % 5 < 4)),
     // ---- BPE APPLY (Sennrich et al. 2016): train 4 greedy merges,
     // tokenize the corpus with them, census the top-20 tokens — the
     // encode half of the tokenizer loop (text_bpe_merges pins the
@@ -2030,6 +2042,34 @@ object SparkEntry {
           .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"))
+    }),
+    // ---- time-spine gap-fill + LOCF interpolation: per-user daily
+    // purchase series densified over the observed date range (sequence
+    // explode against a 1-row broadcast bound), missing days filled
+    // with 0 counts and last-observation-carried-forward values (−1
+    // sentinel before the first observation — outputs stay dense for
+    // the oracle compare). The resample/gap-fill every monitoring and
+    // feature-engineering pipeline runs; spine rows are users × days
+    // (map-side generated), the only shuffle is the daily agg and the
+    // spine join, both keyed (user, day). ----
+    "q_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .where($"event_type" === "purchase" && $"user_id" < 40)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"), avg($"value").as("v"))
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = daily.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id", explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          RoundPortableExpr.r(
+            coalesce(last($"v", ignoreNulls = true).over(w), lit(-1.0)), 2).as("v_locf"))
     }),
     // ---- temporal overlap counting: concurrent sessions per hour.
     // Sessions (gap-sessionize → [min,max] interval per session)
@@ -3679,6 +3719,21 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, avg(value) AS v
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 40 GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily), b)
+        |SELECT user_id, day,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |       round(coalesce(last_value(v IGNORE NULLS) OVER (
+        |               PARTITION BY user_id ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2) AS v_locf
+        |FROM spine LEFT JOIN daily USING (user_id, day)""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
@@ -4385,6 +4440,7 @@ object SparkEntry {
          |ORDER BY round, rank""".stripMargin
     },
     "text_bpe_apply" -> ops.Bpe.tokenCensusSql(wordsSql("text"), rounds = 4, topN = 20),
+    "text_langid_ngram" -> ops.TextAnalysis.langIdNgramSql("doc_id % 5 < 4"),
     "text_kneser_ney" ->
       s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),

@@ -211,6 +211,40 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sliding character n-grams of lowercased text, CODE-POINT indexed
+  * (so the twin `substr` over Unicode characters in DuckDB sees the
+  * same windows; bare UTF-16 char slicing would split surrogate
+  * pairs). Every position emitted, duplicates kept — Cavnar–Trenkle
+  * profiles weight by occurrence count. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val cps = s.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramsExpr", this, classOf[CharNgramsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature (array<long>) over a shingle array. */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -333,6 +367,8 @@ object TextExprs {
     GraftBridge.column(NfcNormalizeExpr(GraftBridge.expression(c)))
   def shingles(c: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(c), n))
+  def charNgrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsExpr(GraftBridge.expression(c), n))
   def winnow(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
   def minhashSig(c: Column, k: Int): Column =

@@ -95,6 +95,73 @@ object TextAnalysis {
   def fingerprintSql(wsSql: String): String =
     s"md5(array_to_string(list_sort(list_distinct($wsSql)), ' '))"
 
+  /** TRAINED language ID (Cavnar & Trenkle 1994, the textcat n-gram
+    * rank-profile method — the n-gram upgrade of the fixed stopword
+    * lexicon in [[langIdSqlCase]]): per-language profiles are the
+    * `topM` character n-grams of the training split ranked by
+    * frequency (weight = topM + 1 − rank); a test document scores each
+    * language as Σ tf(tri) · weight(lang, tri) and predicts the argmax
+    * (ties → lexicographically smaller language; zero overlap →
+    * "und"). Returns the confusion census (lang, pred_lang, n).
+    *
+    * Scale shape: one corpus explode feeding two partial aggregations
+    * ((lang, tri) for the profile, (doc, tri) for the tf), the profile
+    * is langs · topM rows BROADCAST into the scoring join, and the
+    * argmax is a per-doc WindowGroupLimit — all linear in corpus
+    * tokens, nothing all-pairs. */
+  def langIdNgram(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, isTrain: Column, n: Int = 3, topM: Int = 100): DataFrame = {
+    val base = graft.core.PlanCache.persist(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        isTrain.as("tr"),
+        graft.functions.TextExprs.charNgrams(col(textCol), n).as("tris")))
+    val exploded = base
+      .select(col("doc_id"), col("lang"), col("tr"), explode(col("tris")).as("tri"))
+    val wr = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri").asc)
+    val profile = exploded.where(col("tr"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wr)).where(col("rank") <= topM)
+      .select(col("lang").as("cand"), col("tri"),
+        (lit(topM + 1) - col("rank")).cast("long").as("wt"))
+    val tf = exploded.where(!col("tr"))
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("tf"))
+    val wp = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+    val pred = tf.join(broadcast(profile), Seq("tri"))
+      .groupBy(col("doc_id"), col("cand")).agg(sum(col("tf") * col("wt")).as("score"))
+      .withColumn("rk", row_number().over(wp)).where(col("rk") === 1)
+      .select(col("doc_id"), col("cand").as("pred"))
+    base.where(!col("tr")).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("pred"), lit("und")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[langIdNgram]]. `trainSql` is the boolean train
+    * predicate over `documents` columns. */
+  def langIdNgramSql(trainSql: String, n: Int = 3, topM: Int = 100): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $trainSql AS tr,
+       |         unnest(list_transform(range(1, len(lower(text)) - ${n - 2}),
+       |                i -> substr(lower(text), CAST(i AS INTEGER), $n))) AS tri
+       |  FROM documents),
+       |prof AS (
+       |  SELECT lang AS cand, tri, CAST($topM + 1 - rank AS BIGINT) AS wt FROM (
+       |    SELECT lang, tri, row_number() OVER (
+       |             PARTITION BY lang ORDER BY count(*) DESC, tri) AS rank
+       |    FROM base WHERE tr GROUP BY lang, tri)
+       |  WHERE rank <= $topM),
+       |tf AS (SELECT doc_id, tri, count(*) AS tf FROM base WHERE NOT tr GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, cand AS pred FROM (
+       |    SELECT doc_id, cand, row_number() OVER (
+       |             PARTITION BY doc_id ORDER BY sum(tf * wt) DESC, cand) AS rk
+       |    FROM tf JOIN prof USING (tri) GROUP BY doc_id, cand)
+       |  WHERE rk = 1),
+       |test AS (SELECT DISTINCT doc_id, lang FROM documents WHERE NOT ($trainSql))
+       |SELECT lang, coalesce(pred, 'und') AS pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM test LEFT JOIN pred USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Full document profile in one kernel pass per row
     * ([[graft.functions.TextProfileExpr]]). */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -296,4 +296,31 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     val scores = top.map(_.getAs[Double]("dsir_score"))
     scores.sliding(2).foreach { case Array(a, b) => a should be >= b }
   }
+
+  test("char n-grams: sliding, lowercased, duplicates kept, short text empty") {
+    import spark.implicits._
+    val out = Seq("ABAB", "xy", "").toDF("t")
+      .select(graft.functions.TextExprs.charNgrams(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    out(0) shouldBe Seq("aba", "bab")
+    out(1) shouldBe Seq.empty
+    out(2) shouldBe Seq.empty
+  }
+
+  test("trained langid: distinct character distributions classify perfectly, disjoint text is und") {
+    import spark.implicits._
+    // language "aa" writes with {a,b}, "zz" with {y,z}; doc 100/101 are
+    // held out; doc 102's alphabet appears in no profile → und
+    val docs = (
+      (1L to 8L).map(i => (i, "aa", "abba abab baba")) ++
+      (9L to 16L).map(i => (i, "zz", "zyyz zyzy yzzy")) ++
+      Seq((100L, "aa", "abab abba"), (101L, "zz", "yzyz zzyy"),
+        (102L, "aa", "qqqq qqqq"))
+    ).toDF("doc_id", "lang", "text")
+    val census = TextAnalysis.langIdNgram(docs, "doc_id", "lang", "text",
+        isTrain = col("doc_id") < 100, topM = 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    core.PlanCache.release(spark)
+    census shouldBe Map(("aa", "aa") -> 1L, ("zz", "zz") -> 1L, ("aa", "und") -> 1L)
+  }
 }
