@@ -2261,6 +2261,27 @@ object SparkEntry {
       Similarity.meanRecallGate(Similarity.bqTopK(q, emb, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
     }),
+    // ---- PERSISTED BQ code tier: sign-bit codes written once at
+    // ingest as their own (id, code) parquet — 32× smaller than the
+    // float column — and the cascade's coarse+fine stages probe the
+    // RESTORED code table; raw embeddings are touched only by the
+    // exact rerank's id join. An appended delta becomes new code rows
+    // (map-side encode, no re-encode of the base), searchable
+    // immediately: the production quantized-tier lifecycle. ----
+    "ann_bq_persist" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      val enc = (d: org.apache.spark.sql.DataFrame) => d.select(
+        $"vec_id".as("neighbor_id"),
+        graft.functions.BqEncodeExpr.col($"embedding").as("code"))
+      val path = java.nio.file.Files.createTempDirectory("graft-bq").toString
+      enc(emb.where($"vec_id" % 5 =!= 0)).write.mode("overwrite").parquet(path)
+      enc(emb.where($"vec_id" % 5 === 0)).write.mode("append").parquet(path)
+      Similarity.meanRecallGate(
+        Similarity.bqTopKFromCodes(s.read.parquet(path), q, emb, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.7)
+    }),
     // ---- segmented HNSW (Malkov & Yashunin) — the reference's bulk-load
     // index family (duckvdb.py:37-41), re-expressed as the Lucene segment
     // design: one sequential graph per partition built in mapPartitions,
@@ -2971,6 +2992,8 @@ object SparkEntry {
     "sim_ann_sq8" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_bq" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_bq_persist" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "sim_ann_hnsw" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",

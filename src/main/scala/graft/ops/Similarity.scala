@@ -149,9 +149,24 @@ object Similarity {
   def bqTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
+      coarseFactor: Int = 64, fineFactor: Int = 16): DataFrame =
+    bqTopKFromCodes(
+      candidates.select(col(idCol).as("neighbor_id"),
+        graft.functions.BqEncodeExpr.col(col(embCol)).as("code")),
+      queries, candidates, k, idCol, embCol, coarseFactor, fineFactor)
+
+  /** BQ cascade over a PERSISTED code table (neighbor_id, code) — the
+    * storage-tier shape: codes are written once at ingest (32× smaller
+    * than the float column) and the coarse+fine stages scan ONLY them;
+    * `rerank` (id, embedding) is touched by the final exact stage alone,
+    * joined BY ID for O(q·k·fineFactor) rows. At 100 TB of raw
+    * embeddings the resident scan set is the ~3 TB code table. */
+  def bqTopKFromCodes(
+      codes: DataFrame, queries: DataFrame, rerank: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
       coarseFactor: Int = 64, fineFactor: Int = 16): DataFrame = {
-    val enc = candidates.select(col(idCol).as("neighbor_id"),
-      graft.functions.BqEncodeExpr.col(col(embCol)).as("code"))
+    val enc = codes.select(col("neighbor_id"), col("code"))
+    val candidates = rerank
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
       graft.functions.BqEncodeExpr.col(col(embCol)).as("q_code"))
     val wc = Window.partitionBy("query_id").orderBy(col("hd").asc, col("neighbor_id").asc)

@@ -53,6 +53,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_buckets", "lsh_buckets(emb, dim, tables, bits, seed) - cosine LSH bucket ids"),
       (exprs: Seq[Expression]) => LshBucketsExpr(exprs(0), foldInt(exprs(1)),
         foldInt(exprs(2)), foldInt(exprs(3)), foldLong(exprs(4)))))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(text, n) - sliding lowercase character n-grams"),
+      (exprs: Seq[Expression]) => CharNgramsExpr(exprs(0), foldInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("sq8_encode"),
+      info("sq8_encode", "sq8_encode(emb) - struct(code, mn, sc) scalar-quantized byte codes"),
+      (exprs: Seq[Expression]) => Sq8EncodeExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("sq8_cosine_distance"),
+      info("sq8_cosine_distance",
+        "sq8_cosine_distance(q, code, mn, sc) - asymmetric cosine distance vs SQ8 code"),
+      (exprs: Seq[Expression]) => Sq8CosineDistance(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((FunctionIdentifier("bq_encode"),
+      info("bq_encode", "bq_encode(emb) - packed sign-bit binary-quantization code"),
+      (exprs: Seq[Expression]) => BqEncodeExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("bq_hamming"),
+      info("bq_hamming", "bq_hamming(a, b) - Hamming distance between packed BQ codes"),
+      (exprs: Seq[Expression]) => BqHammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bq_sign_cosine_distance"),
+      info("bq_sign_cosine_distance",
+        "bq_sign_cosine_distance(q, code) - asymmetric cosine distance vs the sign vector"),
+      (exprs: Seq[Expression]) => BqSignCosineDistance(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session => new AnnRewriteRule(session))
   }
 

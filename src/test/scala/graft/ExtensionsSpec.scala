@@ -39,6 +39,28 @@ class ExtensionsSpec extends SparkSpec with Matchers {
       TextKernels.winnowFingerprints("some passage of text", 8, 4).toSeq
   }
 
+  test("quantization kernels reachable from SQL: bq round-trip and sq8 asymmetric distance") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bq_encode",
+      exprs => graft.functions.BqEncodeExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("bq_hamming",
+      exprs => graft.functions.BqHammingDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("bq_sign_cosine_distance",
+      exprs => graft.functions.BqSignCosineDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_ngrams",
+      exprs => graft.functions.CharNgramsExpr(exprs(0), 2), "built-in")
+    val r = spark.sql(
+      """SELECT bq_hamming(bq_encode(array(1.0f, -1.0f, 1.0f)),
+        |                  bq_encode(array(1.0f, 1.0f, -1.0f))) AS hd,
+        |       bq_sign_cosine_distance(array(3.0f, 4.0f),
+        |                  bq_encode(array(1.0f, 1.0f))) AS d,
+        |       char_ngrams('AbC', 2) AS g""".stripMargin).head()
+    r.getInt(0) shouldBe 2
+    // dot = 3+4 = 7, |q| = 5, |s| = sqrt(2)
+    r.getDouble(1) shouldBe (1.0 - 7.0 / (5.0 * math.sqrt(2))) +- 1e-12
+    r.getSeq[String](2) shouldBe Seq("ab", "bc")
+  }
+
   test("GraftExtensions class instantiates (spark.sql.extensions entry point)") {
     new graft.plans.GraftExtensions() should not be null
   }
