@@ -1636,6 +1636,39 @@ object SparkEntry {
           levenshtein($"a.c_name", $"bb.c_name").as("dist"))
         .where($"dist" <= 1)
     }),
+    // ---- composed ER pipeline: blocking → hot-block-capped fuzzy
+    // verification → connected components → GOLDEN-RECORD
+    // consolidation, the full entity-resolution flow every master-data
+    // pipeline runs. Pair generation is link_fuzzy_capped's guarded
+    // join (per-reducer work ≤ maxBlock²), clustering is the star-
+    // contraction components (O(log² n) rounds), and consolidation is
+    // one component-keyed aggregate choosing canonical fields
+    // (min name, max balance) per entity. Only multi-member entities
+    // survive — singletons are already golden. ----
+    "pipeline_er" -> ((s, dir) => {
+      import s.implicits._
+      val cust = s.read.parquet(t(dir, "customer"))
+      val b = cust.select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
+          substring($"c_name", 13, 3).as("blk"))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+        .where($"__bsz" <= 40).drop("__bsz")
+      val pairs = b.alias("a").join(b.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" < $"bb.c_custkey")
+        .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
+        .select($"a.c_custkey".as("src"), $"bb.c_custkey".as("dst"))
+      val comp = ops.Components.connectedComponents(
+        cust.select($"c_custkey".as("id")), pairs)
+      comp.join(cust, comp("id") === cust("c_custkey"))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          min($"c_name").as("canonical_name"),
+          RoundPortableExpr.r(max($"c_acctbal"), 2).as("max_acctbal"))
+        .where($"n_members" > 1)
+        .select($"component".as("entity_id"), $"n_members",
+          $"canonical_name", $"max_acctbal")
+    }),
     // ---- embedding backfill: fill ONLY the rows missing a vector
     // (here: a modulo-carved 25% gap), keep existing vectors untouched
     // — the incremental-embed operational pattern (re-embedding 100 TB
@@ -4106,6 +4139,32 @@ object SparkEntry {
          |       bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "pipeline_er" ->
+      """WITH RECURSIVE cap AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey, c_nationkey, c_name, c_acctbal,
+        |           substr(c_name, 13, 3) AS blk,
+        |           count(*) OVER (PARTITION BY c_nationkey, substr(c_name, 13, 3)) AS bsz
+        |    FROM customer)
+        |  WHERE bsz <= 40),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM cap a JOIN cap b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+        |SELECT comp.component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       min(c_name) AS canonical_name, round(max(c_acctbal), 2) AS max_acctbal
+        |FROM comp JOIN customer ON comp.id = customer.c_custkey
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE s AS (
          |  SELECT doc_id, ${simhashSql("hw")} AS simhash
