@@ -166,7 +166,6 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       coarseFactor: Int = 64, fineFactor: Int = 16): DataFrame = {
     val enc = codes.select(col("neighbor_id"), col("code"))
-    val candidates = rerank
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
       graft.functions.BqEncodeExpr.col(col(embCol)).as("q_code"))
     val wc = Window.partitionBy("query_id").orderBy(col("hd").asc, col("neighbor_id").asc)
@@ -184,7 +183,7 @@ object Similarity {
       .drop("rk", "adist", "code")
     val we = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
     fine
-      .join(candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
+      .join(rerank.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
