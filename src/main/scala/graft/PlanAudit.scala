@@ -15,7 +15,8 @@ object PlanAudit {
       "q_asof_join", "q_range_join", "sim_containment", "q_window_topn",
       "layout_zorder", "text_chunk", "vdb_insert_bloom", "pipeline_e2e",
       "q_concurrency", "agg_bitmap_distinct", "dedup_components",
-      "sim_decontaminate", "sim_ann_ivfpq", "search_bm25")
+      "sim_decontaminate", "sim_ann_ivfpq", "search_bm25",
+      "sim_ann_bq", "text_bpe_apply", "text_langid_ngram", "q_gapfill")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
