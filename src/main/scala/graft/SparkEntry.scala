@@ -2104,6 +2104,63 @@ object SparkEntry {
           RoundPortableExpr.r(
             coalesce(last($"v", ignoreNulls = true).over(w), lit(-1.0)), 2).as("v_locf"))
     }),
+    // ---- ordered conversion funnel view → click → purchase: each
+    // stage is a keyed min-timestamp aggregate joined to the previous
+    // stage with a strictly-later predicate (the ORDER matters — a
+    // purchase before the first view doesn't convert). Three
+    // user-keyed aggs + two keyed joins, one census row out. ----
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.where($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
+        .select($"n_view", $"n_view_click", $"n_view_click_purchase",
+          RoundPortableExpr.r($"n_view_click" / $"n_view", 4).as("view_to_click"),
+          RoundPortableExpr.r($"n_view_click_purchase" / $"n_view_click", 4)
+            .as("click_to_purchase"))
+    }),
+    // ---- retention cohort matrix: users grouped by their FIRST-seen
+    // day, activity counted per (cohort, day-offset) cell — the
+    // product-analytics staple. First-day table is user-keyed, the
+    // join fans events to their cohort, the matrix is bounded by
+    // days² regardless of corpus size. ----
+    "q_cohort" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.events(s, dir).select($"user_id", to_date($"ts").as("day"))
+      val first = d.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      d.join(first, "user_id")
+        .groupBy($"cohort_day",
+          datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+    }),
+    // ---- trailing-window z-score anomaly flags on daily revenue:
+    // each day scored against its own 7-day history (rows frame
+    // [-7, -1] — the day never sees itself), |z| > 2 flags. First
+    // days with an empty/degenerate window score 0 by definition —
+    // outputs stay dense. The series is an O(days) frame after one
+    // corpus-sized keyed agg. ----
+    "q_anomaly_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir).where($"event_type" === "purchase")
+        .groupBy(to_date($"ts").as("day")).agg(sum($"value").as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        .rowsBetween(-7, -1)
+      val z = when($"sd".isNull || $"sd" === 0, lit(0.0))
+        .otherwise(($"rev" - $"mu") / $"sd")
+      daily
+        .withColumn("mu", avg($"rev").over(w))
+        .withColumn("sd", stddev($"rev").over(w))
+        .select($"day", RoundPortableExpr.r($"rev", 2).as("revenue"),
+          RoundPortableExpr.r(z, 2).as("z"),
+          when(abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+    }),
     // ---- temporal overlap counting: concurrent sessions per hour.
     // Sessions (gap-sessionize → [min,max] interval per session)
     // explode into the hour buckets they overlap — the interval→bucket
@@ -3775,6 +3832,41 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase,
+        |       round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4)
+        |         AS view_to_click,
+        |       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
+        |         AS click_to_purchase""".stripMargin,
+    "q_cohort" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+        |               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |win AS (SELECT day, rev,
+        |          avg(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+        |          stddev(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+        |        FROM daily)
+        |SELECT day, round(rev, 2) AS revenue,
+        |       round(CASE WHEN sd IS NULL OR sd = 0 THEN 0
+        |                  ELSE (rev - mu) / sd END, 2) AS z,
+        |       CASE WHEN abs(CASE WHEN sd IS NULL OR sd = 0 THEN 0
+        |                          ELSE (rev - mu) / sd END) > 2 THEN 1 ELSE 0 END
+        |         AS is_anomaly
+        |FROM win""".stripMargin,
     "q_gapfill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, avg(value) AS v
