@@ -181,4 +181,45 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
     census shouldBe Map(-1L -> 3L)
   }
+
+  test("trained langid with an EMPTY train split predicts und for every test doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "abc def"), (2L, "de", "ghi jkl"))
+      .toDF("doc_id", "lang", "text")
+    val census = graft.ops.TextAnalysis.langIdNgram(docs, "doc_id", "lang", "text",
+        isTrain = lit(false))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.core.PlanCache.release(spark)
+    census shouldBe Map(("en", "und") -> 1L, ("de", "und") -> 1L)
+  }
+
+  test("bpe on an empty corpus yields an empty census, not a crash") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.ops.Bpe.tokenCensus(noDocs, col("text"), rounds = 2, topN = 5)
+      .collect() shouldBe empty
+    graft.core.PlanCache.release(spark)
+  }
+
+  test("bq cascade with empty candidates returns no neighbors; single-dim vectors encode") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(1f, -1f))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    graft.ops.Similarity.bqTopK(q, none, k = 3).collect() shouldBe empty
+    // a 1-dim corpus (single pad-heavy byte) still round-trips
+    val one = Seq((1L, Seq(1f)), (2L, Seq(-1f))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.bqTopK(Seq((9L, Seq(1f))).toDF("vec_id", "embedding"),
+      one, k = 1, coarseFactor = 2, fineFactor = 2).collect()
+    r.map(_.getLong(1)).toSeq shouldBe Seq(1L)
+  }
+
+  test("filtered IVF probe with a predicate matching nothing returns zero rows for every query") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, Seq(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = graft.ops.MlAnn.ivfBuild(emb, nCells = 2, keepCols = Seq("label"))
+    graft.ops.MlAnn.ivfProbeFiltered(idx, emb.where($"vec_id" < 2), k = 3,
+      nProbe = 2, pred = $"label" === 99).collect() shouldBe empty
+  }
 }
