@@ -22,6 +22,12 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** graph_kcore peel rounds, shared by the Spark side (maxRounds +
+    * assertFixpoint — fails loudly instead of silently diverging) and
+    * the oracle's unrolled CTEs. Fixture peels in 4-5 rounds; the
+    * margin covers fixture drift. */
+  private val KcoreUnrollRounds = 8
+
   /** Hybrid-search query terms — chosen for idf spread on the fixture
     * vocabulary ('dup' rare, 'vector'/'query' common). Shared by
     * search_bm25 / search_hybrid_rrf and their oracle twins. */
@@ -701,7 +707,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .where($"n_shared" >= 5)
         .select($"u", $"v")
-      ops.Graph.kCore(co, k = 3)
+      ops.Graph.kCore(co, k = 3, maxRounds = KcoreUnrollRounds, assertFixpoint = true)
     }),
     // ---- token-window chunking: the doc→chunk explosion every
     // embedding/RAG ingest runs (fixed window, fixed stride, overlap =
@@ -1421,6 +1427,19 @@ object SparkEntry {
     "text_bpe_apply" -> ((s, dir) =>
       ops.Bpe.tokenCensus(s.read.parquet(t(dir, "documents")),
         org.apache.spark.sql.functions.col("text"), rounds = 4, topN = 20)),
+    // ---- BPE exhausted-vocab guard, oracle-checked: the corpus is each
+    // document's FIRST CHARACTER, so every word is a single symbol and
+    // the very first merge round finds zero candidate pairs. Both
+    // engines must fall back to a no-op merge (Spark: applyTop's NUL
+    // sentinel; SQL: the chr(1) union branch) instead of cross-joining
+    // an empty merge row and wiping the state — the census below is
+    // non-empty only if the guard works. ----
+    "text_bpe_exhaust" -> ((s, dir) => {
+      import s.implicits._
+      ops.Bpe.tokenCensus(
+        s.read.parquet(t(dir, "documents")).select(substring($"text", 1, 1).as("text")),
+        $"text", rounds = 2, topN = 20)
+    }),
     // ---- interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998
     // — the smoothing the CCNet/KenLM quality filters actually use,
     // one rung up from text_bigram_lm's add-1): discounted bigram mass
@@ -3447,7 +3466,8 @@ object SparkEntry {
         |              FROM events WHERE event_type = 'click'))
         |      WHERE rn <= 40) b
         |  ON a.i = b.i AND a.u < b.u
-        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin, k = 3, rounds = 8),
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin, k = 3,
+      rounds = KcoreUnrollRounds),
     "vdb_delete" ->
       """WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 400),
         |vis AS (SELECT * FROM base WHERE lang <> 'de')
@@ -4614,6 +4634,8 @@ object SparkEntry {
          |ORDER BY round, rank""".stripMargin
     },
     "text_bpe_apply" -> ops.Bpe.tokenCensusSql(wordsSql("text"), rounds = 4, topN = 20),
+    "text_bpe_exhaust" ->
+      ops.Bpe.tokenCensusSql(wordsSql("substr(text, 1, 1)"), rounds = 2, topN = 20),
     "text_langid_ngram" -> ops.TextAnalysis.langIdNgramSql("doc_id % 5 < 4"),
     "text_kneser_ney" ->
       s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),

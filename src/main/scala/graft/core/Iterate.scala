@@ -80,17 +80,22 @@ object Iterate {
     * and/or unpersist blocks, whichever the RDD carries. Callers must
     * only release rounds nothing will read again. */
   private[core] def releaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    // Expected failures on this path: the session was already stopped
+    // (IllegalStateException / SparkException from a dead context) — the
+    // shutdown hook cleans the scratch dir then. Anything NonFatal is
+    // still swallowed (release is best-effort), but fatal errors (OOM,
+    // linkage) propagate instead of being hidden.
     try
       rdd.getCheckpointFile.foreach { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(rdd.context.hadoopConfiguration)
         fs.delete(path, true); ()
       }
-    catch { case _: Throwable => () } // a stopped session cleans via the shutdown hook
+    catch { case scala.util.control.NonFatal(_) => () }
     // fallback-path (localCheckpoint) rounds hold blocks, not files
     if (rdd.getStorageLevel != StorageLevel.NONE) {
       try rdd.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     ()
   }

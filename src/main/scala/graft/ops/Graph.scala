@@ -221,10 +221,19 @@ object Graph {
     * safety cap; real-world graphs peel in a handful of rounds because
     * every round removes the entire current "shell". Lineage is cut per
     * round with a reliable checkpoint ([[graft.core.Iterate.cut]]),
-    * superseded rounds released immediately. */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    * superseded rounds released immediately.
+    *
+    * Edges are canonicalized to (least, greatest) before dedup, so a
+    * single undirected edge fed both ways counts one degree, not two.
+    * `assertFixpoint = true` makes the cap a loud contract instead of a
+    * silent truncation — callers whose oracle unrolls exactly
+    * `maxRounds` peels use it to guarantee the two sides agree. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20,
+      assertFixpoint: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v")).distinct())
+    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct())
     var m = e.count()
     var rounds = 0
     var done = m == 0L
@@ -243,6 +252,9 @@ object Graph {
       done = m2 == m || m2 == 0L
       m = m2
     }
+    if (assertFixpoint && !done) throw new IllegalStateException(
+      s"kCore did not reach its fixed point within maxRounds=$maxRounds " +
+        "(an unrolled-SQL oracle with the same round count would diverge)")
     checkpointRdd(e).foreach(graft.core.PlanCache.registerRdd(spark, _))
     e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
@@ -251,8 +263,11 @@ object Graph {
   /** DuckDB twin of [[kCore]]: the peel unrolled as chained CTEs.
     * `rounds` must be ≥ the fixture's rounds-to-fixpoint (the Spark
     * side stops at the fixed point; extra unrolled rounds are
-    * idempotent there). `edgesSql` must yield one (u, v) per undirected
-    * edge, u < v, deduplicated — same contract as the Spark input. */
+    * idempotent there — call the Spark side with
+    * `maxRounds = rounds, assertFixpoint = true` to make that bound a
+    * checked contract). `edgesSql` yields one (u, v) per undirected
+    * edge; e0 canonicalizes to (least, greatest) + dedup exactly like
+    * the Spark side, so reversed duplicates are tolerated. */
   def kCoreRelSql(edgesSql: String, k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
       s"""k$i AS MATERIALIZED (
@@ -263,7 +278,8 @@ object Graph {
          |  JOIN k$i a ON e.u = a.id JOIN k$i b ON e.v = b.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
-       |  SELECT u, v FROM ($edgesSql) WHERE u <> v GROUP BY 1, 2),
+       |  SELECT least(u, v) AS u, greatest(u, v) AS v FROM ($edgesSql)
+       |  WHERE u <> v GROUP BY 1, 2),
        |$peels
        |SELECT id, CAST(count(*) AS BIGINT) AS core_deg
        |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)

@@ -201,6 +201,33 @@ class GraphSpec extends SparkSpec with Matchers {
     assert(empty.isEmpty)
   }
 
+  test("kCore: reversed-duplicate edges count one degree, not two") {
+    // triangle fed with EVERY edge in both directions: canonicalization
+    // must collapse (u,v)/(v,u) to one edge, so k=3 (> degeneracy 2)
+    // empties the graph — pre-canonicalization the doubled degrees (4)
+    // would spuriously survive a 3-core peel.
+    val edges = spark.createDataFrame(Seq(
+      (0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))).toDF("u", "v")
+    val atK3 = Graph.kCore(edges, k = 3).collect()
+    val atK2 = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    assert(atK3.isEmpty)
+    assert(atK2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCore: assertFixpoint throws when maxRounds truncates the peel") {
+    // 0-1-2-3-4-5 path: each round peels only the two endpoints, so the
+    // 2-core fixpoint (empty) needs 2 rounds of actual shrinkage and a
+    // 3rd to observe it; maxRounds = 1 truncates mid-peel.
+    val edges = spark.createDataFrame(
+      (0L to 4L).map(i => (i, i + 1))).toDF("u", "v")
+    intercept[IllegalStateException] {
+      Graph.kCore(edges, k = 2, maxRounds = 1, assertFixpoint = true).collect()
+    }
+    graft.core.PlanCache.release(spark)
+  }
+
   test("kCore matches the unrolled SQL twin's shape on a two-shell graph") {
     // 4-clique {0..3} (3-core) with pendant 4-5 chain; k=3 keeps the clique
     val edges = spark.createDataFrame(
