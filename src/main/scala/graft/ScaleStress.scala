@@ -183,6 +183,8 @@ object ScaleStress {
       if (name == "ivfpq_bulk") ivfpqBulk(spark, src)
       else if (name == "ivfpq_corpus") ivfpqCorpus(spark, src, target, copies)
       else if (name == "hnsw_corpus") hnswCorpus(spark, src, target, copies)
+      else if (name == "hnsw_bulk") hnswBulk(spark, src)
+      else if (name == "hnsw_compact") hnswCompact(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
@@ -283,6 +285,102 @@ object ScaleStress {
     }
     probe("warm-up")
     probe("steady")
+  }
+
+  /** Query-batch-dimension stress for the distributed HNSW probe
+    * ([[graft.ops.Hnsw.probeGraphBulk]]): the same persisted graph
+    * probed by 1k and then 10k queries. The serving path
+    * ([[graft.ops.Hnsw.probeGraph]]) collects the panel to the driver
+    * — right for serving, wrong for bulk batches; the cogrouped
+    * (query × segment) fan-out must scale ≈ linearly in the batch
+    * size (compare the ivfpq_bulk row). */
+  private def hnswBulk(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = "/tmp/graft-hnsw-stress"
+    ops.Hnsw.buildGraph(emb).write.mode("overwrite").parquet(path)
+    val graph = spark.read.parquet(path)
+    val n = emb.count().toInt
+    def batch(nq: Int) = {
+      // offset ids: never equal to a corpus id (self-exclusion stays
+      // cold); per-copy where() instead of limit() — GlobalLimit would
+      // funnel the batch through one partition
+      val copies = (nq + n - 1) / n
+      (0 until copies).map { c =>
+        val take = math.min(n, nq - c * n)
+        emb.where($"vec_id" < take)
+          .select(($"vec_id" + lit((c + 1) * 1000000L)).as("vec_id"), $"embedding")
+      }.reduce(_ unionByName _)
+    }
+    def time(nq: Int): Double = {
+      val t0 = System.nanoTime()
+      ops.Hnsw.probeGraphBulk(graph, batch(nq), k = 10)
+        .queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] hnsw_bulk nq=$nq%-6d $secs%8.2f s")
+      secs
+    }
+    time(1000) // warm (codegen + graph read)
+    val t1k = time(1000)
+    val t10k = time(10000)
+    println(f"[stress] ratio  hnsw_bulk             ${t10k / t1k}%8.2fx for 10x queries")
+  }
+
+  /** Compaction-cycle stress for the persisted HNSW at corpus scale:
+    * a 90% base graph (auto-sized segments) accumulates ten 1% delta
+    * batches built DELIBERATELY under-sized (1k rows/segment — the
+    * streaming-append regime), then [[graft.ops.Hnsw.compactSegments]]
+    * merges the small segments. Measured: base build wall vs compaction
+    * wall (rebuild cost must be ∝ the small segments, i.e. ~10% of the
+    * base), and the serving probe before vs after (bounded both sides,
+    * lower after). */
+  private def hnswCompact(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    val emb = spark.read.parquet(s"$target/embeddings.parquet")
+    val n = emb.count()
+    val base = emb.where(pmod($"vec_id", lit(100)) >= 10)
+    val path = s"$target/__hnsw_compact"
+    val t0 = System.nanoTime()
+    ops.Hnsw.buildGraph(base).write.mode("overwrite").parquet(path)
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val baseSegs = ops.Hnsw.autoSegments(base.count())
+    val smallRows = n / 10
+    val t1 = System.nanoTime()
+    (0 until 10).foreach { b =>
+      val delta = emb.where(pmod($"vec_id", lit(100)) === b)
+      val nSeg = math.max(1, ((n / 100) / 1000L).toInt) // ~1k rows/segment
+      ops.Hnsw.buildGraph(delta, numSegments = nSeg, segOffset = baseSegs + b * nSeg)
+        .write.mode("append").parquet(path)
+    }
+    val tAppend = (System.nanoTime() - t1) / 1e9
+    val graph = spark.read.parquet(path)
+    val nSegsBefore = graph.select($"seg").distinct().count()
+    val q = emb.where($"vec_id" < 10)
+    def probe(g: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val t = System.nanoTime()
+      ops.Hnsw.probeGraph(g, q, k = 10).queryExecution.toRdd.foreach(_ => ())
+      val s = (System.nanoTime() - t) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] hnsw_compact probe($tag) $s%8.2f s")
+      s
+    }
+    probe(graph, "before/warm")
+    probe(graph, "before")
+    val t2 = System.nanoTime()
+    val merged = ops.Hnsw.compactSegments(graph, maxRows = 4000,
+      numSegments = ops.Hnsw.autoSegments(smallRows), segOffset = 1000000)
+    val cmpPath = s"$target/__hnsw_compacted"
+    merged.write.mode("overwrite").parquet(cmpPath)
+    val tCompact = (System.nanoTime() - t2) / 1e9
+    val after = spark.read.parquet(cmpPath)
+    val nSegsAfter = after.select($"seg").distinct().count()
+    probe(after, "after/warm")
+    probe(after, "after")
+    println(f"[stress] hnsw_compact n=$n base-build $tBase%8.2f s (segs=$baseSegs)" +
+      f"  appends $tAppend%8.2f s  compact $tCompact%8.2f s" +
+      f"  segs $nSegsBefore -> $nSegsAfter")
   }
 
   /** Query-batch-dimension stress for the distributed IVF-PQ search:

@@ -2873,6 +2873,41 @@ object SparkEntry {
         .select(get_json_object($"metadata", "$.doc_id").cast("long").as("doc_id"),
           RoundPortableExpr.r($"distance", 4).as("distance"))
     }),
+    // ---- THE REFERENCE'S FULL INDEX LIFECYCLE THROUGH THE FACADE
+    // (duckvdb.py:43-45, 110-116: load → create_index → query): a
+    // VectorTable carries a PERSISTED segmented-HNSW graph; the
+    // unfiltered facade query probes it (map-only graph pass + k-row
+    // metadata join — no corpus distance scan), an insert AFTER the
+    // build appends delta segments that must be immediately searchable
+    // (the query vector IS a delta row — its hit proves the append),
+    // and a filtered query falls back to the exact brute path, the
+    // same filtered-queries-bypass-the-index contract the reference
+    // has. recall gated ≥ 0.9 vs the exact facade leg. ----
+    "vdb_knn_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-knnidx").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val rows = emb.select(
+        to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+      val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      db.insertEmbedded(rows.where($"vec_id" % 5 =!= 0))
+      db.table.buildHnswIndex()
+      val segsAfterBuild = db.table.hnswIndexMeta.get.segments
+      db.insertEmbedded(rows.where($"vec_id" % 5 === 0)) // delta -> NEW segments
+      val appendedOk = db.table.hnswIndexMeta.get.segments > segsAfterBuild
+      val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      val approx = db.queryByVector(qvec, k = 10).collect().map(_.id).toSet
+      val exact = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      val f = Seq(Filters.Cmp("label", Filters.CmpOp.Eq, 3))
+      val filteredIdx = db.queryByVector(qvec, k = 5, filters = f).collect().toSeq
+      val filteredExact =
+        db.queryByVector(qvec, k = 5, filters = f, useIndex = false).collect().toSeq
+      Seq((0L, if (recall >= 0.9) 1 else 0, if (appendedOk) 1 else 0,
+        if (filteredIdx == filteredExact && filteredIdx.nonEmpty) 1 else 0))
+        .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
+    }),
     // ---- MLlib-Transformer embedder (third registry family): IDF
     // weights fitted with the real Tokenizer→HashingTF→IDF stages; the
     // corpus embeds through the REGISTRY path (mapPartitions, weights
@@ -5069,6 +5104,9 @@ object SparkEntry {
          |ORDER BY distance, doc_id LIMIT 10""".stripMargin,
     "vdb_embed_tfidf" ->
       "SELECT CAST(t.j + 1 AS INTEGER) AS rank, 1 AS ok FROM range(10) t(j)",
+    "vdb_knn_indexed" ->
+      """SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok,
+        |       1 AS appended_ok, 1 AS filtered_ok""".stripMargin,
     "layout_partitioned_read" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'click'""".stripMargin,

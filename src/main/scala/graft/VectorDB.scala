@@ -68,22 +68,63 @@ class VectorDB(
     * predicates through Spark 4's binary Variant (`parse_json` once per
     * row + typed `variant_get`) instead of per-predicate
     * `get_json_object` string re-parses — same semantics
-    * (FiltersSpec proves agreement), faster on many-predicate filters. */
+    * (FiltersSpec proves agreement), faster on many-predicate filters.
+    *
+    * When the table carries a persisted HNSW index
+    * ([[graft.table.VectorTable.buildHnswIndex]]) and the query is
+    * UNFILTERED, the probe runs against the graph instead of
+    * brute-forcing the corpus — the reference's own index contract
+    * (duckvdb.py:37-45: the HNSW index serves unfiltered scans;
+    * filtered queries bypass index access). `useIndex = false` forces
+    * the exact path (the correctness baseline the index's recall gate
+    * compares against). */
   def queryByVector(
       vec: Array[Float], k: Int = 10, filters: Seq[Filters.Pred] = Nil,
-      useVariant: Boolean = false): Dataset[Result] = {
+      useVariant: Boolean = false, useIndex: Boolean = true): Dataset[Result] = {
     import spark.implicits._
     require(vec.length == dim, s"query dim ${vec.length} != table dim $dim")
-    val compiled =
-      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
-      else Filters.compile(filters, col(VectorSchema.METADATA))
+    table.hnswGraph match {
+      case Some(graph) if useIndex && filters.isEmpty => indexedKnn(graph, vec, k)
+      case _ =>
+        val compiled =
+          if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+          else Filters.compile(filters, col(VectorSchema.METADATA))
+        table.df
+          .where(compiled)
+          .select(
+            col(VectorSchema.ID),
+            col(VectorSchema.METADATA),
+            VectorFunctions.cosineDistance(col(VectorSchema.EMBEDDING), typedlit(vec)).as("distance"))
+          .dropDuplicates() // the reference's SELECT DISTINCT (duckvdb.py:111)
+          .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+          .limit(k)
+          .as[Result]
+    }
+  }
+
+  /** The persisted-index probe: beam-search every graph segment for the
+    * query (map-only over the graph table — index and vectors
+    * co-reside, so no corpus distance pass and no embedding-column
+    * scan), then join the k surfaced surrogate ids back to the table
+    * for metadata. The metadata fetch is a broadcast of k ids against
+    * an id+metadata column-pruned scan; distances come from the probe's
+    * exact-kernel rerank (portable-rounded to 4 decimals — the engine's
+    * cross-engine distance contract). A surrogate collision merely adds
+    * a spurious candidate that the final distance-ordered limit drops;
+    * tombstoned rows drop at the metadata join (their ids left the
+    * table view). */
+  private def indexedKnn(
+      graph: DataFrame, vec: Array[Float], k: Int): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.hnswIndexMeta.get
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val hits = ops.Hnsw.probeGraph(graph, q, k, m = meta.m, excludeSelf = false)
+      .select(col("neighbor_id").as("__h"), col("distance"))
     table.df
-      .where(compiled)
-      .select(
-        col(VectorSchema.ID),
-        col(VectorSchema.METADATA),
-        VectorFunctions.cosineDistance(col(VectorSchema.EMBEDDING), typedlit(vec)).as("distance"))
-      .dropDuplicates() // the reference's SELECT DISTINCT (duckvdb.py:111)
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))
+      .dropDuplicates()
       .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
       .limit(k)
       .as[Result]

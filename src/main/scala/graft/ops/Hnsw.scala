@@ -37,6 +37,18 @@ import graft.functions.{RoundPortableExpr, VectorFunctions}
   */
 object Hnsw {
 
+  /** Measured-good segment sizing (BENCHNOTES round-6 HNSW table: the
+    * 100× corpus at ~8k vectors/segment built in 14.2 s with recall
+    * 0.99, where a fixed small segment count measured 84.7 s): one
+    * graph per ~8k vectors, floor 1. This is the DEFAULT everywhere a
+    * segment count is not given — pass an explicit `numSegments` only
+    * to pin a layout (e.g. a test fixture or an existing on-disk
+    * segmentation). */
+  val RowsPerSegment = 8000L
+
+  def autoSegments(nRows: Long): Int =
+    math.max(1L, (nRows + RowsPerSegment - 1) / RowsPerSegment).toInt
+
   /** splitmix64 finalizer — the repo's standard deterministic hash
     * (same family as [[graft.functions.LshBucketsExpr]]). */
   private[graft] def mix64(x: Long): Long = {
@@ -164,16 +176,26 @@ object Hnsw {
       * than to every neighbor already kept — edges stay DIVERSE, so on
       * clustered data the graph keeps inter-cluster highways instead
       * of m redundant same-cluster links (the known failure mode of
-      * naive nearest-m selection). Deterministic: candidates arrive
-      * (dist, id)-sorted and the keep test is exact. */
+      * naive nearest-m selection). The paper's keepPrunedConnections
+      * flag is ON: pruned candidates backfill the list to `max`
+      * closest-first, so neighbor lists stay at capacity and tight
+      * clusters cannot leave the layer graph DISCONNECTED (measured: a
+      * single-segment graph over 10 tight clusters was stuck at recall
+      * 0.72 at any beam width without the backfill, 1.0 with it — a
+      * disconnected component is unreachable at every ef). Determinism:
+      * candidates arrive (dist, id)-sorted and both passes are exact. */
     private def selectHeuristic(
         anchor: Array[Float], w: Iterable[(Double, Int)], max: Int): mutable.ArrayBuffer[Int] = {
       val r = mutable.ArrayBuffer[Int]()
+      val pruned = mutable.ArrayBuffer[Int]()
       val it = w.iterator
       while (it.hasNext && r.length < max) {
         val (d, n) = it.next()
         if (r.forall(e => dist(vecs(n), vecs(e)) >= d)) r += n
+        else pruned += n
       }
+      var i = 0
+      while (r.length < max && i < pruned.length) { r += pruned(i); i += 1 }
       r
     }
 
@@ -240,25 +262,30 @@ object Hnsw {
     * [[Similarity.bruteTopK]].
     *
     * `queries` must be a bounded serving panel (it is collected and
-    * broadcast — the same contract every ANN op here has for its query
-    * side). `numSegments` is the parallel unit: one graph per segment;
-    * at cluster scale set it to the executor-core count (or leave the
-    * corpus's existing partitioning by passing `repartitionBy = false`
-    * when it is already segment-shaped). */
+    * broadcast); bulk query batches go through [[probeGraphBulk]]
+    * instead. `numSegments` defaults to the measured-good
+    * ~[[RowsPerSegment]] rows per graph (one `count()` metadata job);
+    * pass an explicit value only to pin a layout. */
   def searchTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       m: Int = 16, efConstruction: Int = 128, efSearch: Int = 96,
-      numSegments: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
+      numSegments: Int = 0, idCol: String = "vec_id", embCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val segs = if (numSegments > 0) numSegments else autoSegments(candidates.count())
     val panel = queries.select(col(idCol), col(embCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(panel)
+    // self-exclusion happens in the rerank, AFTER the per-segment top-k —
+    // surface one extra candidate so the query's own segment still
+    // contributes k real neighbors (with few segments the lost slot is
+    // not masked by the cross-segment candidate union)
+    val segK = k + (if (excludeSelf) 1 else 0)
     val pairs = candidates.select(col(idCol).as("_1"), col(embCol).as("_2"))
-      .repartition(numSegments, col("_1"))
+      .repartition(segs, col("_1"))
       .as[(Long, Array[Float])]
-      .mapPartitions(it => segmentSearch(it, bc.value, k, m, efConstruction, efSearch))
+      .mapPartitions(it => segmentSearch(it, bc.value, segK, m, efConstruction, efSearch))
       .toDF("query_id", "neighbor_id")
     rerank(pairs, queries, candidates, k, idCol, embCol, excludeSelf)
   }
@@ -284,16 +311,18 @@ object Hnsw {
     * batches); `segOffset` names NEW segments for an appended batch so
     * an append NEVER rewrites built graphs — the Lucene segment
     * lifecycle. `m` is part of the on-disk contract (levels derive
-    * from it); probe with the same value. */
+    * from it); probe with the same value. `numSegments = 0` (the
+    * default) auto-sizes to ~[[RowsPerSegment]] rows per graph. */
   def buildGraph(
-      vectors: DataFrame, numSegments: Int, segOffset: Int = 0,
+      vectors: DataFrame, numSegments: Int = 0, segOffset: Int = 0,
       m: Int = 16, efConstruction: Int = 128,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors.select(pmod(hash(col(idCol)), lit(numSegments)).cast("int").as("_1"),
+    val nSegs = if (numSegments > 0) numSegments else autoSegments(vectors.count())
+    vectors.select(pmod(hash(col(idCol)), lit(nSegs)).cast("int").as("_1"),
         col(idCol).as("_2"), col(embCol).as("_3"))
-      .repartition(numSegments, col("_1"))
+      .repartition(nSegs, col("_1"))
       .as[(Int, Long, Array[Float])]
       .mapPartitions { it =>
         // a partition may hold several segments (hash collisions of the
@@ -338,12 +367,67 @@ object Hnsw {
         val idx = new SegmentIndex(sorted.map(_._2), sorted.map(_._4), m, efConstruction = m)
         idx.restore(sorted.map(_._3))
         bc.value.iterator.flatMap { case (qid, qv) =>
-          idx.search(qv, k, efSearch).iterator.map(nid => (qid, nid))
+          // +1 under self-exclusion: see searchTopK
+          idx.search(qv, k + (if (excludeSelf) 1 else 0), efSearch)
+            .iterator.map(nid => (qid, nid))
         }
       }
     }.toDF("query_id", "neighbor_id")
     val vectors = graph.select(col("id").as(idCol), col("emb").as(embCol))
     rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf)
+  }
+
+  /** Distributed BULK-batch probe of a persisted graph — the
+    * [[IvfPq.search]] design applied to segments: no driver-side query
+    * collect, so the batch side scales past serving size (10k+ query
+    * batches, the offline dedup/link join shape).
+    *
+    * Unlike IVF cells, HNSW segments are not selective — every query
+    * must walk every segment's graph — so the fan-out is
+    * (query × segment) BY CONSTRUCTION, not a pruning loss. The plan:
+    * queries are exploded map-side to one probe row per (query,
+    * segment) — the distinct segment ids are a bounded int list, one
+    * tiny job — and CO-GROUPED with the graph rows on the segment id.
+    * Each group restores its segment's adjacency once and beam-searches
+    * its co-located probe rows; only (query_id, neighbor_id) pairs
+    * leave the group. Shuffle cost: graph rows once (zero when the
+    * graph table is already seg-partitioned) + queries × segments probe
+    * rows; per-query work is O(segments · log segRows) exactly like the
+    * serving path, so wall clock is linear in batch size. The rerank
+    * tail joins without a broadcast hint — Spark broadcasts a small
+    * query side on its own and shuffle-joins a bulk one. */
+  def probeGraphBulk(
+      graph: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, efSearch: Int = 96,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val segIds = graph.select(col("seg")).distinct().collect().map(_.getInt(0)).sorted
+    val fan = queries
+      .select(explode(lit(segIds)).as("seg"), col(idCol).as("qid"), col(embCol).as("qv"))
+      .as[(Int, Long, Array[Float])]
+    val segRows = graph
+      .select(col("seg"), col("id"), col("adj"), col("emb"))
+      .as[(Int, Long, Array[Array[Long]], Array[Float])]
+    val pairs = segRows.groupByKey(_._1).cogroup(fan.groupByKey(_._1)) {
+      (_, rowIt, qIt) =>
+        val rows = rowIt.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val sorted = rows.sortBy(_._2)
+          val idx = new SegmentIndex(sorted.map(_._2), sorted.map(_._4), m, efConstruction = m)
+          idx.restore(sorted.map(_._3))
+          qIt.flatMap { case (_, qid, qv) =>
+            // +1 under self-exclusion: see searchTopK
+            idx.search(qv, k + (if (excludeSelf) 1 else 0), efSearch)
+              .iterator.map(nid => (qid, nid))
+          }
+        }
+    }.toDF("query_id", "neighbor_id")
+    val vectors = graph.select(col("id").as(idCol), col("emb").as(embCol))
+    rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf,
+      hintBroadcastQueries = false)
   }
 
   /** Lucene-style segment merge policy: HNSW graphs don't merge
@@ -373,14 +457,15 @@ object Hnsw {
     * to [[Similarity.bruteTopK]], over O(queries · segments · k) rows. */
   private def rerank(
       pairs: DataFrame, queries: DataFrame, candidates: DataFrame, k: Int,
-      idCol: String, embCol: String, excludeSelf: Boolean): DataFrame = {
+      idCol: String, embCol: String, excludeSelf: Boolean,
+      hintBroadcastQueries: Boolean = true): DataFrame = {
     val qDf = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
     pairs
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .join(candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
         Seq("neighbor_id"))
-      .join(broadcast(qDf), Seq("query_id"))
+      .join(if (hintBroadcastQueries) broadcast(qDf) else qDf, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         RoundPortableExpr.r(VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
           .as("distance"))

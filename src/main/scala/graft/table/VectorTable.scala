@@ -82,6 +82,99 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  // ---- persisted HNSW graph index (reference create-index → query
+  // lifecycle, duckvdb.py:37-45: build once on bulk load, probe at
+  // query time) ----
+
+  /** HNSW build parameters, persisted beside the graph so probes use
+    * the same `m` the levels were derived from; `segments` counts the
+    * segment ids handed out so far, so an insert's delta segments get
+    * fresh names (the Lucene segment lifecycle — appends never rewrite
+    * built graphs). */
+  case class HnswIndexMeta(m: Int, efConstruction: Int, segments: Int)
+
+  private def hnswMetaPath = new Path(root + ".hnsw_index.json")
+  private def hnswGraphPath = new Path(root + ".hnsw")
+
+  def hnswIndexMeta: Option[HnswIndexMeta] =
+    if (!fs.exists(hnswMetaPath)) None
+    else {
+      val in = fs.open(hnswMetaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val p = """"m"\s*:\s*(\d+).*"efConstruction"\s*:\s*(\d+).*"segments"\s*:\s*(\d+)""".r
+      p.findFirstMatchIn(txt).map(g =>
+        HnswIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt))
+    }
+
+  private def writeHnswMeta(meta: HnswIndexMeta): Unit = {
+    val out = fs.create(hnswMetaPath, true)
+    try out.write(
+      s"""{"m": ${meta.m}, "efConstruction": ${meta.efConstruction}, "segments": ${meta.segments}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The persisted graph rows (seg, id, adj, emb), if an HNSW index has
+    * been built. Node ids are xxhash64 surrogates of the string id
+    * column (the graph kernel is Long-keyed); the query path joins the
+    * k surfaced surrogates back to the table, where a surrogate
+    * collision only costs a spurious candidate row that the final
+    * distance-ordered limit drops. */
+  def hnswGraph: Option[DataFrame] =
+    if (hnswIndexMeta.isEmpty) None
+    else Some(spark.read.parquet(hnswGraphPath.toString))
+
+  private def hnswSurrogates(rows: DataFrame): DataFrame =
+    rows.select(xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
+
+  /** Builds (or rebuilds) the persisted HNSW graph index over the LIVE
+    * rows: segmented Malkov–Yashunin graphs ([[graft.ops.Hnsw]]),
+    * auto-sized at ~8k vectors/segment, written beside the data. The
+    * reference's `create_index` (duckvdb.py:37-41), but maintained
+    * across inserts: each insert appends the fresh rows as NEW segments
+    * (never rewriting built graphs), and [[compactHnswIndex]] is the
+    * merge policy that folds accumulated small segments. */
+  def buildHnswIndex(m: Int = 16, efConstruction: Int = 128): this.type = {
+    val vecs = hnswSurrogates(df)
+    val nSegs = graft.ops.Hnsw.autoSegments(vecs.count())
+    graft.ops.Hnsw.buildGraph(vecs, numSegments = nSegs, m = m, efConstruction = efConstruction)
+      .write.mode("overwrite").parquet(hnswGraphPath.toString)
+    writeHnswMeta(HnswIndexMeta(m, efConstruction, nSegs))
+    this
+  }
+
+  /** Lucene-style merge of accumulated small index segments
+    * ([[graft.ops.Hnsw.compactSegments]]): segments at or below
+    * `maxRows` rebuild into fresh auto-sized graphs, larger survivors
+    * pass through untouched. Run when inserts have accumulated enough
+    * delta segments to bloat the probe fan-out. */
+  def compactHnswIndex(maxRows: Long = graft.ops.Hnsw.RowsPerSegment / 2): this.type = {
+    hnswIndexMeta.foreach { meta =>
+      val graph = spark.read.parquet(hnswGraphPath.toString)
+      val smallRows = graph.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        .where(col("n") <= maxRows).agg(sum(col("n"))).head.get(0)
+      val nRebuild = Option(smallRows).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nRebuild > 0L) {
+        val merged = graft.ops.Hnsw.compactSegments(graph, maxRows,
+          numSegments = graft.ops.Hnsw.autoSegments(nRebuild),
+          segOffset = meta.segments, m = meta.m, efConstruction = meta.efConstruction)
+        val tmp = new Path(root + ".hnsw__compacting")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(hnswGraphPath, true)
+        fs.rename(tmp, hnswGraphPath)
+        writeHnswMeta(meta.copy(
+          segments = meta.segments + graft.ops.Hnsw.autoSegments(nRebuild)))
+      }
+    }
+    this
+  }
+
+  private def dropHnswIndex(): Unit = {
+    fs.delete(hnswGraphPath, true)
+    fs.delete(hnswMetaPath, false)
+  }
+
   /** Idempotent create (reference `CREATE TABLE IF NOT EXISTS`,
     * duckvdb.py:30-32); `overwrite=true` mirrors the drop-and-recreate
     * `new_table` flag (duckvdb.py:26-28). */
@@ -100,6 +193,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
+    dropHnswIndex()
   }
 
   def exists: Boolean = fs.exists(hadoopPath)
@@ -272,7 +366,33 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     // (tombstones included): a deleted id stays occupied until vacuum —
     // see [[delete]].
     val fresh = deduped.join(rawDf.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
-    fresh.write.mode("append").parquet(root)
+    hnswIndexMeta match {
+      case None => fresh.write.mode("append").parquet(root)
+      case Some(meta) =>
+        // keep the persisted HNSW graph complete across inserts: the
+        // fresh rows become NEW index segments; built graphs are never
+        // rewritten (the Lucene append contract, strictly better than
+        // the reference, whose insert path never indexes —
+        // duckvdb.py:47-61 vs 43-45). The INDEX delta is written FIRST:
+        // appending to `root` invalidates every cached plan reading it
+        // (including `fresh` itself), so a graph build after the data
+        // append would anti-join the batch against its own appended
+        // rows and see nothing. The count() materializes the cache, so
+        // the later data append reuses it instead of rescanning.
+        fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val vecs = hnswSurrogates(fresh)
+          val nNew = vecs.count()
+          if (nNew > 0L) {
+            val deltaSegs = graft.ops.Hnsw.autoSegments(nNew)
+            graft.ops.Hnsw.buildGraph(vecs, numSegments = deltaSegs,
+                segOffset = meta.segments, m = meta.m, efConstruction = meta.efConstruction)
+              .write.mode("append").parquet(hnswGraphPath.toString)
+            writeHnswMeta(meta.copy(segments = meta.segments + deltaSegs))
+          }
+          fresh.write.mode("append").parquet(root)
+        } finally fresh.unpersist(blocking = false)
+    }
   }
 
   /** Row count (reference `num_rows`, duckvdb.py:122-123). */
@@ -286,6 +406,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
+    dropHnswIndex() // new data: a stale graph would serve ghost rows
     spark.read.parquet(path)
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .write.mode("overwrite").parquet(root)

@@ -72,6 +72,29 @@ class HnswSpec extends SparkSpec with Matchers {
     plan should include ("SerializeFromObject")
   }
 
+  test("bulk probe equals the serving probe pair-for-pair, and auto-sizing is ~8k/segment") {
+    import spark.implicits._
+    Hnsw.autoSegments(1L) shouldBe 1
+    Hnsw.autoSegments(8000L) shouldBe 1
+    Hnsw.autoSegments(8001L) shouldBe 2
+    Hnsw.autoSegments(800000L) shouldBe 100
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-bulk").toString
+    ops.Hnsw.buildGraph(emb, numSegments = 4).write.mode("overwrite").parquet(path)
+    val g = spark.read.parquet(path)
+    // a batch far beyond serving size for this fixture: every corpus row
+    // is a query — the distributed fan-out must agree with the
+    // collect-panel path on every (query, neighbor, distance) triple
+    val q = emb.where($"vec_id" < 50)
+    val serving = ops.Hnsw.probeGraph(g, q, k = 5).collect().toSet
+    val bulk = ops.Hnsw.probeGraphBulk(g, q, k = 5).collect().toSet
+    bulk shouldBe serving
+    // no driver collect of the query side: the bulk plan's probe input
+    // is a real join of two distributed legs (cogroup), not a broadcast
+    // of a collected panel
+    val plan = ops.Hnsw.probeGraphBulk(g, q, k = 5).queryExecution.executedPlan.toString
+    plan should include ("CoGroup")
+  }
+
   test("append lifecycle: delta segments never rewrite built graphs, stay searchable") {
     import spark.implicits._
     val base = emb.where($"vec_id" % 5 =!= 0)
@@ -129,10 +152,26 @@ class HnswSpec extends SparkSpec with Matchers {
     }
     val df = rows.toDF("vec_id", "embedding")
     val q = df.where($"vec_id" < 10)
-    val exact = Similarity.bruteTopK(q, df, k = 10)
     val ann = Hnsw.searchTopK(q, df, k = 10)
-    val recall = Similarity.recallAtK(ann, exact, k = 10)
-      .agg(avg($"recall")).head.getDouble(0)
+    // tie-aware recall: intra-cluster spacing here is below the rounded
+    // rerank's 1e-4 resolution, so id-tie-broken top-10 sets differ
+    // between legs even when every returned neighbor is a true nearest
+    // neighbor. Count a hit iff the neighbor's UNROUNDED distance is
+    // within the exact 10th-best distance (+eps) — the quality claim
+    // the index actually makes.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val vecs = rows.toMap
+    val kth = (0L until 10L).map { qi =>
+      qi -> rows.collect { case (i, v) if i != qi => cos(vecs(qi), v) }.sorted.apply(9)
+    }.toMap
+    val got = ann.select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.groupBy(_._1).size shouldBe 10
+    val recall = got.count { case (qi, ni) => cos(vecs(qi), vecs(ni)) <= kth(qi) + 1e-9 } / 100.0
     recall should be >= 0.9
   }
 

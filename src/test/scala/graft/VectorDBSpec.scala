@@ -81,6 +81,48 @@ class VectorDBSpec extends SparkSpec with Matchers {
     intercept[IllegalArgumentException](db.queryByVector(Array(1f, 2f), k = 1))
   }
 
+  test("persisted HNSW index lifecycle: build → probe → insert appends → compact → drop") {
+    val db = newDb("t6")
+    db.insert(docs(40), embedField = Some("text"))
+    db.table.hnswIndexMeta shouldBe None
+    db.table.buildHnswIndex()
+    val m0 = db.table.hnswIndexMeta.get
+    m0.segments shouldBe 1
+    // unfiltered query routes through the index; exact leg agrees up to
+    // rounding ties (the indexed path's distances are portable-rounded
+    // to 4 decimals, so any member of a distance-tie class is an
+    // equally valid k-th neighbor — compare the rounded multisets)
+    val idx = db.query("spark joins", k = 5).collect()
+    val exact = db.queryByVector(
+      db.embedder.embed("spark joins"), k = 5, useIndex = false).collect()
+    idx.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted shouldBe
+      exact.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted
+    // an insert AFTER the build appends new segments and its rows are
+    // immediately searchable
+    db.insert(docs(50), embedField = Some("text")) // 10 fresh docs
+    db.table.hnswIndexMeta.get.segments should be > m0.segments
+    db.table.hnswGraph.get.count() shouldBe 50
+    val idSet = db.query("spark joins", k = 50).collect().map(_.id).toSet
+    idSet.size shouldBe 50
+    // a filtered query falls back to the exact path and still filters
+    val filtered = db.query("spark joins", k = 50,
+      filters = Seq(Cmp("group", CmpOp.Eq, 1))).collect()
+    all(filtered.map(r => get("group", r.metadata))) shouldBe "1"
+    // compaction folds the small delta segment; probe still total
+    db.table.compactHnswIndex(maxRows = 100)
+    db.table.hnswGraph.get.count() shouldBe 50
+    db.query("spark joins", k = 50).collect().map(_.id).toSet shouldBe idSet
+    // a second insert of the same docs no-ops the index too
+    val segs = db.table.hnswIndexMeta.get.segments
+    db.insert(docs(50), embedField = Some("text"))
+    db.table.hnswIndexMeta.get.segments shouldBe segs
+    db.table.hnswGraph.get.count() shouldBe 50
+    // drop cleans the graph and meta
+    db.table.drop()
+    db.table.hnswIndexMeta shouldBe None
+    db.table.hnswGraph shouldBe None
+  }
+
   test("embedder registry: unknown name raises (vdb.py:24-27)") {
     intercept[IllegalArgumentException](Embedders.forName("no-such-embedder"))
   }
