@@ -452,6 +452,43 @@ object Hnsw {
     keep.unionByName(rebuilt)
   }
 
+  /** The Lucene merge-policy TRIGGER for a parquet-persisted graph:
+    * when at least `mergeAt` segments have accumulated at or below
+    * `maxRows` (the streaming-append regime — every micro-batch lands
+    * a small segment), rebuild exactly those via [[compactSegments]]
+    * and swap the graph directory; otherwise do nothing but one tiny
+    * per-segment count. Rebuilt segments take NEGATIVE ids growing
+    * downward from min(existing, 0) — append paths hand out
+    * non-negative (batchId-keyed) ids, so repeated compactions and
+    * future appends can never collide (a seg-id collision would
+    * silently merge two graphs at restore time and degrade recall).
+    * Swap is delete-then-rename — the single-writer contract of the
+    * table layer (SURVEY.md §7.4); readers mid-swap belong to the same
+    * job. Returns whether a compaction ran. */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession, graphPath: String,
+      maxRows: Long, mergeAt: Int,
+      m: Int = 16, efConstruction: Int = 128): Boolean = {
+    val graph = spark.read.parquet(graphPath)
+    val sizes = graph.groupBy(col("seg")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val small = sizes.filter(_._2 <= maxRows)
+    if (small.length < mergeAt) false
+    else {
+      val nRebuilt = autoSegments(small.map(_._2).sum)
+      val nextSeg = math.min(sizes.map(_._1).min, 0) - nRebuilt
+      val merged = compactSegments(graph, maxRows,
+        numSegments = nRebuilt,
+        segOffset = nextSeg, m = m, efConstruction = efConstruction)
+      val p = new org.apache.hadoop.fs.Path(graphPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(graphPath + "__compacting")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+      true
+    }
+  }
+
   /** Exact rerank of surfaced (query_id, neighbor_id) pairs through the
     * codegen cosine kernel + portable rounding — identical scoring path
     * to [[Similarity.bruteTopK]], over O(queries · segments · k) rows. */

@@ -129,6 +129,42 @@ object MlAnn {
       pred: Column): DataFrame =
     ivfProbe(index.copy(indexed = index.indexed.where(pred)), queries, k, nProbe)
 
+  /** [[ivfProbeFiltered]] with the nProbe COMPENSATION DERIVED from the
+    * index's own cell-level stats instead of hand-tuned per predicate.
+    * Two signals, both from one tiny per-cell count on the filtered
+    * assignment table (O(matched), map-side aggregated, shared with the
+    * probe join via persist):
+    *
+    *   - DENSITY: holding the expected candidate count at
+    *     `oversample · k` needs ceil(oversample · k / (matched/nCells))
+    *     probed cells — the thinner the filter, the wider the probe.
+    *   - CONCENTRATION: when the matches live in only c* of the nCells
+    *     (a predicate correlated with the embedding clusters — the
+    *     common case for label-like metadata), a query's nearest cells
+    *     are mostly matchless, so the probe widens by nCells/c* to keep
+    *     the expected number of MATCHING cells probed at `baseNProbe`.
+    *
+    * The result is floored at `baseNProbe` (a loose predicate must not
+    * make search smaller than the unfiltered-tuned width) and capped at
+    * nCells — a very selective predicate degenerates to exact search
+    * over the few survivors, which is both correct and cheap (the scan
+    * is the filtered table, already selectivity-sized). */
+  def ivfProbeFilteredAdaptive(index: IvfIndex, queries: DataFrame, k: Int,
+      baseNProbe: Int, pred: Column, oversample: Int = 4): DataFrame = {
+    val filtered = graft.core.PlanCache.persist(index.indexed.where(pred))
+    val nCells = index.model.clusterCenters.length
+    val cellStats = filtered.groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+    val matched = cellStats.map(_.getLong(1)).sum
+    val matchingCells = math.max(cellStats.length, 1)
+    val nProbe =
+      if (matched == 0L) nCells
+      else math.min(nCells, Seq(
+        baseNProbe,
+        math.ceil(oversample.toDouble * k * nCells / matched).toInt,
+        math.ceil(baseNProbe.toDouble * nCells / matchingCells).toInt).max)
+    ivfProbe(index.copy(indexed = filtered), queries, k, nProbe)
+  }
+
   /** Index probe: each query expands to its nProbe nearest centroids
     * (centroid set broadcasts) and brute-forces only those cells via an
     * equi-join on `cell` — nProbe/nCells of the corpus per query. */

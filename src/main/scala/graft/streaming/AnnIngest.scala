@@ -77,8 +77,16 @@ object AnnIngest {
     * the Lucene segment lifecycle under ingest). Probe restores
     * base ∪ delta segments and must recover the brute-force top-k over
     * the FULL corpus: delta rows are searchable as soon as their batch
-    * commits, with zero rebuild cost on the base. */
-  def runHnswAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    * commits, with zero rebuild cost on the base.
+    *
+    * Each committed batch also runs the Lucene merge-policy trigger
+    * ([[Hnsw.compactIfNeeded]]): once `mergeAt` small (≤ `smallMaxRows`
+    * rows) segments accumulate, exactly those rebuild into fresh
+    * auto-sized graphs — so probe fan-out stays bounded under unbounded
+    * ingest instead of growing one segment per micro-batch (the
+    * AnnIngestSpec pins the bound over a long append sequence). */
+  def runHnswAppendAvailableNow(spark: SparkSession, dir: String,
+      smallMaxRows: Long = 2000, mergeAt: Int = 6): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-hnsw-stream").toString
     Hnsw.buildGraph(emb.where(col("vec_id") % 5 =!= 0), numSegments = 4)
@@ -90,6 +98,8 @@ object AnnIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Hnsw.buildGraph(batch, numSegments = 2, segOffset = 4 + batchId.toInt * 2)
           .write.mode("append").parquet(s"$root/graph")
+        Hnsw.compactIfNeeded(batch.sparkSession, s"$root/graph",
+          maxRows = smallMaxRows, mergeAt = mergeAt)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

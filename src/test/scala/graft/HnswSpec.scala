@@ -175,6 +175,47 @@ class HnswSpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("merge-policy trigger bounds segment count under a long append sequence") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-merge").toString + "/graph"
+    // healthy base segment (375 rows, > maxRows — must never be rebuilt)
+    Hnsw.buildGraph(emb.where($"vec_id" % 4 =!= 0)).write.mode("overwrite").parquet(path)
+    val baseRows = spark.read.parquet(path).where($"seg" === 0)
+      .orderBy($"id").collect().toSeq
+    var maxSegs = 0L
+    var compactions = 0
+    (0 until 12).foreach { b =>
+      // ~10-row micro-batch (the streaming-append regime) as one new segment
+      Hnsw.buildGraph(
+          emb.where($"vec_id" % 4 === 0 && expr("(vec_id div 4) % 12") === b),
+          numSegments = 1, segOffset = 10 + b)
+        .write.mode("append").parquet(path)
+      if (Hnsw.compactIfNeeded(spark, path, maxRows = 20, mergeAt = 4)) compactions += 1
+      maxSegs = math.max(maxSegs,
+        spark.read.parquet(path).select($"seg").distinct().count())
+    }
+    // without the trigger this sequence ends at 13 segments; the merge
+    // policy keeps the live count bounded by base + pending-small +
+    // compacted-healthy
+    compactions should be >= 2
+    maxSegs should be <= 8L
+    // the big base segment passed through every compaction untouched
+    spark.read.parquet(path).where($"seg" === 0).orderBy($"id").collect().toSeq shouldBe baseRows
+    // compacted segments live in the negative namespace — never colliding
+    // with future batchId-keyed appends
+    spark.read.parquet(path).select($"seg").distinct().collect().map(_.getInt(0))
+      .count(_ < 0) should be >= 1
+    // the merged index still recovers the exact top-k over every row it holds
+    val held = spark.read.parquet(path).select($"id".as("vec_id")).distinct()
+    val corpus = emb.join(held, "vec_id")
+    val q = emb.where($"vec_id" < 5)
+    val recall = Similarity.recallAtK(
+      Hnsw.probeGraph(spark.read.parquet(path), q, k = 10),
+      Similarity.bruteTopK(q, corpus, k = 10), k = 10)
+      .agg(min($"recall")).head.getDouble(0)
+    recall should be >= 0.9
+  }
+
   test("streaming append: micro-batch delta segments are searchable, recall gate green") {
     val gate = SparkEntry.queries("stream_hnsw_append")(spark, "/root/testdata/sf0.001")
     val rows = gate.collect()
