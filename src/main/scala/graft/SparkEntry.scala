@@ -1688,6 +1688,84 @@ object SparkEntry {
         .select($"component".as("entity_id"), $"n_members",
           $"canonical_name", $"max_acctbal")
     }),
+    // ---- INCREMENTAL entity resolution — pipeline_er's per-batch
+    // maintenance shape, the stream_cdc_apply proof pattern: a 10%
+    // batch (custkey % 10 == 0) arrives against a 90% resolved base,
+    // and the update only (a) re-verifies blocks the batch TOUCHES
+    // (batch × block-members candidate pairs — base×base pairs are
+    // prior state, never re-enumerated) and (b) re-clusters the
+    // CONTRACTED graph: new edges mapped through the base component
+    // labels plus the batch ids, a graph of touched components — not
+    // the full edge set. Star-contraction labels are component-min
+    // ids, so min-over-merged-labels IS the global min id and the
+    // incremental labels coincide with a full re-run's; the oracle is
+    // exactly pipeline_er's full-recompute SQL, so the hash match IS
+    // the incremental==full proof. Block-size caps are maintained as
+    // running counts: the cap uses post-batch sizes, i.e. a block the
+    // batch pushes over 40 has its prior pairs retracted (here:
+    // basePairs computed under the final cap — the retracted state).
+    // At 100 TB the per-batch cost is batch × touched-block members +
+    // CC on the touched-component subgraph, not corpus × corpus. ----
+    "pipeline_er_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val cust = s.read.parquet(t(dir, "customer"))
+      val capped = cust.select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
+          substring($"c_name", 13, 3).as("blk"))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+        .where($"__bsz" <= 40).drop("__bsz")
+      val base = capped.where(pmod($"c_custkey", lit(10)) =!= 0)
+      val batch = capped.where(pmod($"c_custkey", lit(10)) === 0)
+      // prior state (simulated here, persisted in production): base
+      // pairs under the maintained cap, and their components
+      val basePairs = base.alias("a").join(base.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" < $"bb.c_custkey")
+        .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
+        .select($"a.c_custkey".as("src"), $"bb.c_custkey".as("dst"))
+      val baseComp = ops.Components.connectedComponents(
+        base.select($"c_custkey".as("id")), basePairs)
+      // delta verification: batch rows against members of the blocks
+      // they land in ONLY (left_semi prunes untouched blocks wholesale)
+      val touched = batch.select($"c_nationkey", $"blk").distinct()
+      val members = capped.join(touched, Seq("c_nationkey", "blk"), "left_semi")
+      val newPairs = batch.alias("a").join(members.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" =!= $"bb.c_custkey")
+        .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
+        .select(least($"a.c_custkey", $"bb.c_custkey").as("src"),
+          greatest($"a.c_custkey", $"bb.c_custkey").as("dst"))
+        .distinct()
+      // contract: endpoints → base labels (batch ids label themselves),
+      // then CC over the touched-component graph only
+      val srcLab = baseComp.select($"id".as("src"), $"component".as("ca"))
+      val dstLab = baseComp.select($"id".as("dst"), $"component".as("cb"))
+      val contracted = newPairs
+        .join(srcLab, Seq("src"), "left").join(dstLab, Seq("dst"), "left")
+        .select(coalesce($"ca", $"src").as("u"), coalesce($"cb", $"dst").as("v"))
+        .where($"u" =!= $"v")
+      val touchedNodes = contracted.select($"u".as("id"))
+        .union(contracted.select($"v".as("id"))).distinct()
+      val merged = ops.Components.connectedComponents(touchedNodes, contracted)
+      // relabel: base via its component label, batch via its own id;
+      // untouched labels pass through unchanged
+      val mergedLab = merged.select($"id".as("k"), $"component".as("m"))
+      val baseFinal = baseComp
+        .join(mergedLab, baseComp("component") === mergedLab("k"), "left")
+        .select($"id", coalesce($"m", $"component").as("component"))
+      val batchFinal = batch.select($"c_custkey".as("id"))
+        .join(mergedLab, col("id") === mergedLab("k"), "left")
+        .select($"id", coalesce($"m", $"id").as("component"))
+      val comp = baseFinal.unionByName(batchFinal)
+      comp.join(cust, comp("id") === cust("c_custkey"))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          min($"c_name").as("canonical_name"),
+          RoundPortableExpr.r(max($"c_acctbal"), 2).as("max_acctbal"))
+        .where($"n_members" > 1)
+        .select($"component".as("entity_id"), $"n_members",
+          $"canonical_name", $"max_acctbal")
+    }),
     // ---- embedding backfill: fill ONLY the rows missing a vector
     // (here: a modulo-carved 25% gap), keep existing vectors untouched
     // — the incremental-embed operational pattern (re-embedding 100 TB
@@ -2144,6 +2222,46 @@ object SparkEntry {
           RoundPortableExpr.r($"n_view_click" / $"n_view", 4).as("view_to_click"),
           RoundPortableExpr.r($"n_view_click_purchase" / $"n_view_click", 4)
             .as("click_to_purchase"))
+    }),
+    // ---- k-stage WINDOWED funnel, the form product analytics
+    // actually ships: an arbitrary ordered stage list (here 4:
+    // signup → view → click → purchase) where each conversion must
+    // land within maxDays of the PREVIOUS stage's timestamp — the
+    // strictly-later predicate of q_funnel becomes a half-open range
+    // (t_prev, t_prev + w]. The stage chain is a fold: each stage is
+    // one user-keyed min-ts aggregate joined to the previous stage's
+    // k-row-per-user table, so cost is stages × (one keyed agg + one
+    // keyed join) regardless of corpus size, and the range predicate
+    // rides the SAME user_id equi-join (no range-join blowup). The
+    // 2-day window deliberately BITES on the fixture (31 of 150
+    // signups finish the funnel at sf0.01 vs 150 unbounded) so both
+    // engines must agree on the window arithmetic, not just the
+    // ordering. Output: one row per stage with users remaining and
+    // step conversion — the k-row census every funnel chart reads. ----
+    "q_funnel_windowed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val stages = Seq("signup", "view", "click", "purchase")
+      val maxDays = 2
+      val first = ev.where($"event_type" === stages.head)
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val chain = stages.tail.zipWithIndex.scanLeft(first) {
+        case (prev, (st, i)) =>
+          ev.where($"event_type" === st).join(prev, "user_id")
+            .where($"ts" > col(s"t${i + 1}") &&
+              $"ts" <= col(s"t${i + 1}") + expr(s"INTERVAL $maxDays DAYS"))
+            .groupBy($"user_id").agg(min($"ts").as(s"t${i + 2}"))
+      }
+      val census = chain.zipWithIndex.map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).cast("int").as("stage"),
+            lit(stages(i)).as("event_type"), $"n_users")
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"stage")
+      census
+        .withColumn("conv_rate", RoundPortableExpr.r(
+          $"n_users" / coalesce(lag($"n_users", 1).over(w), $"n_users"), 4))
+        .select($"stage", $"event_type", $"n_users", $"conv_rate")
     }),
     // ---- retention cohort matrix: users grouped by their FIRST-seen
     // day, activity counted per (cohort, day-offset) cell — the
@@ -3921,6 +4039,28 @@ object SparkEntry {
         |         AS view_to_click,
         |       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
         |         AS click_to_purchase""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 2 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 2 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3
+        |         AND ts <= t3 + INTERVAL 2 DAY GROUP BY 1),
+        |census AS (
+        |  SELECT 1 AS stage, 'signup' AS event_type,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT stage, event_type, n_users,
+        |       round(n_users / coalesce(lag(n_users) OVER (ORDER BY stage), n_users),
+        |             4) AS conv_rate
+        |FROM census""".stripMargin,
     "q_cohort" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
@@ -4307,6 +4447,35 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "pipeline_er" ->
+      """WITH RECURSIVE cap AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey, c_nationkey, c_name, c_acctbal,
+        |           substr(c_name, 13, 3) AS blk,
+        |           count(*) OVER (PARTITION BY c_nationkey, substr(c_name, 13, 3)) AS bsz
+        |    FROM customer)
+        |  WHERE bsz <= 40),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM cap a JOIN cap b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+        |SELECT comp.component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       min(c_name) AS canonical_name, round(max(c_acctbal), 2) AS max_acctbal
+        |FROM comp JOIN customer ON comp.id = customer.c_custkey
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // the incremental==full proof: the oracle is the FULL recompute
+    // (pipeline_er's SQL verbatim) while the Spark side runs the
+    // batch-delta maintenance — the hash match is the equivalence.
+    "pipeline_er_incremental" ->
       """WITH RECURSIVE cap AS (
         |  SELECT * FROM (
         |    SELECT c_custkey, c_nationkey, c_name, c_acctbal,

@@ -37,7 +37,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
     "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact",
     "link_fuzzy_capped", "sim_ann_bq", "text_bpe_apply",
-    "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill")
+    "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill",
+    "q_funnel_windowed", "pipeline_er_incremental")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
