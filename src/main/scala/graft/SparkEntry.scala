@@ -2097,6 +2097,12 @@ object SparkEntry {
     // emits closed sessions — batch twin minus each user's open tail ----
     "stream_sessionize" -> ((s, dir) =>
       EventStream.runSessionizeAvailableNow(s, dir)),
+    // ---- streaming windowed funnel: the q_funnel_windowed state
+    // machine run incrementally (O(1) state per user — stage reached +
+    // last conversion ts); the oracle is the batch twin's SQL verbatim,
+    // so the hash match proves stream == batch. ----
+    "stream_funnel" -> ((s, dir) =>
+      EventStream.runFunnelAvailableNow(s, dir)),
     // ---- streaming: sliding windows (1h/30m — every event in 2 windows) ----
     "stream_sliding_window" -> ((s, dir) =>
       EventStream.runSlidingWindowAvailableNow(s, dir)),
@@ -2258,10 +2264,61 @@ object SparkEntry {
             lit(stages(i)).as("event_type"), $"n_users")
       }.reduce(_ unionByName _)
       val w = org.apache.spark.sql.expressions.Window.orderBy($"stage")
+      // dense conv_rate: an empty previous stage converts 0.0, not
+      // null/ANSI-divide-error — engines must agree on degenerate corpora
+      val prev = coalesce(lag($"n_users", 1).over(w), $"n_users")
       census
-        .withColumn("conv_rate", RoundPortableExpr.r(
-          $"n_users" / coalesce(lag($"n_users", 1).over(w), $"n_users"), 4))
+        .withColumn("conv_rate", when(prev === 0, lit(0.0))
+          .otherwise(RoundPortableExpr.r($"n_users" / prev, 4)))
         .select($"stage", $"event_type", $"n_users", $"conv_rate")
+    }),
+    // ---- top event paths: the 3-step event-type sequences users
+    // actually take (path mining, the "what do users do next" query).
+    // Two leads over one (user, ts, event_id)-ordered window — a
+    // single user-keyed shuffle — then a bounded-cardinality count
+    // (paths ≤ types³) and a global top-10 that plans as
+    // TakeOrderedAndProject, never a full sort. The event_id
+    // tiebreak makes same-ts orderings engine-portable. ----
+    "q_event_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .where($"e2".isNotNull && $"e3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path")
+        .limit(10)
+    }),
+    // ---- last-touch revenue attribution: each purchase credits the
+    // latest PRECEDING non-purchase event within a 7-day lookback
+    // (else 'direct') — the marketing-attribution staple. The
+    // preceding-touch lookup is last(..., ignoreNulls) over the
+    // (user, ts, event_id)-ordered frame ending at -1 (a purchase
+    // never attributes to itself), so the whole query is one
+    // user-keyed window pass + a channel-bounded aggregate — no
+    // per-purchase range join. ----
+    "q_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+        .withColumn("last_ch",
+          last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+        .withColumn("last_t",
+          last(when($"event_type" =!= "purchase", $"ts"), ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase")
+        .select(when($"last_ch".isNotNull &&
+            $"ts" <= $"last_t" + expr("INTERVAL 7 DAYS"), $"last_ch")
+          .otherwise(lit("direct")).as("channel"), $"value")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          RoundPortableExpr.r(sum($"value"), 2).as("revenue"))
     }),
     // ---- retention cohort matrix: users grouped by their FIRST-seen
     // day, activity counted per (cohort, day-offset) cell — the
@@ -4058,9 +4115,61 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'click', count(*) FROM s3
         |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
         |SELECT stage, event_type, n_users,
-        |       round(n_users / coalesce(lag(n_users) OVER (ORDER BY stage), n_users),
-        |             4) AS conv_rate
+        |       CASE WHEN coalesce(lag(n_users) OVER (ORDER BY stage), n_users) = 0
+        |            THEN 0.0
+        |            ELSE round(n_users / coalesce(lag(n_users) OVER (ORDER BY stage),
+        |                                          n_users), 4) END AS conv_rate
         |FROM census""".stripMargin,
+    // stream == batch proof: the streaming funnel state machine checks
+    // against the batch windowed funnel's SQL verbatim.
+    "stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 2 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 2 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3
+        |         AND ts <= t3 + INTERVAL 2 DAY GROUP BY 1),
+        |census AS (
+        |  SELECT 1 AS stage, 'signup' AS event_type,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT stage, event_type, n_users,
+        |       CASE WHEN coalesce(lag(n_users) OVER (ORDER BY stage), n_users) = 0
+        |            THEN 0.0
+        |            ELSE round(n_users / coalesce(lag(n_users) OVER (ORDER BY stage),
+        |                                          n_users), 4) END AS conv_rate
+        |FROM census""".stripMargin,
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_attribution" ->
+      """WITH tagged AS (
+        |  SELECT event_type, ts, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_t
+        |  FROM events)
+        |SELECT CASE WHEN last_ch IS NOT NULL AND ts <= last_t + INTERVAL 7 DAY
+        |            THEN last_ch ELSE 'direct' END AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM tagged WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_cohort" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

@@ -182,6 +182,74 @@ object EventStream {
     * compare streaming sessionization against the batch twin. */
   def finalSessions(spark: SparkSession, sessions: DataFrame): DataFrame = sessions
 
+  case class FunnelState(stage: Int, lastTs: Long)
+  case class FunnelAdvance(user_id: Long, stage: Int)
+
+  /** The k-stage windowed conversion funnel as a stateful streaming
+    * operator — conversion tracking as it happens, instead of the
+    * batch recompute (`q_funnel_windowed` is the batch twin and the
+    * oracle). State per user is O(1): the stage reached and the
+    * timestamp of the LAST conversion; an incoming event advances the
+    * state iff it is the next expected stage type and lands in the
+    * half-open window (lastTs, lastTs + maxDays]. Each advancement
+    * emits one (user, stage) row, so `count(*) GROUP BY stage` over
+    * the emissions IS the batch census: the first in-ts-order
+    * qualifying event is exactly the batch side's min-ts qualifying
+    * event. Scales with distinct users, not events — the same state
+    * envelope as [[sessionize]]. */
+  def funnel(events: Dataset[Event], stages: Seq[String],
+      maxDays: Int): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val windowMicros = maxDays.toLong * 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage)) {
+              val t = micros(e.ts)
+              if (st.stage == 0 || (t > st.lastTs && t <= st.lastTs + windowMicros)) {
+                st = FunnelState(st.stage + 1, t)
+                out += FunnelAdvance(userId, st.stage)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** AvailableNow runner for [[funnel]]: streams the static events
+    * parquet through the state machine, then folds the advancement
+    * emissions into the same k-row census the batch funnel outputs
+    * (dense over the stage spine — a stage nobody reached counts 0). */
+  def runFunnelAvailableNow(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      maxDays: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val adv = runToMemory(funnel(ev, stages, maxDays).toDF(), "stream_funnel")
+    val spine = stages.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("stage", "event_type")
+    val census = adv.groupBy($"stage").agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    val dense = spine.join(census, Seq("stage"), "left")
+      .withColumn("n_users", coalesce($"n_users", lit(0L)))
+    // dense conv_rate mirroring the batch twin: empty previous stage
+    // converts 0.0 instead of an ANSI divide-by-zero
+    val prev = coalesce(lag(col("n_users"), 1).over(w), col("n_users"))
+    dense
+      .withColumn("conv_rate", when(prev === 0, lit(0.0))
+        .otherwise(graft.functions.RoundPortableExpr.r(col("n_users") / prev, 4)))
+      .select($"stage", $"event_type", $"n_users", $"conv_rate")
+  }
+
   // ---- AvailableNow runners: each streaming operator driven over the
   // static parquet into a memory sink, so the stream result is
   // differentially checkable against a batch SQL twin (the

@@ -16,13 +16,13 @@ class IncrementalAnalyticsSpec extends SparkSpec with Matchers {
   private def ts(dayOffset: Double): Timestamp =
     new Timestamp(1704067200000L + (dayOffset * 86400 * 1000).toLong) // 2024-01-01 + d
 
-  test("q_funnel_windowed: window bites, boundary inclusive, order enforced") {
+  // u1 converts every stage inside the 2-day windows; u2's view is
+  // 3 days after signup (outside); u3's view PRECEDES signup (order);
+  // u4 stalls at click (purchase 10 days later); u5's view lands
+  // EXACTLY on the 2-day boundary (inclusive — converts stage 2).
+  private lazy val funnelDir: String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-funnel").toString
-    // u1 converts every stage inside the 2-day windows; u2's view is
-    // 3 days after signup (outside); u3's view PRECEDES signup (order);
-    // u4 stalls at click (purchase 10 days later); u5's view lands
-    // EXACTLY on the 2-day boundary (inclusive — converts stage 2).
     val rows = Seq(
       (1L, ts(0.0), 1L, "signup"), (2L, ts(1.0), 1L, "view"),
       (3L, ts(1.5), 1L, "click"), (4L, ts(2.0), 1L, "purchase"),
@@ -33,8 +33,17 @@ class IncrementalAnalyticsSpec extends SparkSpec with Matchers {
       (13L, ts(0.0), 5L, "signup"), (14L, ts(2.0), 5L, "view"))
       .toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0))
-    rows.write.parquet(s"$dir/events.parquet")
-    val out = SparkEntry.queries("q_funnel_windowed")(spark, dir)
+    // a single FILE named events.parquet, like the real fixtures —
+    // EventStream.readEvents's pathGlobFilter matches file names
+    rows.coalesce(1).write.parquet(s"$dir/__scratch")
+    val part = new java.io.File(s"$dir/__scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("q_funnel_windowed: window bites, boundary inclusive, order enforced") {
+    val out = SparkEntry.queries("q_funnel_windowed")(spark, funnelDir)
       .orderBy("stage").collect()
     out.map(_.getLong(2)).toSeq shouldBe Seq(5L, 3L, 2L, 1L)
     out.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4)
@@ -42,6 +51,16 @@ class IncrementalAnalyticsSpec extends SparkSpec with Matchers {
     out.head.getDouble(3) shouldBe 1.0 // first stage converts from itself
     out(1).getDouble(3) shouldBe 0.6 // 3/5
     out(3).getDouble(3) shouldBe 0.5 // 1/2
+  }
+
+  test("stream_funnel: the state machine matches the batch twin on the adversarial fixture") {
+    val stream = SparkEntry.queries("stream_funnel")(spark, funnelDir)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("q_funnel_windowed")(spark, funnelDir)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    stream shouldBe batch
   }
 
   test("pipeline_er_incremental: batch bridges two base components == full rerun") {

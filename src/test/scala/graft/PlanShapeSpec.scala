@@ -38,7 +38,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact",
     "link_fuzzy_capped", "sim_ann_bq", "text_bpe_apply",
     "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill",
-    "q_funnel_windowed", "pipeline_er_incremental")
+    "q_funnel_windowed", "pipeline_er_incremental",
+    "q_event_paths", "q_attribution")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
