@@ -2103,6 +2103,11 @@ object SparkEntry {
     // so the hash match proves stream == batch. ----
     "stream_funnel" -> ((s, dir) =>
       EventStream.runFunnelAvailableNow(s, dir)),
+    // ---- streaming last-touch attribution: q_attribution's window
+    // recompute as O(1)-per-user incremental state; oracle is the
+    // batch twin's SQL verbatim (stream == batch proof). ----
+    "stream_attribution" -> ((s, dir) =>
+      EventStream.runAttributionAvailableNow(s, dir)),
     // ---- streaming: sliding windows (1h/30m — every event in 2 windows) ----
     "stream_sliding_window" -> ((s, dir) =>
       EventStream.runSlidingWindowAvailableNow(s, dir)),
@@ -2319,6 +2324,55 @@ object SparkEntry {
         .groupBy($"channel")
         .agg(count(lit(1)).as("n_purchases"),
           RoundPortableExpr.r(sum($"value"), 2).as("revenue"))
+    }),
+    // ---- population-stability-index drift (the industry drift
+    // metric, complementing drift_daily's total-variation): purchase
+    // `value` distributions of the month's FIRST 15 days (reference)
+    // vs the rest (current), over 8 fixed 50-wide buckets with
+    // Laplace smoothing so empty cells stay finite. One corpus-keyed
+    // agg to (period, bucket) counts — bounded 16 cells — then the
+    // PSI fold is driver-free arithmetic on the tiny grid. ----
+    "drift_psi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where($"event_type" === "purchase")
+      val bounds = ev.agg(min(to_date($"ts")).as("d0")).select($"d0")
+      val binned = ev.crossJoin(broadcast(bounds))
+        .select(
+          when(datediff(to_date($"ts"), $"d0") < 15, "ref").otherwise("cur").as("period"),
+          least(floor($"value" / 50).cast("long"), lit(7L)).as("bucket"))
+        .groupBy($"period", $"bucket").agg(count(lit(1)).as("n"))
+      // dense 2×8 grid (Laplace +1 smoothing keeps log finite)
+      val grid = Seq("ref", "cur").toDF("period")
+        .crossJoin((0L to 7L).toDF("bucket"))
+      val tot = binned.groupBy($"period").agg(sum($"n").as("tot"))
+      val p = grid.join(binned, Seq("period", "bucket"), "left")
+        .join(tot, "period")
+        .select($"period", $"bucket",
+          ((coalesce($"n", lit(0L)) + 1).cast("double") / ($"tot" + 8)).as("p"))
+      val wide = p.groupBy($"bucket")
+        .agg(max(when($"period" === "ref", $"p")).as("pr"),
+          max(when($"period" === "cur", $"p")).as("pc"))
+      wide.agg(RoundPortableExpr.r(
+        sum(($"pc" - $"pr") * log($"pc" / $"pr")), 4).as("psi"))
+    }),
+    // ---- DAU/WAU stickiness, the engagement staple: daily active
+    // users over trailing-7-day actives per day. The (day, user)
+    // DISTINCT is the one corpus-sized shuffle; WAU fans each active
+    // (day, user) to the 7 days it keeps the user active for —
+    // a bounded ×7 map-side explode, NOT a range self-join — then
+    // re-distincts. Only days with traffic are emitted. ----
+    "q_stickiness" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.events(s, dir)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val dau = d.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = d
+        .select(explode(expr("sequence(0, 6)")).as("off"), $"day", $"user_id")
+        .select(date_add($"day", $"off").as("day"), $"user_id").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select($"day", $"dau", $"wau",
+          RoundPortableExpr.r($"dau".cast("double") / $"wau", 4).as("stickiness"))
     }),
     // ---- retention cohort matrix: users grouped by their FIRST-seen
     // day, activity counted per (cohort, day-offset) cell — the
@@ -2577,6 +2631,20 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where($"vec_id" < 10)
       Similarity.recallGate(ops.Hnsw.searchTopK(q, emb, k = 10),
+        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
+    }),
+    // ---- DISTRIBUTED bulk-batch HNSW probe: a 50-query panel fanned
+    // out as (query × segment) cogroups against the graph rows — no
+    // driver-side panel collect, the plan shape that stays linear in
+    // batch size (ScaleStress hnsw_bulk: 5.8× wall for 10× queries at
+    // a 200k corpus). Gate: every query must recover ≥0.9 of the
+    // exact top-k. ----
+    "ann_hnsw_bulk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 50)
+      val graph = ops.Hnsw.buildGraph(emb)
+      Similarity.recallGate(ops.Hnsw.probeGraphBulk(graph, q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
     // ---- PERSISTED HNSW index + probe + segment-append — the
@@ -3336,6 +3404,8 @@ object SparkEntry {
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_persist" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_hnsw_bulk" ->
+      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 50",
     "ann_hnsw_compact" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "layout_zorder" ->
@@ -4170,6 +4240,53 @@ object SparkEntry {
         |            THEN last_ch ELSE 'direct' END AS channel,
         |       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 2) AS revenue
         |FROM tagged WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // stream == batch proof: the streaming attribution state machine
+    // checks against the batch window recompute's SQL verbatim.
+    "stream_attribution" ->
+      """WITH tagged AS (
+        |  SELECT event_type, ts, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_t
+        |  FROM events)
+        |SELECT CASE WHEN last_ch IS NOT NULL AND ts <= last_t + INTERVAL 7 DAY
+        |            THEN last_ch ELSE 'direct' END AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM tagged WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "drift_psi" ->
+      """WITH ev AS (SELECT value, CAST(ts AS DATE) AS day FROM events
+        |            WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS d0 FROM ev),
+        |binned AS (
+        |  SELECT CASE WHEN date_diff('day', d0, day) < 15 THEN 'ref' ELSE 'cur' END
+        |           AS period,
+        |         least(CAST(floor(value / 50) AS BIGINT), 7) AS bucket, count(*) AS n
+        |  FROM ev, b GROUP BY 1, 2),
+        |grid AS (SELECT p.period, t.bucket
+        |         FROM (SELECT 'ref' AS period UNION ALL SELECT 'cur') p,
+        |              range(8) t(bucket)),
+        |tot AS (SELECT period, sum(n) AS tot FROM binned GROUP BY 1),
+        |probs AS (
+        |  SELECT g.period, g.bucket,
+        |         CAST(coalesce(n, 0) + 1 AS DOUBLE) / (tot + 8) AS p
+        |  FROM grid g LEFT JOIN binned USING (period, bucket) JOIN tot USING (period)),
+        |wide AS (SELECT bucket,
+        |                max(CASE WHEN period = 'ref' THEN p END) AS pr,
+        |                max(CASE WHEN period = 'cur' THEN p END) AS pc
+        |         FROM probs GROUP BY 1)
+        |SELECT round(sum((pc - pr) * ln(pc / pr)), 4) AS psi FROM wide""".stripMargin,
+    "q_stickiness" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+        |w AS (SELECT DISTINCT day + CAST(t.off AS INTEGER) AS day, user_id
+        |      FROM d, range(7) t(off)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau, wau, round(dau / wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "q_cohort" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

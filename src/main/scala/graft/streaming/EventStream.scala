@@ -224,6 +224,57 @@ object EventStream {
       }
   }
 
+  case class TouchState(lastCh: String, lastT: Long)
+  case class Attribution(channel: String, value: Double)
+
+  /** Last-touch attribution as a stateful streaming operator — the
+    * q_attribution batch window recomputation run incrementally. State
+    * per user is O(1): the latest non-purchase event type and its
+    * timestamp. A purchase emits (channel, value), crediting the
+    * stored touch iff it lies within the lookback window, else
+    * 'direct'; every non-purchase event just refreshes the state.
+    * Processing events in (ts, event_id) order makes the stored touch
+    * exactly the batch twin's frame-ending-at--1 last() — the oracle
+    * is q_attribution's SQL verbatim. */
+  def attribution(events: Dataset[Event], lookbackDays: Int): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val windowMicros = lookbackDays.toLong * 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[TouchState]) =>
+          def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(TouchState(null, Long.MinValue))
+          val out = Seq.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              val t = micros(e.ts)
+              val ch =
+                if (st.lastCh != null && t <= st.lastT + windowMicros) st.lastCh
+                else "direct"
+              out += Attribution(ch, e.value)
+            } else st = TouchState(e.event_type, micros(e.ts))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** AvailableNow runner for [[attribution]]: the per-purchase credit
+    * emissions folded into the channel census the batch twin outputs. */
+  def runAttributionAvailableNow(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    runToMemory(attribution(ev, lookbackDays).toDF(), "stream_attribution")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.RoundPortableExpr.r(sum($"value"), 2).as("revenue"))
+  }
+
   /** AvailableNow runner for [[funnel]]: streams the static events
     * parquet through the state machine, then folds the advancement
     * emissions into the same k-row census the batch funnel outputs

@@ -39,7 +39,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "link_fuzzy_capped", "sim_ann_bq", "text_bpe_apply",
     "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill",
     "q_funnel_windowed", "pipeline_er_incremental",
-    "q_event_paths", "q_attribution")
+    "q_event_paths", "q_attribution", "drift_psi", "q_stickiness")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -62,6 +62,22 @@ class PlanShapeSpec extends SparkSpec with Matchers {
 
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     physical("q_topk_price") should include("TakeOrderedAndProject")
+    // path mining's top-10 must fuse the same way (paths ≤ types³,
+    // but the operator shape matters at any cardinality)
+    physical("q_event_paths") should include("TakeOrderedAndProject")
+  }
+
+  test("attribution and stickiness stay one keyed pass + bounded aggregate") {
+    // last-touch lookup must ride the user-keyed window — exactly one
+    // corpus-sized Exchange (user_id), then channel-bounded aggs
+    val attr = physical("q_attribution")
+    attr should not include "CartesianProduct"
+    attr should include("Window [")
+    // stickiness: the 7-day fan-out is a map-side Generate (explode),
+    // never a range self-join — the only join is the day-keyed census
+    val stick = physical("q_stickiness")
+    stick should include("Generate explode")
+    stick should not include "BroadcastNestedLoopJoin"
   }
 
   test("window top-n pushes the rank bound into per-partition heaps") {
