@@ -2325,6 +2325,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           RoundPortableExpr.r(sum($"value"), 2).as("revenue"))
     }),
+    // ---- next-event Markov transition matrix: P(next | current)
+    // over consecutive event pairs per user — the sequence-model
+    // complement of q_event_paths. One lead over the user-keyed
+    // ordered window, then a types²-bounded count and a per-row
+    // normalize by the current-state total (a window over the tiny
+    // matrix, not the corpus). ----
+    "q_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .where($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+      pairs
+        .withColumn("p", RoundPortableExpr.r($"n" / sum($"n").over(tw), 4))
+        .select($"event_type", $"next_type", $"n", $"p")
+    }),
+    // ---- time-to-convert distribution: for users who finish the
+    // windowed funnel, the signup→purchase latency bucketed by day —
+    // the "how long does conversion take" histogram that pairs with
+    // q_funnel_windowed. Reuses the same stage-chain fold; the
+    // output is bounded by the total window span. ----
+    "q_time_to_convert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val stages = Seq("signup", "view", "click", "purchase")
+      val first = ev.where($"event_type" === stages.head)
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val chain = stages.tail.zipWithIndex.foldLeft(first) {
+        case (prev, (st, i)) =>
+          // min(t1) carries the (per-user constant) funnel-entry ts
+          // through each stage aggregation
+          ev.where($"event_type" === st).join(prev, "user_id")
+            .where($"ts" > col(s"t${i + 1}") &&
+              $"ts" <= col(s"t${i + 1}") + expr("INTERVAL 2 DAYS"))
+            .groupBy($"user_id")
+            .agg(min($"ts").as(s"t${i + 2}"), min(col("t1")).as("t1"))
+      }
+      chain
+        .select(floor(($"t4".cast("double") - $"t1".cast("double")) / 86400).cast("long")
+          .as("days_to_convert"))
+        .groupBy($"days_to_convert").agg(count(lit(1)).as("n_users"))
+    }),
     // ---- population-stability-index drift (the industry drift
     // metric, complementing drift_daily's total-variation): purchase
     // `value` distributions of the month's FIRST 15 days (reference)
@@ -4257,6 +4303,36 @@ object SparkEntry {
         |            THEN last_ch ELSE 'direct' END AS channel,
         |       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 2) AS revenue
         |FROM tagged WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |       round(n / sum(n) OVER (PARTITION BY event_type), 4) AS p
+        |FROM m""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2, min(t1) AS t1
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 2 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3, min(t1) AS t1
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 2 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4, min(t1) AS t1
+        |       FROM events e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3
+        |         AND ts <= t3 + INTERVAL 2 DAY GROUP BY 1)
+        |SELECT CAST(floor((epoch(t4) - epoch(t1)) / 86400) AS BIGINT)
+        |         AS days_to_convert,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM s4 GROUP BY 1""".stripMargin,
     "drift_psi" ->
       """WITH ev AS (SELECT value, CAST(ts AS DATE) AS day FROM events
         |            WHERE event_type = 'purchase'),
