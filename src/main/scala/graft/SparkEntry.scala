@@ -2693,6 +2693,38 @@ object SparkEntry {
       Similarity.recallGate(ops.Hnsw.probeGraphBulk(graph, q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
+    // ---- metadata-FILTERED HNSW probe, selectivity-adaptive — the
+    // graph indexes the full corpus, the predicate arrives at query
+    // time: the per-segment search width scales by 1/selectivity
+    // (holding expected eligible candidates at oversample·k), then
+    // survivors rerank. Gate vs the FILTERED exact truth — the HNSW
+    // counterpart of ann_filtered_ivf/_adaptive. ----
+    "ann_hnsw_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      val graph = ops.Hnsw.buildGraph(emb)
+      Similarity.meanRecallGate(
+        ops.Hnsw.probeGraphFiltered(graph, q, k = 10,
+          eligible = emb.where($"label" >= 5)),
+        Similarity.bruteTopK(q, emb.where($"label" >= 5), k = 10),
+        k = 10, floor = 0.7)
+    }),
+    // ---- the TIGHT-predicate path: below the selectivity cutoff the
+    // filtered corpus is already small and the probe degenerates to
+    // the exact scan over survivors (correct and selectivity-priced),
+    // so the gate holds at the exact-search floor. ----
+    "ann_hnsw_filtered_tight" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      val graph = ops.Hnsw.buildGraph(emb)
+      Similarity.meanRecallGate(
+        ops.Hnsw.probeGraphFiltered(graph, q, k = 10,
+          eligible = emb.where($"label" === 3), exactCutoff = 0.15),
+        Similarity.bruteTopK(q, emb.where($"label" === 3), k = 10),
+        k = 10, floor = 0.9)
+    }),
     // ---- PERSISTED HNSW index + probe + segment-append — the
     // reference's full index lifecycle (duckvdb.py:45: build once at
     // bulk load, probe later): graph rows (seg, id, level-indexed
@@ -3452,6 +3484,10 @@ object SparkEntry {
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_bulk" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "ann_hnsw_filtered" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "ann_hnsw_filtered_tight" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_compact" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "layout_zorder" ->

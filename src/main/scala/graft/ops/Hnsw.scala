@@ -377,6 +377,46 @@ object Hnsw {
     rerank(pairs, queries, vectors, k, idCol, embCol, excludeSelf)
   }
 
+  /** Metadata-FILTERED probe with selectivity-adaptive oversampling —
+    * the HNSW counterpart of
+    * [[graft.ops.MlAnn.ivfProbeFilteredAdaptive]]: the graph indexes
+    * the FULL corpus and the predicate arrives at query time as the
+    * eligible-id set. The per-segment search width scales by
+    * 1/selectivity (one tiny semi-join count against the graph's own
+    * rows), holding the EXPECTED eligible candidates at oversample·k,
+    * then the survivors rerank to k. Below `exactCutoff` selectivity
+    * the filtered corpus is already small and the probe degenerates to
+    * the exact scan over survivors — correct and selectivity-priced,
+    * the same escape hatch as the IVF path. */
+  def probeGraphFiltered(graph: DataFrame, queries: DataFrame, k: Int,
+      eligible: DataFrame,
+      m: Int = 16, efSearch: Int = 96,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      oversample: Int = 3, exactCutoff: Double = 0.05): DataFrame = {
+    val elig = eligible.select(col(idCol).as("id"))
+    val total = graph.count()
+    val matched = graph.join(elig, Seq("id"), "left_semi").count()
+    val sel = if (total == 0) 1.0 else matched.toDouble / total
+    if (sel <= exactCutoff) {
+      val vecs = graph.join(elig, Seq("id"), "left_semi")
+        .select(col("id").as(idCol), col("emb").as(embCol))
+      Similarity.bruteTopK(queries, vecs, k, idCol, embCol)
+    } else {
+      val kEff = math.min(total, math.ceil(oversample * k / sel).toLong).toInt
+      val cands = probeGraph(graph, queries, kEff, m,
+        math.max(efSearch, 2 * kEff), idCol, embCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
+      // explicit select: the Seq-key join reorders columns (key first)
+      // and both branches must present the same (query, neighbor,
+      // distance) contract
+      cands.join(elig.select(col("id").as("neighbor_id")), Seq("neighbor_id"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("distance"))
+    }
+  }
+
   /** Distributed BULK-batch probe of a persisted graph — the
     * [[IvfPq.search]] design applied to segments: no driver-side query
     * collect, so the batch side scales past serving size (10k+ query

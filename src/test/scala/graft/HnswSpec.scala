@@ -247,4 +247,31 @@ class HnswSpec extends SparkSpec with Matchers {
     out.length shouldBe 2
     out.map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
   }
+
+  test("filtered probe: adaptive oversampling recovers the filtered exact top-k") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val graph = Hnsw.buildGraph(emb)
+    val eligible = emb.where($"label" >= 5) // ~half the corpus
+    val got = Hnsw.probeGraphFiltered(graph, q, k = 5, eligible)
+    // every returned neighbor satisfies the predicate
+    val ids = eligible.select($"vec_id").collect().map(_.getLong(0)).toSet
+    got.collect().foreach(r => ids should contain(r.getLong(1)))
+    val exact = Similarity.bruteTopK(q, emb.where($"label" >= 5), k = 5)
+    val recall = Similarity.recallAtK(got, exact, k = 5)
+      .agg(avg($"recall")).head.getDouble(0)
+    recall should be >= 0.8
+  }
+
+  test("filtered probe: below the selectivity cutoff it degenerates to the exact scan") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val graph = Hnsw.buildGraph(emb)
+    val eligible = emb.where($"label" === 3) // ~10% of the corpus
+    val got = Hnsw.probeGraphFiltered(graph, q, k = 5, eligible, exactCutoff = 0.15)
+      .collect().toSet
+    val exact = Similarity.bruteTopK(q, emb.where($"label" === 3), k = 5)
+      .collect().toSet
+    got shouldBe exact // the exact branch IS the exact result
+  }
 }
