@@ -2693,6 +2693,38 @@ object SparkEntry {
       Similarity.recallGate(ops.Hnsw.probeGraphBulk(graph, q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
+    // ---- the FILTERED query through the persisted-index facade —
+    // opt-in (indexFilteredProbe): the predicate's survivors become
+    // the eligible surrogate set, Hnsw.probeGraphFiltered widens the
+    // search by 1/selectivity, and the metadata join runs against the
+    // FILTERED table view so every output row satisfies the predicate
+    // even under surrogate collisions. Default facade behavior stays
+    // exact (vdb_knn_indexed pins filtered==exact); this entry gates
+    // the opt-in approximate path on both a moderate and a tight
+    // predicate. ----
+    "vdb_knn_filtered_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-knnfidx").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val rows = emb.select(
+        to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+      val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      db.insertEmbedded(rows)
+      db.table.buildHnswIndex()
+      val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      def recallOf(f: Seq[Filters.Pred]): Double = {
+        val approx = db.queryByVector(qvec, k = 10, filters = f,
+          indexFilteredProbe = true).collect().map(_.id).toSet
+        val exact = db.queryByVector(qvec, k = 10, filters = f,
+          useIndex = false).collect().map(_.id).toSet
+        if (exact.isEmpty) 1.0 else (exact intersect approx).size.toDouble / exact.size
+      }
+      val moderate = recallOf(Seq(Filters.Cmp("label", Filters.CmpOp.Gte, 5)))
+      val tight = recallOf(Seq(Filters.Cmp("label", Filters.CmpOp.Eq, 3)))
+      Seq((0L, if (moderate >= 0.8) 1 else 0, if (tight >= 0.8) 1 else 0))
+        .toDF("query_id", "recall_ok", "tight_ok")
+    }),
     // ---- metadata-FILTERED HNSW probe, selectivity-adaptive — the
     // graph indexes the full corpus, the predicate arrives at query
     // time: the per-segment search width scales by 1/selectivity
@@ -3486,6 +3518,8 @@ object SparkEntry {
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 50",
     "ann_hnsw_filtered" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "vdb_knn_filtered_indexed" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
     "ann_hnsw_filtered_tight" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_compact" ->

@@ -80,11 +80,19 @@ class VectorDB(
     * compares against). */
   def queryByVector(
       vec: Array[Float], k: Int = 10, filters: Seq[Filters.Pred] = Nil,
-      useVariant: Boolean = false, useIndex: Boolean = true): Dataset[Result] = {
+      useVariant: Boolean = false, useIndex: Boolean = true,
+      indexFilteredProbe: Boolean = false): Dataset[Result] = {
     import spark.implicits._
     require(vec.length == dim, s"query dim ${vec.length} != table dim $dim")
     table.hnswGraph match {
       case Some(graph) if useIndex && filters.isEmpty => indexedKnn(graph, vec, k)
+      // OPT-IN extension past the reference contract: route a FILTERED
+      // query through the selectivity-adaptive graph probe
+      // (Hnsw.probeGraphFiltered) instead of the exact corpus scan.
+      // Default stays exact — approximate filtered answers are a
+      // recall-gated choice, never a silent one.
+      case Some(graph) if useIndex && indexFilteredProbe =>
+        indexedFilteredKnn(graph, vec, k, filters, useVariant)
       case _ =>
         val compiled =
           if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
@@ -121,6 +129,40 @@ class VectorDB(
     val hits = ops.Hnsw.probeGraph(graph, q, k, m = meta.m, excludeSelf = false)
       .select(col("neighbor_id").as("__h"), col("distance"))
     table.df
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))
+      .dropDuplicates()
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  /** Filtered probe through the persisted graph: the predicate compiles
+    * against the table view, the survivors' SURROGATE ids (xxhash64 of
+    * the string id — the graph's key space) form the eligible set, and
+    * [[graft.ops.Hnsw.probeGraphFiltered]] widens the per-segment
+    * search by 1/selectivity (exact fallback below the cutoff). The
+    * metadata join runs against the FILTERED table view, so every
+    * output row satisfies the predicate even under a surrogate
+    * collision — approximation affects recall only, never filter
+    * correctness. */
+  private def indexedFilteredKnn(
+      graph: DataFrame, vec: Array[Float], k: Int,
+      filters: Seq[Filters.Pred], useVariant: Boolean): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.hnswIndexMeta.get
+    val compiled =
+      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+      else Filters.compile(filters, col(VectorSchema.METADATA))
+    val filteredView = table.df.where(compiled)
+    val eligible = filteredView
+      .select(xxhash64(col(VectorSchema.ID)).as("vec_id"))
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val hits = ops.Hnsw.probeGraphFiltered(graph, q, k, eligible,
+        m = meta.m, excludeSelf = false)
+      .select(col("neighbor_id").as("__h"), col("distance"))
+    filteredView
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))
       .join(broadcast(hits), Seq("__h"))
       .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))

@@ -392,7 +392,8 @@ object Hnsw {
       eligible: DataFrame,
       m: Int = 16, efSearch: Int = 96,
       idCol: String = "vec_id", embCol: String = "embedding",
-      oversample: Int = 3, exactCutoff: Double = 0.05): DataFrame = {
+      oversample: Int = 3, exactCutoff: Double = 0.05,
+      excludeSelf: Boolean = true): DataFrame = {
     val elig = eligible.select(col(idCol).as("id"))
     val total = graph.count()
     val matched = graph.join(elig, Seq("id"), "left_semi").count()
@@ -400,11 +401,11 @@ object Hnsw {
     if (sel <= exactCutoff) {
       val vecs = graph.join(elig, Seq("id"), "left_semi")
         .select(col("id").as(idCol), col("emb").as(embCol))
-      Similarity.bruteTopK(queries, vecs, k, idCol, embCol)
+      Similarity.bruteTopK(queries, vecs, k, idCol, embCol, excludeSelf)
     } else {
       val kEff = math.min(total, math.ceil(oversample * k / sel).toLong).toInt
       val cands = probeGraph(graph, queries, kEff, m,
-        math.max(efSearch, 2 * kEff), idCol, embCol)
+        math.max(efSearch, 2 * kEff), idCol, embCol, excludeSelf)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
       // explicit select: the Seq-key join reorders columns (key first)
