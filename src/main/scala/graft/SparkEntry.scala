@@ -2108,6 +2108,11 @@ object SparkEntry {
     // batch twin's SQL verbatim (stream == batch proof). ----
     "stream_attribution" -> ((s, dir) =>
       EventStream.runAttributionAvailableNow(s, dir)),
+    // ---- streaming retention cohorts: q_cohort's first-seen-day
+    // matrix as horizon-bounded per-user state (each (user, day)
+    // emits exactly once); oracle is the batch twin's SQL verbatim. ----
+    "stream_cohort" -> ((s, dir) =>
+      EventStream.runCohortsAvailableNow(s, dir)),
     // ---- streaming: sliding windows (1h/30m — every event in 2 windows) ----
     "stream_sliding_window" -> ((s, dir) =>
       EventStream.runSlidingWindowAvailableNow(s, dir)),
@@ -4434,6 +4439,15 @@ object SparkEntry {
         |SELECT dau.day, dau, wau, round(dau / wau, 4) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "q_cohort" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // stream == batch proof: the streaming cohort state machine checks
+    // against the batch first-seen-day matrix's SQL verbatim.
+    "stream_cohort" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
         |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,

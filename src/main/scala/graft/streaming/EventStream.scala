@@ -262,6 +262,56 @@ object EventStream {
       }
   }
 
+  case class CohortState(cohortDay: Int, seen: Seq[Int])
+  case class CohortHit(cohort_day: Int, day_offset: Long)
+
+  /** Retention cohorts as a stateful streaming operator — q_cohort's
+    * first-seen-day matrix maintained incrementally. State per user is
+    * the cohort day (first day seen, fixed forever by in-order
+    * delivery) plus the set of day-offsets already emitted, so each
+    * (user, active-day) pair emits EXACTLY once and
+    * `count(*) GROUP BY (cohort, offset)` over emissions equals the
+    * batch `count(DISTINCT user)`. The seen-set is bounded by the
+    * retention horizon a production deployment tracks (the fixture's
+    * 30-day span here); days are UTC epoch-days to match the batch
+    * twin's `CAST(ts AS DATE)` under the UTC session. */
+  def cohorts(events: Dataset[Event]): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[CohortState]) =>
+          def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+          def epochDay(ts: Timestamp): Int = Math.floorDiv(micros(ts), 86400000000L).toInt
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[CohortHit]
+          sorted.foreach { e =>
+            val d = epochDay(e.ts)
+            if (st == null) st = CohortState(d, Nil)
+            val off = d - st.cohortDay
+            if (!st.seen.contains(off)) {
+              st = st.copy(seen = st.seen :+ off)
+              out += CohortHit(st.cohortDay, off.toLong)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** AvailableNow runner for [[cohorts]]: emissions folded into the
+    * (cohort_day, day_offset) matrix the batch twin outputs. */
+  def runCohortsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    runToMemory(cohorts(ev).toDF(), "stream_cohort")
+      .groupBy(date_from_unix_date($"cohort_day").as("cohort_day"), $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** AvailableNow runner for [[attribution]]: the per-purchase credit
     * emissions folded into the channel census the batch twin outputs. */
   def runAttributionAvailableNow(spark: SparkSession, dir: String,

@@ -63,6 +63,16 @@ class IncrementalAnalyticsSpec extends SparkSpec with Matchers {
     stream shouldBe batch
   }
 
+  test("stream_cohort: the state machine matches the batch matrix on the fixture") {
+    val stream = SparkEntry.queries("stream_cohort")(spark, funnelDir)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("q_cohort")(spark, funnelDir)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    stream shouldBe batch
+  }
+
   test("pipeline_er_incremental: batch bridges two base components == full rerun") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-er").toString
