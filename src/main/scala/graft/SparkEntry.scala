@@ -2330,6 +2330,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           RoundPortableExpr.r(sum($"value"), 2).as("revenue"))
     }),
+    // ---- EWMA control chart on daily revenue — the smoothing
+    // complement of q_anomaly_zscore's trailing z-flags. The
+    // recursion ewma_t = α·x_t + (1−α)·ewma_{t−1} unrolls to the
+    // closed-form weight triangle, computed as a (t, i≤t) self-join
+    // on the O(days) daily series — bounded by days² BY CONSTRUCTION
+    // after the one corpus-sized keyed agg, and closed-form weights
+    // are engine-portable where a recursive fold is not. ----
+    "q_anomaly_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val a = 0.3
+      val daily = Tables.events(s, dir).where($"event_type" === "purchase")
+        .groupBy(to_date($"ts").as("day")).agg(sum($"value").as("rev"))
+      val idx = daily.withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"day")))
+      val x = idx.select($"day", $"rev", $"t")
+      val e = idx.select($"rev".as("erev"), $"t".as("et"))
+      val wgt = when($"et" === 1, pow(lit(1 - a), $"t" - 1))
+        .otherwise(lit(a) * pow(lit(1 - a), $"t" - $"et"))
+      x.join(e, $"et" <= $"t")
+        .groupBy($"day", $"rev")
+        .agg(sum(wgt * $"erev").as("ewma"))
+        .select($"day", RoundPortableExpr.r($"rev", 2).as("revenue"),
+          RoundPortableExpr.r($"ewma", 2).as("ewma"))
+    }),
     // ---- next-event Markov transition matrix: P(next | current)
     // over consecutive event pairs per user — the sequence-model
     // complement of q_event_paths. One lead over the user-keyed
@@ -4378,6 +4402,16 @@ object SparkEntry {
         |            THEN last_ch ELSE 'direct' END AS channel,
         |       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 2) AS revenue
         |FROM tagged WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_anomaly_ewma" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+        |               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS t FROM daily)
+        |SELECT x.day, round(x.rev, 2) AS revenue,
+        |       round(sum(CASE WHEN e.t = 1 THEN power(0.7, x.t - 1)
+        |                      ELSE 0.3 * power(0.7, x.t - e.t) END * e.rev),
+        |             2) AS ewma
+        |FROM idx x JOIN idx e ON e.t <= x.t
+        |GROUP BY x.day, x.rev""".stripMargin,
     "q_event_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type,
