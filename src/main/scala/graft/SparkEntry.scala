@@ -2722,6 +2722,34 @@ object SparkEntry {
       Similarity.recallGate(ops.Hnsw.probeGraphBulk(graph, q, k = 10),
         Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
     }),
+    // ---- the persisted index under MERGE-ON-READ DELETES: the graph
+    // still contains tombstoned rows until a rebuild, so the probe
+    // widens to k + tombstones — without it the facade silently
+    // returned k − deleted rows (caught by a spec this round). The
+    // query deletes the CURRENT top-3 then asserts k live rows, zero
+    // dead ids, and recall vs the exact post-delete truth. ----
+    "vdb_knn_indexed_delete" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-knndel").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val rows = emb.select(
+        to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+      val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      db.insertEmbedded(rows)
+      db.table.buildHnswIndex()
+      val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      val top = db.queryByVector(qvec, k = 3, useIndex = false).collect().map(_.id).toSet
+      db.table.delete(col(graft.core.VectorSchema.ID).isin(top.toSeq: _*))
+      val got = db.queryByVector(qvec, k = 10).collect()
+      val gotIds = got.map(_.id).toSet
+      val exact = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
+      Seq((0L,
+        if (got.length == 10) 1 else 0,
+        if ((gotIds intersect top).isEmpty) 1 else 0,
+        if ((exact intersect gotIds).size.toDouble / exact.size >= 0.9) 1 else 0))
+        .toDF("query_id", "k_ok", "no_dead_ok", "recall_ok")
+    }),
     // ---- the FILTERED query through the persisted-index facade —
     // opt-in (indexFilteredProbe): the predicate's survivors become
     // the eligible surrogate set, Hnsw.probeGraphFiltered widens the
@@ -3549,6 +3577,8 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "vdb_knn_filtered_indexed" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
+    "vdb_knn_indexed_delete" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS k_ok, 1 AS no_dead_ok, 1 AS recall_ok",
     "ann_hnsw_filtered_tight" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_compact" ->

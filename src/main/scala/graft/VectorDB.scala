@@ -126,7 +126,14 @@ class VectorDB(
     import spark.implicits._
     val meta = table.hnswIndexMeta.get
     val q = Seq((0L, vec)).toDF("vec_id", "embedding")
-    val hits = ops.Hnsw.probeGraph(graph, q, k, m = meta.m, excludeSelf = false)
+    // merge-on-read deletes never rewrite the graph, so every
+    // tombstoned-but-indexed row can occupy a probe slot: widen to
+    // k + tombstones so k LIVE rows always survive the metadata join
+    // (worst case: the k nearest are all deleted). Heavy-delete tables
+    // should rebuild — buildHnswIndex clears the debt — so the widened
+    // width is transient maintenance cost, not steady state.
+    val kProbe = k + math.min(table.tombstoneCount, Int.MaxValue.toLong - k).toInt
+    val hits = ops.Hnsw.probeGraph(graph, q, kProbe, m = meta.m, excludeSelf = false)
       .select(col("neighbor_id").as("__h"), col("distance"))
     table.df
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))

@@ -236,6 +236,15 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  /** Distinct tombstoned ids — the index-probe widening bound: a
+    * persisted graph still contains deleted rows until a rebuild, so
+    * an index probe must surface k + tombstones candidates to
+    * guarantee k LIVE results. Zero-cost when no delete ever ran. */
+  def tombstoneCount: Long =
+    if (!fs.exists(tombPath)) 0L
+    else spark.read.parquet(tombPath.toString)
+      .select(VectorSchema.ID).distinct().count()
+
   // ---- manifest snapshots (time travel) ----
 
   private def snapsRoot = new Path(root + ".snapshots")

@@ -123,6 +123,24 @@ class VectorDBSpec extends SparkSpec with Matchers {
     db.table.hnswGraph shouldBe None
   }
 
+  test("indexed query under merge-on-read deletes still returns k live rows") {
+    val db = newDb("t6d")
+    db.insert(docs(40), embedField = Some("text"))
+    db.table.buildHnswIndex()
+    val qv = db.embedder.embed("spark joins")
+    // tombstone the CURRENT top-3 — the graph still contains them, so a
+    // naive k-probe would surface 3 dead hits and return only k-3 rows
+    val top3 = db.queryByVector(qv, k = 3, useIndex = false).collect().map(_.id).toSet
+    db.table.delete(col(graft.core.VectorSchema.ID).isin(top3.toSeq: _*))
+    val got = db.queryByVector(qv, k = 10).collect()
+    got.length shouldBe 10
+    got.map(_.id).toSet intersect top3 shouldBe empty
+    val exact = db.queryByVector(qv, k = 10, useIndex = false).collect()
+    got.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted shouldBe
+      exact.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted
+    db.table.drop()
+  }
+
   test("embedder registry: unknown name raises (vdb.py:24-27)") {
     intercept[IllegalArgumentException](Embedders.forName("no-such-embedder"))
   }
