@@ -338,6 +338,13 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       fs.rename(tmp, hadoopPath)
       fs.delete(tombPath, true)
       expireSnapshots() // data files rewritten: retention-zero expiry
+      // a vacuum erases the tombstone table the index probe widens by,
+      // but the persisted graph still carries the dead ids — rebuild it
+      // over the now-physical live set, or the probe under-returns
+      // silently (k − deleted rows). A vacuum is already a full data
+      // rewrite; the index rebuild is the same proportional cost.
+      hnswIndexMeta.foreach(meta =>
+        buildHnswIndex(m = meta.m, efConstruction = meta.efConstruction))
     }
     this
   }

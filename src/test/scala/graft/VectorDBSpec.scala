@@ -138,6 +138,14 @@ class VectorDBSpec extends SparkSpec with Matchers {
     val exact = db.queryByVector(qv, k = 10, useIndex = false).collect()
     got.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted shouldBe
       exact.map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted
+    // vacuum clears the tombstone table the probe widens by — it must
+    // rebuild the graph too, or the dead ids under-return k silently
+    db.table.vacuum()
+    db.table.tombstoneCount shouldBe 0L
+    db.table.hnswGraph.get.count() shouldBe 37 // dead ids physically gone
+    val after = db.queryByVector(qv, k = 10).collect()
+    after.length shouldBe 10
+    after.map(_.id).toSet intersect top3 shouldBe empty
     db.table.drop()
   }
 
