@@ -300,6 +300,51 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.exact(docs.union(docs.where($"doc_id" < 100)), "text", "doc_id")
     }),
+    // ---- cross-modal pair filtering (the LAION/CLIP-filter shape):
+    // each document's TEXT embedding scored against its paired
+    // "image" vector (the embeddings table keyed by the same id), and
+    // the worst-aligned pairs surface as drop candidates — the
+    // curation gate every paired multimodal dataset runs. Map-side
+    // embed + one id-keyed join + a global bottom-k that plans as
+    // TakeOrderedAndProject. ----
+    "mm_crossmodal_align" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"source", $"text")
+      val txt = graft.embed.EmbedOps.withEmbedding(docs, "text", "hashing")
+      val img = s.read.parquet(t(dir, "embeddings"))
+        .select($"vec_id".as("doc_id"), $"embedding".as("img_emb"))
+      txt.join(img, "doc_id")
+        .select($"doc_id", $"source", RoundPortableExpr.r(
+          lit(1.0) - graft.functions.VectorFunctions.cosineDistance($"embedding", $"img_emb"),
+          4).as("align"))
+        .orderBy($"align".asc, $"doc_id")
+        .limit(10)
+    }),
+    // ---- hard-negative mining for embedding training: per query,
+    // the top-5 nearest neighbors inside a distance BAND — below it
+    // are near-duplicates/positives (useless or harmful negatives),
+    // above it are easy negatives the loss ignores. The standard
+    // contrastive-training data-prep op; the plan is the bounded
+    // query-panel broadcast (sim_knn_batch's shape) with the band
+    // predicate ahead of the per-query top-k heap. ----
+    "sim_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"distance".asc, $"neighbor_id".asc)
+      c.crossJoin(broadcast(q))
+        .where($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id", RoundPortableExpr.r(
+          graft.functions.VectorFunctions.cosineDistance($"c_emb", $"q_emb"), 4)
+          .as("distance"))
+        .where($"distance" > 0.55 && $"distance" <= 0.85)
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"distance")
+    }),
     "dedup_jaccard_block" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, threshold = 0.8, blockCol = Some("source"))),
@@ -1177,6 +1222,24 @@ object SparkEntry {
     // reproducible across runs/engines (no RNG), stratification audited
     // per language. At 100 TB the split is a map-only projection — no
     // shuffle beyond the audit aggregation. ----
+    // ---- STRATIFIED eval-set carving: exactly nPer=10 docs per
+    // language held out, chosen by deterministic salted-hash order
+    // (id tiebreak) — the balanced-eval construction a plain hash
+    // split can't give (a 1% language would land ~0 eval docs). One
+    // lang-keyed window; quota exactness is the contract (a language
+    // with ≤ 10 docs contributes all of them). ----
+    "text_split_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("strat:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(h, $"doc_id")
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("split", when($"rk" <= 10, "eval").otherwise("train"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_chars"))
+    }),
     "text_train_split" -> ((s, dir) => {
       import s.implicits._
       val h = conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
@@ -5138,6 +5201,39 @@ object SparkEntry {
          |            THEN 'train' ELSE 'test' END AS split,
          |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_split_stratified" ->
+      s"""WITH r AS (
+         |  SELECT lang, n_chars,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${hexLongSql("'strat:' || CAST(doc_id AS VARCHAR)")},
+         |                    doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, CASE WHEN rk <= 10 THEN 'eval' ELSE 'train' END AS split,
+         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM r GROUP BY 1, 2""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings),
+        |d AS (SELECT query_id, neighbor_id,
+        |             round(1 - list_cosine_similarity(ce, qe), 4) AS distance
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |b AS (SELECT query_id, neighbor_id, distance,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY distance, neighbor_id) AS rk
+        |      FROM d WHERE distance > 0.55 AND distance <= 0.85)
+        |SELECT query_id, neighbor_id, distance FROM b WHERE rk <= 5""".stripMargin,
+    "mm_crossmodal_align" ->
+      s"""WITH acc AS (SELECT doc_id, source, ${hashingEmbedAccSql("text", 64)} AS a
+         |             FROM documents),
+         |e AS (SELECT doc_id, source, ${hashingEmbedNormSql("a")} AS emb FROM acc)
+         |SELECT e.doc_id, e.source,
+         |       round(list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+         |                                    CAST(i.embedding AS DOUBLE[])), 4) AS align
+         |FROM e JOIN embeddings i ON i.vec_id = e.doc_id
+         |ORDER BY align, e.doc_id LIMIT 10""".stripMargin,
     "text_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
