@@ -2302,6 +2302,40 @@ object SparkEntry {
           RoundPortableExpr.r($"n_view_click_purchase" / $"n_view_click", 4)
             .as("click_to_purchase"))
     }),
+    // ---- WITHIN-SESSION funnel: view → click → purchase ordered
+    // inside the SAME 30-min-gap session — the session boundary IS
+    // the conversion window, composing the q_sessionize assignment
+    // (identical gap semantics, micros precision) with the stage
+    // chain keyed on (user, session). Counts are converting SESSIONS,
+    // the unit session-scoped product analytics reports. ----
+    "q_funnel_sessionized" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val gapUs = 1800L * 1000000L
+      val lagUs = lag(unix_micros($"ts"), 1).over(w)
+      val sess = ev.withColumn("new_s",
+          when(lagUs.isNull || (unix_micros($"ts") - lagUs) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_s")
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select($"user_id", $"session_id", $"ts", $"event_type")
+      val v = sess.where($"event_type" === "view")
+        .groupBy($"user_id", $"session_id").agg(min($"ts").as("t1"))
+      val c = sess.where($"event_type" === "click")
+        .join(v, Seq("user_id", "session_id")).where($"ts" > $"t1")
+        .groupBy($"user_id", $"session_id").agg(min($"ts").as("t2"))
+      val p = sess.where($"event_type" === "purchase")
+        .join(c, Seq("user_id", "session_id")).where($"ts" > $"t2")
+        .groupBy($"user_id", $"session_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view_sessions"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_sessions"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_sessions"))))
+        .select($"n_view_sessions", $"n_click_sessions", $"n_purchase_sessions",
+          RoundPortableExpr.r(
+            $"n_purchase_sessions" / greatest($"n_view_sessions", lit(1L)), 4)
+            .as("session_conversion"))
+    }),
     // ---- k-stage WINDOWED funnel, the form product analytics
     // actually ships: an arbitrary ordered stage list (here 4:
     // signup → view → click → purchase) where each conversion must
@@ -4404,6 +4438,33 @@ object SparkEntry {
         |         AS view_to_click,
         |       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
         |         AS click_to_purchase""".stripMargin,
+    "q_funnel_sessionized" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_id
+        |  FROM g
+        |), v AS (SELECT user_id, session_id, min(ts) AS t1 FROM s
+        |         WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT s.user_id, s.session_id, min(ts) AS t2
+        |      FROM s JOIN v USING (user_id, session_id)
+        |      WHERE event_type = 'click' AND ts > t1 GROUP BY 1, 2),
+        |p AS (SELECT s.user_id, s.session_id, min(ts) AS t3
+        |      FROM s JOIN c USING (user_id, session_id)
+        |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1, 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_sessions,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_sessions,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_sessions,
+        |       round((SELECT count(*) FROM p) /
+        |             greatest((SELECT count(*) FROM v), 1), 4) AS session_conversion""".stripMargin,
     "q_funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

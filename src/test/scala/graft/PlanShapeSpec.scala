@@ -41,7 +41,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_funnel_windowed", "pipeline_er_incremental",
     "q_event_paths", "q_attribution", "drift_psi", "q_stickiness",
     "q_event_transitions", "q_time_to_convert",
-    "text_split_stratified", "mm_crossmodal_align")
+    "text_split_stratified", "mm_crossmodal_align", "q_funnel_sessionized")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
