@@ -2497,6 +2497,39 @@ object SparkEntry {
           .as("days_to_convert"))
         .groupBy($"days_to_convert").agg(count(lit(1)).as("n_users"))
     }),
+    // ---- RFM segmentation, the classic customer-value model:
+    // per-user Recency (days since last purchase vs the corpus max
+    // day), Frequency (purchase count), Monetary (revenue sum), each
+    // scored into quintiles — ntile over a TOTAL order (value +
+    // user_id tiebreak, so both engines agree on every boundary) —
+    // and the census of the 5×5×5 segment space. One corpus-keyed
+    // agg first, so the global ntile windows sort USERS, not events —
+    // one narrow row per user through a single sorted partition.
+    // Envelope: fine to ~10⁸ users (a few GB of (id, value) rows);
+    // past that, switch the scorer to percentile thresholds computed
+    // by an aggregate and assigned map-side. ----
+    "q_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where($"event_type" === "purchase")
+      val maxDay = ev.agg(max(to_date($"ts")).as("d1"))
+      val base = ev.groupBy($"user_id")
+        .agg(max(to_date($"ts")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum($"value").as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .select($"user_id",
+          datediff($"d1", $"last_day").cast("long").as("recency"),
+          $"freq", $"monetary")
+      def quint(c: org.apache.spark.sql.Column, asc: Boolean) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          (if (asc) c.asc else c.desc), $"user_id".asc))
+      base
+        .withColumn("r", quint($"recency", asc = true)) // low recency = best
+        .withColumn("f", quint($"freq", asc = false))
+        .withColumn("m", quint($"monetary", asc = false))
+        .select(concat($"r", $"f", $"m").as("segment"))
+        .groupBy($"segment").agg(count(lit(1)).as("n_users"))
+    }),
     // ---- population-stability-index drift (the industry drift
     // metric, complementing drift_daily's total-variation): purchase
     // `value` distributions of the month's FIRST 15 days (reference)
@@ -4596,6 +4629,23 @@ object SparkEntry {
         |         AS days_to_convert,
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM s4 GROUP BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(day) AS d1 FROM p),
+        |base AS (
+        |  SELECT user_id, date_diff('day', max(day), (SELECT d1 FROM mx)) AS recency,
+        |         count(*) AS freq, sum(value) AS monetary
+        |  FROM p GROUP BY 1),
+        |scored AS (
+        |  SELECT ntile(5) OVER (ORDER BY recency, user_id) AS r,
+        |         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+        |  FROM base)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |         AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM scored GROUP BY 1""".stripMargin,
     "drift_psi" ->
       """WITH ev AS (SELECT value, CAST(ts AS DATE) AS day FROM events
         |            WHERE event_type = 'purchase'),
