@@ -2497,6 +2497,28 @@ object SparkEntry {
           .as("days_to_convert"))
         .groupBy($"days_to_convert").agg(count(lit(1)).as("n_users"))
     }),
+    // ---- REAGGREGATABLE sketch rollup with the built-in Datasketches
+    // HLL (vs agg_kmv/agg_sketch_algebra's custom aggregators): daily
+    // user sketches are built ONCE from the corpus, then the weekly
+    // rollup unions the daily sketch column — never re-reading raw
+    // events — and the estimate gates against the exact weekly
+    // distinct within 5%. THE 100 TB rollup pattern: precompute
+    // per-partition sketches, merge any range on demand at
+    // O(sketch-bytes), not O(events). ----
+    "agg_hll_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date($"ts").as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val weekly = daily.groupBy(weekofyear($"day").as("week"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.select(weekofyear(to_date($"ts")).as("week"), $"user_id").distinct()
+        .groupBy($"week").agg(count(lit(1)).as("exact_users"))
+      weekly.join(exact, "week")
+        .select($"week", $"exact_users",
+          when(abs($"est" - $"exact_users") / $"exact_users" <= 0.05, 1).otherwise(0)
+            .as("within_tol"))
+    }),
     // ---- RFM segmentation, the classic customer-value model:
     // per-user Recency (days since last purchase vs the corpus max
     // day), Frequency (purchase count), Monetary (revenue sum), each
@@ -4629,6 +4651,11 @@ object SparkEntry {
         |         AS days_to_convert,
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM s4 GROUP BY 1""".stripMargin,
+    "agg_hll_partitioned" ->
+      """SELECT CAST(week(CAST(ts AS DATE)) AS INTEGER) AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       1 AS within_tol
+        |FROM events GROUP BY 1""".stripMargin,
     "q_rfm" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
         |           WHERE event_type = 'purchase'),
