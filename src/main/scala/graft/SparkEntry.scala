@@ -2497,6 +2497,33 @@ object SparkEntry {
           .as("days_to_convert"))
         .groupBy($"days_to_convert").agg(count(lit(1)).as("n_users"))
     }),
+    // ---- Pareto revenue concentration ("what share do the top 10%
+    // drive"): users ranked by revenue into deciles, per-decile share
+    // and cumulative share. Same envelope as q_rfm: the global ntile
+    // sorts one narrow row per USER after the keyed agg; the share
+    // windows run on the 10-row decile table. ----
+    "q_pareto" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Tables.events(s, dir).where($"event_type" === "purchase")
+        .groupBy($"user_id").agg(sum($"value").as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"rev".desc, $"user_id".asc)
+      val deciles = byUser.withColumn("decile", ntile(10).over(w))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), sum($"rev").as("drev"))
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val cum = org.apache.spark.sql.expressions.Window
+        .orderBy($"decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      deciles
+        .withColumn("share", $"drev" / sum($"drev").over(tot))
+        .withColumn("cum_share", sum($"drev").over(cum) / sum($"drev").over(tot))
+        .select($"decile", $"n_users",
+          RoundPortableExpr.r($"drev", 2).as("revenue"),
+          RoundPortableExpr.r($"share", 4).as("rev_share"),
+          RoundPortableExpr.r($"cum_share", 4).as("cum_share"))
+    }),
     // ---- REAGGREGATABLE sketch rollup with the built-in Datasketches
     // HLL (vs agg_kmv/agg_sketch_algebra's custom aggregators): daily
     // user sketches are built ONCE from the corpus, then the weekly
@@ -4651,6 +4678,20 @@ object SparkEntry {
         |         AS days_to_convert,
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM s4 GROUP BY 1""".stripMargin,
+    "q_pareto" ->
+      """WITH byu AS (SELECT user_id, sum(value) AS rev FROM events
+        |             WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT ntile(10) OVER (ORDER BY rev DESC, user_id) AS decile, rev
+        |      FROM byu),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |             sum(rev) AS drev
+        |      FROM d GROUP BY 1)
+        |SELECT decile, n_users, round(drev, 2) AS revenue,
+        |       round(drev / sum(drev) OVER (), 4) AS rev_share,
+        |       round(sum(drev) OVER (ORDER BY decile
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             / sum(drev) OVER (), 4) AS cum_share
+        |FROM g""".stripMargin,
     "agg_hll_partitioned" ->
       """SELECT CAST(week(CAST(ts AS DATE)) AS INTEGER) AS week,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
