@@ -120,6 +120,36 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$target/customer.parquet")
   }
 
+  /** Synthesizes `target/{orders,lineitem}.parquet` as `copies`×src:
+    * order/part/supplier keys offset per copy (orders join their own
+    * copy's customers via the `generateCustomer` offset scheme; parts
+    * never co-occur across copies, so market-basket pair counts scale
+    * linearly instead of welding cross-copy cliques), dates / statuses
+    * / amounts kept — the SCD2 run-length structure and the regression
+    * moments scale in rows, not in distribution. */
+  def generateRelational(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$target/orders.parquet").exists &&
+        new java.io.File(s"$target/lineitem.parquet").exists) return
+    new java.io.File(target).mkdirs()
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { k =>
+      ord.select(($"o_orderkey" + lit(k * 100000000L)).as("o_orderkey"),
+        ($"o_custkey" + lit(k * 1000000L)).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$target/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { k =>
+      li.select(($"l_orderkey" + lit(k * 100000000L)).as("l_orderkey"),
+        ($"l_partkey" + lit(k * 1000000L)).as("l_partkey"),
+        ($"l_suppkey" + lit(k * 1000000L)).as("l_suppkey"),
+        $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+        $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$target/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")
     val target = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-sf1")
@@ -149,6 +179,7 @@ object ScaleStress {
     generate(spark, src, target, copies)
     generateEmbeddings(spark, src, target, copies)
     generateCustomer(spark, src, target, copies)
+    generateRelational(spark, src, target, copies)
 
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong

@@ -133,6 +133,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between a float32 vector column and a float64
+  * vector (typically a broadcast/literal k-means centroid — updates are
+  * double-precision means, so the right side keeps double width).
+  * Widen-then-accumulate left-to-right, same protocol as the other
+  * kernels, so interpreted eval and codegen agree bitwise. */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractDT] =
+    Seq(GraftBridge.floatArrayType, GraftBridge.doubleArrayType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_sq_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"l2_sq_distance: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    }
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("l2_sq_distance: dimension mismatch (" +
+         |    $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API + SQL registration for the custom vector expressions. */
 object VectorFunctions {
   def cosineDistance(a: Column, b: Column): Column =
@@ -140,6 +197,9 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def l2SqDistance(a: Column, b: Column): Column =
+    GraftBridge.column(L2SqDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Registers `cosine_distance` / `dot_product` for use from SQL. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series smoothing/forecasting over keyed daily series (Holt's
+  * linear-trend double exponential smoothing — the workhorse one step up
+  * from a moving average, and the base of Holt-Winters).
+  *
+  * Scale shape: the recursion is sequential IN TIME but embarrassingly
+  * parallel ACROSS KEYS — `groupByKey(key).flatMapGroups` puts each
+  * series on one task, and a series is census-sized by construction
+  * (one row per key per day: years of daily history is O(10³) rows),
+  * so the in-memory sort inside a group is bounded. This is the same
+  * envelope contract as the gap-fill/LOCF and EWMA ops.
+  *
+  * Determinism: the recursion is pure IEEE double arithmetic, so given
+  * bit-identical inputs both engines (Spark vs the oracle's recursive
+  * CTE) produce bit-identical states; callers must round the INPUT
+  * series (daily sums are summation-order-dependent) before fitting.
+  * α/β should be dyadic rationals (0.5, 0.25) so the literals are exact
+  * in binary on both sides.
+  */
+object Forecast {
+
+  // Not `private`: the Dataset encoder's generated projection code
+  // constructs these reflectively and can't reach private members.
+  case class In(key: String, t: Long, y: Double)
+  case class Out(key: String, t: Long, level: Double, trend: Double,
+      forecast: Double)
+
+  /** Holt's linear method per key. Input columns: `keyCol` (string),
+    * `tCol` (long, consecutive time index within key), `yCol` (double,
+    * pre-rounded). Init: level₁ = y₁, trend₁ = y₂ − y₁ (series of
+    * length 1 emit trend 0). `forecast` is the one-step-ahead forecast
+    * made AT t (i.e. for t+1): level + trend. */
+  def holt(df: DataFrame, keyCol: String, tCol: String, yCol: String,
+      alpha: Double, beta: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"), col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .as[In]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, rows) =>
+        val series = rows.toArray.sortBy(_.t)
+        if (series.isEmpty) Iterator.empty
+        else {
+          var level = series(0).y
+          var trend = if (series.length > 1) series(1).y - series(0).y else 0.0
+          val out = Array.newBuilder[Out]
+          out += Out(key, series(0).t, level, trend, level + trend)
+          var i = 1
+          while (i < series.length) {
+            val prevLevel = level
+            level = alpha * series(i).y + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prevLevel) + (1.0 - beta) * trend
+            out += Out(key, series(i).t, level, trend, level + trend)
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("key", "t", "level", "trend", "forecast")
+  }
+}

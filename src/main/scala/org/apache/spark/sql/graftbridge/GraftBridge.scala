@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DoubleType, FloatType}
 
 /** Minimal bridge into `private[sql]` Spark internals, isolated in one
   * place: Column ↔ Expression conversion (the supported internal path in
@@ -14,5 +14,6 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   val floatArrayType: AbstractDataType = ArrayType(FloatType)
+  val doubleArrayType: AbstractDataType = ArrayType(DoubleType)
   type AbstractDT = AbstractDataType
 }

@@ -91,6 +91,30 @@ class MultimodalMlSpec extends SparkSpec with Matchers {
     viaRebuild shouldBe probed
   }
 
+  test("ml: adaptiveNProbe — exact fallback under the floor, density floor above it") {
+    // under the exact floor the probe widens to ALL cells regardless of base
+    MlAnn.adaptiveNProbe(n = 500L, nCells = 16, k = 10, baseNProbe = 8) shouldBe 16
+    MlAnn.adaptiveNProbe(n = 9999L, nCells = 16, k = 10, baseNProbe = 2) shouldBe 16
+    // large corpus: baseNProbe wins (density floor is tiny)
+    MlAnn.adaptiveNProbe(n = 1000000L, nCells = 16, k = 10, baseNProbe = 8) shouldBe 8
+    // mid corpus where density floor exceeds base: ceil(4*10*64/20000)=1 < 8 → 8;
+    // make density bind: k=100, nCells=64, n=20k → ceil(4*100*64/20000)=2 → base 1 loses
+    MlAnn.adaptiveNProbe(n = 20000L, nCells = 64, k = 100, baseNProbe = 1) shouldBe 2
+    // never exceeds nCells
+    MlAnn.adaptiveNProbe(n = 10001L, nCells = 4, k = 1000, baseNProbe = 8) shouldBe 4
+  }
+
+  test("ml: ivfProbeAdaptive on a tiny corpus equals brute force (exact fallback)") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 5)
+    val index = MlAnn.ivfBuild(emb, nCells = 4)
+    val probed = MlAnn.ivfProbeAdaptive(index, queries, k = 3, baseNProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probed shouldBe brute
+  }
+
   test("multimodal: WAV round-trip — real RIFF encode/decode recovers the PCM formula") {
     val stats = Multimodal.decodeWavStats(Multimodal.wavMediaTable(docs)).limit(10).collect()
     stats.foreach { r =>
