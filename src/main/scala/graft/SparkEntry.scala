@@ -28,6 +28,26 @@ object SparkEntry {
     * margin covers fixture drift. */
   private val KcoreUnrollRounds = 8
 
+  /** The capped co-click user-pair derivation shared (as SQL text) by
+    * the graph_bfs oracle — the same shape graph_kcore inlines: ≤40
+    * users per item (rank by user id), pairs sharing ≥5 items. */
+  private val coClickPairsSql: String =
+    """SELECT a.u AS u, b.u AS v
+      |FROM (SELECT u, i FROM (
+      |        SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+      |        FROM (SELECT DISTINCT user_id AS u,
+      |                     CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+      |              FROM events WHERE event_type = 'click'))
+      |      WHERE rn <= 40) a
+      |JOIN (SELECT u, i FROM (
+      |        SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+      |        FROM (SELECT DISTINCT user_id AS u,
+      |                     CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+      |              FROM events WHERE event_type = 'click'))
+      |      WHERE rn <= 40) b
+      |  ON a.i = b.i AND a.u < b.u
+      |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
   /** Hybrid-search query terms — chosen for idf spread on the fixture
     * vocabulary ('dup' rare, 'vector'/'query' common). Shared by
     * search_bm25 / search_hybrid_rrf and their oracle twins. */
@@ -4166,6 +4186,322 @@ object SparkEntry {
       trended.join(broadcast(seasonal), "dow")
         .select($"day", $"y", $"trend", $"seasonal",
           RoundPortableExpr.r($"y" - $"trend" - $"seasonal", 4).as("resid"))
+    }),
+    // ---- multi-source BFS over the (symmetrized) co-click graph:
+    // shortest hop distance from the 5 lowest-id users — the
+    // reachability/proximity primitive (crawl frontier depth, blast
+    // radius) the graph family lacked. Per round one frontier
+    // semi-join + one visited anti-join, both keyed, shuffle linear in
+    // frontier out-edges; output = the bounded level census. Same
+    // capped co-click edge derivation as graph_kcore (≤40 users/item,
+    // ≥5 shared items). Oracle = 6 unrolled level CTEs. ----
+    "graph_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wcap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val capped = clicks.withColumn("rn", row_number().over(wcap))
+        .where($"rn" <= 40).drop("rn")
+      val co = capped.alias("a").join(capped.alias("b"),
+          $"a.i" === $"b.i" && $"a.u" < $"b.u")
+        .groupBy($"a.u".as("u"), $"b.u".as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 5)
+        .select($"u", $"v")
+      val sym = co.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(co.select($"v".as("src"), $"u".as("dst")))
+      val seeds = sym.select($"src".as("id")).unionAll(sym.select($"dst".as("id")))
+        .distinct().orderBy($"id").limit(5)
+      ops.Graph.bfs(sym, seeds, maxDepth = 6)
+    }),
+    // ---- item-item collaborative filtering (the co-visitation
+    // recommender): cosine similarity over binary user-click vectors,
+    // top-3 neighbors per item. Hub guards ON BY DEFAULT both ways
+    // (≤40 users/item THEN ≤40 items/user, rank by id — the same
+    // deterministic hub-sampling as graph_kcore) so pair volume is
+    // bounded by users·cap² regardless of popularity skew; cosine
+    // denominators use the POST-cap item counts so the score is
+    // internally consistent with the sampled graph. One user-keyed
+    // pair shuffle + two broadcast count joins. ----
+    "rec_item_item" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wci = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val wcu = org.apache.spark.sql.expressions.Window
+        .partitionBy($"u").orderBy($"i")
+      val capped = clicks
+        .withColumn("rn", row_number().over(wci)).where($"rn" <= 40).drop("rn")
+        .withColumn("rn", row_number().over(wcu)).where($"rn" <= 40).drop("rn")
+      val ni = capped.groupBy($"i").agg(count(lit(1)).as("n"))
+      val cooc = capped.alias("a").join(capped.alias("b"),
+          $"a.u" === $"b.u" && $"a.i" < $"b.i")
+        .groupBy($"a.i".as("ia"), $"b.i".as("ib"))
+        .agg(count(lit(1)).as("c"))
+        .where($"c" >= 3)
+      val directed = cooc.select($"ia".as("item"), $"ib".as("rec"), $"c")
+        .unionAll(cooc.select($"ib".as("item"), $"ia".as("rec"), $"c"))
+      val scored = directed
+        .join(broadcast(ni.select($"i".as("item"), $"n".as("nitem"))), "item")
+        .join(broadcast(ni.select($"i".as("rec"), $"n".as("nrec"))), "rec")
+        .select($"item", $"rec", $"c",
+          RoundPortableExpr.r(
+            $"c".cast("double") / sqrt(($"nitem" * $"nrec").cast("double")), 6)
+            .as("cosine"))
+      val wtop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"item").orderBy($"cosine".desc, $"rec".asc)
+      scored.withColumn("rank", row_number().over(wtop).cast("long"))
+        .where($"rank" <= 3)
+        .select($"item", $"rank", $"rec", $"cosine")
+    }),
+    // ---- chi-square feature selection: top-10 class-indicative tokens
+    // per language by the 2×2 presence/class χ² statistic — the
+    // classic supervised vocabulary filter feeding NB/LR training.
+    // Counts are exact integers (one distinct-presence shuffle linear
+    // in tokens, class census broadcast); the statistic is pure IEEE
+    // double arithmetic from exact inputs, identical cross-engine
+    // before the 4-decimal round. Tokens present in every document are
+    // excluded (degenerate denominator). ----
+    "ml_chi2_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val docTok = docs
+        .select($"doc_id", $"lang", explode(array_distinct(words($"text"))).as("tok"))
+        .where(length($"tok") > 0)
+      val classTot = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
+      val tokTot = docTok.groupBy($"tok").agg(count(lit(1)).as("nt"))
+      val joint = docTok.groupBy($"lang", $"tok").agg(count(lit(1)).as("a"))
+      val det = $"a".cast("double") * ($"n" - $"nc" - $"nt" + $"a") -
+        ($"nt" - $"a").cast("double") * ($"nc" - $"a")
+      val scored = joint
+        .join(broadcast(classTot), "lang")
+        .join(tokTot, "tok")
+        .crossJoin(broadcast(nRow))
+        .where($"nt" < $"n")
+        .select($"lang", $"tok",
+          RoundPortableExpr.r(($"n".cast("double") * det * det) /
+            ($"nt".cast("double") * ($"n" - $"nt") * $"nc" * ($"n" - $"nc")), 4)
+            .as("chi2"))
+      val wtop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"chi2".desc, $"tok".asc)
+      scored.withColumn("rank", row_number().over(wtop).cast("long"))
+        .where($"rank" <= 10)
+        .select($"lang", $"rank", $"tok", $"chi2")
+    }),
+    // ---- per-document keyword extraction: top-5 tokens by raw-tf ×
+    // ln(N/df) TF-IDF — the tagging/indexing primitive next to the
+    // fitted-vector tfidf embedder. Two token-keyed aggs (tf, df),
+    // both map-side combined and linear in corpus tokens; the N census
+    // broadcasts; top-k is a doc-keyed window. Score is IEEE-exact
+    // from integer counts before the 6-decimal round. ----
+    "text_keywords_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val tf = docs.select($"doc_id", explode(words($"text")).as("tok"))
+        .where(length($"tok") > 0)
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfTbl = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfTbl, "tok").crossJoin(broadcast(nRow))
+        .select($"doc_id", $"tok",
+          RoundPortableExpr.r(
+            $"tf".cast("double") * log($"n".cast("double") / $"df"), 6)
+            .as("tfidf"))
+      val wtop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok".asc)
+      scored.withColumn("rank", row_number().over(wtop).cast("long"))
+        .where($"rank" <= 5)
+        .select($"doc_id", $"rank", $"tok", $"tfidf")
+    }),
+    // ---- exact ROC AUC via the tie-aware rank-sum (Mann–Whitney)
+    // identity — the classifier-eval primitive (scoring a user's
+    // purchase-ratio as a detector of the heavy-buyer label; measured
+    // AUC 0.90-0.93 on the fixture, so the eval has real signal). The
+    // 100 TB shape is the HISTOGRAM method: scores round to 4 decimals
+    // → the per-score census is a bounded table (≤10k rows), the
+    // corpus agg is one map-side-combined groupBy, and the rank
+    // windows run on the census, never the corpus. Average ranks are
+    // integers+halves (exact in binary), so the rank sum is
+    // order-independent. ----
+    "ml_auc" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1L)
+            .otherwise(0L).as("label"),
+          RoundPortableExpr.r(
+            sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("score"))
+      val census = scored.groupBy($"score")
+        .agg(count(lit(1)).as("n_s"), sum($"label").as("pos_s"))
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy($"score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = census
+        .withColumn("below", coalesce(sum($"n_s").over(wOrd), lit(0L)))
+        .withColumn("avgrank", $"below" + ($"n_s" + 1) / lit(2.0))
+      val agg = ranked.agg(
+        sum($"pos_s").as("n_pos"),
+        sum($"n_s" - $"pos_s").as("n_neg"),
+        sum($"pos_s" * $"avgrank").as("rpos"))
+      agg.select($"n_pos", $"n_neg",
+        RoundPortableExpr.r(
+          ($"rpos" - $"n_pos" * ($"n_pos" + 1) / lit(2.0)) /
+            ($"n_pos" * $"n_neg").cast("double"), 6).as("auc"))
+    }),
+    // ---- calibration / reliability table for the same detector
+    // (purchase-ratio → heavy-buyer; the fixture ramps 0.00→1.00
+    // across bins): fixed-width score bins (floor(score·10), top bin
+    // closed), per bin the observed positive rate vs the mean score.
+    // Entirely map-side binning + one algebraic agg — no global
+    // window, output ≤ 10 rows at any scale (the scale-correct
+    // alternative to ntile-based deciles). ----
+    "ml_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1L)
+            .otherwise(0L).as("label"),
+          RoundPortableExpr.r(
+            sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("score"))
+      // mean_score via the exact-integer protocol (scores are 4-decimal
+      // → score·10⁴ sums exactly in long): a plain avg() sums doubles
+      // in partition order and hit a 6th-decimal rounding boundary at
+      // sf0.01 vs the oracle
+      scored
+        .withColumn("bin", least(floor($"score" * 10).cast("long"), lit(9L)))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          RoundPortableExpr.r(
+            sum(round($"score" * 10000, 0).cast("long")).cast("double") /
+              count(lit(1)) / lit(1.0e4), 6).as("mean_score"),
+          RoundPortableExpr.r(sum($"label").cast("double") / count(lit(1)), 6)
+            .as("pos_rate"))
+    }),
+    // ---- autocorrelation function of the daily total-revenue series,
+    // lags 1..14 (seasonality diagnostic feeding ts_seasonal's period
+    // choice). The series is a census (one row per day); the mean uses
+    // the exact-decimal moment protocol (ml_linreg) so both engines
+    // share μ bit-exactly; the lag join is census×14 rows. ----
+    "ts_acf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"day")))
+      val cached = graft.core.PlanCache.persist(daily)
+      val stats = cached
+        .select(round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+        .agg(count(lit(1)).as("n"), sum($"yi").cast("double").as("s1"))
+        .select($"n", RoundPortableExpr.r($"s1" / $"n" / lit(1.0e4), 6).as("mu"))
+      val centered = cached.crossJoin(broadcast(stats))
+        .select($"t", ($"y" - $"mu").as("c"))
+      val den = centered.agg(sum($"c" * $"c").as("den"))
+      val num = centered.alias("a")
+        .join(centered.alias("b"),
+          col("b.t") > col("a.t") && col("b.t") <= col("a.t") + 14)
+        .select((col("b.t") - col("a.t")).cast("long").as("lag"),
+          (col("a.c") * col("b.c")).as("p"))
+        .groupBy($"lag").agg(count(lit(1)).as("n_pairs"), sum($"p").as("num"))
+      num.crossJoin(broadcast(den))
+        .select($"lag", $"n_pairs",
+          RoundPortableExpr.r($"num" / $"den", 6).as("acf"))
+    }),
+    // ---- two-sided CUSUM changepoint statistic (Page 1954) over the
+    // per-event-type daily revenue: z-standardized with the
+    // exact-decimal moment protocol, drift 0.5 / threshold 4 (dyadic),
+    // recursion sequential in time parallel across keys
+    // (flatMapGroups, same envelope as ts_holt), oracle = recursive
+    // CTE walking identical IEEE arithmetic. ----
+    "ts_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")))
+      val cached = graft.core.PlanCache.persist(daily)
+      val stats = cached
+        .select($"event_type", round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"yi").cast("double").as("s1"),
+          sum($"yi" * $"yi").cast("double").as("s2"))
+        .select($"event_type",
+          RoundPortableExpr.r($"s1" / $"n" / lit(1.0e4), 6).as("mu"),
+          RoundPortableExpr.r(
+            sqrt(greatest(lit(0.0),
+              $"s2" / $"n" / lit(1.0e8) -
+                ($"s1" / $"n" / lit(1.0e4)) * ($"s1" / $"n" / lit(1.0e4)))), 6)
+            .as("sd"))
+      val z = cached.join(broadcast(stats), "event_type")
+        .select($"event_type", $"t",
+          RoundPortableExpr.r(
+            when($"sd" === 0.0, lit(0.0)).otherwise(($"y" - $"mu") / $"sd"), 6)
+            .as("z"))
+      // threshold 2.5 (dyadic) is fixture-calibrated so the alarm
+      // branch FIRES at sf0.1 (max S⁺ = 3.79) — a detector whose alarm
+      // path is never exercised would be a weaker differential check
+      ops.Forecast.cusum(z, "event_type", "t", "z", drift = 0.5, threshold = 2.5)
+        .select($"key", $"t",
+          RoundPortableExpr.r($"spos", 6).as("spos"),
+          RoundPortableExpr.r($"sneg", 6).as("sneg"),
+          $"alarm".cast("long").as("alarm"))
+    }),
+    // ---- Poisson bootstrap CI for the mean extended price — the
+    // resampling-at-scale recipe (Chamandy et al., "Estimating
+    // uncertainty for massive data streams", Google 2012): instead of
+    // materializing B resamples, each row draws B independent
+    // Poisson(1) weights and every replicate estimate is one weighted
+    // agg — ONE scan exploded ×B, all partials map-side combined,
+    // replicate table bounded at B rows. Weights come from a seeded
+    // LCG over (row key, replicate) in exact int64 modular arithmetic
+    // (no overflow under ANSI mode, bit-identical cross-engine) fed
+    // through the Poisson(1) CDF thresholds; sums use the exact-
+    // decimal protocol, so the whole pipeline is deterministic. CI =
+    // 2nd/15th of the 16 ordered replicate means (87.5% coverage). ----
+    "ml_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val b = 16
+      val li = s.read.parquet(t(dir, "lineitem")).select(
+        ($"l_orderkey" * 8 + $"l_linenumber").as("k"),
+        round($"l_extendedprice" * 100, 0).cast("decimal(38,0)").as("yi"))
+      val est = li.agg(
+        RoundPortableExpr.r(
+          sum($"yi").cast("double") / count(lit(1)) / lit(100.0), 6).as("estimate"))
+      val seeded = li
+        .withColumn("r", explode(sequence(lit(1), lit(b))))
+        .withColumn("sd", ($"k" * 131 + $"r" * lit(2654435761L)) % lit(2147483648L))
+        .withColumn("x", (lit(1103515245L) * $"sd" + 12345L) % lit(2147483648L))
+        .withColumn("w",
+          when($"x".cast("double") / lit(2.147483648e9) < 0.36787944117144233, 0L)
+            .when($"x".cast("double") / lit(2.147483648e9) < 0.7357588823428847, 1L)
+            .when($"x".cast("double") / lit(2.147483648e9) < 0.9196986029286058, 2L)
+            .when($"x".cast("double") / lit(2.147483648e9) < 0.9810118431238462, 3L)
+            .when($"x".cast("double") / lit(2.147483648e9) < 0.9963401531726563, 4L)
+            .otherwise(5L))
+      val reps = seeded.groupBy($"r")
+        .agg((sum($"w" * $"yi").cast("double") / sum($"w").cast("double") /
+          lit(100.0)).as("mean_r"))
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy($"mean_r")
+      val ordered = reps.withColumn("rn", row_number().over(wOrd))
+      ordered.agg(
+          count(lit(1)).as("b"),
+          RoundPortableExpr.r(min(when($"rn" === 2, $"mean_r")), 6).as("ci_lo"),
+          RoundPortableExpr.r(min(when($"rn" === b - 1, $"mean_r")), 6).as("ci_hi"))
+        .crossJoin(broadcast(est))
+        .select($"b", $"estimate", $"ci_lo", $"ci_hi")
     })
   )
 
@@ -6713,6 +7049,216 @@ object SparkEntry {
         |       FROM daily),
         |se AS (SELECT dow, round(avg(y - trend), 4) AS seasonal FROM tr GROUP BY 1)
         |SELECT day, y, trend, seasonal, round(y - trend - seasonal, 4) AS resid
-        |FROM tr JOIN se USING (dow)""".stripMargin
+        |FROM tr JOIN se USING (dow)""".stripMargin,
+    "graph_bfs" -> ops.Graph.bfsCensusSql(
+      s"""SELECT u AS src, v AS dst FROM ($coClickPairsSql)
+         |UNION ALL
+         |SELECT v AS src, u AS dst FROM ($coClickPairsSql)""".stripMargin,
+      s"""SELECT id FROM (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT u AS id FROM ($coClickPairsSql)
+         |    UNION ALL
+         |    SELECT v FROM ($coClickPairsSql)))
+         |ORDER BY id LIMIT 5""".stripMargin,
+      maxDepth = 6),
+    "rec_item_item" ->
+      """WITH clicks AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |  FROM events WHERE event_type = 'click'),
+        |cap1 AS MATERIALIZED (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+        |    FROM clicks) WHERE rn <= 40),
+        |cap2 AS MATERIALIZED (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |    FROM cap1) WHERE rn <= 40),
+        |ni AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS n
+        |                    FROM cap2 GROUP BY 1),
+        |cooc AS MATERIALIZED (
+        |  SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS c
+        |  FROM cap2 a JOIN cap2 b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (SELECT ia AS item, ib AS rec, c FROM cooc
+        |             UNION ALL
+        |             SELECT ib AS item, ia AS rec, c FROM cooc),
+        |scored AS (SELECT item, rec,
+        |                  round(CAST(c AS DOUBLE)
+        |                        / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+        |           FROM directed JOIN ni na ON na.i = item JOIN ni nb ON nb.i = rec)
+        |SELECT item, rank, rec, cosine FROM (
+        |  SELECT item, rec, cosine,
+        |         row_number() OVER (PARTITION BY item
+        |                            ORDER BY cosine DESC, rec) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "ml_chi2_tokens" ->
+      s"""WITH dt AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, lang, tok FROM (
+         |    SELECT doc_id, lang, unnest(${wordsSql("text")}) AS tok FROM documents)
+         |  WHERE len(tok) > 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ct AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS nc
+         |                    FROM documents GROUP BY 1),
+         |tt AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS nt
+         |                    FROM dt GROUP BY 1),
+         |jt AS MATERIALIZED (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
+         |                    FROM dt GROUP BY 1, 2),
+         |sc AS (SELECT jt.lang, jt.tok,
+         |              round((CAST(n AS DOUBLE)
+         |                     * (CAST(a AS DOUBLE) * (n - nc - nt + a)
+         |                        - CAST(nt - a AS DOUBLE) * (nc - a))
+         |                     * (CAST(a AS DOUBLE) * (n - nc - nt + a)
+         |                        - CAST(nt - a AS DOUBLE) * (nc - a)))
+         |                    / (CAST(nt AS DOUBLE) * (n - nt) * nc * (n - nc)), 4)
+         |                AS chi2
+         |       FROM jt JOIN ct USING (lang) JOIN tt USING (tok), nn
+         |       WHERE nt < n)
+         |SELECT lang, rank, tok, chi2 FROM (
+         |  SELECT lang, tok, chi2,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY chi2 DESC, tok) AS rank
+         |  FROM sc) WHERE rank <= 10""".stripMargin,
+    "text_keywords_tfidf" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)
+         |  WHERE len(tok) > 0),
+         |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |                    FROM tk GROUP BY 1, 2),
+         |dfp AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |                     FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT doc_id, tok,
+         |              round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 6)
+         |                AS tfidf
+         |       FROM tf JOIN dfp USING (tok), nn)
+         |SELECT doc_id, rank, tok, tfidf FROM (
+         |  SELECT doc_id, tok, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, tok) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    "ml_auc" ->
+      """WITH sc AS MATERIALIZED (
+         |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |                   >= 15 THEN 1 ELSE 0 END AS label,
+         |         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |                    AS DOUBLE) / count(*), 4) AS score
+         |  FROM events GROUP BY user_id),
+         |census AS MATERIALIZED (
+         |  SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+         |         CAST(sum(label) AS BIGINT) AS pos_s
+         |  FROM sc GROUP BY 1),
+         |ranked AS (
+         |  SELECT pos_s, n_s,
+         |         coalesce(sum(n_s) OVER (ORDER BY score
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS below
+         |  FROM census),
+         |ar AS (SELECT pos_s, n_s, below + (n_s + 1) / 2.0 AS avgrank FROM ranked)
+         |SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         |       CAST(sum(n_s - pos_s) AS BIGINT) AS n_neg,
+         |       round((sum(pos_s * avgrank) - sum(pos_s) * (sum(pos_s) + 1) / 2.0)
+         |             / CAST(sum(pos_s) * sum(n_s - pos_s) AS DOUBLE), 6) AS auc
+         |FROM ar""".stripMargin,
+    "ml_calibration" ->
+      """WITH sc AS (
+         |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |                   >= 15 THEN 1 ELSE 0 END AS label,
+         |         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |                    AS DOUBLE) / count(*), 4) AS score
+         |  FROM events GROUP BY user_id)
+         |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       round(CAST(sum(CAST(round(score * 10000, 0) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1.0e4, 6) AS mean_score,
+         |       round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+         |FROM sc GROUP BY 1""".stripMargin,
+    "ts_acf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS MATERIALIZED (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM daily),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(yi) AS DOUBLE) AS s1
+        |       FROM (SELECT CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |             FROM idx)),
+        |mu AS (SELECT round(s1 / n / 1.0e4, 6) AS mu FROM st),
+        |c AS MATERIALIZED (SELECT t, y - (SELECT mu FROM mu) AS c FROM idx),
+        |den AS (SELECT sum(c * c) AS den FROM c)
+        |SELECT CAST(b.t - a.t AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(sum(a.c * b.c) / (SELECT den FROM den), 6) AS acf
+        |FROM c a JOIN c b ON b.t > a.t AND b.t <= a.t + 14
+        |GROUP BY 1""".stripMargin,
+    "ts_cusum" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day, round(sum(value), 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS MATERIALIZED (
+        |  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT)
+        |           AS t, y
+        |  FROM daily),
+        |st AS MATERIALIZED (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(yi) AS DOUBLE) AS s1,
+        |         CAST(sum(yi * yi) AS DOUBLE) AS s2
+        |  FROM (SELECT key, CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi FROM s)
+        |  GROUP BY 1),
+        |m AS MATERIALIZED (
+        |  SELECT key, round(s1 / n / 1.0e4, 6) AS mu,
+        |         round(sqrt(greatest(0.0, s2 / n / 1.0e8
+        |                    - (s1 / n / 1.0e4) * (s1 / n / 1.0e4))), 6) AS sd
+        |  FROM st),
+        |z AS MATERIALIZED (
+        |  SELECT s.key, s.t,
+        |         round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (y - mu) / sd END, 6) AS z
+        |  FROM s JOIN m ON m.key = s.key),
+        |r AS (
+        |  SELECT key, t, greatest(0.0, z - 0.5) AS spos,
+        |         greatest(0.0, -z - 0.5) AS sneg
+        |  FROM z WHERE t = 1
+        |  UNION ALL
+        |  SELECT z.key, z.t,
+        |         greatest(0.0, r.spos + z.z - 0.5) AS spos,
+        |         greatest(0.0, r.sneg - z.z - 0.5) AS sneg
+        |  FROM r JOIN z ON z.key = r.key AND z.t = r.t + 1)
+        |SELECT key, t, round(spos, 6) AS spos, round(sneg, 6) AS sneg,
+        |       CAST(CASE WHEN spos > 2.5 OR sneg > 2.5 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM r""".stripMargin,
+    "ml_bootstrap_ci" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey * 8 + l_linenumber AS k,
+        |         CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0)) AS yi
+        |  FROM lineitem),
+        |est AS (SELECT round(CAST(sum(yi) AS DOUBLE) / count(*) / 100.0, 6)
+        |          AS estimate FROM li),
+        |seeded AS (
+        |  SELECT r, yi,
+        |         (1103515245 * ((k * 131 + r * 2654435761) % 2147483648) + 12345)
+        |           % 2147483648 AS x
+        |  FROM li, range(1, 17) g(r)),
+        |wt AS (
+        |  SELECT r, yi,
+        |         CASE WHEN CAST(x AS DOUBLE) / 2.147483648e9
+        |                   < 0.36787944117144233e0 THEN 0
+        |              WHEN CAST(x AS DOUBLE) / 2.147483648e9
+        |                   < 0.7357588823428847e0 THEN 1
+        |              WHEN CAST(x AS DOUBLE) / 2.147483648e9
+        |                   < 0.9196986029286058e0 THEN 2
+        |              WHEN CAST(x AS DOUBLE) / 2.147483648e9
+        |                   < 0.9810118431238462e0 THEN 3
+        |              WHEN CAST(x AS DOUBLE) / 2.147483648e9
+        |                   < 0.9963401531726563e0 THEN 4
+        |              ELSE 5 END AS w
+        |  FROM seeded),
+        |reps AS (SELECT r, CAST(sum(w * yi) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |                   / 100.0 AS mean_r
+        |         FROM wt GROUP BY 1),
+        |ordered AS (SELECT mean_r, row_number() OVER (ORDER BY mean_r) AS rn
+        |            FROM reps)
+        |SELECT CAST(count(*) AS BIGINT) AS b, (SELECT estimate FROM est) AS estimate,
+        |       round(min(CASE WHEN rn = 2 THEN mean_r END), 6) AS ci_lo,
+        |       round(min(CASE WHEN rn = 15 THEN mean_r END), 6) AS ci_hi
+        |FROM ordered""".stripMargin
   )
 }

@@ -29,6 +29,39 @@ object Forecast {
   case class Out(key: String, t: Long, level: Double, trend: Double,
       forecast: Double)
 
+  case class CIn(key: String, t: Long, z: Double)
+  case class COut(key: String, t: Long, spos: Double, sneg: Double, alarm: Int)
+
+  /** Two-sided CUSUM changepoint statistic per key (Page 1954): over a
+    * pre-standardized series z,
+    *   S⁺_t = max(0, S⁺_{t-1} + z_t − drift)
+    *   S⁻_t = max(0, S⁻_{t-1} − z_t − drift)
+    * with S⁺₀ = S⁻₀ = 0; `alarm` = 1 when either side exceeds
+    * `threshold`. Same envelope as [[holt]]: sequential in time,
+    * parallel across keys, census-sized series per group. Callers must
+    * ROUND z before fitting and use dyadic `drift`/`threshold` so both
+    * engines walk identical IEEE arithmetic. */
+  def cusum(df: DataFrame, keyCol: String, tCol: String, zCol: String,
+      drift: Double, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"), col(tCol).cast("long").as("t"),
+        col(zCol).cast("double").as("z"))
+      .as[CIn]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, rows) =>
+        val series = rows.toArray.sortBy(_.t)
+        var sp = 0.0
+        var sn = 0.0
+        series.iterator.map { r =>
+          sp = math.max(0.0, sp + r.z - drift)
+          sn = math.max(0.0, sn - r.z - drift)
+          COut(key, r.t, sp, sn, if (sp > threshold || sn > threshold) 1 else 0)
+        }
+      }
+      .toDF("key", "t", "spos", "sneg", "alarm")
+  }
+
   /** Holt's linear method per key. Input columns: `keyCol` (string),
     * `tCol` (long, consecutive time index within key), `yCol` (double,
     * pre-rounded). Init: level₁ = y₁, trend₁ = y₂ − y₁ (series of

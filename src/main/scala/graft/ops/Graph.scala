@@ -286,6 +286,82 @@ object Graph {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Multi-source BFS: shortest hop distance from the seed set over a
+    * DIRECTED edge list (symmetrize for undirected graphs). The one
+    * graph primitive the family lacked — reachability / proximity-to-
+    * seed (crawl frontier depth, conversion proximity, blast radius).
+    *
+    * Scale shape: per round ONE semi-join of the frontier against the
+    * src-keyed edge table + one anti-join against the visited set —
+    * both keyed, shuffle linear in the frontier's out-edges; the
+    * visited set grows monotonically and is the only cross-round state
+    * (checkpointed per round, superseded rounds dropped — the
+    * [[graft.core.Iterate.cut]] discipline). The frontier NEVER
+    * re-expands visited nodes, so total work across all rounds is
+    * O(E + V·maxDepth) worst case, in practice O(edges reachable).
+    *
+    * Returns the level census (dist, n_nodes, min_id, max_id) over ALL
+    * graph nodes, unreached nodes at dist = -1 — a bounded output
+    * (≤ maxDepth+2 rows) that still pins every level's membership via
+    * the id extremes. `maxRounds`-style divergence is impossible: BFS
+    * levels are exact by construction, extra rounds past exhaustion
+    * are empty-frontier no-ops on both engines. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
+    val nodes = ed.select(col("src").as("id"))
+      .unionAll(ed.select(col("dst").as("id"))).distinct()
+    // seeds outside the graph are ignored (mirrors personalizedPageRank)
+    var vis = cut(seeds.toDF("id").distinct()
+      .join(nodes, Seq("id"), "left_semi").withColumn("dist", lit(0)))
+    var depth = 0
+    while (depth < maxDepth) {
+      val frontier = vis.where(col("dist") === depth).select(col("id").as("src"))
+      val next = ed.join(frontier, Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(vis, Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth + 1))
+      val nv = cut(vis.unionByName(next))
+      dropCheckpoint(vis)
+      vis = nv
+      depth += 1
+    }
+    checkpointRdd(vis).foreach(graft.core.PlanCache.registerRdd(spark, _))
+    nodes.join(vis, Seq("id"), "left")
+      .groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  /** DuckDB twin of [[bfs]]: levels unrolled as chained CTEs (frontier
+    * = previous level's rows, new level = its neighbors anti-joined
+    * against everything visited). `edgesSql` yields the directed
+    * (src, dst) list, `seedsSql` one `id` column; both are wrapped
+    * exactly like the Spark side (distinct edges, seeds ∩ nodes). */
+  def bfsCensusSql(edgesSql: String, seedsSql: String, maxDepth: Int): String = {
+    val rounds = (1 to maxDepth).map { i =>
+      s"""f$i AS (SELECT DISTINCT ed.dst AS id
+         |        FROM ed JOIN v${i - 1} v ON ed.src = v.id AND v.dist = ${i - 1}),
+         |v$i AS MATERIALIZED (
+         |  SELECT * FROM v${i - 1}
+         |  UNION ALL
+         |  SELECT f.id, $i AS dist FROM f$i f
+         |  LEFT JOIN v${i - 1} p ON p.id = f.id WHERE p.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |bn AS MATERIALIZED (SELECT DISTINCT id FROM
+       |      (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT s.id, 0 AS dist FROM ($seedsSql) s
+       |  JOIN bn ON bn.id = s.id),
+       |$rounds
+       |SELECT CAST(coalesce(v.dist, -1) AS INTEGER) AS dist,
+       |       CAST(count(*) AS BIGINT) AS n_nodes,
+       |       min(n.id) AS min_id, max(n.id) AS max_id
+       |FROM bn n LEFT JOIN v$maxDepth v ON v.id = n.id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]] (relative form): the power iteration
     * unrolled as chained CTEs — no recursive aggregation, which DuckDB's
     * recursive CTEs disallow. `edgesSql` must yield (src, dst) of the

@@ -238,4 +238,32 @@ class GraphSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
     assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
+
+  test("bfs: levels expand one hop, unreached nodes report -1, external seeds ignored") {
+    import spark.implicits._
+    // directed chain 1→2→3→4 plus a disconnected pair 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 is not a graph node
+    val out = Graph.bfs(edges, seeds, maxDepth = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.core.PlanCache.release(spark)
+    out(0) shouldBe ((1L, 1L, 1L)) // the in-graph seed alone
+    out(1) shouldBe ((1L, 2L, 2L))
+    out(2) shouldBe ((1L, 3L, 3L))
+    // 4 (one hop past maxDepth) and the disconnected pair stay unreached
+    out(-1) shouldBe ((3L, 4L, 11L))
+    out.keySet shouldBe Set(-1, 0, 1, 2)
+  }
+
+  test("bfs: a node reachable by two paths takes the shorter distance") {
+    import spark.implicits._
+    // 1→2→4 and 1→4: 4 must land at dist 1, not 2
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("id"), maxDepth = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    graft.core.PlanCache.release(spark)
+    out(0) shouldBe 1L
+    out(1) shouldBe 2L // both 2 and 4 at dist 1
+    out.contains(2) shouldBe false
+  }
 }

@@ -118,6 +118,29 @@ class StatsOpsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("cusum accumulates drift-adjusted deviations, resets at zero, alarms past threshold") {
+    import spark.implicits._
+    // z = [1, 1, -3, 1], drift 0.5, threshold 0.9:
+    //   spos = 0.5, 1.0, 0.0 (reset), 0.5
+    //   sneg = 0.0, 0.0, 2.5,          1.0
+    //   alarm =  0,   1,   1,            1
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 1.0), ("k", 3L, -3.0), ("k", 4L, 1.0))
+      .toDF("key", "t", "z")
+    val out = Forecast.cusum(df, "key", "t", "z", drift = 0.5, threshold = 0.9)
+      .orderBy($"t").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    out shouldBe Array((0.5, 0.0, 0), (1.0, 0.0, 1), (0.0, 2.5, 1), (0.5, 1.0, 1))
+  }
+
+  test("cusum treats keys independently") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0), ("b", 1L, 0.0)).toDF("key", "t", "z")
+    val out = Forecast.cusum(df, "key", "t", "z", drift = 0.5, threshold = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getInt(4)))).toMap
+    out("a") shouldBe ((4.5, 1))
+    out("b") shouldBe ((0.0, 0))
+  }
+
   test("holt handles multiple keys independently and singleton series") {
     import spark.implicits._
     val df = (Seq(("a", 1L, 3.0), ("a", 2L, 4.0), ("b", 1L, 7.0)))
