@@ -41,7 +41,14 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_funnel_windowed", "pipeline_er_incremental",
     "q_event_paths", "q_attribution", "drift_psi", "q_stickiness",
     "q_event_transitions", "q_time_to_convert",
-    "text_split_stratified", "mm_crossmodal_align", "q_funnel_sessionized")
+    "text_split_stratified", "mm_crossmodal_align", "q_funnel_sessionized",
+    // round-7 stats/ML/graph batches (the driver-iteration ops —
+    // kmeans/pca/bfs — run jobs at build time and are stressed
+    // separately; everything here is lazily planned)
+    "ts_holt", "ts_seasonal", "ts_acf", "ts_cusum", "q_scd2", "dq_checks",
+    "q_market_basket", "text_zipf", "q_abtest", "q_kaplan_meier", "ml_linreg",
+    "ml_naive_bayes", "ml_bootstrap_ci", "rec_item_item", "ml_chi2_tokens",
+    "text_keywords_tfidf", "ml_auc", "ml_calibration")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -353,5 +360,31 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     val p = physical("text_bpe_apply")
     p should include("BroadcastNestedLoopJoin BuildRight, Cross") // 1-row merge pattern
     p should include("partial_sum")
+  }
+
+  test("market basket: pairs explode map-side off the basket build, count dims broadcast") {
+    val p = physical("q_market_basket")
+    p should include("Generate") // C(basket,2) explode, not a self-join
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2 // the two pc joins
+    p should not include "CartesianProduct"
+  }
+
+  test("item-item recs: count joins broadcast, top-3 bounds with per-partition heaps") {
+    val p = physical("rec_item_item")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
+  test("tfidf keywords: per-doc top-5 bounds with per-partition heaps, partial aggs") {
+    val p = physical("text_keywords_tfidf")
+    p should include("WindowGroupLimit")
+    p should include("partial_count")
+  }
+
+  test("auc: corpus agg partial-combines; rank windows run on the score census only") {
+    val p = physical("ml_auc")
+    p should include("partial_count") // per-user then per-score map-side combine
+    p should not include "CartesianProduct"
   }
 }
