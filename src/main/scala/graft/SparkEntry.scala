@@ -4459,6 +4459,30 @@ object SparkEntry {
           RoundPortableExpr.r($"sneg", 6).as("sneg"),
           $"alarm".cast("long").as("alarm"))
     }),
+    // ---- additive Holt–Winters (triple exponential smoothing,
+    // period 7) over the per-event-type daily revenue — completes the
+    // forecasting ladder (MA → Holt → Holt–Winters). Classic
+    // two-season init computed in fixed index order and rounded; the
+    // m-slot seasonal state walks the recursion as a rotating queue,
+    // mirrored column-for-column by the oracle's recursive CTE
+    // (q1..q7 shift left each step, s_t enters at the back). Dyadic
+    // α=0.5 β=0.25 γ=0.25 keep every literal exact in binary. ----
+    "ts_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")))
+      ops.Forecast.holtWinters(daily, "event_type", "t", "y", period = 7,
+          alpha = 0.5, beta = 0.25, gamma = 0.25)
+        .select($"key", $"t",
+          RoundPortableExpr.r($"level", 4).as("level"),
+          RoundPortableExpr.r($"trend", 4).as("trend"),
+          RoundPortableExpr.r($"seasonal", 4).as("seasonal"),
+          RoundPortableExpr.r($"forecast", 4).as("forecast"))
+    }),
     // ---- Poisson bootstrap CI for the mean extended price — the
     // resampling-at-scale recipe (Chamandy et al., "Estimating
     // uncertainty for massive data streams", Google 2012): instead of
@@ -7225,6 +7249,65 @@ object SparkEntry {
         |       CAST(CASE WHEN spos > 2.5 OR sneg > 2.5 THEN 1 ELSE 0 END AS BIGINT)
         |         AS alarm
         |FROM r""".stripMargin,
+    "ts_holt_winters" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day, round(sum(value), 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS MATERIALIZED (
+        |  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT)
+        |           AS t, y
+        |  FROM daily),
+        |klen AS (SELECT key, count(*) AS cnt FROM s GROUP BY 1),
+        |piv AS (SELECT key,
+        |               max(CASE WHEN t = 1 THEN y END) AS y1,
+        |               max(CASE WHEN t = 2 THEN y END) AS y2,
+        |               max(CASE WHEN t = 3 THEN y END) AS y3,
+        |               max(CASE WHEN t = 4 THEN y END) AS y4,
+        |               max(CASE WHEN t = 5 THEN y END) AS y5,
+        |               max(CASE WHEN t = 6 THEN y END) AS y6,
+        |               max(CASE WHEN t = 7 THEN y END) AS y7,
+        |               max(CASE WHEN t = 8 THEN y END) AS y8,
+        |               max(CASE WHEN t = 9 THEN y END) AS y9,
+        |               max(CASE WHEN t = 10 THEN y END) AS y10,
+        |               max(CASE WHEN t = 11 THEN y END) AS y11,
+        |               max(CASE WHEN t = 12 THEN y END) AS y12,
+        |               max(CASE WHEN t = 13 THEN y END) AS y13,
+        |               max(CASE WHEN t = 14 THEN y END) AS y14
+        |        FROM s WHERE t <= 14 GROUP BY 1),
+        |init AS MATERIALIZED (
+        |  SELECT p.key,
+        |         round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6) AS l0,
+        |         round((round((y8 + y9 + y10 + y11 + y12 + y13 + y14) / 7, 6)
+        |                - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6)) / 7, 6)
+        |           AS b0,
+        |         round(y1 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s1,
+        |         round(y2 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s2,
+        |         round(y3 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s3,
+        |         round(y4 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s4,
+        |         round(y5 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s5,
+        |         round(y6 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s6,
+        |         round(y7 - round((y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7, 6), 6) AS s7
+        |  FROM piv p JOIN klen k ON k.key = p.key AND k.cnt >= 15),
+        |r AS (
+        |  SELECT key, CAST(7 AS BIGINT) AS t, l0 AS l, b0 AS b,
+        |         s1 AS q1, s2 AS q2, s3 AS q3, s4 AS q4, s5 AS q5, s6 AS q6,
+        |         s7 AS q7, CAST(NULL AS DOUBLE) AS snew
+        |  FROM init
+        |  UNION ALL
+        |  SELECT z.key, z.t,
+        |         0.5e0 * (z.y - r.q1) + 0.5e0 * (r.l + r.b) AS l,
+        |         0.25e0 * ((0.5e0 * (z.y - r.q1) + 0.5e0 * (r.l + r.b)) - r.l)
+        |           + 0.75e0 * r.b AS b,
+        |         r.q2 AS q1, r.q3 AS q2, r.q4 AS q3, r.q5 AS q4, r.q6 AS q5,
+        |         r.q7 AS q6,
+        |         0.25e0 * (z.y - (0.5e0 * (z.y - r.q1) + 0.5e0 * (r.l + r.b)))
+        |           + 0.75e0 * r.q1 AS q7,
+        |         0.25e0 * (z.y - (0.5e0 * (z.y - r.q1) + 0.5e0 * (r.l + r.b)))
+        |           + 0.75e0 * r.q1 AS snew
+        |  FROM r JOIN s z ON z.key = r.key AND z.t = r.t + 1)
+        |SELECT key, t, round(l, 4) AS level, round(b, 4) AS trend,
+        |       round(snew, 4) AS seasonal, round(l + b + q1, 4) AS forecast
+        |FROM r WHERE t >= 8""".stripMargin,
     "ml_bootstrap_ci" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey * 8 + l_linenumber AS k,

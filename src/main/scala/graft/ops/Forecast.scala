@@ -29,6 +29,73 @@ object Forecast {
   case class Out(key: String, t: Long, level: Double, trend: Double,
       forecast: Double)
 
+  case class HwOut(key: String, t: Long, level: Double, trend: Double,
+      seasonal: Double, forecast: Double)
+
+  /** Additive Holt–Winters triple exponential smoothing per key — the
+    * canonical seasonal forecaster one step up from [[holt]]. Classic
+    * two-season initialization (Hyndman & Athanasopoulos §7.3, level =
+    * season-1 mean, trend = (season-2 mean − season-1 mean)/m, seasonal
+    * indices = season-1 deviations), recursion from t = m+1:
+    *
+    *   ℓ_t = α(y_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+    *   b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − ℓ_t) + (1−γ)s_{t−m}
+    *
+    * `forecast` at t is the one-step-ahead ŷ_{t+1} = ℓ_t + b_t +
+    * s_{t+1−m}. Keys with fewer than 2m+1 observations are dropped
+    * (not enough history to initialize). Same envelope as [[holt]]
+    * (sequential in time, parallel across keys, census-sized groups);
+    * same determinism contract: round the input series and use dyadic
+    * α/β/γ; init statistics are computed in fixed index order and
+    * ROUNDED to 6, so the oracle's pivoted init chain and recursive
+    * CTE walk identical IEEE arithmetic. */
+  def holtWinters(df: DataFrame, keyCol: String, tCol: String, yCol: String,
+      period: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.PortableRounding.{round => pr}
+    df.select(col(keyCol).cast("string").as("key"), col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .as[In]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, rows) =>
+        val s = rows.toArray.sortBy(_.t)
+        if (s.length < 2 * period + 1) Iterator.empty
+        else {
+          // fixed-order season means (left-assoc, mirrored by the
+          // oracle's pivoted (y1+…+y7)/7 chain)
+          var a1 = 0.0
+          var i = 0
+          while (i < period) { a1 += s(i).y; i += 1 }
+          a1 /= period
+          var a2 = 0.0
+          i = period
+          while (i < 2 * period) { a2 += s(i).y; i += 1 }
+          a2 /= period
+          var l = pr(a1, 6)
+          var b = pr((pr(a2, 6) - l) / period, 6)
+          var q = Array.tabulate(period)(j => pr(s(j).y - l, 6))
+          val out = Array.newBuilder[HwOut]
+          i = period
+          while (i < s.length) {
+            val y = s(i).y
+            val q1 = q(0)
+            val lnew = alpha * (y - q1) + (1.0 - alpha) * (l + b)
+            val bnew = beta * (lnew - l) + (1.0 - beta) * b
+            val snew = gamma * (y - lnew) + (1.0 - gamma) * q1
+            q = q.drop(1) :+ snew
+            out += HwOut(key, s(i).t, lnew, bnew, snew, lnew + bnew + q(0))
+            l = lnew
+            b = bnew
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("key", "t", "level", "trend", "seasonal", "forecast")
+  }
+
   case class CIn(key: String, t: Long, z: Double)
   case class COut(key: String, t: Long, spos: Double, sneg: Double, alarm: Int)
 

@@ -118,6 +118,36 @@ class StatsOpsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("holt-winters locks a pure seasonal series: level/trend/seasonal stay fixed") {
+    import spark.implicits._
+    // y = 10 + p[(t-1) % 3], p = (2, -1, -1): two identical seasons make
+    // the classic init EXACT (l=10, b=0, s=p), so the recursion is a
+    // fixed point and every one-step forecast equals the next y.
+    val p = Array(2.0, -1.0, -1.0)
+    val ys = (1L to 10L).map(t => ("k", t, 10.0 + p(((t - 1) % 3).toInt)))
+    val df = ys.toDF("key", "t", "y")
+    val out = Forecast.holtWinters(df, "key", "t", "y", period = 3,
+        alpha = 0.5, beta = 0.25, gamma = 0.25)
+      .orderBy($"t").collect()
+    out.map(_.getLong(1)) shouldBe (4L to 10L).toArray // recursion starts at m+1
+    out.foreach { r =>
+      val t = r.getLong(1)
+      r.getDouble(2) shouldBe 10.0 +- 1e-9 // level
+      r.getDouble(3) shouldBe 0.0 +- 1e-9 // trend
+      r.getDouble(4) shouldBe p(((t - 1) % 3).toInt) +- 1e-9 // seasonal re-estimate
+      if (t < 10) { // forecast for t+1 is exact
+        r.getDouble(5) shouldBe (10.0 + p((t % 3).toInt)) +- 1e-9
+      }
+    }
+  }
+
+  test("holt-winters drops keys with fewer than 2*period+1 observations") {
+    import spark.implicits._
+    val df = (1L to 6L).map(t => ("short", t, 1.0)).toDF("key", "t", "y")
+    Forecast.holtWinters(df, "key", "t", "y", period = 3,
+      alpha = 0.5, beta = 0.25, gamma = 0.25).count() shouldBe 0L
+  }
+
   test("cusum accumulates drift-adjusted deviations, resets at zero, alarms past threshold") {
     import spark.implicits._
     // z = [1, 1, -3, 1], drift 0.5, threshold 0.9:
