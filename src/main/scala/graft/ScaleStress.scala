@@ -130,7 +130,19 @@ object ScaleStress {
   def generateRelational(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
     import spark.implicits._
     if (new java.io.File(s"$target/orders.parquet").exists &&
-        new java.io.File(s"$target/lineitem.parquet").exists) return
+        new java.io.File(s"$target/lineitem.parquet").exists &&
+        new java.io.File(s"$target/part.parquet").exists) return
+    if (new java.io.File(s"$target/orders.parquet").exists &&
+        new java.io.File(s"$target/lineitem.parquet").exists) {
+      // fixture predates the part table — backfill just that file
+      val pt0 = spark.read.parquet(s"$src/part.parquet")
+      (0 until copies).map { k =>
+        pt0.select(($"p_partkey" + lit(k * 1000000L)).as("p_partkey"),
+          $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$target/part.parquet")
+      return
+    }
     new java.io.File(target).mkdirs()
     val ord = spark.read.parquet(s"$src/orders.parquet")
     (0 until copies).map { k =>
@@ -148,6 +160,15 @@ object ScaleStress {
         $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$target/lineitem.parquet")
+    // parts: keys offset, brand/price/size kept — per-brand groups
+    // (the skyline sweep's partitions) scale in rows, frontiers stay
+    // distribution-realistic
+    val pt = spark.read.parquet(s"$src/part.parquet")
+    (0 until copies).map { k =>
+      pt.select(($"p_partkey" + lit(k * 1000000L)).as("p_partkey"),
+        $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$target/part.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -4483,6 +4483,31 @@ object SparkEntry {
           RoundPortableExpr.r($"seasonal", 4).as("seasonal"),
           RoundPortableExpr.r($"forecast", 4).as("forecast"))
     }),
+    // ---- per-brand skyline (Pareto frontier): parts no other part of
+    // the brand dominates on (price ↓, size ↑) — the classic
+    // multi-criteria operator. The 100 TB shape is the 2-d SWEEP, not
+    // the quadratic NOT-EXISTS: one brand-keyed sort, a running max
+    // over the strictly-cheaper range frame (price scaled to an exact
+    // long so the frame bound is integral), survivors = rows beating
+    // that max and topping their own price group. The ORACLE is the
+    // independent NOT-EXISTS dominance formulation — two different
+    // algorithms agreeing on the same frontier is the strongest
+    // differential in the registry. ----
+    "q_skyline" -> ((s, dir) => {
+      import s.implicits._
+      val p = s.read.parquet(t(dir, "part"))
+        .select($"p_brand", $"p_partkey", $"p_retailprice".as("price"), $"p_size".as("size"),
+          round($"p_retailprice" * 100, 0).cast("long").as("pricec"))
+      val wPre = org.apache.spark.sql.expressions.Window
+        .partitionBy($"p_brand").orderBy($"pricec")
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wGrp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"p_brand", $"pricec")
+      p.withColumn("premax", max($"size").over(wPre))
+        .withColumn("grpmax", max($"size").over(wGrp))
+        .where(($"premax".isNull || $"size" > $"premax") && $"size" === $"grpmax")
+        .select($"p_brand", $"p_partkey", $"price", $"size")
+    }),
     // ---- Poisson bootstrap CI for the mean extended price — the
     // resampling-at-scale recipe (Chamandy et al., "Estimating
     // uncertainty for massive data streams", Google 2012): instead of
@@ -7308,6 +7333,16 @@ object SparkEntry {
         |SELECT key, t, round(l, 4) AS level, round(b, 4) AS trend,
         |       round(snew, 4) AS seasonal, round(l + b + q1, 4) AS forecast
         |FROM r WHERE t >= 8""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT p_brand, p_partkey, p_retailprice AS price, p_size AS size
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price, size
+        |FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price <= a.price AND b.size >= a.size
+        |    AND (b.price < a.price OR b.size > a.size))""".stripMargin,
     "ml_bootstrap_ci" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey * 8 + l_linenumber AS k,
