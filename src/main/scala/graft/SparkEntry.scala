@@ -4508,6 +4508,40 @@ object SparkEntry {
         .where(($"premax".isNull || $"size" > $"premax") && $"size" === $"grpmax")
         .select($"p_brand", $"p_partkey", $"price", $"size")
     }),
+    // ---- k-NN classifier (k=5 majority vote, cosine) with held-out
+    // confusion matrix — completes the supervised trio (closed-form NB,
+    // LBFGS logistic, instance-based kNN). The test panel is BOUNDED
+    // (≤400 queries at every scale — the serving-panel contract, the
+    // same guard the vdb_knn family carries; an unbounded %-of-corpus
+    // panel measured 191 s / 28 GB spill at 100× before the cap) and
+    // broadcasts into the codegen'd distance scan (the sim_knn_batch
+    // shape), so total work is linear in the train corpus; votes and
+    // the confusion census are keyed aggs. At corpus scale the brute
+    // leg swaps for the IVF/HNSW probe — vote and census stages are
+    // unchanged. Deterministic: distances rounded to 4, rank ties by
+    // neighbor id, vote ties to the smaller label. NOTE the fixture's
+    // labels are geometry-free (within-label mean cosine 0.0016 vs
+    // 0.0003 across), so the entry checks the exact pipeline —
+    // identical confusion matrices cross-engine — not model quality;
+    // accuracy is a property of the synthetic labels, not the op. ----
+    "ml_knn_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val test = emb.where($"vec_id" % 50 === 0 && $"vec_id" < 20000)
+      val train = emb.where(!($"vec_id" % 50 === 0 && $"vec_id" < 20000))
+      val knn = Similarity.bruteTopK(test, train, k = 5)
+      val voted = knn
+        .join(train.select($"vec_id".as("neighbor_id"), $"label".as("nlabel")),
+          "neighbor_id")
+        .groupBy($"query_id", $"nlabel").agg(count(lit(1)).as("votes"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"votes".desc, $"nlabel".asc)
+      val pred = voted.withColumn("rn", row_number().over(wv)).where($"rn" === 1)
+        .select($"query_id", $"nlabel".as("predicted"))
+      pred.join(test.select($"vec_id".as("query_id"), $"label".as("actual")),
+          "query_id")
+        .groupBy($"actual", $"predicted").agg(count(lit(1)).as("n"))
+    }),
     // ---- Poisson bootstrap CI for the mean extended price — the
     // resampling-at-scale recipe (Chamandy et al., "Estimating
     // uncertainty for massive data streams", Google 2012): instead of
@@ -7343,6 +7377,32 @@ object SparkEntry {
         |  WHERE b.p_brand = a.p_brand
         |    AND b.price <= a.price AND b.size >= a.size
         |    AND (b.price < a.price OR b.size > a.size))""".stripMargin,
+    "ml_knn_classifier" ->
+      """WITH te AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding, label AS actual
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 20000),
+        |tr AS MATERIALIZED (
+        |  SELECT vec_id AS neighbor_id, embedding, label AS nlabel
+        |  FROM embeddings WHERE NOT (vec_id % 50 = 0 AND vec_id < 20000)),
+        |d AS (SELECT te.query_id, tr.neighbor_id, tr.nlabel,
+        |             round(1 - list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]),
+        |                                              CAST(te.embedding AS DOUBLE[])),
+        |                   4) AS distance
+        |      FROM tr, te),
+        |r AS (SELECT query_id, nlabel,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY distance, neighbor_id) AS rn
+        |      FROM d),
+        |v AS (SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, nlabel AS predicted FROM (
+        |        SELECT query_id, nlabel,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY votes DESC, nlabel) AS rn2
+        |        FROM v) WHERE rn2 = 1)
+        |SELECT te.actual, p.predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM p JOIN te ON te.query_id = p.query_id
+        |GROUP BY 1, 2""".stripMargin,
     "ml_bootstrap_ci" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey * 8 + l_linenumber AS k,

@@ -49,7 +49,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_market_basket", "text_zipf", "q_abtest", "q_kaplan_meier", "ml_linreg",
     "ml_naive_bayes", "ml_bootstrap_ci", "rec_item_item", "ml_chi2_tokens",
     "text_keywords_tfidf", "ml_auc", "ml_calibration", "ts_holt_winters",
-    "q_skyline")
+    "q_skyline", "ml_knn_classifier")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
