@@ -4585,6 +4585,130 @@ object SparkEntry {
           RoundPortableExpr.r(min(when($"rn" === b - 1, $"mean_r")), 6).as("ci_hi"))
         .crossJoin(broadcast(est))
         .select($"b", $"estimate", $"ci_lo", $"ci_hi")
+    }),
+    // ---- two-sample Kolmogorov–Smirnov test (urgent vs low-priority
+    // order values): D = max |F_A(v) − F_B(v)| over the pooled support.
+    // The textbook `sum() OVER (ORDER BY v)` CDF is a single-partition
+    // window — the canonical scale-killer — so the empirical CDFs come
+    // from Sharding.prefixSums (range-partition + broadcast offset
+    // resume, the zipWithIndex scheme generalized to column scans):
+    // per-value census first (shrinks the scan to |support| rows), then
+    // a distributed prefix-scan, then one max agg. Everything up to the
+    // final divisions is exact integer counts; the division and sqrt
+    // are IEEE-deterministic, rounded on both engines. ----
+    "q_ks_test" -> ((s, dir) => {
+      import s.implicits._
+      val o = s.read.parquet(t(dir, "orders"))
+        .where($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("v"),
+          when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("isa"))
+      val perv = o.groupBy($"v")
+        .agg(sum($"isa").as("ca"), (count(lit(1)) - sum($"isa")).as("cb"))
+      val cum = ops.Sharding.prefixSums(perv, "v", Seq("ca", "cb"))
+      val tot = perv.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select($"na", $"nb",
+          abs($"cum_ca".cast("double") / $"na" -
+            $"cum_cb".cast("double") / $"nb").as("dv"))
+        .groupBy($"na", $"nb")
+        .agg(RoundPortableExpr.r(max($"dv"), 6).as("d"),
+          RoundPortableExpr.r(max($"dv") *
+            sqrt($"na".cast("double") * $"nb" / ($"na" + $"nb")), 4).as("ks"))
+    }),
+    // ---- decision stump (best single threshold x <= v predicting
+    // urgent orders) by MISCLASSIFICATION ERROR — the error count is an
+    // integer, so the argmin over ~|support| candidate splits is exact
+    // and engine-independent (a gini/entropy argmin would compare
+    // last-ulp-equal doubles across engines — the classic
+    // nondeterminism trap). Same distributed-CDF backbone as q_ks_test:
+    // per-value (pos, neg) census → prefix-scan → err(v) = min-side
+    // left + min-side right, argmin via one struct-min agg (ties → the
+    // smaller threshold). The fixture's label is independent of price,
+    // so the stump finds a noise split; the entry pins the exact
+    // pipeline — identical (split, err) cross-engine — like
+    // ml_knn_classifier pins its confusion matrix. ----
+    "ml_decision_stump" -> ((s, dir) => {
+      import s.implicits._
+      val o = s.read.parquet(t(dir, "orders"))
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("v"),
+          when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("pos"))
+      val perv = o.groupBy($"v")
+        .agg(sum($"pos").as("p"), (count(lit(1)) - sum($"pos")).as("q"))
+      val cum = ops.Sharding.prefixSums(perv, "v", Seq("p", "q"))
+      val tot = perv.agg(sum($"p").as("tp"), sum($"q").as("tq"))
+      val scored = cum.crossJoin(broadcast(tot))
+        .select($"v", $"tp", $"tq",
+          (least($"cum_p", $"cum_q") +
+            least($"tp" - $"cum_p", $"tq" - $"cum_q")).as("err"))
+      scored.agg(min(struct($"err", $"v")).as("b"),
+          min(least($"tp", $"tq")).as("base_err"),
+          min($"tp" + $"tq").as("n"))
+        .select($"b.v".as("split_cents"), $"b.err".as("err"), $"base_err", $"n",
+          RoundPortableExpr.r(lit(1.0) - $"b.err".cast("double") / $"n", 6)
+            .as("accuracy"))
+    }),
+    // ---- Benford first-digit conformance check on order totals — the
+    // forensic data-quality screen (fraud/synthetic-data detector).
+    // First significant digit via bigint→string (both engines print
+    // integers identically; float log10-binning would be boundary-
+    // fragile), expected shares as shared 17-digit literals (log10 is
+    // NOT IEEE-exact — libm vs JVM could differ in the last ulp, so
+    // neither engine computes it), chi-square terms from exact counts.
+    // One census groupBy + a broadcast total: linear, 9-row output. ----
+    "dq_benford" -> ((s, dir) => {
+      import s.implicits._
+      val benford = Map(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val o = s.read.parquet(t(dir, "orders"))
+        .select(substring(round($"o_totalprice" * 100, 0).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val p = benford.foldLeft(lit(null).cast("double")) { case (acc, (d, pr)) =>
+        when($"digit" === d, lit(pr)).otherwise(acc)
+      }
+      o.groupBy($"digit").agg(count(lit(1)).as("observed"))
+        .crossJoin(broadcast(tot))
+        .withColumn("expected_raw", p * $"n")
+        .select($"digit", $"observed",
+          RoundPortableExpr.r($"expected_raw", 4).as("expected"),
+          RoundPortableExpr.r(
+            ($"observed" - $"expected_raw") * ($"observed" - $"expected_raw") /
+              $"expected_raw", 6).as("chi2_term"))
+    }),
+    // ---- higher-moment profile (mean, population variance, skewness,
+    // excess kurtosis) of line quantities per return flag — the
+    // distribution-shape screen drift monitors run. Plain avg/stddev
+    // over doubles is summation-order-dependent (the ml_calibration
+    // lesson), so all four power sums accumulate as exact
+    // decimal(38,0) of the integral quantity — order-free — and only
+    // the bounded 3-row moment arithmetic runs in doubles (sqrt(m2)*m2
+    // instead of pow(m2,1.5): sqrt is IEEE-correctly-rounded, pow is
+    // libm-dependent). Map-side-combined single agg, linear. ----
+    "agg_moments" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(t(dir, "lineitem")).select($"l_returnflag".as("flag"),
+        round($"l_quantity", 0).cast("decimal(38,0)").as("y"))
+      base.groupBy($"flag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"y").cast("double").as("s1"),
+          sum($"y" * $"y").cast("double").as("s2"),
+          sum($"y" * $"y" * $"y").cast("double").as("s3"),
+          sum($"y" * $"y" * $"y" * $"y").cast("double").as("s4"))
+        .withColumn("m", $"s1" / $"n")
+        .withColumn("m2", $"s2" / $"n" - $"m" * $"m")
+        .withColumn("m3", $"s3" / $"n" - lit(3.0) * $"m" * $"s2" / $"n" +
+          lit(2.0) * $"m" * $"m" * $"m")
+        .withColumn("m4", $"s4" / $"n" - lit(4.0) * $"m" * $"s3" / $"n" +
+          lit(6.0) * $"m" * $"m" * $"s2" / $"n" -
+          lit(3.0) * $"m" * $"m" * $"m" * $"m")
+        .select($"flag", $"n".cast("long").as("n"),
+          RoundPortableExpr.r($"m", 6).as("mean"),
+          RoundPortableExpr.r($"m2", 6).as("variance"),
+          RoundPortableExpr.r($"m3" / (sqrt($"m2") * $"m2"), 6).as("skewness"),
+          RoundPortableExpr.r($"m4" / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
     })
   )
 
@@ -7437,6 +7561,88 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS b, (SELECT estimate FROM est) AS estimate,
         |       round(min(CASE WHEN rn = 2 THEN mean_r END), 6) AS ci_lo,
         |       round(min(CASE WHEN rn = 15 THEN mean_r END), 6) AS ci_hi
-        |FROM ordered""".stripMargin
+        |FROM ordered""".stripMargin,
+    "q_ks_test" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS isa
+        |           FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |perv AS (SELECT v, CAST(sum(isa) AS BIGINT) AS ca,
+        |                CAST(count(*) - sum(isa) AS BIGINT) AS cb
+        |         FROM o GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+        |               CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS ccb
+        |        FROM perv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |        FROM perv)
+        |SELECT na, nb,
+        |       round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS d,
+        |       round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)) *
+        |             sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 4) AS ks
+        |FROM cum, tot GROUP BY na, nb""".stripMargin,
+    "ml_decision_stump" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+        |           FROM orders),
+        |perv AS (SELECT v, CAST(sum(pos) AS BIGINT) AS p,
+        |                CAST(count(*) - sum(pos) AS BIGINT) AS q
+        |         FROM o GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
+        |               CAST(sum(q) OVER (ORDER BY v) AS BIGINT) AS cq
+        |        FROM perv),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(q) AS BIGINT) AS tq
+        |        FROM perv),
+        |scored AS (SELECT v, tp, tq,
+        |                  least(cp, cq) + least(tp - cp, tq - cq) AS err
+        |           FROM cum, tot),
+        |best AS (SELECT v, err, tp, tq FROM scored ORDER BY err, v LIMIT 1)
+        |SELECT v AS split_cents, err, least(tp, tq) AS base_err,
+        |       tp + tq AS n,
+        |       round(1.0e0 - CAST(err AS DOUBLE) / (tp + tq), 6) AS accuracy
+        |FROM best""".stripMargin,
+    "dq_benford" ->
+      """WITH o AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |           FROM orders),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM o GROUP BY 1),
+        |p AS (SELECT digit, observed,
+        |             CASE digit WHEN 1 THEN 0.3010299956639812e0
+        |                        WHEN 2 THEN 0.17609125905568124e0
+        |                        WHEN 3 THEN 0.12493873660829992e0
+        |                        WHEN 4 THEN 0.09691001300805642e0
+        |                        WHEN 5 THEN 0.07918124604762482e0
+        |                        WHEN 6 THEN 0.06694678963061322e0
+        |                        WHEN 7 THEN 0.05799194697768673e0
+        |                        WHEN 8 THEN 0.05115252244738129e0
+        |                        WHEN 9 THEN 0.04575749056067514e0
+        |             END * n AS expected_raw
+        |      FROM obs, tot)
+        |SELECT digit, observed, round(expected_raw, 4) AS expected,
+        |       round((observed - expected_raw) * (observed - expected_raw)
+        |             / expected_raw, 6) AS chi2_term
+        |FROM p""".stripMargin,
+    "agg_moments" ->
+      """WITH base AS (SELECT l_returnflag AS flag,
+        |                     CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS y
+        |              FROM lineitem),
+        |sums AS (SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+        |                CAST(sum(y) AS DOUBLE) AS s1,
+        |                CAST(sum(y * y) AS DOUBLE) AS s2,
+        |                CAST(sum(y * y * y) AS DOUBLE) AS s3,
+        |                CAST(sum(y * y * y * y) AS DOUBLE) AS s4
+        |         FROM base GROUP BY 1),
+        |m1 AS (SELECT *, s1 / n AS m FROM sums),
+        |mc AS (SELECT flag, n, m,
+        |              s2 / n - m * m AS m2,
+        |              s3 / n - 3.0e0 * m * s2 / n + 2.0e0 * m * m * m AS m3,
+        |              s4 / n - 4.0e0 * m * s3 / n + 6.0e0 * m * m * s2 / n
+        |                - 3.0e0 * m * m * m * m AS m4
+        |       FROM m1)
+        |SELECT flag, CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
+        |       round(m2, 6) AS variance,
+        |       round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+        |       round(m4 / (m2 * m2) - 3.0e0, 6) AS kurtosis
+        |FROM mc""".stripMargin
   )
 }

@@ -52,4 +52,53 @@ object Sharding {
     }
     spark.createDataFrame(numbered, outSchema)
   }
+
+  /** Appends the inclusive running total `cum_<c>` (LongType) of each
+    * LongType column in `sumCols`, taken in ascending `orderCol` order
+    * (which must be unique — intra-tie order is undefined) — i.e. a
+    * distributed CDF / prefix-scan.
+    *
+    * Same two-pass offset scheme as [[globalRowNumber]]: the naive
+    * `sum(c) OVER (ORDER BY v)` plans a single-partition window (one
+    * task sees every row); here pass 1 ships P×C partial sums to the
+    * driver, pass 2 resumes each partition from its broadcast offset
+    * vector. This is the backbone for whole-distribution statistics
+    * at corpus scale: empirical CDFs (KS tests), threshold sweeps
+    * (decision stumps, ROC curves), quantile tables. */
+  def prefixSums(df: DataFrame, orderCol: String, sumCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val idx = sumCols.map(df.schema.fieldIndex).toArray
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol).rdd
+    // pass 1: per-partition column sums (P vectors of C longs, not data)
+    val partSums = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val acc = new Array[Long](idx.length)
+      it.foreach { r =>
+        var j = 0
+        while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
+      }
+      Iterator(pid -> acc)
+    }.collect().toMap
+    val zero = new Array[Long](idx.length)
+    val offsets = (0 until parts).scanLeft(zero) { (acc, p) =>
+      val s = partSums.getOrElse(p, zero)
+      Array.tabulate(idx.length)(j => acc(j) + s(j))
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    val outSchema = StructType(df.schema.fields ++
+      sumCols.map(c => StructField(s"cum_$c", LongType, nullable = false)))
+    // pass 2: resume the scan from the broadcast offsets, map-side
+    val scanned = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val run = bc.value(pid).clone()
+      it.map { r =>
+        var j = 0
+        while (j < idx.length) { run(j) += r.getLong(idx(j)); j += 1 }
+        Row.fromSeq(r.toSeq ++ run.clone().toSeq)
+      }
+    }
+    spark.createDataFrame(scanned, outSchema)
+  }
 }

@@ -22,6 +22,31 @@ class ShardingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("prefixSums equals the single-partition window scan, any partition count") {
+    import spark.implicits._
+    val df = spark.range(2000).select((col("id") * 7 % 5000).as("v")).distinct()
+      .withColumn("a", col("v") % 13)
+      .withColumn("b", lit(1L))
+    val w = Window.orderBy($"v")
+    val expected = df
+      .withColumn("cum_a", sum($"a").over(w))
+      .withColumn("cum_b", sum($"b").over(w))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    Seq(1, 4, 11).foreach { parts =>
+      val got = Sharding.prefixSums(df, "v", Seq("a", "b"), numPartitions = parts)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("prefixSums on an empty frame returns an empty frame with the cum columns") {
+    import spark.implicits._
+    val df = spark.range(0).select(col("id").as("v"), col("id").as("a"))
+    val out = Sharding.prefixSums(df, "v", Seq("a"))
+    out.columns.toSeq shouldBe Seq("v", "a", "cum_a")
+    out.count() shouldBe 0L
+  }
+
   test("upsert: batch wins by KEY — a legitimate NULL in the batch does not leak old data") {
     import spark.implicits._
     val table = Seq((1L, Option("old1"), 10), (2L, Option("old2"), 20)).toDF("k", "v", "n")
