@@ -4709,6 +4709,171 @@ object SparkEntry {
           RoundPortableExpr.r($"m2", 6).as("variance"),
           RoundPortableExpr.r($"m3" / (sqrt($"m2") * $"m2"), 6).as("skewness"),
           RoundPortableExpr.r($"m4" / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
+    }),
+    // ---- PMI bigram collocations (Church & Hanks 1990) — the
+    // phrase-mining screen corpus curation runs before tokenizer
+    // training. One posexplode + lead() bigram pass (persisted — four
+    // consumers), pair/marginal censuses are map-side-combined aggs,
+    // top-30 is a TakeOrderedAndProject. The ORDER key is the exact
+    // rational c12·N/(c1·c2) (two exact int64 products, one IEEE
+    // division — engine-independent), NOT the ln (libm vs StrictMath
+    // could flip last-ulp near-ties); ln only decorates the output,
+    // rounded. Floor c12 ≥ 5 keeps noise pairs out and bites at every
+    // SF (916 → 900 pairs at sf0.01). ----
+    "text_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val tok = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          posexplode(ops.TextPrimitives.words($"text")).as(Seq("pos", "w")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = graft.core.PlanCache.persist(
+        tok.withColumn("w2", lead($"w", 1).over(win))
+          .where($"w2".isNotNull)
+          .select($"w".as("w1"), $"w2"))
+      val cb = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        .where($"c12" >= 5)
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
+      val c2 = bi.groupBy($"w2").agg(count(lit(1)).as("n2"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      cb.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(nb))
+        .withColumn("ratio",
+          ($"c12" * $"nb").cast("double") / ($"n1" * $"n2").cast("double"))
+        .orderBy($"ratio".desc, $"w1", $"w2").limit(30)
+        .select($"w1", $"w2", $"c12",
+          RoundPortableExpr.r(log($"ratio"), 6).as("pmi"))
+    }),
+    // ---- local clustering coefficient over the capped co-click graph
+    // (same ≤40-users/item + ≥5-shared-items edge derivation as
+    // graph_kcore — the hub cap bounds the wedge join's fan-out, which
+    // is what makes distributed triangle counting survive skew).
+    // Triangles enumerated once each on canonical a<b<c edges via the
+    // standard two-hop wedge join + closing-edge join; per-node counts
+    // from a 3-way explode. lcc = 2·tri/(deg·(deg−1)) is an exact-int
+    // ratio — one IEEE division, engine-independent. ----
+    "graph_clustering_coeff" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wcap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val capped = clicks.withColumn("rn", row_number().over(wcap))
+        .where($"rn" <= 40).drop("rn")
+      val e = graft.core.PlanCache.persist(
+        capped.alias("a").join(capped.alias("b"),
+            $"a.i" === $"b.i" && $"a.u" < $"b.u")
+          .groupBy($"a.u".as("u"), $"b.u".as("v"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where($"n_shared" >= 5)
+          .select($"u", $"v"))
+      val und = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+      val deg = und.groupBy($"node").agg(count(lit(1)).as("deg"))
+      val tris = e.alias("x").join(e.alias("y"), $"x.v" === $"y.u")
+        .join(e.alias("z"), $"x.u" === $"z.u" && $"y.v" === $"z.v")
+        .select($"x.u".as("n1"), $"x.v".as("n2"), $"y.v".as("n3"))
+      val tpn = tris.select(explode(array($"n1", $"n2", $"n3")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("tri"))
+      deg.join(tpn, Seq("node"), "left_outer")
+        .select($"node", $"deg", coalesce($"tri", lit(0L)).as("tri"),
+          when($"deg" >= 2,
+            RoundPortableExpr.r(
+              (coalesce($"tri", lit(0L)) * 2).cast("double") /
+                ($"deg" * ($"deg" - 1)).cast("double"), 6))
+            .otherwise(lit(0.0)).as("lcc"))
+    }),
+    // ---- at-most-one-changepoint location estimate (CUSUM argmax,
+    // Page/Hinkley form) over the per-event-type daily revenue:
+    // khat = argmax_k |Σ_{i≤k}(y_i − ȳ)|. The statistic is carried as
+    // D_k = n·prefix_k − k·total in exact decimal(38,0) of the
+    // 4-decimal-fixed y (multiplying through by n avoids the
+    // order-dependent running mean entirely), so the argmax and its
+    // tie-break (smallest k) compare exact integers cross-engine;
+    // doubles appear only in the final three single-division outputs.
+    // The prefix window partitions per event_type over an O(days)
+    // calendar-bounded census — same envelope as ts_cusum. ----
+    "ts_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")).cast("long"))
+        .select($"event_type", $"t",
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      val cached = graft.core.PlanCache.persist(daily)
+      val tot = cached.groupBy($"event_type")
+        .agg(sum($"yi").as("tot"), count(lit(1)).as("n"))
+      val d = cached
+        .withColumn("pre", sum($"yi").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"t")))
+        .join(broadcast(tot), "event_type")
+        .where($"t" < $"n")
+        .withColumn("d", abs($"n" * $"pre" - $"t" * $"tot"))
+      d.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"d".desc, $"t")))
+        .where($"rn" === 1)
+        .select($"event_type", $"n", $"t".as("khat"),
+          RoundPortableExpr.r(
+            $"d".cast("double") / ($"n" * 10000L).cast("double"), 6).as("stat"),
+          RoundPortableExpr.r(
+            $"pre".cast("double") / ($"t" * 10000L).cast("double"), 6)
+            .as("mean_left"),
+          RoundPortableExpr.r(
+            ($"tot" - $"pre").cast("double") /
+              (($"n" - $"t") * 10000L).cast("double"), 6).as("mean_right"))
+    }),
+    // ---- Mann–Kendall trend test (Mann 1945, Kendall 1975) with the
+    // tie-corrected variance, per event_type over the daily revenue:
+    // S = Σ_{i<j} sign(y_j − y_i) from a bounded O(days²)-pairs
+    // self-join on the calendar-bounded census (435 pairs/key — the
+    // bounded-panel pattern, not a corpus self-join); signs compare the
+    // exact 4-decimal-fixed decimals so S and the tie census are
+    // engine-exact integers. var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18
+    // and z enter doubles only through literal-for-literal-identical
+    // expressions (one /18, one sqrt, one division — all IEEE-correctly
+    // rounded). Trend label compares the ROUNDED z to ±1.96 so the
+    // branch is cross-engine stable. ----
+    "q_mann_kendall" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")).cast("long"))
+        .select($"event_type", $"t",
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      val cached = graft.core.PlanCache.persist(daily)
+      val sTab = cached.alias("a").join(cached.alias("b"),
+          $"a.event_type" === $"b.event_type" && $"a.t" < $"b.t")
+        .groupBy($"a.event_type".as("event_type"))
+        .agg(sum(when($"b.yi" > $"a.yi", 1L)
+          .when($"b.yi" < $"a.yi", -1L).otherwise(0L)).as("s"))
+      val ties = cached.groupBy($"event_type", $"yi")
+        .agg(count(lit(1)).as("tt"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum($"tt" * ($"tt" - 1) * ($"tt" * 2 + 5)).as("tie_term"))
+      val n = cached.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val z = ($"s".cast("double") - signum($"s".cast("double"))) /
+        sqrt(($"n" * ($"n" - 1) * ($"n" * 2 + 5) - $"tie_term")
+          .cast("double") / lit(18.0))
+      sTab.join(ties, "event_type").join(n, "event_type")
+        .withColumn("var_s",
+          RoundPortableExpr.r(
+            ($"n" * ($"n" - 1) * ($"n" * 2 + 5) - $"tie_term")
+              .cast("double") / lit(18.0), 6))
+        .withColumn("z", when($"s" === 0L, lit(0.0))
+          .otherwise(RoundPortableExpr.r(z, 6)))
+        .select($"event_type", $"n", $"s", $"n_distinct", $"var_s", $"z",
+          when($"z" > 1.96, lit("increasing"))
+            .when($"z" < -1.96, lit("decreasing"))
+            .otherwise(lit("no_trend")).as("trend"))
     })
   )
 
@@ -7643,6 +7808,98 @@ object SparkEntry {
         |       round(m2, 6) AS variance,
         |       round(m3 / (sqrt(m2) * m2), 6) AS skewness,
         |       round(m4 / (m2 * m2) - 3.0e0, 6) AS kurtosis
-        |FROM mc""".stripMargin
+        |FROM mc""".stripMargin,
+    "text_collocations" ->
+      s"""WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM tw WHERE len(ws) >= 2),
+         |bi AS (SELECT ws[CAST(i + 1 AS INTEGER)] AS w1, ws[CAST(i + 2 AS INTEGER)] AS w2 FROM ix),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM bi GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+         |sc AS (SELECT cb.w1, cb.w2, cb.c12,
+         |              CAST(cb.c12 * nt.nb AS DOUBLE) / CAST(m1.n1 * m2.n2 AS DOUBLE) AS ratio
+         |       FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt)
+         |SELECT w1, w2, c12, round(ln(ratio), 6) AS pmi
+         |FROM sc ORDER BY ratio DESC, w1, w2 LIMIT 30""".stripMargin,
+    "graph_clustering_coeff" ->
+      s"""WITH e AS MATERIALIZED ($coClickPairsSql),
+         |und AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |tri AS (SELECT x.u AS n1, x.v AS n2, y.v AS n3
+         |        FROM e x JOIN e y ON x.v = y.u
+         |                 JOIN e z ON z.u = x.u AND z.v = y.v),
+         |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |          SELECT n1 AS node FROM tri
+         |          UNION ALL SELECT n2 FROM tri
+         |          UNION ALL SELECT n3 FROM tri) GROUP BY 1)
+         |SELECT deg.node AS node, deg, coalesce(tri, 0) AS tri,
+         |       CASE WHEN deg >= 2
+         |            THEN round(CAST(coalesce(tri, 0) * 2 AS DOUBLE)
+         |                       / CAST(deg * (deg - 1) AS DOUBLE), 6)
+         |            ELSE 0.0e0 END AS lcc
+         |FROM deg LEFT JOIN tpn USING (node)""".stripMargin,
+    "ts_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type,
+        |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |                    AS BIGINT) AS t,
+        |               CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |        FROM daily),
+        |tot AS (SELECT event_type, sum(yi) AS tot, CAST(count(*) AS BIGINT) AS n
+        |        FROM seq GROUP BY 1),
+        |pre AS (SELECT s.event_type, s.t,
+        |               sum(s.yi) OVER (PARTITION BY s.event_type ORDER BY s.t) AS pre,
+        |               tot.tot, tot.n
+        |        FROM seq s JOIN tot USING (event_type)),
+        |d AS (SELECT event_type, t, pre, tot, n, abs(n * pre - t * tot) AS d
+        |      FROM pre WHERE t < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                      ORDER BY d DESC, t) AS rn
+        |         FROM d)
+        |SELECT event_type, n, t AS khat,
+        |       round(CAST(d AS DOUBLE) / CAST(n * 10000 AS DOUBLE), 6) AS stat,
+        |       round(CAST(pre AS DOUBLE) / CAST(t * 10000 AS DOUBLE), 6) AS mean_left,
+        |       round(CAST(tot - pre AS DOUBLE)
+        |             / CAST((n - t) * 10000 AS DOUBLE), 6) AS mean_right
+        |FROM best WHERE rn = 1""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type,
+        |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |                    AS BIGINT) AS t,
+        |               CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |        FROM daily),
+        |st AS (SELECT a.event_type,
+        |              CAST(sum(CASE WHEN b.yi > a.yi THEN 1
+        |                            WHEN b.yi < a.yi THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |       FROM seq a JOIN seq b
+        |         ON a.event_type = b.event_type AND a.t < b.t
+        |       GROUP BY 1),
+        |ties AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct,
+        |                CAST(sum(tt * (tt - 1) * (tt * 2 + 5)) AS BIGINT) AS tie_term
+        |         FROM (SELECT event_type, yi, CAST(count(*) AS BIGINT) AS tt
+        |               FROM seq GROUP BY 1, 2) GROUP BY 1),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM seq GROUP BY 1),
+        |j AS (SELECT st.event_type, nn.n, st.s, ties.n_distinct,
+        |             round(CAST(nn.n * (nn.n - 1) * (nn.n * 2 + 5) - ties.tie_term
+        |                        AS DOUBLE) / 18.0e0, 6) AS var_s,
+        |             CASE WHEN st.s = 0 THEN 0.0e0
+        |                  ELSE round((CAST(st.s AS DOUBLE)
+        |                              - (CASE WHEN st.s > 0 THEN 1.0e0 ELSE -1.0e0 END))
+        |                             / sqrt(CAST(nn.n * (nn.n - 1) * (nn.n * 2 + 5)
+        |                                         - ties.tie_term AS DOUBLE) / 18.0e0), 6)
+        |             END AS z
+        |      FROM st JOIN ties USING (event_type) JOIN nn USING (event_type))
+        |SELECT event_type, n, s, n_distinct, var_s, z,
+        |       CASE WHEN z > 1.96e0 THEN 'increasing'
+        |            WHEN z < -1.96e0 THEN 'decreasing'
+        |            ELSE 'no_trend' END AS trend
+        |FROM j""".stripMargin
   )
 }

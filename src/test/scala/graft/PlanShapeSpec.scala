@@ -49,7 +49,9 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_market_basket", "text_zipf", "q_abtest", "q_kaplan_meier", "ml_linreg",
     "ml_naive_bayes", "ml_bootstrap_ci", "rec_item_item", "ml_chi2_tokens",
     "text_keywords_tfidf", "ml_auc", "ml_calibration", "ts_holt_winters",
-    "q_skyline", "ml_knn_classifier")
+    "q_skyline", "ml_knn_classifier", "dq_benford", "agg_moments",
+    "text_collocations", "graph_clustering_coeff", "ts_changepoint",
+    "q_mann_kendall")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -387,5 +389,27 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     val p = physical("ml_auc")
     p should include("partial_count") // per-user then per-score map-side combine
     p should not include "CartesianProduct"
+  }
+
+  test("collocations: top-30 is a heap (TakeOrdered), censuses partial-combine") {
+    val p = physical("text_collocations")
+    p should include("TakeOrderedAndProject")
+    p should include("partial_count")
+    // the one nested-loop is the broadcast one-row bigram total
+    p should not include "CartesianProduct"
+  }
+
+  test("clustering coefficient: wedge/closing joins are hash joins on edge keys") {
+    val p = physical("graph_clustering_coeff")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "(BroadcastHashJoin|SortMergeJoin)".r.findAllIn(p).size should be >= 3
+  }
+
+  test("mann-kendall: pair join keys on event_type, no cross product") {
+    val p = physical("q_mann_kendall")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_sum") // S partial-aggregates map-side
   }
 }
