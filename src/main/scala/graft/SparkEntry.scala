@@ -4874,6 +4874,156 @@ object SparkEntry {
           when($"z" > 1.96, lit("increasing"))
             .when($"z" < -1.96, lit("decreasing"))
             .otherwise(lit("no_trend")).as("trend"))
+    }),
+    // ---- median / MAD robust-outlier screen (Iglewicz–Hoaglin
+    // modified z-score, |0.6745·(x−med)/MAD| > 3.5) over order totals.
+    // EXACT medians at corpus scale: two Sharding.prefixSums passes
+    // over value censuses (support-sized, never row-scale; the naive
+    // median() is a single-partition sort) pick both middle order
+    // stats; all state is carried in integer half-cents (m2 = v1+v2,
+    // dev2 = |2v−m2|, mad4 = d1+d2) so the outlier test is the exact
+    // integer cross-multiplication 1349·dev2 > 3500·mad4 — no double
+    // compares anywhere near the decision boundary. ----
+    "q_mad" -> ((s, dir) => {
+      import s.implicits._
+      val v = s.read.parquet(t(dir, "orders"))
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("v"))
+      val perv = graft.core.PlanCache.persist(
+        v.groupBy($"v").agg(count(lit(1)).as("cnt")))
+      val n = perv.agg(sum($"cnt").as("n"))
+      val med = ops.Sharding.prefixSums(perv, "v", Seq("cnt"))
+        .crossJoin(broadcast(n))
+        .agg(min(when($"cum_cnt" >= expr("(n + 1) div 2"), $"v")).as("v1"),
+          min(when($"cum_cnt" >= expr("n div 2 + 1"), $"v")).as("v2"))
+        .select(($"v1" + $"v2").as("m2"))
+      val dev = v.crossJoin(broadcast(med))
+        .select(abs($"v" * 2 - $"m2").as("d"), $"m2")
+      val perd = graft.core.PlanCache.persist(
+        dev.groupBy($"d").agg(count(lit(1)).as("cnt")))
+      val mad = ops.Sharding.prefixSums(perd, "d", Seq("cnt"))
+        .crossJoin(broadcast(n))
+        .agg(min(when($"cum_cnt" >= expr("(n + 1) div 2"), $"d")).as("d1"),
+          min(when($"cum_cnt" >= expr("n div 2 + 1"), $"d")).as("d2"))
+        .select(($"d1" + $"d2").as("mad4"))
+      dev.crossJoin(broadcast(mad)).crossJoin(broadcast(n))
+        .groupBy($"n", $"m2", $"mad4")
+        .agg(sum(when($"d" * 1349L > $"mad4" * 3500L, 1L).otherwise(0L))
+          .as("n_outliers"),
+          max($"d").as("dmax"))
+        .select($"n",
+          RoundPortableExpr.r($"m2".cast("double") / 200.0, 6).as("median"),
+          RoundPortableExpr.r($"mad4".cast("double") / 400.0, 6).as("mad"),
+          $"n_outliers",
+          RoundPortableExpr.r(lit(1.349) * $"dmax".cast("double") /
+            $"mad4".cast("double"), 6).as("max_zmod"))
+    }),
+    // ---- Theil–Sen robust trend slope (median of pairwise slopes) per
+    // event_type over the daily revenue — the estimator product teams
+    // pair with q_mann_kendall (MK detects the trend, Theil–Sen sizes
+    // it; both survive 29% outliers). Slopes are single IEEE divisions
+    // of exact decimal diffs over the bounded O(days²) pair panel (435
+    // pairs/key); the median picks the middle order stats by position,
+    // so slope TIES can't flip the value. Everything stays in the
+    // yi = y·10⁴ fixed-point domain until one final exact-power-of-ten
+    // scaling division. ----
+    "ts_theil_sen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")).cast("long"))
+        .select($"event_type", $"t",
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      val cached = graft.core.PlanCache.persist(daily)
+      val slopes = cached.alias("a").join(cached.alias("b"),
+          $"a.event_type" === $"b.event_type" && $"a.t" < $"b.t")
+        .select($"a.event_type".as("event_type"),
+          (($"b.yi" - $"a.yi").cast("double") /
+            ($"b.t" - $"a.t").cast("double")).as("sl"))
+      slopes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"sl")))
+        .withColumn("np", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+        .where($"rn" === expr("(np + 1) div 2") || $"rn" === expr("np div 2 + 1"))
+        .groupBy($"event_type")
+        .agg(max($"np").as("n_pairs"), count(lit(1)).as("k"), sum($"sl").as("ssum"))
+        .select($"event_type", $"n_pairs",
+          RoundPortableExpr.r($"ssum" / $"k" / lit(10000.0), 6).as("slope"))
+    }),
+    // ---- degree assortativity (Newman 2002) of the capped co-click
+    // graph — the one-number graph-health metric (hub-to-hub vs
+    // hub-to-leaf wiring) monitoring tracks alongside kcore/triangles.
+    // Pearson correlation over edge-end degree pairs from EXACT int64
+    // power sums (the agg_moments protocol applied to graphs): both
+    // orientations of each edge feed one map-side-combined agg, r's
+    // numerator/denominator are exact integers and meet doubles only
+    // in the final division. Zero-variance (regular) graphs guard to
+    // 0 rather than NaN. ----
+    "graph_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wcap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val capped = clicks.withColumn("rn", row_number().over(wcap))
+        .where($"rn" <= 40).drop("rn")
+      val e = graft.core.PlanCache.persist(
+        capped.alias("a").join(capped.alias("b"),
+            $"a.i" === $"b.i" && $"a.u" < $"b.u")
+          .groupBy($"a.u".as("u"), $"b.u".as("v"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where($"n_shared" >= 5)
+          .select($"u", $"v"))
+      val und = e.select($"u".as("a"), $"v".as("b"))
+        .unionByName(e.select($"v".as("a"), $"u".as("b")))
+      val deg = graft.core.PlanCache.persist(
+        und.groupBy($"a".as("node")).agg(count(lit(1)).as("deg")))
+      val de = und
+        .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+        .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+      val st = de.agg(count(lit(1)).as("m"), sum($"da").as("sx"),
+        sum($"da" * $"db").as("sxy"), sum($"da" * $"da").as("sx2"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      st.crossJoin(broadcast(nn))
+        .select($"n_nodes", expr("m div 2").as("n_edges"),
+          when($"m" * $"sx2" - $"sx" * $"sx" === 0L, lit(0.0))
+            .otherwise(RoundPortableExpr.r(
+              ($"m" * $"sxy" - $"sx" * $"sx").cast("double") /
+                ($"m" * $"sx2" - $"sx" * $"sx").cast("double"), 6))
+            .as("assortativity"))
+    }),
+    // ---- functional-dependency violation census — the profiling
+    // screen (Papenbrock/HyFD-style single-FD check) warehouses run
+    // before trusting a key: for each declared det→dep, count
+    // determinant groups and groups with >1 distinct dependent.
+    // Violation = min(dep) ≠ max(dep) per group — NOT countDistinct:
+    // a distinct agg keys the partial by (det, dep) and at 100× that
+    // hash map measured 13.8 GB of spill (most pairs unique, map-side
+    // combine reduces nothing), while min/max partials combine to two
+    // values per det however wide the group. 3-row output;
+    // c_custkey→c_nationkey HOLDS (0 violations) while the two
+    // order/lineitem FDs are violated — both detector branches fire. ----
+    "dq_fd_check" -> ((s, dir) => {
+      import s.implicits._
+      def fd(df: DataFrame, name: String, det: String, dep: String): DataFrame =
+        df.groupBy(col(det)).agg(min(col(dep)).as("lo"), max(col(dep)).as("hi"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when($"lo" =!= $"hi", 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), $"n_groups", $"n_violating",
+            RoundPortableExpr.r($"n_violating".cast("double") /
+              $"n_groups".cast("double"), 6).as("violation_rate"))
+      fd(s.read.parquet(t(dir, "orders")),
+          "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        .unionByName(fd(s.read.parquet(t(dir, "lineitem")),
+          "l_orderkey->l_shipdate", "l_orderkey", "l_shipdate"))
+        .unionByName(fd(s.read.parquet(t(dir, "customer")),
+          "c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
     })
   )
 
@@ -7900,6 +8050,94 @@ object SparkEntry {
         |       CASE WHEN z > 1.96e0 THEN 'increasing'
         |            WHEN z < -1.96e0 THEN 'decreasing'
         |            ELSE 'no_trend' END AS trend
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    "q_mad" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+        |perv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM perv),
+        |cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_cnt FROM perv),
+        |med AS (SELECT min(CASE WHEN cum_cnt >= (n + 1) // 2 THEN v END)
+        |               + min(CASE WHEN cum_cnt >= n // 2 + 1 THEN v END) AS m2
+        |        FROM cum, nn),
+        |dev AS (SELECT abs(v * 2 - m2) AS d, m2 FROM v, med),
+        |perd AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY 1),
+        |cumd AS (SELECT d, CAST(sum(cnt) OVER (ORDER BY d) AS BIGINT) AS cum_cnt FROM perd),
+        |mad AS (SELECT min(CASE WHEN cum_cnt >= (n + 1) // 2 THEN d END)
+        |               + min(CASE WHEN cum_cnt >= n // 2 + 1 THEN d END) AS mad4
+        |        FROM cumd, nn),
+        |fin AS (SELECT n, m2, mad4,
+        |               CAST(sum(CASE WHEN d * 1349 > mad4 * 3500 THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS n_outliers,
+        |               max(d) AS dmax
+        |        FROM dev, mad, nn GROUP BY 1, 2, 3)
+        |SELECT n, round(CAST(m2 AS DOUBLE) / 200.0e0, 6) AS median,
+        |       round(CAST(mad4 AS DOUBLE) / 400.0e0, 6) AS mad,
+        |       n_outliers,
+        |       round(1.349e0 * CAST(dmax AS DOUBLE) / CAST(mad4 AS DOUBLE), 6) AS max_zmod
+        |FROM fin""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type,
+        |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |                    AS BIGINT) AS t,
+        |               CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |        FROM daily),
+        |sl AS (SELECT a.event_type,
+        |              CAST(b.yi - a.yi AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+        |       FROM seq a JOIN seq b
+        |         ON a.event_type = b.event_type AND a.t < b.t),
+        |rk AS (SELECT event_type, sl,
+        |              CAST(row_number() OVER (PARTITION BY event_type ORDER BY sl)
+        |                   AS BIGINT) AS rn,
+        |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |       FROM sl)
+        |SELECT event_type, max(np) AS n_pairs,
+        |       round(sum(sl) / count(*) / 10000.0e0, 6) AS slope
+        |FROM rk WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |GROUP BY 1""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH e AS MATERIALIZED ($coClickPairsSql),
+         |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |de AS (SELECT d1.deg AS da, d2.deg AS db
+         |       FROM und JOIN deg d1 ON d1.node = und.a
+         |                JOIN deg d2 ON d2.node = und.b),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(da) AS BIGINT) AS sx,
+         |              CAST(sum(da * db) AS BIGINT) AS sxy,
+         |              CAST(sum(da * da) AS BIGINT) AS sx2
+         |       FROM de),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT n_nodes, m // 2 AS n_edges,
+         |       CASE WHEN m * sx2 - sx * sx = 0 THEN 0.0e0
+         |            ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |                       / CAST(m * sx2 - sx * sx AS DOUBLE), 6)
+         |       END AS assortativity
+         |FROM st, nn""".stripMargin,
+    "dq_fd_check" ->
+      """WITH f1 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+        |                   CAST(count(*) AS BIGINT) AS n_groups,
+        |                   CAST(sum(CASE WHEN lo <> hi THEN 1 ELSE 0 END) AS BIGINT)
+        |                     AS n_violating
+        |            FROM (SELECT o_custkey, min(o_orderpriority) AS lo,
+        |                         max(o_orderpriority) AS hi
+        |                  FROM orders GROUP BY 1)),
+        |f2 AS (SELECT 'l_orderkey->l_shipdate' AS fd,
+        |              CAST(count(*) AS BIGINT) AS n_groups,
+        |              CAST(sum(CASE WHEN lo <> hi THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS n_violating
+        |       FROM (SELECT l_orderkey, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        |             FROM lineitem GROUP BY 1)),
+        |f3 AS (SELECT 'c_custkey->c_nationkey' AS fd,
+        |              CAST(count(*) AS BIGINT) AS n_groups,
+        |              CAST(sum(CASE WHEN lo <> hi THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS n_violating
+        |       FROM (SELECT c_custkey, min(c_nationkey) AS lo, max(c_nationkey) AS hi
+        |             FROM customer GROUP BY 1))
+        |SELECT fd, n_groups, n_violating,
+        |       round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6)
+        |         AS violation_rate
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)""".stripMargin
   )
 }

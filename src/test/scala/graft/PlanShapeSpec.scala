@@ -51,7 +51,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_keywords_tfidf", "ml_auc", "ml_calibration", "ts_holt_winters",
     "q_skyline", "ml_knn_classifier", "dq_benford", "agg_moments",
     "text_collocations", "graph_clustering_coeff", "ts_changepoint",
-    "q_mann_kendall")
+    "q_mann_kendall", "ts_theil_sen", "graph_assortativity", "dq_fd_check")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -411,5 +411,23 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
     p should include("partial_sum") // S partial-aggregates map-side
+  }
+
+  test("theil-sen: slope pairs key on event_type; medians picked per-key") {
+    val p = physical("ts_theil_sen")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("assortativity: degree joins are hash joins, power sums partial-combine") {
+    val p = physical("graph_assortativity")
+    p should include("partial_sum")
+    p should not include "CartesianProduct"
+  }
+
+  test("fd check: countDistinct aggs are two-phase (partial on the det key)") {
+    val p = physical("dq_fd_check")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
   }
 }
