@@ -5024,6 +5024,80 @@ object SparkEntry {
           "l_orderkey->l_shipdate", "l_orderkey", "l_shipdate"))
         .unionByName(fd(s.read.parquet(t(dir, "customer")),
           "c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
+    }),
+    // ---- exact max-inner-product top-k (recommender serving: the
+    // score is user·item, and unnormalized embeddings make MIPS a
+    // different ranking from cosine). Broadcast query panel + codegen
+    // dot-product kernel + per-partition rank heaps — the same
+    // exact-baseline contract sim_knn_batch pins for cosine. The scale
+    // path is the Bachrach-et-al MIPS→cosine reduction
+    // (Similarity.mipsAugmentCorpus: append sqrt(M²−‖x‖²), making
+    // cosine ranking EQUAL to ip ranking — identity pinned by
+    // SimilaritySpec), under which every ANN index in the engine
+    // serves MIPS unchanged. ----
+    "sim_mips" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.mipsTopK(emb.where($"vec_id" < 10), emb, k = 3)
+    }),
+    // ---- batch perceptron (Rosenblatt 1958, batch form), three
+    // epochs unrolled: w ← w + Σ_misclassified y·x with INTEGER
+    // features (bias, totalprice in exact hundreds via integer div of
+    // cents, order day-of-month) — every weight, margin, and error
+    // count is exact int64, so the entire training trajectory is
+    // bit-identical cross-engine (the ml_naive_bayes/ml_linreg
+    // protocol extended to an iterative learner). Each epoch is one
+    // linear scan against a broadcast 1-row weight vector — the
+    // classic iterative-broadcast shape, no driver collect. The
+    // fixture's label is price-independent so the learner oscillates
+    // on noise; the entry pins the exact pipeline, per-epoch. ----
+    "ml_perceptron" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "orders")).select(
+          when($"o_orderpriority" === "1-URGENT", 1L).otherwise(-1L).as("y"),
+          lit(1L).as("x0"),
+          expr("cast(round(o_totalprice * 100, 0) as bigint) div 10000").as("x1"),
+          dayofmonth($"o_orderdate".cast("date")).cast("long").as("x2")))
+      def step(w: DataFrame): DataFrame =
+        base.crossJoin(broadcast(w))
+          .withColumn("mis",
+            $"y" * ($"w0" * $"x0" + $"w1" * $"x1" + $"w2" * $"x2") <= 0)
+          .agg(sum(when($"mis", 1L).otherwise(0L)).as("n_mis"),
+            (min($"w0") + coalesce(sum(when($"mis", $"y" * $"x0")), lit(0L))).as("w0"),
+            (min($"w1") + coalesce(sum(when($"mis", $"y" * $"x1")), lit(0L))).as("w1"),
+            (min($"w2") + coalesce(sum(when($"mis", $"y" * $"x2")), lit(0L))).as("w2"))
+      val wInit = s.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+      val e1 = step(wInit)
+      val e2 = step(e1.drop("n_mis"))
+      val e3 = step(e2.drop("n_mis"))
+      e1.select(lit(1).as("epoch"), $"n_mis", $"w0", $"w1", $"w2")
+        .unionByName(e2.select(lit(2).as("epoch"), $"n_mis", $"w0", $"w1", $"w2"))
+        .unionByName(e3.select(lit(3).as("epoch"), $"n_mis", $"w0", $"w1", $"w2"))
+    }),
+    // ---- type-token ratio + hapax-legomena profile per source — the
+    // lexical-diversity screen corpus curation reads next to Zipf/
+    // entropy (template-generated or boilerplate-heavy sources show up
+    // as low TTR, scraped natural text as high hapax mass). One token
+    // explode persisted for its two consumers; the type census is
+    // (source, word)-keyed — vocabulary-sized, never corpus-row-scale
+    // after the map-side combine. ----
+    "text_ttr" -> ((s, dir) => {
+      import s.implicits._
+      val tok = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"source", explode(ops.TextPrimitives.words($"text")).as("w"))
+          .where($"w" =!= ""))
+      val types = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      val a1 = tok.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+      val a2 = types.groupBy($"source").agg(count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      a1.join(a2, "source")
+        .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+          RoundPortableExpr.r(
+            $"n_types".cast("double") / $"n_tokens".cast("double"), 6).as("ttr"),
+          RoundPortableExpr.r(
+            $"n_hapax".cast("double") / $"n_types".cast("double"), 6).as("hapax_rate"))
     })
   )
 
@@ -8138,6 +8212,72 @@ object SparkEntry {
         |SELECT fd, n_groups, n_violating,
         |       round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6)
         |         AS violation_rate
-        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)""".stripMargin
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)""".stripMargin,
+    "sim_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |             round(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 4) AS ip
+        |      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY ip DESC, neighbor_id) AS rn
+        |      FROM d)
+        |SELECT query_id, neighbor_id, ip FROM r WHERE rn <= 3""".stripMargin,
+    "ml_perceptron" ->
+      """WITH base AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE -1 END AS y,
+        |                     CAST(1 AS BIGINT) AS x0,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) // 10000 AS x1,
+        |                     CAST(EXTRACT(DAY FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x2
+        |              FROM orders),
+        |wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |               CAST(0 AS BIGINT) AS w2),
+        |m1 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt0),
+        |wt1 AS (SELECT CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+        |               CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m1),
+        |m2 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt1),
+        |wt2 AS (SELECT CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+        |               CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m2),
+        |m3 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt2),
+        |wt3 AS (SELECT CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+        |               CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m3)
+        |SELECT 1 AS epoch, n_mis, w0, w1, w2 FROM wt1
+        |UNION ALL SELECT 2 AS epoch, n_mis, w0, w1, w2 FROM wt2
+        |UNION ALL SELECT 3 AS epoch, n_mis, w0, w1, w2 FROM wt3""".stripMargin,
+    "text_ttr" ->
+      s"""WITH tok AS (SELECT source, unnest(${wordsSql("text")}) AS w FROM documents),
+         |tk AS (SELECT source, w FROM tok WHERE w <> ''),
+         |ty AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+         |a2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |       FROM ty GROUP BY 1)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+         |       round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate
+         |FROM a1 JOIN a2 USING (source)""".stripMargin
   )
 }

@@ -218,6 +218,46 @@ object Similarity {
       .drop("rank")
   }
 
+  /** Exact max-inner-product top-k (the recommender-serving ranking:
+    * user·item score, not angular distance — unnormalized embeddings
+    * make MIPS ≠ cosine). Same broadcast-panel shape as [[bruteTopK]]:
+    * the query panel broadcasts, candidates never shuffle, the rank
+    * window bounds with per-partition heaps; the score is the codegen
+    * dot-product kernel, rounded before ranking so cross-engine
+    * last-ulp sums can't flip a tie (ties → smaller neighbor_id). */
+  def mipsTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        RoundPortableExpr.r(VectorFunctions.dotProduct(col("c_emb"), col("q_emb")), 4).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** MIPS→cosine reduction (Bachrach et al. 2014): append
+    * sqrt(maxNorm² − ‖x‖²) to every corpus vector so all augmented
+    * vectors have norm maxNorm; a query augmented with 0 then has
+    * cos(aug(x), aug(q)) = x·q / (maxNorm·‖q‖) — MONOTONE in the
+    * inner product, so any cosine-ANN index (HNSW / IVF / BQ) serves
+    * MIPS unchanged. `maxNorm` must be ≥ every corpus norm (the global
+    * max, one cheap agg at index-build time). Map-only. */
+  def mipsAugmentCorpus(df: DataFrame, embCol: String, maxNorm: Double): DataFrame = {
+    val sq = VectorFunctions.dotProduct(col(embCol), col(embCol))
+    df.withColumn(embCol, concat(col(embCol),
+      array(sqrt(greatest(lit(maxNorm * maxNorm) - sq, lit(0.0))).cast("float"))))
+  }
+
+  /** Query-side twin of [[mipsAugmentCorpus]]: append a literal 0. */
+  def mipsAugmentQueries(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn(embCol, concat(col(embCol), array(lit(0.0f))))
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix bitext-mining criterion): for each query vector in
     * corpus side A, score its k nearest neighbors in side B by

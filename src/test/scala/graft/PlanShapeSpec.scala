@@ -51,7 +51,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "text_keywords_tfidf", "ml_auc", "ml_calibration", "ts_holt_winters",
     "q_skyline", "ml_knn_classifier", "dq_benford", "agg_moments",
     "text_collocations", "graph_clustering_coeff", "ts_changepoint",
-    "q_mann_kendall", "ts_theil_sen", "graph_assortativity", "dq_fd_check")
+    "q_mann_kendall", "ts_theil_sen", "graph_assortativity", "dq_fd_check",
+    "sim_mips", "ml_perceptron", "text_ttr")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -428,6 +429,21 @@ class PlanShapeSpec extends SparkSpec with Matchers {
   test("fd check: countDistinct aggs are two-phase (partial on the det key)") {
     val p = physical("dq_fd_check")
     p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("mips: query panel broadcasts, top-k bounds with per-partition heaps") {
+    val p = physical("sim_mips")
+    p should include("BroadcastNestedLoopJoin BuildRight, Cross") // 10-row panel
+    p should include("WindowGroupLimit")
+    p should include("dot_product") // the codegen kernel, not an HOF
+  }
+
+  test("perceptron: each epoch is a scan against broadcast 1-row weights") {
+    val p = physical("ml_perceptron")
+    // three epochs = three broadcast crossJoins of the 1-row weight agg
+    "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size should be >= 3
+    p should include("partial_sum") // the update aggregates map-side
     p should not include "CartesianProduct"
   }
 }

@@ -181,4 +181,47 @@ class SimilaritySpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(self.forall { case (q, n) => q != n })
   }
+
+  test("mipsTopK ranks by inner product, not angle") {
+    import spark.implicits._
+    // vec 11 points the same direction as the query but is LONG; vec 12
+    // is angularly closer but short — MIPS must prefer the long one.
+    val corpus = Seq(
+      (11L, Array(3f, 0f, 0f, 0f)),
+      (12L, Array(0.9f, 0.1f, 0f, 0f)),
+      (13L, Array(0f, 2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.mipsTopK(q, corpus, k = 3, excludeSelf = false)
+      .collect().map(_.getLong(1)).toSeq
+    top shouldBe Seq(11L, 12L, 13L)
+  }
+
+  test("MIPS→cosine reduction: augmented-cosine ranking equals ip ranking") {
+    import spark.implicits._
+    // unnormalized corpus (norms spread 0.5…3) — cosine and MIPS
+    // rankings genuinely differ pre-reduction
+    val corpus = Seq(
+      (0L, Array(3f, 0f, 0f, 0f)), (1L, Array(0.5f, 0.02f, 0f, 0f)),
+      (2L, Array(1f, 1f, 0f, 0f)), (3L, Array(0f, 2.5f, 0.5f, 0f)),
+      (4L, Array(0.2f, 0.2f, 2f, 0f)), (5L, Array(1.5f, 0f, 1.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(1f, 0.3f, 0f, 0f)),
+      (101L, Array(0f, 0.4f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.mipsTopK(queries, corpus, k = 3, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val maxNorm = 3.1 // ≥ every corpus norm
+    val viaCosine = Similarity.bruteTopK(
+        Similarity.mipsAugmentQueries(queries, "embedding"),
+        Similarity.mipsAugmentCorpus(corpus, "embedding", maxNorm),
+        k = 3, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    viaCosine shouldBe exact
+    // sanity: plain cosine over the UNaugmented corpus ranks differently
+    val plain = Similarity.bruteTopK(queries, corpus, k = 3, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    plain should not be exact
+  }
 }
