@@ -5098,6 +5098,190 @@ object SparkEntry {
             $"n_types".cast("double") / $"n_tokens".cast("double"), 6).as("ttr"),
           RoundPortableExpr.r(
             $"n_hapax".cast("double") / $"n_types".cast("double"), 6).as("hapax_rate"))
+    }),
+    // ---- Pearson correlation matrix over four lineitem measures —
+    // the feature-screen every model pipeline runs before training.
+    // ONE map-side-combined pass computes all 14 power/cross sums as
+    // exact decimal(38,0) of the fixed-point measures (order-free, the
+    // agg_moments protocol); each of the 6 pairwise r's is then a
+    // bounded double expression with a literal-identical shape on both
+    // engines. No per-pair rescans: 6 outputs, one scan. ----
+    "q_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(t(dir, "lineitem")).select(
+        round($"l_quantity", 0).cast("decimal(38,0)").as("q"),
+        round($"l_extendedprice" * 100, 0).cast("decimal(38,0)").as("p"),
+        round($"l_discount" * 100, 0).cast("decimal(38,0)").as("d"),
+        round($"l_tax" * 100, 0).cast("decimal(38,0)").as("x"))
+      val sums = graft.core.PlanCache.persist(base.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"q").cast("double").as("sq"), sum($"p").cast("double").as("sp"),
+        sum($"d").cast("double").as("sd"), sum($"x").cast("double").as("sx"),
+        sum($"q" * $"q").cast("double").as("sqq"),
+        sum($"p" * $"p").cast("double").as("spp"),
+        sum($"d" * $"d").cast("double").as("sdd"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"q" * $"p").cast("double").as("sqp"),
+        sum($"q" * $"d").cast("double").as("sqd"),
+        sum($"q" * $"x").cast("double").as("sqx"),
+        sum($"p" * $"d").cast("double").as("spd"),
+        sum($"p" * $"x").cast("double").as("spx"),
+        sum($"d" * $"x").cast("double").as("sdx")))
+      def corr(pair: String, sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): DataFrame =
+        sums.select(lit(pair).as("pair"), $"n".cast("long").as("n"),
+          RoundPortableExpr.r(
+            ($"n" * sab - sa * sb) /
+              (sqrt($"n" * saa - sa * sa) * sqrt($"n" * sbb - sb * sb)), 6)
+            .as("corr"))
+      corr("qty~price", $"sqp", $"sq", $"sp", $"sqq", $"spp")
+        .unionByName(corr("qty~disc", $"sqd", $"sq", $"sd", $"sqq", $"sdd"))
+        .unionByName(corr("qty~tax", $"sqx", $"sq", $"sx", $"sqq", $"sxx"))
+        .unionByName(corr("price~disc", $"spd", $"sp", $"sd", $"spp", $"sdd"))
+        .unionByName(corr("price~tax", $"spx", $"sp", $"sx", $"spp", $"sxx"))
+        .unionByName(corr("disc~tax", $"sdx", $"sd", $"sx", $"sdd", $"sxx"))
+    }),
+    // ---- cohort LTV curve: users keyed by first-activity week, the
+    // cumulative purchase revenue per cohort by age-in-weeks — the
+    // lifetime-value table growth teams read off every dashboard.
+    // Week keys are pure integer arithmetic (days-since-a-Monday div
+    // 7; date_trunc week semantics differ subtly across engines),
+    // revenue accumulates as exact decimal(38,0) fixed-point under a
+    // per-cohort window over the bounded (cohort × age) census. ----
+    "q_cohort_ltv" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.core.PlanCache.persist(
+        Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("d"), $"event_type", $"value"))
+      val cohortOf = graft.core.PlanCache.persist(
+        ev.groupBy($"user_id").agg(min($"d").as("d0"))
+          .select($"user_id", $"d0",
+            expr("cast(datediff(d0, date'1970-01-05') as bigint) div 7").as("cw")))
+      val sizes = cohortOf.groupBy($"cw").agg(count(lit(1)).as("n_users"))
+      val weekly = ev.where($"event_type" === "purchase")
+        .join(cohortOf, "user_id")
+        .select($"cw",
+          expr("cast(datediff(d, d0) as bigint) div 7").as("age_week"),
+          round($"value" * 10000, 0).cast("decimal(38,0)").as("vi"))
+        .groupBy($"cw", $"age_week").agg(sum($"vi").as("wv"))
+      weekly
+        .withColumn("cum", sum($"wv").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"cw").orderBy($"age_week")))
+        .join(broadcast(sizes), "cw")
+        .select($"cw".as("cohort_week"), $"age_week", $"n_users",
+          RoundPortableExpr.r($"cum".cast("double") / lit(1.0e4), 4).as("cum_revenue"),
+          RoundPortableExpr.r($"cum".cast("double") / lit(1.0e4) /
+            $"n_users".cast("double"), 6).as("ltv_per_user"))
+    }),
+    // ---- Brier score + Murphy (1973) reliability/resolution
+    // decomposition for the purchase-ratio detector, over
+    // ml_calibration's fixed-width bins — the proper-scoring-rule
+    // companion to ml_auc (AUC ranks, Brier scores calibration). Every
+    // numerator is an exact integer in the score·10⁴ fixed-point
+    // domain (per-bin squared terms stay under 2^53 BEFORE the double
+    // cast, so both engines square the same exact value); the per-bin
+    // output shape avoids any cross-bin double summation — the one
+    // place the decomposition could go order-dependent. ----
+    "ml_brier" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1L)
+            .otherwise(0L).as("label"),
+          RoundPortableExpr.r(
+            sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("score"))
+      val base = graft.core.PlanCache.persist(
+        scored.select($"label",
+          round($"score" * 10000, 0).cast("long").as("si"),
+          least(floor($"score" * 10).cast("long"), lit(9L)).as("bin")))
+      val glob = base.agg(count(lit(1)).as("nn"), sum($"label").as("pp"),
+        sum(($"si" - $"label" * 10000L) * ($"si" - $"label" * 10000L)).as("bsnum"))
+      base.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"label").as("pos"), sum($"si").as("ssum"))
+        .crossJoin(broadcast(glob))
+        .select($"bin", $"n", $"pos",
+          RoundPortableExpr.r(
+            $"ssum".cast("double") / $"n" / lit(1.0e4), 6).as("mean_score"),
+          RoundPortableExpr.r($"pos".cast("double") / $"n", 6).as("pos_rate"),
+          RoundPortableExpr.r(
+            ($"ssum" - $"pos" * 10000L).cast("double") *
+              ($"ssum" - $"pos" * 10000L).cast("double") /
+              ($"n".cast("double") * lit(1.0e8) * $"nn".cast("double")), 6)
+            .as("rel_contrib"),
+          RoundPortableExpr.r(
+            ($"pos" * $"nn" - $"pp" * $"n").cast("double") *
+              ($"pos" * $"nn" - $"pp" * $"n").cast("double") /
+              ($"n".cast("double") * $"nn".cast("double") *
+                $"nn".cast("double") * $"nn".cast("double")), 6).as("res_contrib"),
+          RoundPortableExpr.r(
+            $"bsnum".cast("double") / ($"nn".cast("double") * lit(1.0e8)), 6)
+            .as("brier"),
+          RoundPortableExpr.r(
+            ($"pp" * ($"nn" - $"pp")).cast("double") /
+              ($"nn".cast("double") * $"nn".cast("double")), 6).as("uncertainty"))
+    }),
+    // ---- recommendation-list health: catalog coverage + Gini
+    // concentration of rec_item_item's top-3 lists (Jannach et al.'s
+    // beyond-accuracy metrics — a recommender that only ever surfaces
+    // hub items shows coverage ↓, Gini ↑ long before CTR moves).
+    // Never-recommended items enter the Lorenz ranking as zeros via a
+    // left join against the post-cap catalog; the global rank comes
+    // from Sharding.globalRowNumber on a composite (cnt, item) key —
+    // catalog-sized censuses never funnel through a single-partition
+    // window. Gini = (2·Σ rank·cnt − (n+1)·Σcnt)/(n·Σcnt), exact
+    // integers until one final division. ----
+    "rec_gini_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wci = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val wcu = org.apache.spark.sql.expressions.Window
+        .partitionBy($"u").orderBy($"i")
+      val capped = clicks
+        .withColumn("rn", row_number().over(wci)).where($"rn" <= 40).drop("rn")
+        .withColumn("rn", row_number().over(wcu)).where($"rn" <= 40).drop("rn")
+      val ni = graft.core.PlanCache.persist(
+        capped.groupBy($"i").agg(count(lit(1)).as("n")))
+      val cooc = capped.alias("a").join(capped.alias("b"),
+          $"a.u" === $"b.u" && $"a.i" < $"b.i")
+        .groupBy($"a.i".as("ia"), $"b.i".as("ib"))
+        .agg(count(lit(1)).as("c"))
+        .where($"c" >= 3)
+      val directed = cooc.select($"ia".as("item"), $"ib".as("rec"), $"c")
+        .unionAll(cooc.select($"ib".as("item"), $"ia".as("rec"), $"c"))
+      val scored = directed
+        .join(broadcast(ni.select($"i".as("item"), $"n".as("nitem"))), "item")
+        .join(broadcast(ni.select($"i".as("rec"), $"n".as("nrec"))), "rec")
+        .select($"item", $"rec",
+          RoundPortableExpr.r(
+            $"c".cast("double") / sqrt(($"nitem" * $"nrec").cast("double")), 6)
+            .as("cosine"))
+      val wtop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"item").orderBy($"cosine".desc, $"rec".asc)
+      val rc = scored.withColumn("rank", row_number().over(wtop))
+        .where($"rank" <= 3)
+        .groupBy($"rec").agg(count(lit(1)).as("cnt"))
+      val cat = ni.select($"i".as("rec"))
+        .join(rc, Seq("rec"), "left_outer")
+        .select($"rec", coalesce($"cnt", lit(0L)).as("cnt"))
+        .select($"rec", $"cnt", ($"cnt" * 4294967296L + $"rec").as("k"))
+      val ranked = ops.Sharding.globalRowNumber(cat, "k", "rn")
+      ranked.agg(count(lit(1)).as("nc"), sum($"cnt").as("tt"),
+          sum(($"rn" + 1L) * $"cnt").as("sic"),
+          sum(when($"cnt" > 0L, 1L).otherwise(0L)).as("n_rec"))
+        .select($"nc".as("catalog_n"), $"n_rec".as("recommended_n"),
+          RoundPortableExpr.r($"n_rec".cast("double") / $"nc".cast("double"), 6)
+            .as("coverage"),
+          when($"tt" === 0L, lit(0.0)).otherwise(
+            RoundPortableExpr.r(
+              (lit(2L) * $"sic" - ($"nc" + 1L) * $"tt").cast("double") /
+                ($"nc" * $"tt").cast("double"), 6)).as("gini"))
     })
   )
 
@@ -8278,6 +8462,137 @@ object SparkEntry {
          |SELECT source, n_tokens, n_types, n_hapax,
          |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
          |       round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate
-         |FROM a1 JOIN a2 USING (source)""".stripMargin
+         |FROM a1 JOIN a2 USING (source)""".stripMargin,
+    "q_corr_matrix" -> {
+      val corrSql = (pair: String, sab: String, sa: String, sb: String,
+          saa: String, sbb: String) =>
+        s"""SELECT '$pair' AS pair, CAST(n AS BIGINT) AS n,
+           |       round((n * $sab - $sa * $sb)
+           |             / (sqrt(n * $saa - $sa * $sa) * sqrt(n * $sbb - $sb * $sb)), 6)
+           |         AS corr
+           |FROM sums""".stripMargin
+      s"""WITH base AS (SELECT CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS q,
+         |                     CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0)) AS p,
+         |                     CAST(round(l_discount * 100, 0) AS DECIMAL(38,0)) AS d,
+         |                     CAST(round(l_tax * 100, 0) AS DECIMAL(38,0)) AS x
+         |              FROM lineitem),
+         |sums AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+         |         CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(x) AS DOUBLE) AS sx,
+         |         CAST(sum(q * q) AS DOUBLE) AS sqq, CAST(sum(p * p) AS DOUBLE) AS spp,
+         |         CAST(sum(d * d) AS DOUBLE) AS sdd, CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |         CAST(sum(q * p) AS DOUBLE) AS sqp, CAST(sum(q * d) AS DOUBLE) AS sqd,
+         |         CAST(sum(q * x) AS DOUBLE) AS sqx, CAST(sum(p * d) AS DOUBLE) AS spd,
+         |         CAST(sum(p * x) AS DOUBLE) AS spx, CAST(sum(d * x) AS DOUBLE) AS sdx
+         |  FROM base)
+         |${corrSql("qty~price", "sqp", "sq", "sp", "sqq", "spp")}
+         |UNION ALL ${corrSql("qty~disc", "sqd", "sq", "sd", "sqq", "sdd")}
+         |UNION ALL ${corrSql("qty~tax", "sqx", "sq", "sx", "sqq", "sxx")}
+         |UNION ALL ${corrSql("price~disc", "spd", "sp", "sd", "spp", "sdd")}
+         |UNION ALL ${corrSql("price~tax", "spx", "sp", "sx", "spp", "sxx")}
+         |UNION ALL ${corrSql("disc~tax", "sdx", "sd", "sx", "sdd", "sxx")}""".stripMargin
+    },
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+        |            FROM events),
+        |fu AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+        |co AS (SELECT user_id, d0,
+        |              date_diff('day', DATE '1970-01-05', d0) // 7 AS cw
+        |       FROM fu),
+        |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM co GROUP BY 1),
+        |wk AS (SELECT cw, date_diff('day', d0, d) // 7 AS age_week,
+        |              sum(CAST(round(value * 10000, 0) AS DECIMAL(38,0))) AS wv
+        |       FROM ev JOIN co USING (user_id)
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cm AS (SELECT cw, age_week,
+        |              sum(wv) OVER (PARTITION BY cw ORDER BY age_week) AS cum
+        |       FROM wk)
+        |SELECT cw AS cohort_week, CAST(age_week AS BIGINT) AS age_week, n_users,
+        |       round(CAST(cum AS DOUBLE) / 1.0e4, 4) AS cum_revenue,
+        |       round(CAST(cum AS DOUBLE) / 1.0e4 / CAST(n_users AS DOUBLE), 6)
+        |         AS ltv_per_user
+        |FROM cm JOIN sz USING (cw)""".stripMargin,
+    "ml_brier" ->
+      """WITH sc AS (
+        |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                   >= 15 THEN 1 ELSE 0 END AS label,
+        |         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                    AS DOUBLE) / count(*), 4) AS score
+        |  FROM events GROUP BY user_id),
+        |base AS MATERIALIZED (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(round(score * 10000, 0) AS BIGINT) AS si,
+        |         least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
+        |  FROM sc),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(label) AS BIGINT) AS pp,
+        |              CAST(sum((si - label * 10000) * (si - label * 10000)) AS BIGINT)
+        |                AS bsnum
+        |       FROM base),
+        |bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(label) AS BIGINT) AS pos,
+        |              CAST(sum(si) AS BIGINT) AS ssum
+        |       FROM base GROUP BY 1)
+        |SELECT bin, n, pos,
+        |       round(CAST(ssum AS DOUBLE) / n / 1.0e4, 6) AS mean_score,
+        |       round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+        |       round(CAST(ssum - pos * 10000 AS DOUBLE)
+        |             * CAST(ssum - pos * 10000 AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * 1.0e8 * CAST(nn AS DOUBLE)), 6)
+        |         AS rel_contrib,
+        |       round(CAST(pos * nn - pp * n AS DOUBLE)
+        |             * CAST(pos * nn - pp * n AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+        |                * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS res_contrib,
+        |       round(CAST(bsnum AS DOUBLE) / (CAST(nn AS DOUBLE) * 1.0e8), 6) AS brier,
+        |       round(CAST(pp * (nn - pp) AS DOUBLE)
+        |             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS uncertainty
+        |FROM bb, gl""".stripMargin,
+    "rec_gini_coverage" ->
+      """WITH clicks AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i
+        |  FROM events WHERE event_type = 'click'),
+        |cap1 AS MATERIALIZED (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY i ORDER BY u) AS rn
+        |    FROM clicks) WHERE rn <= 40),
+        |cap2 AS MATERIALIZED (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |    FROM cap1) WHERE rn <= 40),
+        |ni AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS n
+        |                    FROM cap2 GROUP BY 1),
+        |cooc AS MATERIALIZED (
+        |  SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS c
+        |  FROM cap2 a JOIN cap2 b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (SELECT ia AS item, ib AS rec, c FROM cooc
+        |             UNION ALL
+        |             SELECT ib AS item, ia AS rec, c FROM cooc),
+        |scored AS (SELECT item, rec,
+        |                  round(CAST(c AS DOUBLE)
+        |                        / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+        |           FROM directed JOIN ni na ON na.i = item JOIN ni nb ON nb.i = rec),
+        |rc AS (SELECT rec, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |         SELECT item, rec,
+        |                row_number() OVER (PARTITION BY item
+        |                                   ORDER BY cosine DESC, rec) AS rank
+        |         FROM scored) WHERE rank <= 3 GROUP BY 1),
+        |cat AS (SELECT ni.i AS rec, coalesce(cnt, 0) AS cnt
+        |        FROM ni LEFT JOIN rc ON rc.rec = ni.i),
+        |rk AS (SELECT cnt, CAST(row_number()
+        |                        OVER (ORDER BY cnt * 4294967296 + rec) AS BIGINT) AS rn
+        |       FROM cat),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS nc, CAST(sum(cnt) AS BIGINT) AS tt,
+        |             CAST(sum(rn * cnt) AS BIGINT) AS sic,
+        |             CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
+        |      FROM rk)
+        |SELECT nc AS catalog_n, n_rec AS recommended_n,
+        |       round(CAST(n_rec AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS coverage,
+        |       CASE WHEN tt = 0 THEN 0.0e0
+        |            ELSE round(CAST(2 * sic - (nc + 1) * tt AS DOUBLE)
+        |                       / CAST(nc * tt AS DOUBLE), 6) END AS gini
+        |FROM g""".stripMargin
   )
 }

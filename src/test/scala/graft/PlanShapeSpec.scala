@@ -52,7 +52,10 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_skyline", "ml_knn_classifier", "dq_benford", "agg_moments",
     "text_collocations", "graph_clustering_coeff", "ts_changepoint",
     "q_mann_kendall", "ts_theil_sen", "graph_assortativity", "dq_fd_check",
-    "sim_mips", "ml_perceptron", "text_ttr")
+    "sim_mips", "ml_perceptron", "text_ttr",
+    // rec_gini_coverage runs globalRowNumber jobs at build time —
+    // stressed separately like the other prefix-scan consumers
+    "q_corr_matrix", "q_cohort_ltv", "ml_brier")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -445,5 +448,19 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size should be >= 3
     p should include("partial_sum") // the update aggregates map-side
     p should not include "CartesianProduct"
+  }
+
+  test("corr matrix: all 14 power sums come from ONE scan (InMemory reuse)") {
+    val p = physical("q_corr_matrix")
+    // all 6 pair branches read the persisted 1-row sums relation
+    "InMemoryTableScan".r.findAllIn(p).size should be >= 6
+    p should include("partial_sum")
+  }
+
+  test("cohort ltv: cohort sizes broadcast, cum window partitions per cohort") {
+    val p = physical("q_cohort_ltv")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should include("hashpartitioning(cw") // cum window keys per cohort
   }
 }
