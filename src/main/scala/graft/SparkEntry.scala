@@ -1903,11 +1903,13 @@ object SparkEntry {
     "pipeline_er_incremental" -> ((s, dir) => {
       import s.implicits._
       val cust = s.read.parquet(t(dir, "customer"))
-      val capped = cust.select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
-          substring($"c_name", 13, 3).as("blk"))
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
-        .where($"__bsz" <= 40).drop("__bsz")
+      // persisted: feeds base (self-joined), batch, touched, and members
+      val capped = graft.core.PlanCache.persist(
+        cust.select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
+            substring($"c_name", 13, 3).as("blk"))
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+          .where($"__bsz" <= 40).drop("__bsz"))
       val base = capped.where(pmod($"c_custkey", lit(10)) =!= 0)
       val batch = capped.where(pmod($"c_custkey", lit(10)) === 0)
       // prior state (simulated here, persisted in production): base
@@ -1917,8 +1919,10 @@ object SparkEntry {
             $"a.c_custkey" < $"bb.c_custkey")
         .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
         .select($"a.c_custkey".as("src"), $"bb.c_custkey".as("dst"))
-      val baseComp = ops.Components.connectedComponents(
-        base.select($"c_custkey".as("id")), basePairs)
+      // persisted: consumed by both endpoint-label joins AND the relabel
+      val baseComp = graft.core.PlanCache.persist(
+        ops.Components.connectedComponents(
+          base.select($"c_custkey".as("id")), basePairs))
       // delta verification: batch rows against members of the blocks
       // they land in ONLY (left_semi prunes untouched blocks wholesale)
       val touched = batch.select($"c_nationkey", $"blk").distinct()
