@@ -5286,6 +5286,120 @@ object SparkEntry {
             RoundPortableExpr.r(
               (lit(2L) * $"sic" - ($"nc" + 1L) * $"tt").cast("double") /
                 ($"nc" * $"tt").cast("double"), 6)).as("gini"))
+    }),
+    // ---- IVF recall-vs-nProbe tuning curve: the measurement every
+    // vector-store operator reads before picking a probe budget. ONE
+    // index build, four probes (nProbe 1→8), recall carried as EXACT
+    // integer hit counts against the exact top-10 (avg() of per-query
+    // recalls would be summation-order-dependent; hits aren't), so
+    // both the floor gates and the monotonicity gate — recall must be
+    // non-decreasing in nProbe, which IVF guarantees structurally —
+    // compare exact ints. Floors set ≥15 pts under measured hits
+    // (26-31 / 40-44 / 58-64 / 81-85 per 100 across all three SFs). ----
+    "sim_ann_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where($"vec_id" < 10)
+      val exact = graft.core.PlanCache.persist(
+        Similarity.bruteTopK(q, emb, k = 10).select($"query_id", $"neighbor_id"))
+      val built = MlAnn.ivfBuild(emb, nCells = 16)
+      // one cell-assignment pass feeds all four probes
+      val index = built.copy(indexed = graft.core.PlanCache.persist(built.indexed))
+      def point(nProbe: Int, minHits: Int): DataFrame =
+        MlAnn.ivfProbe(index, q, k = 10, nProbe = nProbe)
+          .select($"query_id", $"neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(nProbe).as("nprobe"), lit(minHits.toLong).as("min_hits"), $"hits")
+      val curve = point(1, 15).unionByName(point(2, 25))
+        .unionByName(point(4, 40)).unionByName(point(8, 65))
+      curve
+        .withColumn("prev", lag($"hits", 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy($"nprobe")))
+        .select($"nprobe", lit(10L).as("n_queries"),
+          when($"hits" >= $"min_hits", 1).otherwise(0).as("floor_ok"),
+          when($"prev".isNull || $"hits" >= $"prev", 1).otherwise(0).as("monotone_ok"))
+    }),
+    // ---- Wald–Wolfowitz runs test for randomness of the daily
+    // revenue direction, per event_type — the residual-diagnostics
+    // sibling of q_mann_kendall (MK asks "is there a trend", runs asks
+    // "are the ups and downs independent"). Signs come from exact
+    // decimal day-over-day diffs (zeros dropped, the standard
+    // treatment), the run count from a lag over the bounded daily
+    // panel; R, n⁺, n⁻ are exact ints and E[R]/Var[R]/z enter doubles
+    // only through rounded inputs, so the z the two engines compare is
+    // built from identical bits. ----
+    "q_runs_test" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")))
+        .select($"event_type", $"t",
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"t")
+      val signs = daily
+        .withColumn("prev", lag($"yi", 1).over(wk))
+        .where($"prev".isNotNull && $"yi" =!= $"prev")
+        .select($"event_type", $"t",
+          when($"yi" > $"prev", 1L).otherwise(-1L).as("sg"))
+      val runs = signs
+        .withColumn("psg", lag($"sg", 1).over(wk))
+        .groupBy($"event_type")
+        .agg(sum(when($"sg" === 1L, 1L).otherwise(0L)).as("n_plus"),
+          sum(when($"sg" === -1L, 1L).otherwise(0L)).as("n_minus"),
+          (sum(when($"psg".isNull || $"sg" =!= $"psg", 1L).otherwise(0L))).as("runs"))
+      runs
+        .withColumn("e_runs", RoundPortableExpr.r(
+          lit(1.0) + ($"n_plus" * $"n_minus" * 2L).cast("double") /
+            ($"n_plus" + $"n_minus").cast("double"), 6))
+        .withColumn("var_runs", RoundPortableExpr.r(
+          ($"n_plus" * $"n_minus" * 2L *
+            ($"n_plus" * $"n_minus" * 2L - $"n_plus" - $"n_minus")).cast("double") /
+            (($"n_plus" + $"n_minus").cast("double") *
+              ($"n_plus" + $"n_minus").cast("double") *
+              ($"n_plus" + $"n_minus" - 1L).cast("double")), 6))
+        .select($"event_type", $"n_plus", $"n_minus", $"runs", $"e_runs", $"var_runs",
+          when($"var_runs" <= 0.0, lit(0.0)).otherwise(
+            RoundPortableExpr.r(
+              ($"runs".cast("double") - $"e_runs") / sqrt($"var_runs"), 6)).as("z"))
+    }),
+    // ---- retrieval evaluation metrics (precision@5/@10, recall@10,
+    // reciprocal rank) for the BM25 ranking against a containment
+    // ground truth (relevant = doc carries ≥2 of the 3 query terms) —
+    // the offline eval harness every search stack runs before shipping
+    // a ranker change. Ground truth is a map-side flag; every metric
+    // is a ratio of exact integers from the 10-row ranked panel. ----
+    "search_eval_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", $"text", ops.TextPrimitives.words($"text").as("ws")))
+      val rel = docs.select($"doc_id",
+        ((array_contains($"ws", searchTerms(0)).cast("int") +
+          array_contains($"ws", searchTerms(1)).cast("int") +
+          array_contains($"ws", searchTerms(2)).cast("int")) >= 2).as("relevant"))
+      val scored = LexicalSearch.bm25(docs, "doc_id", "text", searchTerms)
+        .select($"doc_id", RoundPortableExpr.r($"score", 4).as("score"))
+      val top = LexicalSearch.rankedTopK(scored, "doc_id",
+          Seq(col("score").desc, col("doc_id").asc), 10)
+        .join(rel, "doc_id")
+      val totRel = rel.agg(sum(when($"relevant", 1L).otherwise(0L)).as("n_relevant"))
+      top.agg(
+          sum(when($"relevant" && $"rank" <= 5, 1L).otherwise(0L)).as("h5"),
+          sum(when($"relevant", 1L).otherwise(0L)).as("h10"),
+          min(when($"relevant", $"rank")).as("first_rel"))
+        .crossJoin(broadcast(totRel))
+        .select($"n_relevant", $"h5".as("hits_at_5"), $"h10".as("hits_at_10"),
+          RoundPortableExpr.r($"h5".cast("double") / lit(5.0), 6).as("precision_at_5"),
+          RoundPortableExpr.r($"h10".cast("double") / lit(10.0), 6).as("precision_at_10"),
+          RoundPortableExpr.r($"h10".cast("double") / $"n_relevant".cast("double"), 6)
+            .as("recall_at_10"),
+          coalesce(RoundPortableExpr.r(lit(1.0) / $"first_rel".cast("double"), 6),
+            lit(0.0)).as("reciprocal_rank"))
     })
   )
 
@@ -8597,6 +8711,74 @@ object SparkEntry {
         |       CASE WHEN tt = 0 THEN 0.0e0
         |            ELSE round(CAST(2 * sic - (nc + 1) * tt AS DOUBLE)
         |                       / CAST(nc * tt AS DOUBLE), 6) END AS gini
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "sim_ann_recall_curve" ->
+      """SELECT CAST(nprobe AS INTEGER) AS nprobe, CAST(10 AS BIGINT) AS n_queries,
+        |       1 AS floor_ok, 1 AS monotone_ok
+        |FROM (VALUES (1), (2), (4), (8)) t(nprobe)""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type,
+        |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |                    AS BIGINT) AS t,
+        |               CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |        FROM daily),
+        |d AS (SELECT event_type, t, yi,
+        |             lag(yi) OVER (PARTITION BY event_type ORDER BY t) AS prev
+        |      FROM seq),
+        |sg AS (SELECT event_type, t, CASE WHEN yi > prev THEN 1 ELSE -1 END AS sg
+        |       FROM d WHERE prev IS NOT NULL AND yi <> prev),
+        |rr AS (SELECT event_type, sg,
+        |              lag(sg) OVER (PARTITION BY event_type ORDER BY t) AS psg
+        |       FROM sg),
+        |ag AS (SELECT event_type,
+        |              CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+        |              CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+        |              CAST(sum(CASE WHEN psg IS NULL OR sg <> psg THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS runs
+        |       FROM rr GROUP BY 1),
+        |ev AS (SELECT event_type, n_plus, n_minus, runs,
+        |              round(1.0e0 + CAST(n_plus * n_minus * 2 AS DOUBLE)
+        |                    / CAST(n_plus + n_minus AS DOUBLE), 6) AS e_runs,
+        |              round(CAST(n_plus * n_minus * 2
+        |                         * (n_plus * n_minus * 2 - n_plus - n_minus) AS DOUBLE)
+        |                    / (CAST(n_plus + n_minus AS DOUBLE)
+        |                       * CAST(n_plus + n_minus AS DOUBLE)
+        |                       * CAST(n_plus + n_minus - 1 AS DOUBLE)), 6) AS var_runs
+        |       FROM ag)
+        |SELECT event_type, n_plus, n_minus, runs, e_runs, var_runs,
+        |       CASE WHEN var_runs <= 0.0 THEN 0.0e0
+        |            ELSE round((CAST(runs AS DOUBLE) - e_runs) / sqrt(var_runs), 6)
+        |       END AS z
+        |FROM ev""".stripMargin,
+    "search_eval_metrics" ->
+      s"""WITH ${LexicalSearch.bm25Sql(searchTerms)},
+         |rel AS (SELECT doc_id,
+         |               (CAST(list_contains(${wordsSql("text")}, '${searchTerms(0)}') AS INTEGER)
+         |                + CAST(list_contains(${wordsSql("text")}, '${searchTerms(1)}') AS INTEGER)
+         |                + CAST(list_contains(${wordsSql("text")}, '${searchTerms(2)}') AS INTEGER))
+         |                 >= 2 AS relevant
+         |        FROM documents),
+         |topd AS (SELECT doc_id, round(score, 4) AS rs FROM bm25),
+         |top AS (SELECT doc_id,
+         |               CAST(row_number() OVER (ORDER BY rs DESC, doc_id) AS BIGINT) AS rank
+         |        FROM topd ORDER BY rs DESC, doc_id LIMIT 10),
+         |tot AS (SELECT CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS n_relevant FROM rel),
+         |j AS (SELECT t.rank, r.relevant FROM top t JOIN rel r USING (doc_id)),
+         |a AS (SELECT CAST(sum(CASE WHEN relevant AND rank <= 5 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS h5,
+         |             CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+         |             min(CASE WHEN relevant THEN rank END) AS first_rel
+         |      FROM j)
+         |SELECT n_relevant, h5 AS hits_at_5, h10 AS hits_at_10,
+         |       round(CAST(h5 AS DOUBLE) / 5.0e0, 6) AS precision_at_5,
+         |       round(CAST(h10 AS DOUBLE) / 10.0e0, 6) AS precision_at_10,
+         |       round(CAST(h10 AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) AS recall_at_10,
+         |       coalesce(round(1.0e0 / CAST(first_rel AS DOUBLE), 6), 0.0e0)
+         |         AS reciprocal_rank
+         |FROM a, tot""".stripMargin
   )
 }

@@ -55,7 +55,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "sim_mips", "ml_perceptron", "text_ttr",
     // rec_gini_coverage runs globalRowNumber jobs at build time —
     // stressed separately like the other prefix-scan consumers
-    "q_corr_matrix", "q_cohort_ltv", "ml_brier")
+    "q_corr_matrix", "q_cohort_ltv", "ml_brier",
+    "q_runs_test", "search_eval_metrics")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
