@@ -5400,6 +5400,104 @@ object SparkEntry {
             .as("recall_at_10"),
           coalesce(RoundPortableExpr.r(lit(1.0) / $"first_rel".cast("double"), 6),
             lit(0.0)).as("reciprocal_rank"))
+    }),
+    // ---- full ROC table for the purchase-ratio detector — the curve
+    // behind ml_auc's scalar (threshold sweep → (tpr, fpr) points, the
+    // artifact a threshold-picking dashboard actually plots). The
+    // score support is ≤10⁴ distinct 4-decimal ratios at any corpus
+    // size, so the census is bounded; cumulative TP/ALL come from
+    // Sharding.prefixSums over the score-DESCENDING census (orderCol =
+    // −score, predicted-positive-first), never a single-partition
+    // window; tpr/fpr are exact-integer ratios. ----
+    "ml_roc_points" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1L)
+            .otherwise(0L).as("label"),
+          RoundPortableExpr.r(
+            sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("score"))
+      val census = graft.core.PlanCache.persist(
+        scored.select(round($"score" * 10000, 0).cast("long").as("si"), $"label")
+          .groupBy($"si")
+          .agg(count(lit(1)).as("cnt"), sum($"label").as("pos"))
+          .withColumn("k", -$"si"))
+      val tot = census.agg(sum($"cnt").as("nn"), sum($"pos").as("pp"))
+      ops.Sharding.prefixSums(census, "k", Seq("cnt", "pos"))
+        .crossJoin(broadcast(tot))
+        .select(
+          RoundPortableExpr.r($"si".cast("double") / lit(1.0e4), 4).as("threshold"),
+          $"cum_pos".as("tp"), ($"cum_cnt" - $"cum_pos").as("fp"),
+          RoundPortableExpr.r($"cum_pos".cast("double") / $"pp".cast("double"), 6)
+            .as("tpr"),
+          RoundPortableExpr.r(($"cum_cnt" - $"cum_pos").cast("double") /
+            ($"nn" - $"pp").cast("double"), 6).as("fpr"))
+    }),
+    // ---- forecast backtest: one-step-ahead MA(7) errors per
+    // event_type — the accuracy scorecard (MAE / RMSE / bias) that
+    // decides between ts_holt / ts_holt_winters / ts_seasonal in
+    // production. The forecast is the trailing-7 window mean QUANTIZED
+    // to the same 4-decimal grid as the actual (both engines then
+    // subtract identical integers), so every error is an exact int and
+    // MAE/bias sums are order-free; only RMSE's final sqrt runs in
+    // doubles, single-shape. ----
+    "ts_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"day")))
+        .select($"event_type", $"t",
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"t").rowsBetween(-7, -1)
+      val err = daily
+        .withColumn("s7", sum($"yi").over(w7))
+        .where($"t" > 7)
+        .withColumn("f", RoundPortableExpr.r(
+          $"s7".cast("double") / lit(7.0) / lit(1.0e4), 4))
+        .select($"event_type",
+          ($"yi".cast("long") - round($"f" * 10000, 0).cast("long")).as("e"))
+      err.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_backtest"),
+          sum(abs($"e")).as("sae"),
+          sum($"e").as("se"),
+          // e² can pass int64 at 100× daily volumes — accumulate decimal
+          sum($"e".cast("decimal(38,0)") * $"e").as("sse"))
+        .select($"event_type", $"n_backtest",
+          RoundPortableExpr.r($"sae".cast("double") /
+            ($"n_backtest" * 10000L).cast("double"), 6).as("mae"),
+          RoundPortableExpr.r($"se".cast("double") /
+            ($"n_backtest" * 10000L).cast("double"), 6).as("bias"),
+          RoundPortableExpr.r(sqrt($"sse".cast("double") /
+            $"n_backtest".cast("double")) / lit(1.0e4), 6).as("rmse"))
+    }),
+    // ---- 2-D histogram (quantity × price-band heatmap over
+    // lineitem) — the density grid behind every scatter-density
+    // dashboard tile. Pure map-side integer binning (qty div 10,
+    // $10k price bands via integer division of exact cents — no
+    // float bin edges to straddle) into one keyed agg; the grid is
+    // |qbins|·|pbins| rows at any corpus size. ----
+    "q_histogram2d" -> ((s, dir) => {
+      import s.implicits._
+      val b = s.read.parquet(t(dir, "lineitem")).select(
+        expr("cast(round(l_quantity, 0) as bigint) div 10").as("qty_bin"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint) div 1000000")
+          .as("price_bin"),
+        round($"l_extendedprice" * 100, 0).cast("decimal(38,0)").as("cents"))
+      val tot = b.agg(count(lit(1)).as("nn"))
+      b.groupBy($"qty_bin", $"price_bin")
+        .agg(count(lit(1)).as("n"),
+          RoundPortableExpr.r(sum($"cents").cast("double") / lit(100.0), 2)
+            .as("revenue"))
+        .crossJoin(broadcast(tot))
+        .select($"qty_bin", $"price_bin", $"n", $"revenue",
+          RoundPortableExpr.r($"n".cast("double") / $"nn".cast("double"), 6)
+            .as("share"))
     })
   )
 
@@ -8779,6 +8877,68 @@ object SparkEntry {
          |       round(CAST(h10 AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) AS recall_at_10,
          |       coalesce(round(1.0e0 / CAST(first_rel AS DOUBLE), 6), 0.0e0)
          |         AS reciprocal_rank
-         |FROM a, tot""".stripMargin
+         |FROM a, tot""".stripMargin,
+    "ml_roc_points" ->
+      """WITH sc AS (
+        |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                   >= 15 THEN 1 ELSE 0 END AS label,
+        |         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                    AS DOUBLE) / count(*), 4) AS score
+        |  FROM events GROUP BY user_id),
+        |census AS (SELECT CAST(round(score * 10000, 0) AS BIGINT) AS si,
+        |                  CAST(count(*) AS BIGINT) AS cnt,
+        |                  CAST(sum(label) AS BIGINT) AS pos
+        |           FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp
+        |        FROM census),
+        |cum AS (SELECT si,
+        |               CAST(sum(cnt) OVER (ORDER BY -si) AS BIGINT) AS cum_cnt,
+        |               CAST(sum(pos) OVER (ORDER BY -si) AS BIGINT) AS cum_pos
+        |        FROM census)
+        |SELECT round(CAST(si AS DOUBLE) / 1.0e4, 4) AS threshold,
+        |       cum_pos AS tp, cum_cnt - cum_pos AS fp,
+        |       round(CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS tpr,
+        |       round(CAST(cum_cnt - cum_pos AS DOUBLE) / CAST(nn - pp AS DOUBLE), 6)
+        |         AS fpr
+        |FROM cum, tot""".stripMargin,
+    "ts_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type,
+        |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |                    AS BIGINT) AS t,
+        |               CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |        FROM daily),
+        |f AS (SELECT event_type, t, yi,
+        |             sum(yi) OVER (PARTITION BY event_type ORDER BY t
+        |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+        |      FROM seq),
+        |e AS (SELECT event_type,
+        |             CAST(yi AS BIGINT)
+        |               - CAST(round(round(CAST(s7 AS DOUBLE) / 7.0e0 / 1.0e4, 4)
+        |                            * 10000, 0) AS BIGINT) AS e
+        |      FROM f WHERE t > 7),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
+        |              CAST(sum(abs(e)) AS BIGINT) AS sae,
+        |              CAST(sum(e) AS BIGINT) AS se,
+        |              CAST(sum(e * e) AS DOUBLE) AS sse
+        |       FROM e GROUP BY 1)
+        |SELECT event_type, n_backtest,
+        |       round(CAST(sae AS DOUBLE) / CAST(n_backtest * 10000 AS DOUBLE), 6) AS mae,
+        |       round(CAST(se AS DOUBLE) / CAST(n_backtest * 10000 AS DOUBLE), 6) AS bias,
+        |       round(sqrt(sse / CAST(n_backtest AS DOUBLE)) / 1.0e4, 6) AS rmse
+        |FROM ag""".stripMargin,
+    "q_histogram2d" ->
+      """WITH b AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) // 10 AS qty_bin,
+        |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 1000000
+        |                    AS price_bin,
+        |                  CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0)) AS cents
+        |           FROM lineitem),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b)
+        |SELECT qty_bin, price_bin, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0e0, 2) AS revenue,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share
+        |FROM b, tot GROUP BY qty_bin, price_bin, nn""".stripMargin
   )
 }
