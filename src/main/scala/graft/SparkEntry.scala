@@ -5498,6 +5498,104 @@ object SparkEntry {
         .select($"qty_bin", $"price_bin", $"n", $"revenue",
           RoundPortableExpr.r($"n".cast("double") / $"nn".cast("double"), 6)
             .as("share"))
+    }),
+    // ---- referential-integrity audit: FK-orphan censuses (child rows
+    // whose parent key is missing — the constraint a lakehouse can't
+    // enforce at write time) plus childless-parent censuses (parents
+    // with zero children — the silent-join-loss screen). All four are
+    // key-only anti-join counts (digest-sized shuffles); the fixture
+    // HOLDS both FKs and VIOLATES both childless checks, so each
+    // detector branch is oracle-exercised. ----
+    "dq_referential" -> ((s, dir) => {
+      import s.implicits._
+      // key censuses computed ONCE and persisted — each serves two of
+      // the four checks (child side in one, parent side in another).
+      // Raw-row anti-joins sorted the full 60M-row child (68.6 s at
+      // 100×) or spilled on the fat parent side; censuses map-side
+      // combine to distinct keys and every anti-join is key-only.
+      def keyCensus(table: String, key: String): DataFrame =
+        graft.core.PlanCache.persist(
+          s.read.parquet(t(dir, table))
+            .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt")))
+      val liOrd = keyCensus("lineitem", "l_orderkey")
+      val ordKey = keyCensus("orders", "o_orderkey")
+      val ordCust = keyCensus("orders", "o_custkey")
+      val custKey = keyCensus("customer", "c_custkey")
+      def check(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+        val tot = child.agg(sum($"cnt").as("n_rows"))
+        child.join(parent.select($"k"), Seq("k"), "left_anti")
+          .agg(coalesce(sum($"cnt"), lit(0L)).as("n_violations"))
+          .crossJoin(broadcast(tot))
+          .select(lit(name).as("check"), $"n_rows", $"n_violations",
+            when($"n_violations" === 0L, 1).otherwise(0).as("ok"))
+      }
+      check("lineitem.l_orderkey->orders", liOrd, ordKey)
+        .unionByName(check("orders.o_custkey->customer", ordCust, custKey))
+        .unionByName(check("customer-has-order", custKey, ordCust))
+        .unionByName(check("order-has-lineitem", ordKey, liOrd))
+    }),
+    // ---- one-row graph health summary of the capped co-click graph
+    // (nodes, edges, density, avg/max degree, leaf count) — the
+    // topology scorecard read next to kcore/assortativity/triangles.
+    // Exact integers throughout; two single-shape divisions. ----
+    "graph_summary" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).where($"event_type" === "click")
+        .select($"user_id".as("u"),
+          regexp_extract($"props", "[0-9]+", 0).cast("long").as("i"))
+        .distinct()
+      val wcap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"i").orderBy($"u")
+      val capped = clicks.withColumn("rn", row_number().over(wcap))
+        .where($"rn" <= 40).drop("rn")
+      val e = capped.alias("a").join(capped.alias("b"),
+          $"a.i" === $"b.i" && $"a.u" < $"b.u")
+        .groupBy($"a.u".as("u"), $"b.u".as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 5)
+        .select($"u", $"v")
+      val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val em = e.agg(count(lit(1)).as("ne"))
+      deg.agg(count(lit(1)).as("nn"), max($"deg").as("max_degree"),
+          sum(when($"deg" === 1L, 1L).otherwise(0L)).as("n_leaves"))
+        .crossJoin(broadcast(em))
+        .select($"nn".as("n_nodes"), $"ne".as("n_edges"), $"max_degree", $"n_leaves",
+          RoundPortableExpr.r(($"ne" * 2L).cast("double") /
+            ($"nn" * ($"nn" - 1L)).cast("double"), 6).as("density"),
+          RoundPortableExpr.r(($"ne" * 2L).cast("double") / $"nn".cast("double"), 6)
+            .as("avg_degree"))
+    }),
+    // ---- pairwise total-variation distance between source unigram
+    // distributions — the corpus-mix drift matrix (a source whose
+    // vocabulary distribution diverges from its siblings is a crawl or
+    // template change). TV = 1 − Σ_w min(p1, p2) needs only the INNER
+    // join on shared words, and min(c1/T1, c2/T2) =
+    // min(c1·T2, c2·T1)/(T1·T2) keeps the whole sum in exact
+    // decimal(38,0) cross-products (c·T passes int64 at 100×) — one
+    // division per pair at the end. Vocab-keyed join, |sources|²
+    // bounded output. ----
+    "text_source_tv" -> ((s, dir) => {
+      import s.implicits._
+      val census = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "documents"))
+          .select($"source", explode(ops.TextPrimitives.words($"text")).as("w"))
+          .where($"w" =!= "")
+          .groupBy($"source", $"w").agg(count(lit(1)).as("c")))
+      val tot = census.groupBy($"source").agg(sum($"c").as("tt"))
+      val a = census.join(tot, "source")
+        .select($"source".as("s1"), $"w", $"c".as("c1"), $"tt".as("t1"))
+      val b = census.join(tot, "source")
+        .select($"source".as("s2"), $"w", $"c".as("c2"), $"tt".as("t2"))
+      a.join(b, Seq("w")).where($"s1" < $"s2")
+        .select($"s1", $"s2", $"t1", $"t2",
+          least($"c1".cast("decimal(38,0)") * $"t2",
+            $"c2".cast("decimal(38,0)") * $"t1").as("mn"))
+        .groupBy($"s1", $"s2", $"t1", $"t2")
+        .agg(sum($"mn").as("smin"))
+        .select($"s1", $"s2",
+          RoundPortableExpr.r(lit(1.0) - $"smin".cast("double") /
+            ($"t1".cast("decimal(38,0)") * $"t2").cast("double"), 6).as("tv"))
     })
   )
 
@@ -8939,6 +9037,55 @@ object SparkEntry {
         |SELECT qty_bin, price_bin, CAST(count(*) AS BIGINT) AS n,
         |       round(CAST(sum(cents) AS DOUBLE) / 100.0e0, 2) AS revenue,
         |       round(CAST(count(*) AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share
-        |FROM b, tot GROUP BY qty_bin, price_bin, nn""".stripMargin
+        |FROM b, tot GROUP BY qty_bin, price_bin, nn""".stripMargin,
+    "dq_referential" -> {
+      val check = (name: String, child: String, ck: String,
+          parent: String, pk: String) =>
+        s"""SELECT '$name' AS "check",
+           |       (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |       CAST(count(*) AS BIGINT) AS n_violations,
+           |       CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS ok
+           |FROM $child c WHERE NOT EXISTS
+           |  (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)""".stripMargin
+      s"""${check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${check("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${check("customer-has-order", "customer", "c_custkey", "orders", "o_custkey")}
+         |UNION ALL
+         |${check("order-has-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}""".stripMargin
+    },
+    "graph_summary" ->
+      s"""WITH e AS MATERIALIZED ($coClickPairsSql),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |em AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM e),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |              CAST(max(deg) AS BIGINT) AS max_degree,
+         |              CAST(sum(CASE WHEN deg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS n_leaves
+         |       FROM deg)
+         |SELECT nn AS n_nodes, ne AS n_edges, max_degree, n_leaves,
+         |       round(CAST(ne * 2 AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE), 6)
+         |         AS density,
+         |       round(CAST(ne * 2 AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS avg_degree
+         |FROM ag, em""".stripMargin,
+    "text_source_tv" ->
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT source, unnest(${wordsSql("text")}) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM census GROUP BY 1),
+         |a AS (SELECT source AS s1, w, c AS c1, tt AS t1 FROM census JOIN tot USING (source)),
+         |b AS (SELECT source AS s2, w, c AS c2, tt AS t2 FROM census JOIN tot USING (source)),
+         |j AS (SELECT s1, s2, t1, t2,
+         |             least(CAST(c1 AS DECIMAL(38,0)) * t2,
+         |                   CAST(c2 AS DECIMAL(38,0)) * t1) AS mn
+         |      FROM a JOIN b USING (w) WHERE s1 < s2),
+         |g AS (SELECT s1, s2, t1, t2, sum(mn) AS smin FROM j GROUP BY 1, 2, 3, 4)
+         |SELECT s1, s2,
+         |       round(1.0e0 - CAST(smin AS DOUBLE)
+         |             / CAST(CAST(t1 AS DECIMAL(38,0)) * t2 AS DOUBLE), 6) AS tv
+         |FROM g""".stripMargin
   )
 }

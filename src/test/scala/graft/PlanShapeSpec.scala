@@ -56,7 +56,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // rec_gini_coverage runs globalRowNumber jobs at build time —
     // stressed separately like the other prefix-scan consumers
     "q_corr_matrix", "q_cohort_ltv", "ml_brier",
-    "q_runs_test", "search_eval_metrics", "ts_backtest", "q_histogram2d")
+    "q_runs_test", "search_eval_metrics", "ts_backtest", "q_histogram2d",
+    "dq_referential", "graph_summary", "text_source_tv")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
