@@ -5596,6 +5596,83 @@ object SparkEntry {
         .select($"s1", $"s2",
           RoundPortableExpr.r(lit(1.0) - $"smin".cast("double") /
             ($"t1".cast("decimal(38,0)") * $"t2").cast("double"), 6).as("tv"))
+    }),
+    // ---- cumulative gains / lift table (decile chart) for the
+    // purchase-ratio detector — the campaign-targeting artifact next
+    // to ml_roc_points' ROC. Decile boundaries are picked on the
+    // score-DESC cumulative census by exact integer comparison
+    // (cum_cnt·10 ≥ d·N); because cum_cnt and cum_pos increase
+    // together along the census, plain min() over the qualifying rows
+    // recovers the boundary row without argmin — every metric is an
+    // exact-integer ratio. ----
+    "ml_lift_gains" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1L)
+            .otherwise(0L).as("label"),
+          RoundPortableExpr.r(
+            sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("score"))
+      val census = graft.core.PlanCache.persist(
+        scored.select(round($"score" * 10000, 0).cast("long").as("si"), $"label")
+          .groupBy($"si")
+          .agg(count(lit(1)).as("cnt"), sum($"label").as("pos"))
+          .withColumn("k", -$"si"))
+      val tot = census.agg(sum($"cnt").as("nn"), sum($"pos").as("pp"))
+      val cum = ops.Sharding.prefixSums(census, "k", Seq("cnt", "pos"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("d", explode(sequence(lit(1), lit(10))))
+        .where($"cum_cnt" * 10L >= $"d" * $"nn")
+        .groupBy($"d", $"nn", $"pp")
+        .agg(min($"cum_cnt").as("rows_in"), min($"cum_pos").as("pos_in"))
+        .select($"d".as("decile"), $"rows_in", $"pos_in",
+          RoundPortableExpr.r($"rows_in".cast("double") / $"nn".cast("double"), 6)
+            .as("pct_pop"),
+          RoundPortableExpr.r($"pos_in".cast("double") / $"pp".cast("double"), 6)
+            .as("gains"),
+          RoundPortableExpr.r(($"pos_in" * $"nn").cast("double") /
+            ($"rows_in" * $"pp").cast("double"), 6).as("lift"))
+    }),
+    // ---- new-vs-returning daily active users — the topline growth
+    // split on every product dashboard. First-seen day per user joins
+    // back to the distinct (day, user) activity census; output is the
+    // calendar-bounded daily table. ----
+    "q_new_vs_returning" -> ((s, dir) => {
+      import s.implicits._
+      val act = graft.core.PlanCache.persist(
+        Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("day")).distinct())
+      val first = act.groupBy($"user_id").agg(min($"day").as("d0"))
+      act.join(first, "user_id")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"day" === $"d0", 1L).otherwise(0L)).as("n_new"))
+        .select($"day", $"n_active", $"n_new",
+          ($"n_active" - $"n_new").as("n_returning"),
+          RoundPortableExpr.r($"n_new".cast("double") / $"n_active".cast("double"), 6)
+            .as("pct_new"))
+    }),
+    // ---- basket-size distribution (lineitems per order histogram +
+    // cumulative share) — the order-shape census pricing and
+    // fulfillment teams read. Order-keyed count census → size census;
+    // the cumulative window runs over the ≤|max basket| bounded
+    // histogram, never row-scale. ----
+    "q_basket_size_dist" -> ((s, dir) => {
+      import s.implicits._
+      val sizes = s.read.parquet(t(dir, "lineitem"))
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy($"sz").agg(count(lit(1)).as("n_orders"))
+      val tot = hist.agg(sum($"n_orders").as("nn"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum", sum($"n_orders").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"sz")))
+        .select($"sz".as("basket_size"), $"n_orders",
+          RoundPortableExpr.r($"n_orders".cast("double") / $"nn".cast("double"), 6)
+            .as("share"),
+          RoundPortableExpr.r($"cum".cast("double") / $"nn".cast("double"), 6)
+            .as("cum_share"))
     })
   )
 
@@ -9086,6 +9163,55 @@ object SparkEntry {
          |SELECT s1, s2,
          |       round(1.0e0 - CAST(smin AS DOUBLE)
          |             / CAST(CAST(t1 AS DECIMAL(38,0)) * t2 AS DOUBLE), 6) AS tv
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    "ml_lift_gains" ->
+      """WITH sc AS (
+        |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                   >= 15 THEN 1 ELSE 0 END AS label,
+        |         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                    AS DOUBLE) / count(*), 4) AS score
+        |  FROM events GROUP BY user_id),
+        |census AS (SELECT CAST(round(score * 10000, 0) AS BIGINT) AS si,
+        |                  CAST(count(*) AS BIGINT) AS cnt,
+        |                  CAST(sum(label) AS BIGINT) AS pos
+        |           FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp
+        |        FROM census),
+        |cum AS (SELECT si,
+        |               CAST(sum(cnt) OVER (ORDER BY -si) AS BIGINT) AS cum_cnt,
+        |               CAST(sum(pos) OVER (ORDER BY -si) AS BIGINT) AS cum_pos
+        |        FROM census),
+        |q AS (SELECT d, nn, pp, cum_cnt, cum_pos
+        |      FROM cum, tot, unnest(range(1, 11)) t(d)
+        |      WHERE cum_cnt * 10 >= d * nn)
+        |SELECT CAST(d AS INTEGER) AS decile,
+        |       min(cum_cnt) AS rows_in, min(cum_pos) AS pos_in,
+        |       round(CAST(min(cum_cnt) AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS pct_pop,
+        |       round(CAST(min(cum_pos) AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS gains,
+        |       round(CAST(min(cum_pos) * nn AS DOUBLE)
+        |             / CAST(min(cum_cnt) * pp AS DOUBLE), 6) AS lift
+        |FROM q GROUP BY d, nn, pp""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fu AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1),
+        |j AS (SELECT day, CASE WHEN day = d0 THEN 1 ELSE 0 END AS isnew
+        |      FROM act JOIN fu USING (user_id))
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(isnew) AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(isnew) AS BIGINT) AS n_returning,
+        |       round(CAST(sum(isnew) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pct_new
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_basket_size_dist" ->
+      """WITH sizes AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+        |               FROM lineitem GROUP BY 1),
+        |hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_orders FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nn FROM hist),
+        |c AS (SELECT sz, n_orders, nn,
+        |             CAST(sum(n_orders) OVER (ORDER BY sz) AS BIGINT) AS cum
+        |      FROM hist, tot)
+        |SELECT sz AS basket_size, n_orders,
+        |       round(CAST(n_orders AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share,
+        |       round(CAST(cum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS cum_share
+        |FROM c""".stripMargin
   )
 }
