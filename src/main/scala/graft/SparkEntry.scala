@@ -5673,6 +5673,42 @@ object SparkEntry {
             .as("share"),
           RoundPortableExpr.r($"cum".cast("double") / $"nn".cast("double"), 6)
             .as("cum_share"))
+    }),
+    // ---- day-of-week revenue profile per event_type — the weekly
+    // seasonality census behind ts_holt_winters' period-7 choice.
+    // Weekday keys are PURE INTEGER arithmetic (days since a Monday
+    // epoch mod 7): Spark's dayofweek (1=Sunday) and DuckDB's
+    // dayofweek/isodow all disagree on numbering, integer math
+    // doesn't. Mean revenue via the exact-decimal moment protocol. ----
+    "ts_weekday_profile" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(RoundPortableExpr.r(sum($"value"), 4).as("y"))
+        .select($"event_type",
+          expr("cast(datediff(day, date'1970-01-05') as bigint) % 7").as("dow"),
+          round($"y" * 10000, 0).cast("decimal(38,0)").as("yi"))
+      daily.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("n_days"),
+          RoundPortableExpr.r(
+            sum($"yi").cast("double") / count(lit(1)) / lit(1.0e4), 6)
+            .as("mean_revenue"))
+    }),
+    // ---- freshness / staleness audit — the data-SLA check every
+    // warehouse runs before a dashboard refresh: per event_type, the
+    // latest event and its lag behind the globally freshest partition,
+    // in exact integer minutes off epoch-micro timestamps. ----
+    "dq_freshness" -> ((s, dir) => {
+      import s.implicits._
+      val mx = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg((unix_micros(max($"ts")).cast("long")).as("mx"))
+      val glob = mx.agg(max($"mx").as("gm"))
+      mx.crossJoin(broadcast(glob))
+        .select($"event_type",
+          expr("mx div 60000000").as("latest_minute"),
+          expr("(gm - mx) div 60000000").as("minutes_stale"),
+          when($"gm" - $"mx" <= 1440L * 60000000L, 1).otherwise(0).as("within_sla"))
     })
   )
 
@@ -9212,6 +9248,27 @@ object SparkEntry {
         |SELECT sz AS basket_size, n_orders,
         |       round(CAST(n_orders AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share,
         |       round(CAST(cum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS cum_share
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "ts_weekday_profile" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      round(sum(value), 4) AS y
+        |               FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |             date_diff('day', DATE '1970-01-05', day) % 7 AS dow,
+        |             CAST(round(y * 10000, 0) AS DECIMAL(38,0)) AS yi
+        |      FROM daily)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       round(CAST(sum(yi) AS DOUBLE) / count(*) / 1.0e4, 6) AS mean_revenue
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "dq_freshness" ->
+      """WITH mx AS (SELECT event_type, CAST(epoch_us(max(ts)) AS BIGINT) AS mx
+        |            FROM events GROUP BY 1),
+        |gmx AS (SELECT max(mx) AS gm FROM mx)
+        |SELECT event_type, mx // 60000000 AS latest_minute,
+        |       (gm - mx) // 60000000 AS minutes_stale,
+        |       CASE WHEN gm - mx <= CAST(86400000000 AS BIGINT) THEN 1 ELSE 0 END
+        |         AS within_sla
+        |FROM mx, gmx""".stripMargin
   )
 }
