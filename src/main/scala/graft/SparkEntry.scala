@@ -5709,6 +5709,83 @@ object SparkEntry {
           expr("mx div 60000000").as("latest_minute"),
           expr("(gm - mx) div 60000000").as("minutes_stale"),
           when($"gm" - $"mx" <= 1440L * 60000000L, 1).otherwise(0).as("within_sla"))
+    }),
+    // ---- fulfillment-lag profile: ship-date minus order-date per
+    // order priority — the ops-SLA distribution behind every
+    // supply-chain dashboard. The raw lineitem⋈orders SMJ sorted 60M
+    // fact rows and spilled 3.5 GB at 100×; instead lineitem
+    // pre-aggregates per order key (map-side combined: n, Σ/min/max of
+    // epoch-day ship dates) and the join is census-vs-orders. Lag
+    // stats reassemble EXACTLY from the moments: Σlag = Σsd − n·od,
+    // min lag = min_sd − od — integer day arithmetic throughout. ----
+    "q_ship_lag" -> ((s, dir) => {
+      import s.implicits._
+      val epoch = to_date(lit("1970-01-01"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .select($"o_orderkey", $"o_orderpriority",
+          datediff($"o_orderdate".cast("date"), epoch).cast("long").as("od"))
+      val lic = s.read.parquet(t(dir, "lineitem"))
+        .select($"l_orderkey".as("o_orderkey"),
+          datediff($"l_shipdate".cast("date"), epoch).cast("long").as("sd"))
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("ni"), sum($"sd").as("ssd"),
+          min($"sd").as("mnsd"), max($"sd").as("mxsd"))
+      lic.join(o, "o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"ni").as("n"),
+          min($"mnsd" - $"od").as("min_lag"),
+          max($"mxsd" - $"od").as("max_lag"),
+          sum($"ssd" - $"ni" * $"od").as("slag"))
+        .select($"o_orderpriority", $"n", $"min_lag", $"max_lag",
+          RoundPortableExpr.r($"slag".cast("double") / $"n".cast("double"), 6)
+            .as("mean_lag"))
+    }),
+    // ---- held-in evaluation of the trained perceptron: confusion
+    // matrix, accuracy, F1, and Matthews correlation of the
+    // epoch-3 weights — closing the train→eval loop the way
+    // ml_naive_bayes does for its classifier. The confusion counts
+    // and the MCC numerator are exact int64 (tp·tn ≤ n² fits at 100×);
+    // only MCC's 4-factor denominator exceeds int64, so each factor
+    // casts to double before the product — single-shape both engines. ----
+    "ml_perceptron_eval" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.PlanCache.persist(
+        s.read.parquet(t(dir, "orders")).select(
+          when($"o_orderpriority" === "1-URGENT", 1L).otherwise(-1L).as("y"),
+          lit(1L).as("x0"),
+          expr("cast(round(o_totalprice * 100, 0) as bigint) div 10000").as("x1"),
+          dayofmonth($"o_orderdate".cast("date")).cast("long").as("x2")))
+      def step(w: DataFrame): DataFrame =
+        base.crossJoin(broadcast(w))
+          .withColumn("mis",
+            $"y" * ($"w0" * $"x0" + $"w1" * $"x1" + $"w2" * $"x2") <= 0)
+          .agg(
+            (min($"w0") + coalesce(sum(when($"mis", $"y" * $"x0")), lit(0L))).as("w0"),
+            (min($"w1") + coalesce(sum(when($"mis", $"y" * $"x1")), lit(0L))).as("w1"),
+            (min($"w2") + coalesce(sum(when($"mis", $"y" * $"x2")), lit(0L))).as("w2"))
+      val wInit = s.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+      val w3 = step(step(step(wInit)))
+      val conf = base.crossJoin(broadcast(w3))
+        .select($"y",
+          when($"w0" * $"x0" + $"w1" * $"x1" + $"w2" * $"x2" > 0, 1L)
+            .otherwise(-1L).as("yhat"))
+        .agg(
+          sum(when($"y" === 1L && $"yhat" === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when($"y" === -1L && $"yhat" === -1L, 1L).otherwise(0L)).as("tn"),
+          sum(when($"y" === -1L && $"yhat" === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when($"y" === 1L && $"yhat" === -1L, 1L).otherwise(0L)).as("fn"))
+      conf.select($"tp", $"tn", $"fp", $"fn",
+        RoundPortableExpr.r(($"tp" + $"tn").cast("double") /
+          ($"tp" + $"tn" + $"fp" + $"fn").cast("double"), 6).as("accuracy"),
+        RoundPortableExpr.r(($"tp" * 2L).cast("double") /
+          ($"tp" * 2L + $"fp" + $"fn").cast("double"), 6).as("f1"),
+        when(($"tp" + $"fp") * ($"tp" + $"fn") * 1L === 0L ||
+            ($"tn" + $"fp") * ($"tn" + $"fn") * 1L === 0L, lit(0.0))
+          .otherwise(RoundPortableExpr.r(
+            ($"tp" * $"tn" - $"fp" * $"fn").cast("double") /
+              sqrt(($"tp" + $"fp").cast("double") * ($"tp" + $"fn").cast("double") *
+                ($"tn" + $"fp").cast("double") * ($"tn" + $"fn").cast("double")), 6))
+          .as("mcc"))
     })
   )
 
@@ -9269,6 +9346,83 @@ object SparkEntry {
         |       (gm - mx) // 60000000 AS minutes_stale,
         |       CASE WHEN gm - mx <= CAST(86400000000 AS BIGINT) THEN 1 ELSE 0 END
         |         AS within_sla
-        |FROM mx, gmx""".stripMargin
+        |FROM mx, gmx""".stripMargin,
+    "q_ship_lag" ->
+      """WITH lic AS (SELECT l_orderkey AS o_orderkey,
+        |                    CAST(count(*) AS BIGINT) AS ni,
+        |                    CAST(sum(date_diff('day', DATE '1970-01-01',
+        |                                       CAST(l_shipdate AS DATE))) AS BIGINT) AS ssd,
+        |                    CAST(min(date_diff('day', DATE '1970-01-01',
+        |                                       CAST(l_shipdate AS DATE))) AS BIGINT) AS mnsd,
+        |                    CAST(max(date_diff('day', DATE '1970-01-01',
+        |                                       CAST(l_shipdate AS DATE))) AS BIGINT) AS mxsd
+        |             FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |             CAST(date_diff('day', DATE '1970-01-01',
+        |                            CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+        |      FROM orders)
+        |SELECT o_orderpriority, CAST(sum(ni) AS BIGINT) AS n,
+        |       CAST(min(mnsd - od) AS BIGINT) AS min_lag,
+        |       CAST(max(mxsd - od) AS BIGINT) AS max_lag,
+        |       round(CAST(sum(ssd - ni * od) AS DOUBLE) / CAST(sum(ni) AS DOUBLE), 6)
+        |         AS mean_lag
+        |FROM lic JOIN o USING (o_orderkey) GROUP BY 1""".stripMargin,
+    "ml_perceptron_eval" ->
+      """WITH base AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE -1 END AS y,
+        |                     CAST(1 AS BIGINT) AS x0,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) // 10000 AS x1,
+        |                     CAST(EXTRACT(DAY FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x2
+        |              FROM orders),
+        |wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |               CAST(0 AS BIGINT) AS w2),
+        |m1 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt0),
+        |wt1 AS (SELECT CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m1),
+        |m2 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt1),
+        |wt2 AS (SELECT CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m2),
+        |m3 AS (SELECT y, x0, x1, x2, w0, w1, w2,
+        |              (y * (w0 * x0 + w1 * x1 + w2 * x2) <= 0) AS mis
+        |       FROM base, wt2),
+        |wt3 AS (SELECT CAST(min(w0) + coalesce(sum(CASE WHEN mis THEN y * x0 END), 0)
+        |                    AS BIGINT) AS w0,
+        |               CAST(min(w1) + coalesce(sum(CASE WHEN mis THEN y * x1 END), 0)
+        |                    AS BIGINT) AS w1,
+        |               CAST(min(w2) + coalesce(sum(CASE WHEN mis THEN y * x2 END), 0)
+        |                    AS BIGINT) AS w2
+        |        FROM m3),
+        |pred AS (SELECT y, CASE WHEN w0 * x0 + w1 * x1 + w2 * x2 > 0 THEN 1 ELSE -1 END
+        |                  AS yhat
+        |         FROM base, wt3),
+        |conf AS (SELECT
+        |           CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |           CAST(sum(CASE WHEN y = -1 AND yhat = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |           CAST(sum(CASE WHEN y = -1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |           CAST(sum(CASE WHEN y = 1 AND yhat = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |         FROM pred)
+        |SELECT tp, tn, fp, fn,
+        |       round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6)
+        |         AS accuracy,
+        |       round(CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE), 6) AS f1,
+        |       CASE WHEN (tp + fp) * (tp + fn) = 0 OR (tn + fp) * (tn + fn) = 0 THEN 0.0e0
+        |            ELSE round(CAST(tp * tn - fp * fn AS DOUBLE)
+        |                       / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |                              * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+        |       END AS mcc
+        |FROM conf""".stripMargin
   )
 }

@@ -59,7 +59,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_runs_test", "search_eval_metrics", "ts_backtest", "q_histogram2d",
     "dq_referential", "graph_summary", "text_source_tv",
     "q_new_vs_returning", "q_basket_size_dist", "ts_weekday_profile",
-    "dq_freshness")
+    "dq_freshness", "q_ship_lag", "ml_perceptron_eval")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
