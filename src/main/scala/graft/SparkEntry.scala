@@ -4918,8 +4918,11 @@ object SparkEntry {
           RoundPortableExpr.r($"m2".cast("double") / 200.0, 6).as("median"),
           RoundPortableExpr.r($"mad4".cast("double") / 400.0, 6).as("mad"),
           $"n_outliers",
-          RoundPortableExpr.r(lit(1.349) * $"dmax".cast("double") /
-            $"mad4".cast("double"), 6).as("max_zmod"))
+          // degenerate guard: >half the mass at the median ⇒ MAD = 0 ⇒
+          // the modified z is undefined (0/0 NaN) — report 0, not NaN
+          when($"mad4" === 0L, lit(0.0)).otherwise(
+            RoundPortableExpr.r(lit(1.349) * $"dmax".cast("double") /
+              $"mad4".cast("double"), 6)).as("max_zmod"))
     }),
     // ---- Theil–Sen robust trend slope (median of pairwise slopes) per
     // event_type over the daily revenue — the estimator product teams
@@ -8835,7 +8838,9 @@ object SparkEntry {
         |SELECT n, round(CAST(m2 AS DOUBLE) / 200.0e0, 6) AS median,
         |       round(CAST(mad4 AS DOUBLE) / 400.0e0, 6) AS mad,
         |       n_outliers,
-        |       round(1.349e0 * CAST(dmax AS DOUBLE) / CAST(mad4 AS DOUBLE), 6) AS max_zmod
+        |       CASE WHEN mad4 = 0 THEN 0.0e0
+        |            ELSE round(1.349e0 * CAST(dmax AS DOUBLE) / CAST(mad4 AS DOUBLE), 6)
+        |       END AS max_zmod
         |FROM fin""".stripMargin,
     "ts_theil_sen" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -113,6 +113,23 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
     mmr.map(_._2).sorted.toSeq shouldBe Seq(1, 2)
   }
 
+  test("q_mad on a constant column: MAD = 0 reports zero modified-z, never NaN") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mad-edge").toString
+    // every total identical -> every deviation 0 -> mad4 = 0: the
+    // modified z-score is undefined (0/0) and must guard to 0.0
+    (1 to 7).map(i => (i.toLong, 100.00)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val row = SparkEntry.queries("q_mad")(spark, dir).collect().head
+    core.PlanCache.release(spark)
+    row.getAs[Long]("n") shouldBe 7L
+    row.getAs[Double]("median") shouldBe 100.0
+    row.getAs[Double]("mad") shouldBe 0.0
+    row.getAs[Long]("n_outliers") shouldBe 0L
+    val z = row.getAs[Double]("max_zmod")
+    assert(!z.isNaN && z == 0.0, s"expected guarded 0.0, got $z")
+  }
+
   test("round-5 curation operators on degenerate inputs") {
     import spark.implicits._
     // semantic dedup: singleton corpus — one cluster, no near-dup pairs
