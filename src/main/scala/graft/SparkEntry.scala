@@ -265,6 +265,49 @@ object SparkEntry {
       })
     }
 
+  /** Shared body of the `vdb_knn_indexed_{ivfpq,bq}` entries: the
+    * non-graph persisted-tier lifecycle through the facade — build over
+    * an 80% base, append a 20% delta as code rows, probe a 5-query
+    * panel (mean-recall gate vs the exact route), and pin
+    * filtered == exact (filters bypass the index). */
+  private[graft] def indexedTierLifecycle(
+      s: SparkSession, dir: String, tier: String, meanFloor: Double): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-knn$tier").toString
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val rows = emb.select(
+      to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+    val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+      dim = 64, newTable = true)
+    db.insertEmbedded(rows.where($"vec_id" % 5 =!= 0))
+    def codeCount() = tier match {
+      case "ivfpq" => db.table.ivfPqIndex.get._2.count()
+      case _ => db.table.bqCodes.get.count()
+    }
+    tier match {
+      case "ivfpq" => db.table.buildIvfPqIndex()
+      case _ => db.table.buildBqIndex()
+    }
+    val before = codeCount()
+    db.insertEmbedded(rows.where($"vec_id" % 5 === 0)) // delta -> appended codes
+    val appendedOk = codeCount() > before
+    val panel = emb.where($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    val recalls = panel.map { qv =>
+      val approx = db.queryByVector(qv, k = 10).collect().map(_.id).toSet
+      val exact = db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val meanRecall = recalls.sum / recalls.length
+    val f = Seq(Filters.Cmp("label", Filters.CmpOp.Eq, 3))
+    val filteredIdx = db.queryByVector(panel.head, k = 5, filters = f).collect().toSeq
+    val filteredExact =
+      db.queryByVector(panel.head, k = 5, filters = f, useIndex = false).collect().toSeq
+    Seq((0L, if (meanRecall >= meanFloor) 1 else 0, if (appendedOk) 1 else 0,
+      if (filteredIdx == filteredExact && filteredIdx.nonEmpty) 1 else 0))
+      .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
+  }
+
   // (session, dir) -> persisted (id, component) duplicate-cluster
   // labels over documents: dedup_components AND dedup_keep_one consume
   // the SAME materialized table — at scale, components are a pipeline
@@ -3656,6 +3699,20 @@ object SparkEntry {
         if (filteredIdx == filteredExact && filteredIdx.nonEmpty) 1 else 0))
         .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
     }),
+    // ---- the persisted index slot GENERALIZED beyond HNSW: IVF-PQ and
+    // BQ tiers with the identical build-at-load → probe → append →
+    // delete-widen → vacuum-rebuild lifecycle (single slot per table,
+    // duckvdb.py:37-45 generalized to three storage shapes). Each entry
+    // builds over an 80% base, appends a 20% delta (code rows — frozen
+    // codebooks for IVF-PQ, stateless sign codes for BQ), probes a
+    // 5-query panel through the facade route, and pins filtered ==
+    // exact (filters bypass the index, the reference's own scope).
+    // Gates vs measured recall: IVF-PQ mean 0.84 (sf0.01) / 0.86
+    // (sf0.1) → floor 0.7; BQ mean 0.97 / 0.95 → floor 0.8. ----
+    "vdb_knn_indexed_ivfpq" -> ((s, dir) =>
+      SparkEntry.indexedTierLifecycle(s, dir, "ivfpq", meanFloor = 0.7)),
+    "vdb_knn_indexed_bq" -> ((s, dir) =>
+      SparkEntry.indexedTierLifecycle(s, dir, "bq", meanFloor = 0.8)),
     // ---- MLlib-Transformer embedder (third registry family): IDF
     // weights fitted with the real Tokenizer→HashingTF→IDF stages; the
     // corpus embeds through the REGISTRY path (mapPartitions, weights
@@ -8091,6 +8148,12 @@ object SparkEntry {
     "vdb_embed_tfidf" ->
       "SELECT CAST(t.j + 1 AS INTEGER) AS rank, 1 AS ok FROM range(10) t(j)",
     "vdb_knn_indexed" ->
+      """SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok,
+        |       1 AS appended_ok, 1 AS filtered_ok""".stripMargin,
+    "vdb_knn_indexed_ivfpq" ->
+      """SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok,
+        |       1 AS appended_ok, 1 AS filtered_ok""".stripMargin,
+    "vdb_knn_indexed_bq" ->
       """SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok,
         |       1 AS appended_ok, 1 AS filtered_ok""".stripMargin,
     "layout_partitioned_read" ->

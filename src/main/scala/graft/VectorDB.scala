@@ -93,6 +93,15 @@ class VectorDB(
       // recall-gated choice, never a silent one.
       case Some(graph) if useIndex && indexFilteredProbe =>
         indexedFilteredKnn(graph, vec, k, filters, useVariant)
+      // the other two persisted tiers (single index slot — at most one
+      // of the three exists): same contract as the HNSW route —
+      // unfiltered queries probe the index, filtered queries stay
+      // exact (the reference's own index scope, duckvdb.py:37-45)
+      case None if useIndex && filters.isEmpty && table.ivfPqIndexMeta.isDefined =>
+        val (ix, codes) = table.ivfPqIndex.get
+        ivfpqKnn(ix, codes, vec, k)
+      case None if useIndex && filters.isEmpty && table.bqIndexMeta.isDefined =>
+        bqKnn(table.bqCodes.get, vec, k)
       case _ =>
         val compiled =
           if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
@@ -136,6 +145,70 @@ class VectorDB(
     val hits = ops.Hnsw.probeGraph(graph, q, kProbe, m = meta.m, excludeSelf = false)
       .select(col("neighbor_id").as("__h"), col("distance"))
     table.df
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))
+      .dropDuplicates()
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  /** The persisted IVF-PQ probe: [[graft.ops.IvfPq.search]] prunes the
+    * cell-partitioned code scan to the query's nProbe cells (a
+    * directory-level PartitionFilter), ADC-ranks the codes, and
+    * exact-reranks the shortlist against the LIVE surrogate vectors —
+    * tombstoned candidates drop at that rerank join, and the probe is
+    * widened by the tombstone count so k live rows always survive.
+    * Distances for the returned rows are recomputed through the same
+    * exact kernel + portable rounding as every other route. */
+  private def ivfpqKnn(
+      ix: ops.IvfPq.Index, codes: DataFrame, vec: Array[Float], k: Int): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.ivfPqIndexMeta.get
+    // Long.MinValue query surrogate: never collides with xxhash64 ids
+    // in practice, and the kernel's self-exclusion then never bites
+    val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    val kProbe = k + math.min(table.tombstoneCount, Int.MaxValue.toLong - k).toInt
+    val live = table.df
+    val corpus = live.select(
+      xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
+    val hits = ops.IvfPq.search(q, ix, codes, corpus, kProbe,
+        nProbe = meta.nProbe, shortlistFactor = meta.shortlistFactor)
+      .select(col("neighbor_id").as("__h"))
+    live
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA),
+        graft.functions.RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col(VectorSchema.EMBEDDING), typedlit(vec)), 4)
+          .as("distance"))
+      .dropDuplicates()
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  /** The persisted BQ probe: the Hamming → sign-asymmetric → exact
+    * cascade ([[graft.ops.Similarity.bqTopKFromCodes]]) scans only the
+    * packed sign codes; floats are resident only for the exact-rerank
+    * shortlist, which joins the LIVE surrogate vectors — tombstoned
+    * candidates drop there, with the probe widened by the tombstone
+    * count. */
+  private def bqKnn(codes: DataFrame, vec: Array[Float], k: Int): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.bqIndexMeta.get
+    val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    val kProbe = k + math.min(table.tombstoneCount, Int.MaxValue.toLong - k).toInt
+    val live = table.df
+    val corpus = live.select(
+      xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
+    val hits = ops.Similarity.bqTopKFromCodes(codes, q, corpus, kProbe,
+        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor)
+      .select(col("neighbor_id").as("__h"), col("distance"))
+    live
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))
       .join(broadcast(hits), Seq("__h"))
       .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))

@@ -124,7 +124,12 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     if (hnswIndexMeta.isEmpty) None
     else Some(spark.read.parquet(hnswGraphPath.toString))
 
-  private def hnswSurrogates(rows: DataFrame): DataFrame =
+  /** Long surrogate keys for the vector-index kernels (all three tiers
+    * are Long-keyed): xxhash64 of the string id. The query path joins
+    * surfaced surrogates back to the table, where a collision only
+    * costs a spurious candidate row that the final distance-ordered
+    * limit drops. */
+  private def surrogates(rows: DataFrame): DataFrame =
     rows.select(xxhash64(col(VectorSchema.ID)).as("vec_id"),
       col(VectorSchema.EMBEDDING).as("embedding"))
 
@@ -136,7 +141,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * (never rewriting built graphs), and [[compactHnswIndex]] is the
     * merge policy that folds accumulated small segments. */
   def buildHnswIndex(m: Int = 16, efConstruction: Int = 128): this.type = {
-    val vecs = hnswSurrogates(df)
+    dropIvfPqIndex(); dropBqIndex() // single index slot (duckvdb.py:37-45)
+    val vecs = surrogates(df)
     val nSegs = graft.ops.Hnsw.autoSegments(vecs.count())
     graft.ops.Hnsw.buildGraph(vecs, numSegments = nSegs, m = m, efConstruction = efConstruction)
       .write.mode("overwrite").parquet(hnswGraphPath.toString)
@@ -175,6 +181,108 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(hnswMetaPath, false)
   }
 
+  // ---- persisted IVF-PQ index tier (Jégou et al. IVFADC,
+  // [[graft.ops.IvfPq]]) — the same single-index-slot lifecycle as the
+  // HNSW tier (build at load → probe → delete-widen → vacuum-rebuild),
+  // generalizing the reference's one index per table (duckvdb.py:37-45)
+  // to a second storage shape: a broadcast-sized driver artifact
+  // (coarse centroids + PQ codebooks) plus a cell-partitioned code
+  // table 32× smaller than the float column. ----
+
+  /** Build parameters persisted beside the index; `nProbe` and
+    * `shortlistFactor` are the probe-time defaults the builder pinned
+    * (recall was measured against them — a different query-time choice
+    * must re-measure its gate). */
+  case class IvfPqIndexMeta(nCells: Int, m: Int, pqK: Int, nProbe: Int, shortlistFactor: Int)
+
+  private def ivfpqRoot = root + ".ivfpq"
+  private def ivfpqMetaPath = new Path(root + ".ivfpq_index.json")
+
+  def ivfPqIndexMeta: Option[IvfPqIndexMeta] =
+    if (!fs.exists(ivfpqMetaPath)) None
+    else {
+      val in = fs.open(ivfpqMetaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val p = (""""nCells"\s*:\s*(\d+).*"m"\s*:\s*(\d+).*"pqK"\s*:\s*(\d+)""" +
+        """.*"nProbe"\s*:\s*(\d+).*"shortlistFactor"\s*:\s*(\d+)""").r
+      p.findFirstMatchIn(txt).map(g => IvfPqIndexMeta(g.group(1).toInt, g.group(2).toInt,
+        g.group(3).toInt, g.group(4).toInt, g.group(5).toInt))
+    }
+
+  /** Builds (or rebuilds) the persisted IVF-PQ index over the LIVE
+    * rows. Replaces any other index tier — one index slot per table. */
+  def buildIvfPqIndex(nCells: Int = 16, m: Int = 8, pqK: Int = 256,
+      nProbe: Int = 8, shortlistFactor: Int = 16): this.type = {
+    dropHnswIndex(); dropBqIndex()
+    fs.delete(new Path(ivfpqRoot), true)
+    val (ix, codes) = graft.ops.IvfPq.build(surrogates(df), dim, nCells, m, pqK)
+    graft.ops.IvfPq.persistIndex(ix, codes, ivfpqRoot)
+    val out = fs.create(ivfpqMetaPath, true)
+    try out.write((s"""{"nCells": $nCells, "m": $m, "pqK": $pqK, """ +
+      s""""nProbe": $nProbe, "shortlistFactor": $shortlistFactor}""").getBytes("UTF-8"))
+    finally out.close()
+    this
+  }
+
+  /** (driver index artifact, lazy code table) if an IVF-PQ index has
+    * been built; codes are keyed by the xxhash64 surrogate. */
+  def ivfPqIndex: Option[(graft.ops.IvfPq.Index, DataFrame)] =
+    if (ivfPqIndexMeta.isEmpty) None
+    else Some(graft.ops.IvfPq.loadIndex(spark, ivfpqRoot))
+
+  private def dropIvfPqIndex(): Unit = {
+    fs.delete(new Path(ivfpqRoot), true)
+    fs.delete(ivfpqMetaPath, false)
+  }
+
+  // ---- persisted BQ (binary-quantized) index tier
+  // ([[graft.ops.Similarity.bqTopKFromCodes]]): packed sign-bit codes,
+  // 32× smaller than float32 — the cheapest memory tier. Same
+  // lifecycle as the other two slots. ----
+
+  case class BqIndexMeta(coarseFactor: Int, fineFactor: Int)
+
+  private def bqCodesPath = new Path(root + ".bq")
+  private def bqMetaPath = new Path(root + ".bq_index.json")
+
+  def bqIndexMeta: Option[BqIndexMeta] =
+    if (!fs.exists(bqMetaPath)) None
+    else {
+      val in = fs.open(bqMetaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val p = """"coarseFactor"\s*:\s*(\d+).*"fineFactor"\s*:\s*(\d+)""".r
+      p.findFirstMatchIn(txt).map(g => BqIndexMeta(g.group(1).toInt, g.group(2).toInt))
+    }
+
+  private def bqEncode(rows: DataFrame): DataFrame =
+    surrogates(rows).select(col("vec_id").as("neighbor_id"),
+      graft.functions.BqEncodeExpr.col(col("embedding")).as("code"))
+
+  /** Builds (or rebuilds) the persisted BQ code table over the LIVE
+    * rows: a map-only encode pass (no shuffle — at 100 TB this is one
+    * linear read of the embedding column writing ~3% of its bytes).
+    * Replaces any other index tier. */
+  def buildBqIndex(coarseFactor: Int = 64, fineFactor: Int = 16): this.type = {
+    dropHnswIndex(); dropIvfPqIndex()
+    bqEncode(df).write.mode("overwrite").parquet(bqCodesPath.toString)
+    val out = fs.create(bqMetaPath, true)
+    try out.write(s"""{"coarseFactor": $coarseFactor, "fineFactor": $fineFactor}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+    this
+  }
+
+  /** The persisted (neighbor_id, code) rows if a BQ index has been
+    * built; ids are xxhash64 surrogates. */
+  def bqCodes: Option[DataFrame] =
+    if (bqIndexMeta.isEmpty) None
+    else Some(spark.read.parquet(bqCodesPath.toString))
+
+  private def dropBqIndex(): Unit = {
+    fs.delete(bqCodesPath, true)
+    fs.delete(bqMetaPath, false)
+  }
+
   /** Idempotent create (reference `CREATE TABLE IF NOT EXISTS`,
     * duckvdb.py:30-32); `overwrite=true` mirrors the drop-and-recreate
     * `new_table` flag (duckvdb.py:26-28). */
@@ -194,6 +302,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
     dropHnswIndex()
+    dropIvfPqIndex()
+    dropBqIndex()
+    tombCountCache = None
   }
 
   def exists: Boolean = fs.exists(hadoopPath)
@@ -233,17 +344,30 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def delete(cond: org.apache.spark.sql.Column): this.type = {
     df.where(cond).select(VectorSchema.ID)
       .write.mode("append").parquet(tombPath.toString)
+    tombCountCache = None
     this
   }
+
+  /** [[tombstoneCount]] memo — without it every indexed query re-reads
+    * and distinct-counts the tombstone parquet just to size its probe
+    * widening. Invalidated by [[delete]]/[[vacuum]]/[[drop]]; the
+    * single-writer contract (SURVEY.md §7.4) is what makes an
+    * instance-local cache sound. */
+  private var tombCountCache: Option[Long] = None
 
   /** Distinct tombstoned ids — the index-probe widening bound: a
     * persisted graph still contains deleted rows until a rebuild, so
     * an index probe must surface k + tombstones candidates to
-    * guarantee k LIVE results. Zero-cost when no delete ever ran. */
-  def tombstoneCount: Long =
-    if (!fs.exists(tombPath)) 0L
-    else spark.read.parquet(tombPath.toString)
-      .select(VectorSchema.ID).distinct().count()
+    * guarantee k LIVE results. Zero-cost when no delete ever ran;
+    * cached between deletes (single-writer). */
+  def tombstoneCount: Long = tombCountCache.getOrElse {
+    val n =
+      if (!fs.exists(tombPath)) 0L
+      else spark.read.parquet(tombPath.toString)
+        .select(VectorSchema.ID).distinct().count()
+    tombCountCache = Some(n)
+    n
+  }
 
   // ---- manifest snapshots (time travel) ----
 
@@ -337,14 +461,19 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       fs.delete(hadoopPath, true)
       fs.rename(tmp, hadoopPath)
       fs.delete(tombPath, true)
+      tombCountCache = Some(0L)
       expireSnapshots() // data files rewritten: retention-zero expiry
       // a vacuum erases the tombstone table the index probe widens by,
-      // but the persisted graph still carries the dead ids — rebuild it
-      // over the now-physical live set, or the probe under-returns
-      // silently (k − deleted rows). A vacuum is already a full data
-      // rewrite; the index rebuild is the same proportional cost.
+      // but the persisted index still carries the dead ids — rebuild
+      // the active tier over the now-physical live set, or the probe
+      // under-returns silently (k − deleted rows). A vacuum is already
+      // a full data rewrite; the index rebuild is the same
+      // proportional cost. At most one branch fires (single slot).
       hnswIndexMeta.foreach(meta =>
         buildHnswIndex(m = meta.m, efConstruction = meta.efConstruction))
+      ivfPqIndexMeta.foreach(meta => buildIvfPqIndex(meta.nCells, meta.m,
+        meta.pqK, meta.nProbe, meta.shortlistFactor))
+      bqIndexMeta.foreach(meta => buildBqIndex(meta.coarseFactor, meta.fineFactor))
     }
     this
   }
@@ -382,32 +511,49 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     // (tombstones included): a deleted id stays occupied until vacuum —
     // see [[delete]].
     val fresh = deduped.join(rawDf.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
-    hnswIndexMeta match {
-      case None => fresh.write.mode("append").parquet(root)
-      case Some(meta) =>
-        // keep the persisted HNSW graph complete across inserts: the
-        // fresh rows become NEW index segments; built graphs are never
-        // rewritten (the Lucene append contract, strictly better than
-        // the reference, whose insert path never indexes —
-        // duckvdb.py:47-61 vs 43-45). The INDEX delta is written FIRST:
-        // appending to `root` invalidates every cached plan reading it
-        // (including `fresh` itself), so a graph build after the data
-        // append would anti-join the batch against its own appended
-        // rows and see nothing. The count() materializes the cache, so
-        // the later data append reuses it instead of rescanning.
-        fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val vecs = hnswSurrogates(fresh)
-          val nNew = vecs.count()
-          if (nNew > 0L) {
+    if (hnswIndexMeta.isEmpty && ivfPqIndexMeta.isEmpty && bqIndexMeta.isEmpty) {
+      fresh.write.mode("append").parquet(root)
+    } else {
+      // keep the persisted index complete across inserts: the fresh
+      // rows become NEW index segments / appended code rows; built
+      // artifacts are never rewritten (the Lucene append contract,
+      // strictly better than the reference, whose insert path never
+      // indexes — duckvdb.py:47-61 vs 43-45). The INDEX delta is
+      // written FIRST: appending to `root` invalidates every cached
+      // plan reading it (including `fresh` itself), so an index build
+      // after the data append would anti-join the batch against its
+      // own appended rows and see nothing. The count() materializes
+      // the cache, so the later data append reuses it.
+      fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vecs = surrogates(fresh)
+        val nNew = vecs.count()
+        if (nNew > 0L) {
+          hnswIndexMeta.foreach { meta =>
             val deltaSegs = graft.ops.Hnsw.autoSegments(nNew)
             graft.ops.Hnsw.buildGraph(vecs, numSegments = deltaSegs,
                 segOffset = meta.segments, m = meta.m, efConstruction = meta.efConstruction)
               .write.mode("append").parquet(hnswGraphPath.toString)
             writeHnswMeta(meta.copy(segments = meta.segments + deltaSegs))
           }
-          fresh.write.mode("append").parquet(root)
-        } finally fresh.unpersist(blocking = false)
+          // IVF-PQ: map-only encode against the FROZEN codebooks —
+          // the delta lands inside the existing cell directories
+          // (quantizer staleness is the probe's recall gate's problem,
+          // not a rewrite's). BQ: sign-encode and append — no trained
+          // state at all, so the appended codes are exact peers of the
+          // built ones.
+          ivfPqIndexMeta.foreach { _ =>
+            val (ix, _) = graft.ops.IvfPq.loadIndex(spark, ivfpqRoot)
+            graft.ops.IvfPq.appendCodes(ix, vecs, s"$ivfpqRoot/codes")
+          }
+          bqIndexMeta.foreach { _ =>
+            vecs.select(col("vec_id").as("neighbor_id"),
+                graft.functions.BqEncodeExpr.col(col("embedding")).as("code"))
+              .write.mode("append").parquet(bqCodesPath.toString)
+          }
+        }
+        fresh.write.mode("append").parquet(root)
+      } finally fresh.unpersist(blocking = false)
     }
   }
 
@@ -422,7 +568,10 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
-    dropHnswIndex() // new data: a stale graph would serve ghost rows
+    tombCountCache = None
+    dropHnswIndex() // new data: a stale index would serve ghost rows
+    dropIvfPqIndex()
+    dropBqIndex()
     spark.read.parquet(path)
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .write.mode("overwrite").parquet(root)

@@ -195,6 +195,54 @@ class VectorDBSpec extends SparkSpec with Matchers {
       Embedders.forName("hashing", Map("dim" -> "32")).embed("spark joins").toSeq
   }
 
+  // ---- the two non-graph persisted index tiers share the HNSW slot's
+  // lifecycle contract: build → probe route → insert appends codes →
+  // delete widens the probe → vacuum rebuilds → drop cleans ----
+  for (tier <- Seq("ivfpq", "bq")) {
+    test(s"persisted $tier index lifecycle: build → probe → append → delete-widen → vacuum") {
+      val db = newDb(s"t-$tier")
+      db.insert(docs(40), embedField = Some("text"))
+      def build() = tier match {
+        case "ivfpq" => db.table.buildIvfPqIndex(nCells = 4)
+        case "bq" => db.table.buildBqIndex()
+      }
+      def codeCount() = tier match {
+        case "ivfpq" => db.table.ivfPqIndex.get._2.count()
+        case "bq" => db.table.bqCodes.get.count()
+      }
+      build()
+      codeCount() shouldBe 40
+      // single index slot: building this tier cleared any other
+      db.table.hnswIndexMeta shouldBe None
+      // insert AFTER the build appends fresh code rows, searchable at once
+      db.insert(docs(50), embedField = Some("text"))
+      codeCount() shouldBe 50
+      db.query("spark joins", k = 50).collect().map(_.id).toSet.size shouldBe 50
+      // a filtered query falls back to the exact path and still filters
+      val filtered = db.query("spark joins", k = 50,
+        filters = Seq(Cmp("group", CmpOp.Eq, 1))).collect()
+      all(filtered.map(r => get("group", r.metadata))) shouldBe "1"
+      // delete the current top-3: the code table still carries them, so
+      // the widened probe must return k live rows with zero dead ids
+      val qv = db.embedder.embed("spark joins")
+      val top3 = db.queryByVector(qv, k = 3, useIndex = false).collect().map(_.id).toSet
+      db.table.delete(col(graft.core.VectorSchema.ID).isin(top3.toSeq: _*))
+      val got = db.queryByVector(qv, k = 10).collect()
+      got.length shouldBe 10
+      got.map(_.id).toSet intersect top3 shouldBe empty
+      // vacuum makes the delete physical AND rebuilds the code table
+      db.table.vacuum()
+      db.table.tombstoneCount shouldBe 0L
+      codeCount() shouldBe 47
+      val after = db.queryByVector(qv, k = 10).collect()
+      after.length shouldBe 10
+      after.map(_.id).toSet intersect top3 shouldBe empty
+      db.table.drop()
+      db.table.ivfPqIndexMeta shouldBe None
+      db.table.bqIndexMeta shouldBe None
+    }
+  }
+
   private def get(field: String, json: String): String = {
     import spark.implicits._
     spark.range(1).select(get_json_object(lit(json), s"$$.$field")).head().getString(0)
