@@ -236,6 +236,7 @@ object ScaleStress {
       else if (name == "ivfpq_corpus") ivfpqCorpus(spark, src, target, copies)
       else if (name == "hnsw_corpus") hnswCorpus(spark, src, target, copies)
       else if (name == "hnsw_bulk") hnswBulk(spark, src)
+      else if (name == "vdb_bulk") vdbBulk(spark, src)
       else if (name == "hnsw_compact") hnswCompact(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else {
@@ -377,6 +378,45 @@ object ScaleStress {
     val t1k = time(1000)
     val t10k = time(10000)
     println(f"[stress] ratio  hnsw_bulk             ${t10k / t1k}%8.2fx for 10x queries")
+  }
+
+  /** Batch-dimension stress for the FACADE bulk path
+    * ([[VectorDB.queryByVectors]]): the full lifecycle a bulk consumer
+    * sees — persisted table + HNSW index, then 1k vs 10k query
+    * batches through the facade (graph cogroup probe + metadata join).
+    * Must scale ≈ linearly in batch size like the raw hnsw_bulk row;
+    * the delta vs that row is the metadata-join tax. */
+  private def vdbBulk(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val wh = "/tmp/graft-vdb-bulk-stress"
+    val db = new VectorDB(spark, "items", wh, "hashing",
+      Map("dim" -> "64"), dim = 64, newTable = true)
+    db.insertEmbedded(emb.select(
+      to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding"))
+    db.table.buildHnswIndex()
+    val n = emb.count().toInt
+    def batch(nq: Int) = {
+      val copies = (nq + n - 1) / n
+      (0 until copies).map { c =>
+        val take = math.min(n, nq - c * n)
+        emb.where($"vec_id" < take)
+          .select(($"vec_id" + lit((c + 1) * 1000000L)).as("query_id"), $"embedding")
+      }.reduce(_ unionByName _)
+    }
+    def time(nq: Int): Double = {
+      val t0 = System.nanoTime()
+      db.queryByVectors(batch(nq), k = 10)
+        .queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] vdb_bulk nq=$nq%-6d $secs%8.2f s")
+      secs
+    }
+    time(1000) // warm (codegen + graph read)
+    val t1k = time(1000)
+    val t10k = time(10000)
+    println(f"[stress] ratio  vdb_bulk              ${t10k / t1k}%8.2fx for 10x queries")
   }
 
   /** Compaction-cycle stress for the persisted HNSW at corpus scale:

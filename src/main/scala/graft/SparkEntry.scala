@@ -3713,6 +3713,35 @@ object SparkEntry {
       SparkEntry.indexedTierLifecycle(s, dir, "ivfpq", meanFloor = 0.7)),
     "vdb_knn_indexed_bq" -> ((s, dir) =>
       SparkEntry.indexedTierLifecycle(s, dir, "bq", meanFloor = 0.8)),
+    // ---- facade BULK retrieval (queryByVectors): a 100-query batch
+    // routed through the persisted graph's distributed (query ×
+    // segment) cogroup probe — no driver-side panel, linear in batch
+    // size (ScaleStress vdb_bulk) — vs the exact facade twin. Gates:
+    // every query returns exactly k rows and ≥ 0.9 of the exact
+    // top-k. ----
+    "vdb_knn_bulk" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-knnbulk").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val rows = emb.select(
+        to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+      val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      db.insertEmbedded(rows)
+      db.table.buildHnswIndex()
+      val q = emb.where($"vec_id" < 100).select($"vec_id".as("query_id"), $"embedding")
+      val approx = db.queryByVectors(q, k = 10)
+      val exact = db.queryByVectors(q, k = 10, useIndex = false)
+      val matched = approx.select($"query_id", $"id")
+        .join(exact.select($"query_id", $"id"), Seq("query_id", "id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy($"query_id").agg(count(lit(1)).as("n"))
+        .join(approx.groupBy($"query_id").agg(count(lit(1)).as("ka")), Seq("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .select($"query_id",
+          when($"ka" === $"n", 1).otherwise(0).as("k_ok"),
+          when(coalesce($"hits", lit(0)) >= $"n" * 0.9, 1).otherwise(0).as("recall_ok"))
+    }),
     // ---- MLlib-Transformer embedder (third registry family): IDF
     // weights fitted with the real Tokenizer→HashingTF→IDF stages; the
     // corpus embeds through the REGISTRY path (mapPartitions, weights
@@ -8156,6 +8185,8 @@ object SparkEntry {
     "vdb_knn_indexed_bq" ->
       """SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok,
         |       1 AS appended_ok, 1 AS filtered_ok""".stripMargin,
+    "vdb_knn_bulk" ->
+      "SELECT vec_id AS query_id, 1 AS k_ok, 1 AS recall_ok FROM embeddings WHERE vec_id < 100",
     "layout_partitioned_read" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'click'""".stripMargin,

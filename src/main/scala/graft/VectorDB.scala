@@ -119,6 +119,56 @@ class VectorDB(
     }
   }
 
+  /** BULK k-NN — one query PER ROW of `queries` (`query_id` Long,
+    * `embedding` Array[Float]): the batch-retrieval shape (RAG corpus
+    * joins, eval panels) the serving loop of [[queryByVector]] is wrong
+    * for. When the table carries a persisted HNSW graph and the batch
+    * is unfiltered, the probe is [[graft.ops.Hnsw.probeGraphBulk]]'s
+    * distributed (query × segment) cogroup — no driver-side panel, so
+    * wall clock stays linear in batch size; otherwise every query runs
+    * the exact distance pass against the (filtered) corpus in ONE
+    * distributed plan. Tombstone widening and the metadata join mirror
+    * the serving path. Returns (query_id, id, metadata, distance), k
+    * rows per query, distance-ascending (ties on id). */
+  def queryByVectors(
+      queries: DataFrame, k: Int = 10, filters: Seq[Filters.Pred] = Nil,
+      useVariant: Boolean = false, useIndex: Boolean = true): DataFrame = {
+    val qdf = queries.select(col("query_id").as("vec_id"), col(VectorSchema.EMBEDDING))
+    val hits = table.hnswGraph match {
+      case Some(graph) if useIndex && filters.isEmpty =>
+        val meta = table.hnswIndexMeta.get
+        val kProbe = k + math.min(table.tombstoneCount, Int.MaxValue.toLong - k).toInt
+        ops.Hnsw.probeGraphBulk(graph, qdf, kProbe, m = meta.m, excludeSelf = false)
+      case _ =>
+        val compiled =
+          if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+          else Filters.compile(filters, col(VectorSchema.METADATA))
+        val corpus = table.df.where(compiled).select(
+          xxhash64(col(VectorSchema.ID)).as("vec_id"),
+          col(VectorSchema.EMBEDDING))
+        // exact fallback: the broadcast-panel brute pass — right for
+        // bounded (filtered / un-indexed) batches; the UNBOUNDED batch
+        // path is the graph probe above, which never collects or
+        // broadcasts the query side
+        ops.Similarity.bruteTopK(qdf, corpus, k, excludeSelf = false)
+    }
+    // metadata join by surrogate against the (filtered) LIVE view:
+    // tombstoned candidates drop here, then the per-query window rank
+    // trims the widened probe back to k. No broadcast hint on the hits
+    // side — queries×k rows broadcast only when Spark sizes them small.
+    val compiled =
+      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+      else Filters.compile(filters, col(VectorSchema.METADATA))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+    table.df.where(compiled)
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(hits.select(col("query_id"), col("neighbor_id").as("__h"), col("distance")),
+        Seq("__h"))
+      .select(col("query_id"), col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))
+      .withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+
   /** The persisted-index probe: beam-search every graph segment for the
     * query (map-only over the graph table — index and vectors
     * co-reside, so no corpus distance pass and no embedding-column
