@@ -289,8 +289,11 @@ class VectorDB(
     val eligible = filteredView
       .select(xxhash64(col(VectorSchema.ID)).as("vec_id"))
     val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    // totalHint = the index-size stat maintained at build/append time:
+    // the probe prices selectivity from metadata + one filtered-scan
+    // count instead of two graph-sized jobs per query
     val hits = ops.Hnsw.probeGraphFiltered(graph, q, k, eligible,
-        m = meta.m, excludeSelf = false)
+        m = meta.m, excludeSelf = false, totalHint = meta.rows)
       .select(col("neighbor_id").as("__h"), col("distance"))
     filteredView
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))

@@ -382,22 +382,30 @@ object Hnsw {
     * [[graft.ops.MlAnn.ivfProbeFilteredAdaptive]]: the graph indexes
     * the FULL corpus and the predicate arrives at query time as the
     * eligible-id set. The per-segment search width scales by
-    * 1/selectivity (one tiny semi-join count against the graph's own
-    * rows), holding the EXPECTED eligible candidates at oversample·k,
-    * then the survivors rerank to k. Below `exactCutoff` selectivity
-    * the filtered corpus is already small and the probe degenerates to
-    * the exact scan over survivors — correct and selectivity-priced,
-    * the same escape hatch as the IVF path. */
+    * 1/selectivity, holding the EXPECTED eligible candidates at
+    * oversample·k, then the survivors rerank to k. Below `exactCutoff`
+    * selectivity the filtered corpus is already small and the probe
+    * degenerates to the exact scan over survivors — correct and
+    * selectivity-priced, the same escape hatch as the IVF path.
+    *
+    * Selectivity pricing costs ONE job, not three: `eligible` must be
+    * drawn from the indexed corpus (the caller filters the same table
+    * the graph indexes), so its own count IS the matched count — one
+    * job over the filtered scan, never a graph-sized semi-join. The
+    * index size comes from `totalHint` when the caller maintains it as
+    * a build-time stat ([[graft.table.VectorTable.HnswIndexMeta]]
+    * `rows` — the facade always passes it); the `graph.count()`
+    * fallback serves ad-hoc graphs that never persisted a stat. */
   def probeGraphFiltered(graph: DataFrame, queries: DataFrame, k: Int,
       eligible: DataFrame,
       m: Int = 16, efSearch: Int = 96,
       idCol: String = "vec_id", embCol: String = "embedding",
       oversample: Int = 3, exactCutoff: Double = 0.05,
-      excludeSelf: Boolean = true): DataFrame = {
-    val elig = eligible.select(col(idCol).as("id"))
-    val total = graph.count()
-    val matched = graph.join(elig, Seq("id"), "left_semi").count()
-    val sel = if (total == 0) 1.0 else matched.toDouble / total
+      excludeSelf: Boolean = true, totalHint: Long = -1L): DataFrame = {
+    val elig = graft.core.PlanCache.persist(eligible.select(col(idCol).as("id")))
+    val total = if (totalHint >= 0L) totalHint else graph.count()
+    val matched = elig.count()
+    val sel = if (total == 0) 1.0 else math.min(1.0, matched.toDouble / total)
     if (sel <= exactCutoff) {
       val vecs = graph.join(elig, Seq("id"), "left_semi")
         .select(col("id").as(idCol), col("emb").as(embCol))

@@ -90,8 +90,11 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * the same `m` the levels were derived from; `segments` counts the
     * segment ids handed out so far, so an insert's delta segments get
     * fresh names (the Lucene segment lifecycle — appends never rewrite
-    * built graphs). */
-  case class HnswIndexMeta(m: Int, efConstruction: Int, segments: Int)
+    * built graphs); `rows` is the indexed-row STAT maintained at
+    * build/append/vacuum, so selectivity-adaptive probes size
+    * themselves from metadata instead of re-counting the graph per
+    * query ([[graft.ops.Hnsw.probeGraphFiltered]] `totalHint`). */
+  case class HnswIndexMeta(m: Int, efConstruction: Int, segments: Int, rows: Long)
 
   private def hnswMetaPath = new Path(root + ".hnsw_index.json")
   private def hnswGraphPath = new Path(root + ".hnsw")
@@ -101,15 +104,17 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     else {
       val in = fs.open(hnswMetaPath)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val p = """"m"\s*:\s*(\d+).*"efConstruction"\s*:\s*(\d+).*"segments"\s*:\s*(\d+)""".r
+      val p = (""""m"\s*:\s*(\d+).*"efConstruction"\s*:\s*(\d+)""" +
+        """.*"segments"\s*:\s*(\d+).*"rows"\s*:\s*(\d+)""").r
       p.findFirstMatchIn(txt).map(g =>
-        HnswIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt))
+        HnswIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt, g.group(4).toLong))
     }
 
   private def writeHnswMeta(meta: HnswIndexMeta): Unit = {
     val out = fs.create(hnswMetaPath, true)
     try out.write(
-      s"""{"m": ${meta.m}, "efConstruction": ${meta.efConstruction}, "segments": ${meta.segments}}"""
+      (s"""{"m": ${meta.m}, "efConstruction": ${meta.efConstruction}, """ +
+        s""""segments": ${meta.segments}, "rows": ${meta.rows}}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -143,10 +148,11 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def buildHnswIndex(m: Int = 16, efConstruction: Int = 128): this.type = {
     dropIvfPqIndex(); dropBqIndex() // single index slot (duckvdb.py:37-45)
     val vecs = surrogates(df)
-    val nSegs = graft.ops.Hnsw.autoSegments(vecs.count())
+    val nRows = vecs.count()
+    val nSegs = graft.ops.Hnsw.autoSegments(nRows)
     graft.ops.Hnsw.buildGraph(vecs, numSegments = nSegs, m = m, efConstruction = efConstruction)
       .write.mode("overwrite").parquet(hnswGraphPath.toString)
-    writeHnswMeta(HnswIndexMeta(m, efConstruction, nSegs))
+    writeHnswMeta(HnswIndexMeta(m, efConstruction, nSegs, nRows))
     this
   }
 
@@ -534,7 +540,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
             graft.ops.Hnsw.buildGraph(vecs, numSegments = deltaSegs,
                 segOffset = meta.segments, m = meta.m, efConstruction = meta.efConstruction)
               .write.mode("append").parquet(hnswGraphPath.toString)
-            writeHnswMeta(meta.copy(segments = meta.segments + deltaSegs))
+            writeHnswMeta(meta.copy(segments = meta.segments + deltaSegs,
+              rows = meta.rows + nNew))
           }
           // IVF-PQ: map-only encode against the FROZEN codebooks —
           // the delta lands inside the existing cell directories

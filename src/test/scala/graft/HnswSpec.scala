@@ -274,4 +274,41 @@ class HnswSpec extends SparkSpec with Matchers {
       .collect().toSet
     got shouldBe exact // the exact branch IS the exact result
   }
+
+  test("filtered probe: totalHint saves the graph-count job, gates hold at two selectivities") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val q = emb.where($"vec_id" < 5)
+    val graph = Hnsw.buildGraph(emb)
+    val total = graph.count()
+    def jobs(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    def run(eligible: org.apache.spark.sql.DataFrame, hint: Long) =
+      Hnsw.probeGraphFiltered(graph, q, k = 5, eligible, totalHint = hint)
+        .collect().toSet
+    // a stats-carrying caller (the facade) must spend exactly one
+    // count ACTION fewer per probe than the stat-less fallback: the
+    // selectivity count over the filtered scan stays, the graph-sized
+    // count goes. AQE splits one action into one scheduler job per
+    // materialized stage, so the saved delta is measured as the job
+    // cost of the graph count itself, not assumed to be 1.
+    val moderate = emb.where($"label" >= 5)
+    val countJobs = jobs("graph-count") { graph.count() }
+    val nNoHint = jobs("probe-nohint") { run(moderate, -1L) }
+    val nHint = jobs("probe-hint") { run(moderate, total) }
+    countJobs should be >= 1
+    nHint shouldBe (nNoHint - countJobs)
+    // and the hinted path is answer-identical at both a moderate and a
+    // tight predicate (the tight one crossing into the exact branch)
+    run(moderate, total) shouldBe run(moderate, -1L)
+    val tight = emb.where($"label" === 3)
+    run(tight, total) shouldBe run(tight, -1L)
+    Similarity.recallAtK(
+        Hnsw.probeGraphFiltered(graph, q, k = 5, moderate, totalHint = total),
+        Similarity.bruteTopK(q, moderate, k = 5), k = 5)
+      .agg(avg($"recall")).head.getDouble(0) should be >= 0.8
+  }
 }
