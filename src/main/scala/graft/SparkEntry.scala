@@ -3352,6 +3352,43 @@ object SparkEntry {
       val recall = (exact intersect approx).size.toDouble / exact.size
       Seq((0L, if (usedIndex && recall >= 0.8) 1 else 0)).toDF("query_id", "recall_ok")
     }),
+    // ---- the optimizer rewrite ROUTED TO THE PERSISTED GRAPH: when
+    // the brute-force top-k plan bottoms out at a bare scan of a table
+    // carrying a .hnsw index, AnnRewriteRule probes the graph at
+    // PLANNING time and plants the candidate-key IN-filter
+    // (xxhash64(id) IN probe-hits) below the distance projection — the
+    // distance expression is unchanged, evaluated over ≤ k+8 rows
+    // instead of the corpus. Same isolated-child-session pattern as
+    // ann_index_probe; gate = the probe shape is in the plan (and the
+    // LSH overlap is NOT) + recall ≥ 0.9 vs the rule-free exact leg. ----
+    "ann_graph_probe_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val wh = java.nio.file.Files.createTempDirectory("graft-graphprobe").toString
+      emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
+          to_json(struct($"label")).as("metadata"), $"embedding")
+        .write.mode("overwrite").parquet(s"$wh/src")
+      val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
+      tbl.loadFromParquet(s"$wh/src")
+      tbl.buildHnswIndex()
+      val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      def knn(session: SparkSession) =
+        new graft.table.VectorTable(session, s"$wh/table", 64).df
+          .select(col("id"),
+            RoundPortableExpr.r(VectorFunctions.cosineDistance(col("embedding"), typedlit(qvec)), 4)
+              .as("distance"))
+          .orderBy(col("distance").asc, col("id").asc).limit(10)
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s2))
+      s2.conf.set("spark.graft.ann.autoRewrite", "true")
+      val approxKnn = knn(s2)
+      val plan = approxKnn.queryExecution.optimizedPlan.toString
+      val usedProbe = plan.contains("xxhash64") && !plan.contains("arrays_overlap")
+      val approx = approxKnn.collect().map(_.getString(0)).toSet
+      val exact = knn(s).collect().map(_.getString(0)).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      Seq((0L, if (usedProbe && recall >= 0.9) 1 else 0)).toDF("query_id", "recall_ok")
+    }),
     // ---- engine breadth: joins ----
     "q3_join" -> ((s, dir) => {
       import s.implicits._
@@ -5941,6 +5978,8 @@ object SparkEntry {
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_index_probe" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
+    "ann_graph_probe_rewrite" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
     "agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_count, 1 AS within_tol

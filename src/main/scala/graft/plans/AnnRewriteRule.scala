@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType}
 
 import graft.functions.{CosineDistance, LshBucketsExpr}
 
@@ -14,21 +15,36 @@ import graft.functions.{CosineDistance, LshBucketsExpr}
   *
   * {{{ Limit(k, Sort(distance ASC, ..., Project(..., cosine_distance(emb, <literal qvec>) AS distance, child))) }}}
   *
-  * — into the same plan with an LSH bucket prefilter pushed below the
-  * distance projection: only rows whose sign-random-projection buckets
-  * collide with the query vector's buckets (in any hash table) are
-  * scored. This is the index-probe analogue of the reference's HNSW
-  * path (duckvdb.py:37-45): approximate (recall < 1 possible), so it is
-  * OFF by default and enabled per session:
+  * — into an index-assisted plan. Two probe shapes, tried in order:
+  *
+  *  1. **Persisted HNSW graph** ([[graft.table.VectorTable.buildHnswIndex]]):
+  *     when the plan bottoms out at a BARE scan of a table with a
+  *     `.hnsw` sibling index, the rule probes the graph AT PLANNING
+  *     TIME (the classic planner-consults-index move: beam-search the
+  *     segments for the query literal, collect the k+slack candidate
+  *     row keys) and plants `xxhash64(id) IN (<candidates>)` below the
+  *     distance projection — the scan then evaluates one hash + set
+  *     probe per row instead of a 2·dim-flop distance, and the
+  *     distance expression runs over ≤ k+slack rows, semantically
+  *     UNCHANGED (same kernel, same rounding, same ordering — only the
+  *     candidate set is approximate). Bare scan only: a predicate
+  *     between the projection and the scan would make a global top-k
+  *     candidate list under-return, so filtered plans fall through to
+  *     shape 2.
+  *  2. **LSH bucket prefilter**: rows whose stored (or inline-computed)
+  *     sign-random-projection buckets collide with the query's in any
+  *     hash table are scored; everything else is skipped.
+  *
+  * Both are approximate (recall < 1 possible), so the rule is OFF by
+  * default and enabled per session:
   *
   *   - `spark.graft.ann.autoRewrite=true` to enable,
   *   - `spark.graft.ann.tables` / `spark.graft.ann.bits` /
-  *     `spark.graft.ann.seed` to tune the index.
+  *     `spark.graft.ann.seed` to tune the LSH shape.
   *
-  * At scale the win is the scored-row count: with B bits per table the
-  * prefilter keeps ~tables/2^B of the corpus, turning a full-scan
-  * distance pass into a bucket-selective one while the Parquet scan
-  * stays partition-parallel.
+  * At scale the win is the scored-row count: the graph probe scores
+  * O(k) rows; the bucket prefilter keeps ~tables/2^B of the corpus —
+  * either way the Parquet scan stays partition-parallel.
   */
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -40,6 +56,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case limit @ GlobalLimit(_, LocalLimit(_,
           sort @ Sort(SortOrder(distAttr: Attribute, Ascending, _, _) +: _, true, sortChild, _))) =>
+        val k = limit.limitExpr match {
+          case Literal(i: Int, _) => i
+          case _ => -1
+        }
         var done = false
         val newChild = sortChild.transformDown {
           case p @ Project(projList, pchild) if !done && definesCosineDistance(projList, distAttr).isDefined =>
@@ -47,18 +67,29 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             done = true
             pchild match {
               // idempotence: the optimizer batch runs rules to fixpoint —
-              // if the bucket prefilter is already in place, leave the
-              // plan unchanged instead of stacking another copy per
-              // iteration (100 redundant overlap tests/row + a spurious
-              // max-iterations warning)
-              case Filter(cond, _) if cond.exists(_.isInstanceOf[ArraysOverlap]) => p
-              case _ => Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+              // if a probe predicate (either shape) is already in place,
+              // leave the plan unchanged instead of stacking another
+              // copy per iteration
+              case Filter(cond, _) if cond.exists(e =>
+                  e.isInstanceOf[ArraysOverlap] || isProbeInFilter(e)) => p
+              case _ =>
+                graphProbeFilter(pchild, qvec, k) match {
+                  case Some(probePred) => Project(projList, Filter(probePred, pchild))
+                  case None =>
+                    Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+                }
             }
         }
         if (done) GlobalLimit(limit.limitExpr,
           LocalLimit(limit.limitExpr, sort.copy(child = newChild)))
         else limit
     }
+  }
+
+  private def isProbeInFilter(e: Expression): Boolean = e match {
+    case In(_: XxHash64, _) => true
+    case InSet(_: XxHash64, _) => true
+    case _ => false
   }
 
   /** projList entry `Alias(CosineDistance(attr, Literal), name)` whose
@@ -75,6 +106,63 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             CosineDistance(emb: Attribute, Literal(q: ArrayData, ArrayType(FloatType, _))), _), _)
           if a.exprId == distAttr.exprId => (emb, q)
     }
+
+  // ---- shape 1: the persisted-graph probe ----
+
+  /** The single parquet root of a bare scan (no filters, no joins —
+    * only column-pruning projections between `plan` and the relation);
+    * None when the plan is anything else. */
+  private def bareScanPath(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        Some(fs.location.rootPaths.head.toString)
+      case _ => None
+    }
+    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+      bareScanPath(p.child)
+    case _ => None
+  }
+
+  /** `m` from the table's persisted HNSW meta sidecar, if the scan
+    * root has one (the probe must search with the build's `m` — levels
+    * derive from it). */
+  private def hnswM(root: String): Option[Int] = {
+    val metaPath = new org.apache.hadoop.fs.Path(root + ".hnsw_index.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** Probes the persisted graph for the plan's query literal and
+    * returns the candidate-key IN-predicate, or None when any
+    * precondition fails (no bare scan, no graph sidecar, no string
+    * `id` column — the key the graph was built over — or no literal
+    * limit). The probe itself runs here, at planning time, exactly
+    * like a B-tree consult: k + 8 candidates (slack absorbs rounding
+    * ties at the k boundary), one tiny job over the graph table. */
+  private def graphProbeFilter(
+      pchild: LogicalPlan, qvec: ArrayData, k: Int): Option[Expression] = {
+    if (k <= 0) return None
+    for {
+      root <- bareScanPath(pchild)
+      m <- hnswM(root)
+      idAttr <- pchild.output.find(a =>
+        a.name == graft.core.VectorSchema.ID && a.dataType == StringType)
+    } yield {
+      import spark.implicits._
+      val graph = spark.read.parquet(root + ".hnsw")
+      val q = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
+      val hits = graft.ops.Hnsw.probeGraph(graph, q, k + 8, m = m, excludeSelf = false)
+        .select("neighbor_id").collect().map(_.getLong(0))
+      In(new XxHash64(Seq(idAttr)), hits.toSeq.sorted.map(Literal(_)))
+    }
+  }
+
+  // ---- shape 2: the LSH bucket prefilter ----
 
   private def bucketPredicate(embAttr: Attribute, qvec: ArrayData, pchild: LogicalPlan): Expression = {
     val dim = qvec.numElements()

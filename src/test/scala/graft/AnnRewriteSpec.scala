@@ -105,6 +105,73 @@ class AnnRewriteSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("persisted HNSW graph: rewrite plants the planner-probe IN-filter, no corpus distance scoring") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann-graph").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+      db.table.buildHnswIndex()
+      val qvec = db.embedder.embed("topic 3 subject")
+      // useIndex=false: the BRUTE-FORCE plan shape, exactly what a user
+      // hand-writing the scan would produce — the exact leg while the
+      // rewrite is off
+      val exact = db.queryByVector(qvec, 10, useIndex = false).collect()
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      val q = db.queryByVector(qvec, 10, useIndex = false)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // graph shape won: candidate-key IN-filter, not the LSH overlap —
+      // the distance expression survives UNCHANGED above the filter, so
+      // it scores only the probe's k+slack candidates
+      optimized should include("xxhash64")
+      optimized should not include "arrays_overlap"
+      // the filter sits BELOW the distance projection in the plan
+      optimized.indexOf("xxhash64") should be > optimized.indexOf("cosine_distance")
+      val approx = q.collect()
+      val recall = (exact.map(_.id).toSet intersect approx.map(_.id).toSet).size.toDouble / exact.size
+      recall should be >= 0.9
+      // distances of recovered rows are bit-identical to the exact leg
+      // (same expression, same rounding — only the candidate set moved)
+      val exactById = exact.map(r => r.id -> r.distance).toMap
+      approx.filter(r => exactById.contains(r.id))
+        .foreach(r => r.distance shouldBe exactById(r.id))
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("graph-probe rewrite keeps filtered plans on the LSH shape (global candidates would under-return)") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann-graph-f").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+      db.table.buildHnswIndex()
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      spark.conf.set("spark.graft.ann.bits", "2")
+      val qvec = db.embedder.embed("topic 3 subject")
+      val filters = Seq(graft.filters.Filters.Cmp("id", graft.filters.Filters.CmpOp.Lt, 100))
+      val q = db.queryByVector(qvec, 10, filters, useIndex = false)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // the predicate between projection and scan disqualifies the
+      // global-candidate probe; the conjunction-safe LSH shape applies
+      optimized should include("arrays_overlap")
+      optimized should not include "xxhash64"
+      q.collect().length should be > 0
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.conf.set("spark.graft.ann.bits", "12")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("persisted ANN index: rewrite filters on stored buckets, not per-row recompute") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
