@@ -308,6 +308,146 @@ object SparkEntry {
       .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
   }
 
+  // ---- incremental entity-resolution STATE (the production shape:
+  // prior pairs + component labels live in parquet; a batch step READS
+  // them, verifies only touched blocks, re-clusters the contracted
+  // touched-component graph, and writes the next state) ----
+
+  /** The block-capped customer verification universe: (c_custkey,
+    * c_nationkey, c_name, c_acctbal, blk), blocks over 40 members
+    * dropped. Cap maintenance contract: the cap uses POST-batch sizes
+    * (a block a batch pushes over 40 has its prior pairs retracted), so
+    * every step evaluates under the final cap. */
+  private[graft] def erCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(t(dir, "customer"))
+      .select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
+        substring($"c_name", 13, 3).as("blk"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+      .where($"__bsz" <= 40).drop("__bsz")
+  }
+
+  /** Builds and persists an initial ER state over `base`: pairs from
+    * the capped block self-join, components from star-contraction CC.
+    * One-time bootstrap — every later batch goes through [[erStep]]. */
+  private[graft] def erWriteBaseState(s: SparkSession, base: DataFrame, stateDir: String): Unit = {
+    import s.implicits._
+    val b = graft.core.PlanCache.persist(base)
+    val pairs = b.alias("a").join(b.alias("bb"),
+        $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+          $"a.c_custkey" < $"bb.c_custkey")
+      .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
+      .select($"a.c_custkey".as("src"), $"bb.c_custkey".as("dst"))
+    pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+    ops.Components.connectedComponents(
+        b.select($"c_custkey".as("id")), s.read.parquet(s"$stateDir/pairs"))
+      .write.mode("overwrite").parquet(s"$stateDir/components")
+  }
+
+  /** ONE incremental-ER maintenance step: prior state is READ from
+    * `stateDir` parquet; the batch is verified only against members of
+    * blocks it touches, drawn from `present` (the rows physically in
+    * the table at batch time — state labels must never reference
+    * absent rows); new edges contract through the prior component
+    * labels (component-min ids, so min-over-merged IS the global min
+    * and incremental labels coincide with a full re-run's); CC runs
+    * over the touched-component graph ONLY. Returns the updated
+    * (pairs, components), ready to persist as the next state. At
+    * 100 TB the step costs batch × touched-block members + CC on the
+    * touched subgraph, never corpus × corpus. */
+  private[graft] def erStep(s: SparkSession, present: DataFrame, batch: DataFrame,
+      stateDir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val basePairs = s.read.parquet(s"$stateDir/pairs")
+    // persisted: consumed by both endpoint-label joins AND the relabel
+    val baseComp = graft.core.PlanCache.persist(
+      s.read.parquet(s"$stateDir/components"))
+    val touched = batch.select($"c_nationkey", $"blk").distinct()
+    val members = present.join(touched, Seq("c_nationkey", "blk"), "left_semi")
+    val newPairs = batch.alias("a").join(members.alias("bb"),
+        $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+          $"a.c_custkey" =!= $"bb.c_custkey")
+      .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
+      .select(least($"a.c_custkey", $"bb.c_custkey").as("src"),
+        greatest($"a.c_custkey", $"bb.c_custkey").as("dst"))
+      .distinct()
+    val srcLab = baseComp.select($"id".as("src"), $"component".as("ca"))
+    val dstLab = baseComp.select($"id".as("dst"), $"component".as("cb"))
+    val contracted = newPairs
+      .join(srcLab, Seq("src"), "left").join(dstLab, Seq("dst"), "left")
+      .select(coalesce($"ca", $"src").as("u"), coalesce($"cb", $"dst").as("v"))
+      .where($"u" =!= $"v")
+    val touchedNodes = contracted.select($"u".as("id"))
+      .union(contracted.select($"v".as("id"))).distinct()
+    val merged = ops.Components.connectedComponents(touchedNodes, contracted)
+    val mergedLab = merged.select($"id".as("k"), $"component".as("m"))
+    val baseFinal = baseComp
+      .join(mergedLab, baseComp("component") === mergedLab("k"), "left")
+      .select($"id", coalesce($"m", $"component").as("component"))
+    val batchFinal = batch.select($"c_custkey".as("id"))
+      .join(mergedLab, col("id") === mergedLab("k"), "left")
+      .select($"id", coalesce($"m", $"id").as("component"))
+    (basePairs.unionByName(newPairs), baseFinal.unionByName(batchFinal))
+  }
+
+  /** The entity summary the ER queries emit, from a components table. */
+  private[graft] def erSummary(s: SparkSession, dir: String, comp: DataFrame): DataFrame = {
+    import s.implicits._
+    val cust = s.read.parquet(t(dir, "customer"))
+    comp.join(cust, comp("id") === cust("c_custkey"))
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_members"),
+        min($"c_name").as("canonical_name"),
+        RoundPortableExpr.r(max($"c_acctbal"), 2).as("max_acctbal"))
+      .where($"n_members" > 1)
+      .select($"component".as("entity_id"), $"n_members",
+        $"canonical_name", $"max_acctbal")
+  }
+
+  // (session, dir) -> one-batch-pending ER state root (pairs +
+  // components parquet over the 90% base): pipeline_er_incremental's
+  // prior state, built once — the per-run contract is the batch STEP
+  private[graft] val erBaseStateMemo =
+    scala.collection.mutable.Map[(SparkSession, String), String]()
+
+  private[graft] def erBaseState(s: SparkSession, dir: String): String =
+    erBaseStateMemo.synchronized {
+      erBaseStateMemo.getOrElseUpdate((s, dir), {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("graft-er-state").toString
+        erWriteBaseState(s, erCapped(s, dir).where(pmod($"c_custkey", lit(10)) =!= 0), root)
+        root
+      })
+    }
+
+  // (session, dir) -> ER state root AFTER batch 1 of the two-batch
+  // lifecycle (base = custkey%10 ∉ {0,5}; batch1 = %10==0): the state
+  // pipeline_er_incremental2 reads, proving state ROUND-TRIPS — batch
+  // 2 applied to re-read state must equal the full recompute
+  private[graft] val erTwoBatchMemo =
+    scala.collection.mutable.Map[(SparkSession, String), String]()
+
+  private[graft] def erTwoBatchState(s: SparkSession, dir: String): String =
+    erTwoBatchMemo.synchronized {
+      erTwoBatchMemo.getOrElseUpdate((s, dir), {
+        import s.implicits._
+        val capped = graft.core.PlanCache.persist(erCapped(s, dir))
+        val root0 = java.nio.file.Files.createTempDirectory("graft-er-state0").toString
+        erWriteBaseState(s, capped.where(
+          pmod($"c_custkey", lit(10)) =!= 0 && pmod($"c_custkey", lit(10)) =!= 5), root0)
+        val batch1 = capped.where(pmod($"c_custkey", lit(10)) === 0)
+        // present at batch-1 time: base ∪ batch1 — batch-2 rows have
+        // not arrived and must not appear in state labels
+        val present1 = capped.where(pmod($"c_custkey", lit(10)) =!= 5)
+        val (p1, c1) = erStep(s, present1, batch1, root0)
+        val root1 = java.nio.file.Files.createTempDirectory("graft-er-state1").toString
+        p1.write.mode("overwrite").parquet(s"$root1/pairs")
+        c1.write.mode("overwrite").parquet(s"$root1/components")
+        root1
+      })
+    }
+
   // (session, dir) -> persisted (id, component) duplicate-cluster
   // labels over documents: dedup_components AND dedup_keep_one consume
   // the SAME materialized table — at scale, components are a pipeline
@@ -346,6 +486,8 @@ object SparkEntry {
     drop(pqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
     drop(ivfpqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
     drop(ivfpqBase)(_ => ()) // parquet-backed, nothing cached
+    drop(erBaseStateMemo)(_ => ()) // parquet-backed
+    drop(erTwoBatchMemo)(_ => ())
     drop(bucketedLayout)(_ => ())
     drop(zorderLayout)(_ => ())
     drop(compactLayout)(_ => ())
@@ -1939,73 +2081,37 @@ object SparkEntry {
     // exactly pipeline_er's full-recompute SQL, so the hash match IS
     // the incremental==full proof. Block-size caps are maintained as
     // running counts: the cap uses post-batch sizes, i.e. a block the
-    // batch pushes over 40 has its prior pairs retracted (here:
-    // basePairs computed under the final cap — the retracted state).
+    // batch pushes over 40 has its prior pairs retracted (base pairs
+    // built under the final cap — the retracted state).
     // At 100 TB the per-batch cost is batch × touched-block members +
     // CC on the touched-component subgraph, not corpus × corpus. ----
     "pipeline_er_incremental" -> ((s, dir) => {
       import s.implicits._
-      val cust = s.read.parquet(t(dir, "customer"))
-      // persisted: feeds base (self-joined), batch, touched, and members
-      val capped = graft.core.PlanCache.persist(
-        cust.select($"c_custkey", $"c_nationkey", $"c_name", $"c_acctbal",
-            substring($"c_name", 13, 3).as("blk"))
-          .withColumn("__bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
-          .where($"__bsz" <= 40).drop("__bsz"))
-      val base = capped.where(pmod($"c_custkey", lit(10)) =!= 0)
+      // PRODUCTION SHAPE: prior state (base pairs + components over
+      // the 90% base) lives in parquet — built once per (session,
+      // dir); this query is exactly the per-batch maintenance step,
+      // READING that state (SparkEntry.erStep) and merging the 10%
+      // batch (custkey % 10 == 0)
+      val capped = graft.core.PlanCache.persist(SparkEntry.erCapped(s, dir))
       val batch = capped.where(pmod($"c_custkey", lit(10)) === 0)
-      // prior state (simulated here, persisted in production): base
-      // pairs under the maintained cap, and their components
-      val basePairs = base.alias("a").join(base.alias("bb"),
-          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
-            $"a.c_custkey" < $"bb.c_custkey")
-        .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
-        .select($"a.c_custkey".as("src"), $"bb.c_custkey".as("dst"))
-      // persisted: consumed by both endpoint-label joins AND the relabel
-      val baseComp = graft.core.PlanCache.persist(
-        ops.Components.connectedComponents(
-          base.select($"c_custkey".as("id")), basePairs))
-      // delta verification: batch rows against members of the blocks
-      // they land in ONLY (left_semi prunes untouched blocks wholesale)
-      val touched = batch.select($"c_nationkey", $"blk").distinct()
-      val members = capped.join(touched, Seq("c_nationkey", "blk"), "left_semi")
-      val newPairs = batch.alias("a").join(members.alias("bb"),
-          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
-            $"a.c_custkey" =!= $"bb.c_custkey")
-        .where(levenshtein($"a.c_name", $"bb.c_name") <= 1)
-        .select(least($"a.c_custkey", $"bb.c_custkey").as("src"),
-          greatest($"a.c_custkey", $"bb.c_custkey").as("dst"))
-        .distinct()
-      // contract: endpoints → base labels (batch ids label themselves),
-      // then CC over the touched-component graph only
-      val srcLab = baseComp.select($"id".as("src"), $"component".as("ca"))
-      val dstLab = baseComp.select($"id".as("dst"), $"component".as("cb"))
-      val contracted = newPairs
-        .join(srcLab, Seq("src"), "left").join(dstLab, Seq("dst"), "left")
-        .select(coalesce($"ca", $"src").as("u"), coalesce($"cb", $"dst").as("v"))
-        .where($"u" =!= $"v")
-      val touchedNodes = contracted.select($"u".as("id"))
-        .union(contracted.select($"v".as("id"))).distinct()
-      val merged = ops.Components.connectedComponents(touchedNodes, contracted)
-      // relabel: base via its component label, batch via its own id;
-      // untouched labels pass through unchanged
-      val mergedLab = merged.select($"id".as("k"), $"component".as("m"))
-      val baseFinal = baseComp
-        .join(mergedLab, baseComp("component") === mergedLab("k"), "left")
-        .select($"id", coalesce($"m", $"component").as("component"))
-      val batchFinal = batch.select($"c_custkey".as("id"))
-        .join(mergedLab, col("id") === mergedLab("k"), "left")
-        .select($"id", coalesce($"m", $"id").as("component"))
-      val comp = baseFinal.unionByName(batchFinal)
-      comp.join(cust, comp("id") === cust("c_custkey"))
-        .groupBy($"component")
-        .agg(count(lit(1)).as("n_members"),
-          min($"c_name").as("canonical_name"),
-          RoundPortableExpr.r(max($"c_acctbal"), 2).as("max_acctbal"))
-        .where($"n_members" > 1)
-        .select($"component".as("entity_id"), $"n_members",
-          $"canonical_name", $"max_acctbal")
+      val (_, comp) = SparkEntry.erStep(s, capped, batch,
+        SparkEntry.erBaseState(s, dir))
+      SparkEntry.erSummary(s, dir, comp)
+    }),
+    // ---- state ROUND-TRIP proof: batch 2 applied to the RE-READ
+    // state-after-batch-1 (both state generations persisted to and
+    // read back from parquet) must hash-match the same full-recompute
+    // oracle — i.e., N maintenance steps through durable state ==
+    // one full run. Base = custkey%10 ∉ {0,5}; batch1 = %10==0
+    // (applied inside erTwoBatchState, state written); batch2 = %10==5
+    // (applied here, reading that state). ----
+    "pipeline_er_incremental2" -> ((s, dir) => {
+      import s.implicits._
+      val capped = graft.core.PlanCache.persist(SparkEntry.erCapped(s, dir))
+      val batch2 = capped.where(pmod($"c_custkey", lit(10)) === 5)
+      val (_, comp) = SparkEntry.erStep(s, capped, batch2,
+        SparkEntry.erTwoBatchState(s, dir))
+      SparkEntry.erSummary(s, dir, comp)
     }),
     // ---- embedding backfill: fill ONLY the rows missing a vector
     // (here: a modulo-carved 25% gap), keep existing vectors untouched
@@ -7365,6 +7471,34 @@ object SparkEntry {
     // (pipeline_er's SQL verbatim) while the Spark side runs the
     // batch-delta maintenance — the hash match is the equivalence.
     "pipeline_er_incremental" ->
+      """WITH RECURSIVE cap AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey, c_nationkey, c_name, c_acctbal,
+        |           substr(c_name, 13, 3) AS blk,
+        |           count(*) OVER (PARTITION BY c_nationkey, substr(c_name, 13, 3)) AS bsz
+        |    FROM customer)
+        |  WHERE bsz <= 40),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM cap a JOIN cap b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+        |SELECT comp.component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       min(c_name) AS canonical_name, round(max(c_acctbal), 2) AS max_acctbal
+        |FROM comp JOIN customer ON comp.id = customer.c_custkey
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // identical full-recompute truth: two durable-state maintenance
+    // steps must land exactly where one full run does
+    "pipeline_er_incremental2" ->
       """WITH RECURSIVE cap AS (
         |  SELECT * FROM (
         |    SELECT c_custkey, c_nationkey, c_name, c_acctbal,
