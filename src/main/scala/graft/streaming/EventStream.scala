@@ -137,6 +137,26 @@ object EventStream {
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
+  /** Cross-batch order guard for the order-sensitive state machines.
+    * Within one micro-batch events are sorted before folding, but a
+    * batch whose earliest event PRECEDES anything already folded into
+    * state cannot be absorbed by a first-seen/last-touch machine in
+    * append mode — emissions are final, there is no retraction — and
+    * the stream==batch equivalence would silently break (r7 advice:
+    * multi-file fixtures or maxFilesPerTrigger can interleave
+    * timestamps across batches). The machines therefore REQUIRE
+    * time-ordered batch delivery — single-batch AvailableNow (the
+    * registry runners: one fixture file = one batch), or time-split
+    * files processed in order (the restart-recovery spec) — and this
+    * guard turns a violation into a loud failure instead of a silent
+    * divergence. */
+  private def guardOrdered(stateMaxTs: Long, batchHeadTs: Long, op: String): Unit =
+    if (batchHeadTs < stateMaxTs)
+      throw new IllegalStateException(
+        s"$op: cross-batch out-of-order delivery (batch-min event ts $batchHeadTs " +
+          s"< state max $stateMaxTs); deliver time-ordered batches " +
+          "(single-batch AvailableNow or time-split files)")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
@@ -163,6 +183,9 @@ object EventStream {
           // events within a trigger arrive unordered: sort this batch
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          // lastTs is monotone over folded events, so it IS the max
+          if (sorted.nonEmpty && st.lastTs != Long.MinValue)
+            guardOrdered(st.lastTs, micros(sorted.head.ts), "sessionize")
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             val t = micros(e.ts)
@@ -182,7 +205,7 @@ object EventStream {
     * compare streaming sessionization against the batch twin. */
   def finalSessions(spark: SparkSession, sessions: DataFrame): DataFrame = sessions
 
-  case class FunnelState(stage: Int, lastTs: Long)
+  case class FunnelState(stage: Int, lastTs: Long, maxTs: Long = Long.MinValue)
   case class FunnelAdvance(user_id: Long, stage: Int)
 
   /** The k-stage windowed conversion funnel as a stateful streaming
@@ -209,22 +232,26 @@ object EventStream {
           def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          if (sorted.nonEmpty && st.maxTs != Long.MinValue)
+            guardOrdered(st.maxTs, micros(sorted.head.ts), "funnel")
           val out = Seq.newBuilder[FunnelAdvance]
           sorted.foreach { e =>
             if (st.stage < stages.length && e.event_type == stages(st.stage)) {
               val t = micros(e.ts)
               if (st.stage == 0 || (t > st.lastTs && t <= st.lastTs + windowMicros)) {
-                st = FunnelState(st.stage + 1, t)
+                st = FunnelState(st.stage + 1, t, st.maxTs)
                 out += FunnelAdvance(userId, st.stage)
               }
             }
           }
+          if (sorted.nonEmpty)
+            st = st.copy(maxTs = math.max(st.maxTs, micros(sorted.last.ts)))
           state.update(st)
           out.result().iterator
       }
   }
 
-  case class TouchState(lastCh: String, lastT: Long)
+  case class TouchState(lastCh: String, lastT: Long, maxTs: Long = Long.MinValue)
   case class Attribution(channel: String, value: Double)
 
   /** Last-touch attribution as a stateful streaming operator — the
@@ -247,6 +274,8 @@ object EventStream {
           def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(TouchState(null, Long.MinValue))
+          if (sorted.nonEmpty && st.maxTs != Long.MinValue)
+            guardOrdered(st.maxTs, micros(sorted.head.ts), "attribution")
           val out = Seq.newBuilder[Attribution]
           sorted.foreach { e =>
             if (e.event_type == "purchase") {
@@ -255,14 +284,16 @@ object EventStream {
                 if (st.lastCh != null && t <= st.lastT + windowMicros) st.lastCh
                 else "direct"
               out += Attribution(ch, e.value)
-            } else st = TouchState(e.event_type, micros(e.ts))
+            } else st = TouchState(e.event_type, micros(e.ts), st.maxTs)
           }
+          if (sorted.nonEmpty)
+            st = st.copy(maxTs = math.max(st.maxTs, micros(sorted.last.ts)))
           state.update(st)
           out.result().iterator
       }
   }
 
-  case class CohortState(cohortDay: Int, seen: Seq[Int])
+  case class CohortState(cohortDay: Int, seen: Seq[Int], maxTs: Long = Long.MinValue)
   case class CohortHit(cohort_day: Int, day_offset: Long)
 
   /** Retention cohorts as a stateful streaming operator — q_cohort's
@@ -286,6 +317,8 @@ object EventStream {
           def epochDay(ts: Timestamp): Int = Math.floorDiv(micros(ts), 86400000000L).toInt
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.orNull
+          if (sorted.nonEmpty && st != null)
+            guardOrdered(st.maxTs, micros(sorted.head.ts), "cohorts")
           val out = Seq.newBuilder[CohortHit]
           sorted.foreach { e =>
             val d = epochDay(e.ts)
@@ -296,6 +329,8 @@ object EventStream {
               out += CohortHit(st.cohortDay, off.toLong)
             }
           }
+          if (st != null && sorted.nonEmpty)
+            st = st.copy(maxTs = math.max(st.maxTs, micros(sorted.last.ts)))
           if (st != null) state.update(st)
           out.result().iterator
       }

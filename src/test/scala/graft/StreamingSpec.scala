@@ -123,6 +123,113 @@ class StreamingSpec extends SparkSpec with Matchers {
     result.map(_._1).sorted shouldBe (0L until 450L) // no loss
   }
 
+  test("funnel state survives kill + restart from checkpoint (RocksDB store)") {
+    import spark.implicits._
+    // the restart-recovery contract for the flatMapGroupsWithState
+    // machines: a query is stopped after batch 1 (the kill), more
+    // TIME-ORDERED data lands, and a new query on the SAME checkpoint
+    // must restore per-user state from the state store — mid-funnel
+    // users complete across the boundary. Runs on the RocksDB state
+    // store (bundled rocksdbjni) — the production store for large
+    // state; the registry runners use the default HDFS-backed one.
+    val base = java.nio.file.Files.createTempDirectory("funnel-restart").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val stages = Seq("signup", "view", "click")
+    def writeEvents(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, sec, user, tpe) =>
+        (id, new Timestamp(sec * 1000L), user, tpe, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def runOnce(): Unit = {
+      val ev = spark.readStream.schema(schema).parquet(in).as[Event]
+      val q = EventStream.funnel(ev, stages, maxDays = 2).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val prevStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // file 1 (t in [1000, 2500]): user 1 reaches stage 2, user 2
+      // stage 1, user 4 sends an out-of-sequence view (no advance)
+      writeEvents("f1", Seq(
+        (1L, 1000L, 1L, "signup"), (2L, 2000L, 1L, "view"),
+        (3L, 1500L, 2L, "signup"), (4L, 2500L, 4L, "view")))
+      runOnce()
+      val afterRun1 = spark.read.parquet(out).as[(Long, Int)].collect().toSet
+      afterRun1 shouldBe Set((1L, 1), (1L, 2), (2L, 1))
+      // file 2 (t in [3000, 7000], all AFTER file 1 — time-ordered
+      // delivery, the machines' documented contract): user 1 completes
+      // (possible ONLY if stage-2 state was restored), user 3 runs the
+      // whole funnel inside the new batch, user 4 finally signs up
+      writeEvents("f2", Seq(
+        (5L, 3000L, 1L, "click"),
+        (6L, 5000L, 3L, "signup"), (7L, 6000L, 3L, "view"), (8L, 7000L, 3L, "click"),
+        (9L, 5500L, 4L, "signup")))
+      runOnce()
+      val all = spark.read.parquet(out).as[(Long, Int)].collect()
+      all.length shouldBe all.toSet.size // append sink: no duplicate advances
+      all.toSet shouldBe Set(
+        (1L, 1), (1L, 2), (1L, 3),
+        (2L, 1),
+        (3L, 1), (3L, 2), (3L, 3),
+        (4L, 1))
+      // the cross-restart completion is the recovery proof
+      all.toSet.contains((1L, 3)) shouldBe true
+    } finally {
+      prevStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("funnel rejects cross-batch out-of-order delivery loudly, not silently") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("funnel-ooo").toString
+    val (in, cp) = (s"$base/in", s"$base/cp")
+    def writeEvents(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, sec, user, tpe) =>
+        (id, new Timestamp(sec * 1000L), user, tpe, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def runOnce(): Unit = {
+      val ev = spark.readStream.schema(schema).parquet(in).as[Event]
+      val q = EventStream.funnel(ev, Seq("signup", "view"), maxDays = 2).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeEvents(Seq((1L, 5000L, 1L, "signup")))
+    runOnce()
+    // a later batch delivering an EARLIER event for the same user would
+    // silently diverge from the batch twin — the guard must throw
+    writeEvents(Seq((2L, 1000L, 1L, "view")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(c => c +: causes(c.getCause))
+    causes(ex).exists(_.getMessage != null) shouldBe true
+    (causes(ex).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("cross-batch out-of-order"))) shouldBe true
+  }
+
   test("streaming quality gate equals the batch Gopher core filter") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
