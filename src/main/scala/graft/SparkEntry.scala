@@ -5506,7 +5506,11 @@ object SparkEntry {
       val cat = ni.select($"i".as("rec"))
         .join(rc, Seq("rec"), "left_outer")
         .select($"rec", coalesce($"cnt", lit(0L)).as("cnt"))
-        .select($"rec", $"cnt", ($"cnt" * 4294967296L + $"rec").as("k"))
+        // Lorenz rank key as a STRUCT — range partitioning and sorts
+        // order structs field-wise, so (cnt, rec) ranks directly;
+        // the former cnt·2^32+rec packing silently wrapped (Spark)
+        // or errored (DuckDB) once an item id reached 2^32 (r7 advice)
+        .select($"rec", $"cnt", struct($"cnt", $"rec").as("k"))
       val ranked = ops.Sharding.globalRowNumber(cat, "k", "rn")
       ranked.agg(count(lit(1)).as("nc"), sum($"cnt").as("tt"),
           sum(($"rn" + 1L) * $"cnt").as("sic"),
@@ -9358,7 +9362,7 @@ object SparkEntry {
         |cat AS (SELECT ni.i AS rec, coalesce(cnt, 0) AS cnt
         |        FROM ni LEFT JOIN rc ON rc.rec = ni.i),
         |rk AS (SELECT cnt, CAST(row_number()
-        |                        OVER (ORDER BY cnt * 4294967296 + rec) AS BIGINT) AS rn
+        |                        OVER (ORDER BY cnt, rec) AS BIGINT) AS rn
         |       FROM cat),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS nc, CAST(sum(cnt) AS BIGINT) AS tt,
         |             CAST(sum(rn * cnt) AS BIGINT) AS sic,
