@@ -90,6 +90,18 @@ object Bench {
     // line from the left; the full artifact must survive on disk
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    // committed per-round regression ledger: one line per labeled run
+    // (per-query min seconds + the sentinel), so the sentinel-normalized
+    // r6→r7 regression triage the judge did by hand is mechanical —
+    // normalize by sentinel.min before flagging any per-query delta.
+    // Label with SPARK_GRAFT_HISTORY_ROUND (e.g. "r8"); unlabeled local
+    // iteration runs stay out of the ledger.
+    sys.env.get("SPARK_GRAFT_HISTORY_ROUND").foreach { round =>
+      val row = s"""{"round":${jstr(round)},"total":$total,"sentinel":$sentinelJson,"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
+        row + "\n", java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] history append failed: ${e.getMessage}") }
+    }
     // Caches stay warm ACROSS the min-of-N passes (measuring the
     // steady-state plans, same as every prior round) and are torn down
     // with the session here — the bench process exits cache-clean.
