@@ -169,6 +169,20 @@ class VectorDB(
       .withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
 
+  /** Bulk retrieval by TEXT — [[queryByVectors]] with the embedding
+    * step attached: `texts` (query_id Long, text String) are embedded
+    * partition-parallel through the registry embedder (the same
+    * distributed map the ingest path uses), then routed through the
+    * bulk probe. The full batch-RAG shape: embed the panel where it
+    * lives, never collect it. */
+  def queryByTexts(texts: DataFrame, k: Int = 10, filters: Seq[Filters.Pred] = Nil,
+      useVariant: Boolean = false, useIndex: Boolean = true): DataFrame = {
+    val embedded = EmbedOps.withEmbedding(
+        texts.select(col("query_id"), col("text")), "text", embedderName, embedderParams)
+      .select(col("query_id"), col(VectorSchema.EMBEDDING))
+    queryByVectors(embedded, k, filters, useVariant, useIndex)
+  }
+
   /** The persisted-index probe: beam-search every graph segment for the
     * query (map-only over the graph table — index and vectors
     * co-reside, so no corpus distance pass and no embedding-column

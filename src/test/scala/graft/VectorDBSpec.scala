@@ -195,6 +195,39 @@ class VectorDBSpec extends SparkSpec with Matchers {
       Embedders.forName("hashing", Map("dim" -> "32")).embed("spark joins").toSeq
   }
 
+  test("bulk retrieval (queryByVectors/queryByTexts) equals the serving path query-for-query") {
+    import spark.implicits._
+    val db = newDb("t-bulk")
+    db.insert(docs(60), embedField = Some("text"))
+    db.table.buildHnswIndex()
+    val texts = Seq((0L, "spark joins"), (1L, "duck ponds"), (2L, "doc number 7"))
+      .toDF("query_id", "text")
+    val bulk = db.queryByTexts(texts, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // same index, same widening, same rerank and tie-breaks: the bulk
+    // cogroup probe must agree with the per-query serving probe exactly
+    Seq((0L, "spark joins"), (1L, "duck ponds"), (2L, "doc number 7")).foreach {
+      case (qid, text) =>
+        val serving = db.query(text, k = 5).collect().map(r => (r.id, r.distance)).toSet
+        withClue(s"query $qid:") { bulk(qid) shouldBe serving }
+    }
+    // and the un-indexed bulk path agrees with the un-indexed serving
+    // path up to rounding ties: bulk ranks on the portable-rounded
+    // distance, the serving exact leg on the raw kernel double — any
+    // member of a rounded distance-tie class is an equally valid k-th
+    // neighbor, so compare the rounded multisets (the vdb_knn_indexed
+    // contract)
+    db.table.drop()
+    val db2 = newDb("t-bulk2")
+    db2.insert(docs(60), embedField = Some("text"))
+    val bulkExactD = db2.queryByTexts(texts, k = 5).collect()
+      .filter(_.getLong(0) == 0L).map(_.getDouble(3)).toSeq.sorted
+    val servingExactD = db2.query("spark joins", k = 5).collect()
+      .map(r => math.rint(r.distance * 1e4) / 1e4).toSeq.sorted
+    bulkExactD shouldBe servingExactD
+  }
+
   // ---- the two non-graph persisted index tiers share the HNSW slot's
   // lifecycle contract: build → probe route → insert appends codes →
   // delete widens the probe → vacuum rebuilds → drop cleans ----
