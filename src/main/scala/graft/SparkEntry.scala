@@ -4317,6 +4317,77 @@ object SparkEntry {
                 (lit(1.0) - ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b")) *
                 (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)).as("z"))
     }),
+    // ---- CUPED variance-reduced A/B readout (Deng, Xu, Kohavi &
+    // Walker, WSDM 2013): the experiment metric Y (post-period
+    // purchases) is adjusted by the pre-experiment covariate X
+    // (pre-period activity), Ycv = Y − θ(X − X̄) with θ = cov(X,Y)/var(X)
+    // pooled across arms — variance shrinks by the squared X↔Y
+    // correlation while the treatment-effect estimate stays unbiased
+    // (assignment ⟂ X). Everything reduces to ONE keyed per-user agg
+    // and a 2-row census of exact integer moments (n, Σx, Σy, Σxx,
+    // Σxy, Σyy per arm); θ, both z statistics, and the realized
+    // variance reduction are closed-form scalar arithmetic over that
+    // census in the oracle's exact operation order — identical IEEE
+    // doubles on both engines before rounding. Pre/post boundary is
+    // the fixture-month midpoint (all SFs span Jan 2024). ----
+    "q_abtest_cuped" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(when(to_date($"ts") <= lit("2024-01-15").cast("date"), 1).otherwise(0)).as("x"),
+          sum(when(to_date($"ts") > lit("2024-01-15").cast("date") &&
+            $"event_type" === "purchase", 1).otherwise(0)).as("y"))
+        .select((($"user_id" % 2).cast("int")).as("variant"), $"x", $"y")
+      val cells = perUser.groupBy($"variant").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+      def side(v: Int, c: String) = max(when($"variant" === v, col(c))).as(s"${c}_${if (v == 0) "a" else "b"}")
+      val wide = cells.agg(
+        side(0, "n"), side(0, "sx"), side(0, "sy"), side(0, "sxx"), side(0, "sxy"), side(0, "syy"),
+        side(1, "n"), side(1, "sx"), side(1, "sy"), side(1, "sxx"), side(1, "sxy"), side(1, "syy"))
+      val pool = wide
+        .withColumn("nd", ($"n_a" + $"n_b").cast("double"))
+        .withColumn("sxd", ($"sx_a" + $"sx_b").cast("double"))
+        .withColumn("syd", ($"sy_a" + $"sy_b").cast("double"))
+        .withColumn("sxxd", ($"sxx_a" + $"sxx_b").cast("double"))
+        .withColumn("sxyd", ($"sxy_a" + $"sxy_b").cast("double"))
+      val th = pool
+        .withColumn("theta",
+          when($"nd" * $"sxxd" - $"sxd" * $"sxd" === 0.0, lit(0.0))
+            .otherwise(($"nd" * $"sxyd" - $"sxd" * $"syd") /
+              ($"nd" * $"sxxd" - $"sxd" * $"sxd")))
+        .withColumn("xbar", $"sxd" / $"nd")
+      val stats = th
+        .withColumn("my_a", $"sy_a".cast("double") / $"n_a")
+        .withColumn("my_b", $"sy_b".cast("double") / $"n_b")
+        .withColumn("vy_a", ($"syy_a".cast("double") - $"sy_a".cast("double") * $"sy_a" / $"n_a") / ($"n_a" - 1))
+        .withColumn("vy_b", ($"syy_b".cast("double") - $"sy_b".cast("double") * $"sy_b" / $"n_b") / ($"n_b" - 1))
+        .withColumn("cv_a", ($"sxy_a".cast("double") - $"sx_a".cast("double") * $"sy_a" / $"n_a") / ($"n_a" - 1))
+        .withColumn("cv_b", ($"sxy_b".cast("double") - $"sx_b".cast("double") * $"sy_b" / $"n_b") / ($"n_b" - 1))
+        .withColumn("vx_a", ($"sxx_a".cast("double") - $"sx_a".cast("double") * $"sx_a" / $"n_a") / ($"n_a" - 1))
+        .withColumn("vx_b", ($"sxx_b".cast("double") - $"sx_b".cast("double") * $"sx_b" / $"n_b") / ($"n_b" - 1))
+        .withColumn("ma_c", $"sy_a".cast("double") / $"n_a" - $"theta" * ($"sx_a".cast("double") / $"n_a" - $"xbar"))
+        .withColumn("mb_c", $"sy_b".cast("double") / $"n_b" - $"theta" * ($"sx_b".cast("double") / $"n_b" - $"xbar"))
+      val fin = stats
+        .withColumn("vc_a", $"vy_a" - lit(2.0) * $"theta" * $"cv_a" + $"theta" * $"theta" * $"vx_a")
+        .withColumn("vc_b", $"vy_b" - lit(2.0) * $"theta" * $"cv_b" + $"theta" * $"theta" * $"vx_b")
+      fin.select($"n_a", $"n_b",
+        RoundPortableExpr.r($"theta", 4).as("theta"),
+        RoundPortableExpr.r($"my_b" - $"my_a", 4).as("diff_naive"),
+        when($"vy_a" / $"n_a" + $"vy_b" / $"n_b" <= 0.0, lit(0.0))
+          .otherwise(RoundPortableExpr.r(
+            ($"my_b" - $"my_a") / sqrt($"vy_a" / $"n_a" + $"vy_b" / $"n_b"), 4)).as("z_naive"),
+        RoundPortableExpr.r($"mb_c" - $"ma_c", 4).as("diff_cuped"),
+        when($"vc_a" / $"n_a" + $"vc_b" / $"n_b" <= 0.0, lit(0.0))
+          .otherwise(RoundPortableExpr.r(
+            ($"mb_c" - $"ma_c") / sqrt($"vc_a" / $"n_a" + $"vc_b" / $"n_b"), 4)).as("z_cuped"),
+        when($"vy_a" + $"vy_b" === 0.0, lit(0.0))
+          .otherwise(RoundPortableExpr.r(
+            lit(1.0) - ($"vc_a" + $"vc_b") / ($"vy_a" + $"vy_b"), 4)).as("var_reduction"))
+    }),
     // ---- Kaplan-Meier survival estimator over days-to-first-purchase
     // (censored at last activity for never-buyers) — the survival
     // curve product over ordered risk sets. One keyed agg to per-user
@@ -8536,6 +8607,76 @@ object SparkEntry {
         |                      (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
         |                      (1.0 / n_a + 1.0 / n_b)), 4) END AS z
         |FROM wide""".stripMargin,
+    "q_abtest_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS x,
+        |         sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu GROUP BY 1),
+        |wide AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |         max(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+        |         max(CASE WHEN variant = 0 THEN sy END) AS sy_a,
+        |         max(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+        |         max(CASE WHEN variant = 0 THEN sxy END) AS sxy_a,
+        |         max(CASE WHEN variant = 0 THEN syy END) AS syy_a,
+        |         max(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |         max(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+        |         max(CASE WHEN variant = 1 THEN sy END) AS sy_b,
+        |         max(CASE WHEN variant = 1 THEN sxx END) AS sxx_b,
+        |         max(CASE WHEN variant = 1 THEN sxy END) AS sxy_b,
+        |         max(CASE WHEN variant = 1 THEN syy END) AS syy_b
+        |  FROM cells),
+        |pool AS (
+        |  SELECT *,
+        |         CAST(n_a + n_b AS DOUBLE) AS nd,
+        |         CAST(sx_a + sx_b AS DOUBLE) AS sxd,
+        |         CAST(sy_a + sy_b AS DOUBLE) AS syd,
+        |         CAST(sxx_a + sxx_b AS DOUBLE) AS sxxd,
+        |         CAST(sxy_a + sxy_b AS DOUBLE) AS sxyd
+        |  FROM wide),
+        |th AS (
+        |  SELECT *,
+        |         CASE WHEN nd * sxxd - sxd * sxd = 0.0 THEN 0.0
+        |              ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS theta,
+        |         sxd / nd AS xbar
+        |  FROM pool),
+        |stats AS (
+        |  SELECT *,
+        |         CAST(sy_a AS DOUBLE) / n_a AS my_a, CAST(sy_b AS DOUBLE) / n_b AS my_b,
+        |         (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * sy_a / n_a) / (n_a - 1) AS vy_a,
+        |         (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * sy_b / n_b) / (n_b - 1) AS vy_b,
+        |         (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sy_a / n_a) / (n_a - 1) AS cv_a,
+        |         (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sy_b / n_b) / (n_b - 1) AS cv_b,
+        |         (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1) AS vx_a,
+        |         (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1) AS vx_b,
+        |         CAST(sy_a AS DOUBLE) / n_a - theta * (CAST(sx_a AS DOUBLE) / n_a - xbar) AS ma_c,
+        |         CAST(sy_b AS DOUBLE) / n_b - theta * (CAST(sx_b AS DOUBLE) / n_b - xbar) AS mb_c
+        |  FROM th),
+        |fin AS (
+        |  SELECT *,
+        |         vy_a - 2.0 * theta * cv_a + theta * theta * vx_a AS vc_a,
+        |         vy_b - 2.0 * theta * cv_b + theta * theta * vx_b AS vc_b
+        |  FROM stats)
+        |SELECT n_a, n_b, round(theta, 4) AS theta,
+        |       round(my_b - my_a, 4) AS diff_naive,
+        |       CASE WHEN vy_a / n_a + vy_b / n_b <= 0.0 THEN 0.0
+        |            ELSE round((my_b - my_a) / sqrt(vy_a / n_a + vy_b / n_b), 4) END AS z_naive,
+        |       round(mb_c - ma_c, 4) AS diff_cuped,
+        |       CASE WHEN vc_a / n_a + vc_b / n_b <= 0.0 THEN 0.0
+        |            ELSE round((mb_c - ma_c) / sqrt(vc_a / n_a + vc_b / n_b), 4) END AS z_cuped,
+        |       CASE WHEN vy_a + vy_b = 0.0 THEN 0.0
+        |            ELSE round(1.0 - (vc_a + vc_b) / (vy_a + vy_b), 4) END AS var_reduction
+        |FROM fin""".stripMargin,
     "q_kaplan_meier" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
         |pu AS (SELECT user_id, min(day) AS first_day,
