@@ -664,6 +664,19 @@ object SparkEntry {
     "dedup_jaccard_block" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")),
         "doc_id", "text", n = 3, threshold = 0.8, blockCol = Some("source"))),
+    // ---- EXACT threshold-Jaccard self-join via prefix filtering — the
+    // third point in the set-similarity design space: jaccard_block is
+    // exact WITHIN blocks (misses cross-block pairs), minhash_lsh is
+    // global but probabilistic (misses banding-unlucky pairs), this is
+    // global AND exact, with the candidate join restricted to each
+    // set's rarest-first prefix so boilerplate shingles never drive
+    // the join volume. Threshold 0.6 (vs the 0.8 family) deliberately
+    // surfaces pairs the LSH banding config was not tuned for. Oracle
+    // = the naive shared-shingle exact join, a DIFFERENT algorithm —
+    // the hash match is the no-missed-pairs proof. ----
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.6)),
     // ---- banded MinHash near-dup pairs, production default: the
     // hot-bucket skew guard (Dedup.DefaultMaxBucket = 100) is ON —
     // a (band, key) bucket of b docs emits b² candidates on one
@@ -7414,6 +7427,20 @@ object SparkEntry {
          |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE round(${jaccardSql("a.sh", "b.sh")}, 4) >= 0.8""".stripMargin
     },
+    "dedup_prefix_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+         |), ex AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM base WHERE len(sh) > 0
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter), 4) AS jaccard
+         |FROM pairs WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.6""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH base AS (
          |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh

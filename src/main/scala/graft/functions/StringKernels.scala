@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -123,6 +124,34 @@ object StringKernels {
     (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
   }
 
+  /** Threshold-bounded EXACT intersection count of two SORTED distinct
+    * string arrays — the set-similarity-join verifier (PPJoin's
+    * verification step, Xiao et al. WWW 2008): a two-pointer merge
+    * that BAILS with −1 as soon as the achievable overlap
+    * (inter so far + min remaining) drops below the Jaccard-equivalent
+    * overlap floor α = t/(1+t)·(|a|+|b|). For the dominant near-miss
+    * candidates this exits after a fraction of the merge; for true
+    * pairs it returns the exact intersection size (arrays are distinct
+    * + sorted, so the merge IS set intersection). One codegen'd call
+    * per pair — replaces the interpreted array_intersect that
+    * dominated the 100× verify stage. */
+  def boundedIntersect(a: ArrayData, b: ArrayData, tEff: Double): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val alpha = tEff / (1 + tEff) * (na + nb)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < alpha) return -1
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (inter.toDouble < alpha) -1 else inter
+  }
+
   /** Jaro-Winkler similarity (p=0.1, boost threshold 0.7, prefix ≤ 4). */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
     val a = ua.getBytes
@@ -157,6 +186,31 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
 object DamerauLevenshteinExpr {
   def col(a: Column, b: Column): Column =
     GraftBridge.column(DamerauLevenshteinExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Threshold-bounded exact sorted-set intersection count (−1 = below
+  * the overlap floor for effective threshold `tEff`). */
+case class BoundedIntersectExpr(left: Expression, right: Expression, tEff: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractDT] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bounded_intersect"
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringKernels.boundedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tEff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.StringKernels.boundedIntersect($a, $b, ${tEff}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BoundedIntersectExpr {
+  def col(a: Column, b: Column, tEff: Double): Column =
+    GraftBridge.column(BoundedIntersectExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), tEff))
 }
 
 /** Jaro-Winkler similarity (UTF-8 bytes) as a double in [0, 1]. */

@@ -33,6 +33,30 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should not contain ((4L, 5L))
   }
 
+  test("prefix filtering = unblocked exact jaccard join, boilerplate included") {
+    import spark.implicits._
+    // 40 docs: 30 share heavy boilerplate with per-doc noise, 5 are a
+    // near-dup clique, 5 unrelated — plus a deterministic seeded tail
+    // so the prefix order is exercised across many df strata.
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val boiler = "terms of service apply to all content provided herein by the operator"
+    val base = (1L to 30L).map(i =>
+      (i, s"$boiler ${words(rnd.nextInt(8))} ${words(rnd.nextInt(8))} item $i"))
+    val clique = (31L to 35L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog variant ${i % 2}"))
+    val other = (36L to 40L).map(i =>
+      (i, s"unrelated ${words(rnd.nextInt(8))} content number $i of the corpus ${rnd.nextInt(99)}"))
+    val corpus = (base ++ clique ++ other).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = t, blockCol = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterPairs(corpus, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"threshold $t:") { pf shouldBe exact }
+    }
+  }
+
   test("minhash LSH finds high-jaccard pairs with exact verification") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)

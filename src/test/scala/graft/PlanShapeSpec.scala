@@ -20,7 +20,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
   // every lazily-planned query: no accidental cross products anywhere
   private val lazyQueries = Seq("vdb_knn", "vdb_knn_filtered", "vdb_embed_knn",
     "vdb_filter_json", "vdb_filter_rich", "vdb_filter_variant", "vdb_insert_dedup",
-    "dedup_exact", "dedup_jaccard_block", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_jaccard_block", "dedup_prefix_filter", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embed_cosine", "sim_knn_batch", "sim_containment",
     "text_profile", "text_winnow", "q_asof_join", "q_range_join", "agg_kmv_sketch",
     "q3_join", "q5_multijoin", "q_join_anti", "q_outer_join", "q_window_topn",
