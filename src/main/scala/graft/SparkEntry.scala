@@ -2576,6 +2576,37 @@ object SparkEntry {
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"))
     }),
+    // ---- batch complex-event-processing (the MATCH_RECOGNIZE / Flink
+    // CEP analogue, regex-compiled): each session becomes a compact
+    // event-initial string (event types have unique initials: view v,
+    // click c, purchase p, signup s, error e) ordered by (ts,
+    // event_id), and the browse-to-buy pattern v[vc]*p is counted
+    // per session as non-overlapping regex matches — pattern matching
+    // over SEQUENCES, which windowed funnels (subsequence semantics)
+    // cannot express: here an intervening signup/error BREAKS the
+    // match. Output is the bounded matches-per-session histogram.
+    // Session strings are bounded by the session gap, so the regex
+    // runs once per session row inside codegen; the only shuffles are
+    // the sessionize window and the session-keyed agg. ----
+    "q_cep_pattern" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val gapUs = 1800L * 1000000L
+      val lagUs = lag(unix_micros($"ts"), 1).over(w)
+      val sess = ev.withColumn("new_s",
+          when(lagUs.isNull || (unix_micros($"ts") - lagUs) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_s")
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, substring(event_type, 1, 1) AS ini))), x -> x.ini)"),
+          "").as("trail"))
+      sess.select(regexp_count($"trail", lit("v[vc]*p")).as("n_matches"))
+        .groupBy($"n_matches")
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
     // ---- time-spine gap-fill + LOCF interpolation: per-user daily
     // purchase series densified over the observed date range (sequence
     // explode against a 1-row broadcast bound), missing days filled
@@ -7222,6 +7253,27 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2""".stripMargin,
+    "q_cep_pattern" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |), trails AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS trail
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT CAST(len(regexp_extract_all(trail, 'v[vc]*p')) AS INT) AS n_matches,
+        |       CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM trails GROUP BY 1""".stripMargin,
     "q_concurrency" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

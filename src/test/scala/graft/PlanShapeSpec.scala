@@ -37,7 +37,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "search_phrase", "sim_bitext_margin", "text_kneser_ney", "agg_sketch_algebra",
     "text_bpe_merges", "dedup_lines", "dedup_minhash_exact", "sim_decontaminate_exact",
     "link_fuzzy_capped", "link_string_kernels", "sim_ann_bq", "text_bpe_apply",
-    "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill",
+    "q_funnel", "q_cohort", "q_anomaly_zscore", "q_gapfill", "q_cep_pattern",
     "q_funnel_windowed", "pipeline_er_incremental",
     "q_event_paths", "q_attribution", "drift_psi", "q_stickiness",
     "q_event_transitions", "q_time_to_convert",
