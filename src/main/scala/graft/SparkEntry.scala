@@ -2477,6 +2477,59 @@ object SparkEntry {
           RoundPortableExpr.r($"exact", 2).as("exact_median"),
           when(abs($"approx" - $"exact") / $"exact" <= 0.05, 1).otherwise(0).as("within_tol"))
     }),
+    // ---- t-digest quantile sketch (Dunning & Ertl 2019) as a typed
+    // Aggregator: ORDER-MERGEABLE ~δ-bounded digests (partial digests
+    // from shards/days merge losslessly — the reaggregatable-rollup
+    // property agg_hll_partitioned gives distinct counts, here for
+    // quantiles, with rank error concentrated AWAY from the tails).
+    // The sketch is partition-order dependent by nature, so the gate
+    // is tolerance vs the exact quantile (surfaced for the oracle)
+    // plus the O(δ) centroid bound that proves compression held
+    // through every merge. ----
+    "agg_tdigest" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(0.1, 0.5, 0.9, 0.99)
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val td = li.groupBy($"l_returnflag")
+        .agg(graft.functions.TDigestAgg.quantiles($"l_extendedprice", qs).as("td"))
+      // exact gate quantiles from a per-group VALUE CENSUS + window CDF
+      // (quantile_cont type-7 interpolation re-derived from order
+      // statistics) — Spark's exact `percentile` is an
+      // ObjectHashAggregate that buffers every raw value per group and
+      // OOMs at the 100× stress; the census is bounded by distinct
+      // prices, not rows
+      val census = li.groupBy($"l_returnflag", $"l_extendedprice").agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")
+      val cdf = census
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wAll))
+      val picks = qs.zipWithIndex.flatMap { case (q, i) =>
+        val pos = lit(q) * ($"n" - 1)
+        Seq(
+          min(when($"cum" >= floor(pos) + 1, $"l_extendedprice")).as(s"lo$i"),
+          min(when($"cum" >= floor(pos) + 2, $"l_extendedprice")).as(s"hi$i"))
+      } :+ max($"n").as("n")
+      val exacts = cdf.groupBy($"l_returnflag").agg(picks.head, picks.tail: _*)
+      val joined = td.join(exacts, "l_returnflag")
+      def exact(i: Int) = {
+        val pos = lit(qs(i)) * ($"n" - 1)
+        col(s"lo$i") + (coalesce(col(s"hi$i"), col(s"lo$i")) - col(s"lo$i")) * (pos - floor(pos))
+      }
+      def tol(i: Int) =
+        when(abs(element_at($"td", i + 1) - exact(i)) / exact(i) <= 0.05, 1).otherwise(0)
+      joined.select($"l_returnflag",
+        RoundPortableExpr.r(exact(0), 2).as("exact_p10"),
+        RoundPortableExpr.r(exact(1), 2).as("exact_p50"),
+        RoundPortableExpr.r(exact(2), 2).as("exact_p90"),
+        RoundPortableExpr.r(exact(3), 2).as("exact_p99"),
+        tol(0).as("tol10"), tol(1).as("tol50"),
+        tol(2).as("tol90"), tol(3).as("tol99"),
+        when(element_at($"td", 5) <= 2 * graft.functions.TDigestAgg.Compression, 1)
+          .otherwise(0).as("bounded"))
+    }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
     "stream_window_agg" -> ((s, dir) =>
       EventStream.runWindowedAggAvailableNow(s, dir)),
@@ -6239,6 +6292,14 @@ object SparkEntry {
     "agg_approx_quantile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
         |       1 AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_tdigest" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.1), 2) AS exact_p10,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+        |       1 AS tol10, 1 AS tol50, 1 AS tol90, 1 AS tol99, 1 AS bounded
         |FROM lineitem GROUP BY 1""".stripMargin,
     "ml_minhash_dedup" ->
       s"""WITH base AS (

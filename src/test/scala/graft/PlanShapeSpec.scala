@@ -26,7 +26,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q3_join", "q5_multijoin", "q_join_anti", "q_outer_join", "q_window_topn",
     "q_intersect", "q_except", "q_rollup", "q_above_avg", "q_cube", "q_quantiles",
     "vdb_filter_suffix", "q1_agg", "q_topk_price", "q_skew_salted_join",
-    "q_skew_distinct", "q_pivot", "q_window_running", "mm_binary_stats",
+    "q_skew_distinct", "q_pivot", "q_window_running", "mm_binary_stats", "agg_tdigest",
     "mm_decode_png", "mm_decode_stub", "text_chunk", "q_join_semi",
     "q_histogram", "q_window_range", "agg_bitmap_distinct", "agg_heavy_hitters",
     "mm_decode_wav", "mm_frame_sample", "agg_incremental", "q_concurrency",
