@@ -2543,6 +2543,13 @@ object SparkEntry {
     // so the hash match proves stream == batch. ----
     "stream_funnel" -> ((s, dir) =>
       EventStream.runFunnelAvailableNow(s, dir)),
+    // ---- streaming CEP: q_cep_pattern's regex matcher run
+    // incrementally (per-user state = the current session's initial
+    // trail, bounded by the session gap); closed sessions emit match
+    // counts, so the oracle is the batch twin MINUS each user's open
+    // last session. ----
+    "stream_cep" -> ((s, dir) =>
+      EventStream.runCepAvailableNow(s, dir)),
     // ---- streaming last-touch attribution: q_attribution's window
     // recompute as O(1)-per-user incremental state; oracle is the
     // batch twin's SQL verbatim (stream == batch proof). ----
@@ -7335,6 +7342,30 @@ object SparkEntry {
         |SELECT CAST(len(regexp_extract_all(trail, 'v[vc]*p')) AS INT) AS n_matches,
         |       CAST(count(*) AS BIGINT) AS n_sessions
         |FROM trails GROUP BY 1""".stripMargin,
+    "stream_cep" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |), trails AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS trail
+        |  FROM s GROUP BY 1, 2
+        |), last AS (
+        |  SELECT user_id, max(session_id) AS last_s FROM trails GROUP BY 1
+        |)
+        |SELECT CAST(len(regexp_extract_all(t.trail, 'v[vc]*p')) AS INT) AS n_matches,
+        |       CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM trails t JOIN last l ON t.user_id = l.user_id AND t.session_id <> l.last_s
+        |GROUP BY 1""".stripMargin,
     "q_concurrency" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -205,6 +205,63 @@ object EventStream {
     * compare streaming sessionization against the batch twin. */
   def finalSessions(spark: SparkSession, sessions: DataFrame): DataFrame = sessions
 
+  case class CepState(sessionIdx: Long, lastTs: Long, trail: String)
+  case class CepOut(user_id: Long, session_idx: Long, n_matches: Int)
+
+  /** Streaming complex-event-processing: the q_cep_pattern regex
+    * matcher run incrementally — per-user state is the CURRENT
+    * session's event-initial trail (bounded by the session gap, the
+    * same envelope as [[sessionize]]); a gap closes the session and
+    * emits its non-overlapping match count. Only CLOSED sessions
+    * emit (the open tail has no final trail yet), so the batch twin
+    * oracle excludes each user's last session. */
+  def cepSessions(events: Dataset[Event], gapSeconds: Long,
+      pattern: String): Dataset[CepOut] = {
+    import events.sparkSession.implicits._
+    val compiled = java.util.regex.Pattern.compile(pattern)
+    def countMatches(trail: String): Int = {
+      val m = compiled.matcher(trail)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[CepState]) =>
+          def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(CepState(0L, Long.MinValue, ""))
+          if (sorted.nonEmpty && st.lastTs != Long.MinValue)
+            guardOrdered(st.lastTs, micros(sorted.head.ts), "cep")
+          val out = Seq.newBuilder[CepOut]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapSeconds * 1000000L) {
+              out += CepOut(userId, st.sessionIdx, countMatches(st.trail))
+              st = CepState(st.sessionIdx + 1, t, e.event_type.substring(0, 1))
+            } else {
+              st = CepState(st.sessionIdx, t, st.trail + e.event_type.substring(0, 1))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** AvailableNow runner for [[cepSessions]]: sinks closed sessions,
+    * then the bounded matches-per-session histogram over them. */
+  def runCepAvailableNow(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L, pattern: String = "v[vc]*p"): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    runToMemory(cepSessions(ev, gapSeconds, pattern).toDF(), "stream_cep")
+      .groupBy($"n_matches")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   case class FunnelState(stage: Int, lastTs: Long, maxTs: Long = Long.MinValue)
   case class FunnelAdvance(user_id: Long, stage: Int)
 
