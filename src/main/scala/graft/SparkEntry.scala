@@ -2074,6 +2074,32 @@ object SparkEntry {
             JaroWinklerExpr.col($"a.c_name", $"bb.c_name"), 4).as("jw"))
         .where($"dl" <= 2)
     }),
+    // ---- best-match fuzzy linkage: for every record, its single
+    // nearest in-block neighbor by Jaro-Winkler (the deterministic
+    // top-1 step record-linkage pipelines run between candidate
+    // generation and clerical review). Both orientations of the capped
+    // block join, one window top-1 per record; ties on the ROUNDED
+    // score break by candidate id, so the pick is engine-portable. ----
+    "link_best_match" -> ((s, dir) => {
+      import s.implicits._
+      val b = s.read.parquet(t(dir, "customer"))
+        .select($"c_custkey", $"c_nationkey", $"c_name",
+          substring($"c_name", 13, 3).as("blk"))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"c_nationkey", $"blk")))
+        .where($"__bsz" <= 40).drop("__bsz")
+      val pairs = b.alias("a").join(b.alias("bb"),
+          $"a.c_nationkey" === $"bb.c_nationkey" && $"a.blk" === $"bb.blk" &&
+            $"a.c_custkey" =!= $"bb.c_custkey")
+        .select($"a.c_custkey".as("id"), $"bb.c_custkey".as("cand"),
+          RoundPortableExpr.r(
+            JaroWinklerExpr.col($"a.c_name", $"bb.c_name"), 4).as("jw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"id").orderBy($"jw".desc, $"cand".asc)
+      pairs.withColumn("rk", row_number().over(w))
+        .where($"rk" === 1)
+        .select($"id", $"cand".as("best_id"), $"jw")
+    }),
     // ---- composed ER pipeline: blocking → hot-block-capped fuzzy
     // verification → connected components → GOLDEN-RECORD
     // consolidation, the full entity-resolution flow every master-data
@@ -2528,6 +2554,60 @@ object SparkEntry {
         tol(0).as("tol10"), tol(1).as("tol50"),
         tol(2).as("tol90"), tol(3).as("tol99"),
         when(element_at($"td", 5) <= 2 * graft.functions.TDigestAgg.Compression, 1)
+          .otherwise(0).as("bounded"))
+    }),
+    // ---- the REAGGREGATION proof for the t-digest tier: one digest
+    // per ship-date shard (the daily-rollup shape), shard digests
+    // merged into a single global digest WITHOUT touching raw rows
+    // again, gated against the exact global quantiles from the value
+    // census. This is the property that lets a 100 TB pipeline keep
+    // per-day quantile summaries and answer any-range quantile
+    // queries by merging summaries instead of rescanning. ----
+    "agg_tdigest_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(0.5, 0.9, 0.99)
+      val li = s.read.parquet(t(dir, "lineitem"))
+      // shard digests ingest the per-day VALUE CENSUS (codegen'd hash
+      // agg over the raw rows) as weighted points — digesting (price,
+      // cnt) equals digesting the raw multiset, and the object
+      // aggregate only ever sees census rows (the raw-row object agg
+      // fell back to sort-based past 128 shard keys and spilled 2.2 GB
+      // at 100×; this path is spill-free)
+      val dayCensus = li.groupBy($"l_shipdate", $"l_extendedprice")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val shards = dayCensus.groupBy($"l_shipdate")
+        .agg(graft.functions.TDigestAgg
+          .digestStateWeighted($"l_extendedprice", $"cnt").as("d"))
+      val rolled = shards.agg(
+        graft.functions.TDigestAgg.mergeDigests($"d._1", $"d._2", qs).as("td"),
+        count(lit(1)).as("n_shards"))
+      val census = li.groupBy($"l_extendedprice").agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy($"l_extendedprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cdf = census
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .crossJoin(broadcast(census.agg(sum($"cnt").as("n"))))
+      val picks = qs.zipWithIndex.flatMap { case (q, i) =>
+        val pos = lit(q) * ($"n" - 1)
+        Seq(
+          min(when($"cum" >= floor(pos) + 1, $"l_extendedprice")).as(s"lo$i"),
+          min(when($"cum" >= floor(pos) + 2, $"l_extendedprice")).as(s"hi$i"))
+      } :+ max($"n").as("n")
+      val exacts = cdf.agg(picks.head, picks.tail: _*)
+      def exact(i: Int) = {
+        val pos = lit(qs(i)) * ($"n" - 1)
+        col(s"lo$i") + (coalesce(col(s"hi$i"), col(s"lo$i")) - col(s"lo$i")) * (pos - floor(pos))
+      }
+      def tol(i: Int) =
+        when(abs(element_at($"td", i + 1) - exact(i)) / exact(i) <= 0.05, 1).otherwise(0)
+      rolled.crossJoin(broadcast(exacts)).select(
+        $"n_shards",
+        RoundPortableExpr.r(exact(0), 2).as("exact_p50"),
+        RoundPortableExpr.r(exact(1), 2).as("exact_p90"),
+        RoundPortableExpr.r(exact(2), 2).as("exact_p99"),
+        tol(0).as("tol50"), tol(1).as("tol90"), tol(2).as("tol99"),
+        when(element_at($"td", 4) <= 2 * graft.functions.TDigestAgg.Compression, 1)
           .otherwise(0).as("bounded"))
     }),
     // ---- streaming: watermarked tumbling window, run as AvailableNow ----
@@ -4421,6 +4501,52 @@ object SparkEntry {
                 (lit(1.0) - ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b")) *
                 (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)).as("z"))
     }),
+    // ---- sample-ratio-mismatch guard (the FIRST check any experiment
+    // readout runs: if assignment isn't hitting its planned split, every
+    // downstream metric is suspect): chi-square of observed arm counts
+    // vs the planned 50/50 under user_id-parity assignment, flagged at
+    // the α=0.05 critical value (3.841, 1 dof). Integer census → exact
+    // closed-form scalar on both engines. ----
+    "q_abtest_srm" -> ((s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select($"user_id").distinct()
+        .groupBy((($"user_id" % 2).cast("int")).as("variant"))
+        .agg(count(lit(1)).as("n"))
+      val wide = cells.agg(
+        max(when($"variant" === 0, $"n")).as("n_a"),
+        max(when($"variant" === 1, $"n")).as("n_b"))
+      val chi = wide.withColumn("e", ($"n_a" + $"n_b").cast("double") / 2.0)
+      val stat = ($"n_a" - $"e") * ($"n_a" - $"e") / $"e" +
+        ($"n_b" - $"e") * ($"n_b" - $"e") / $"e"
+      chi.select($"n_a", $"n_b",
+        RoundPortableExpr.r(stat, 4).as("chi2"),
+        when(stat > 3.841, 1).otherwise(0).as("srm_flag"))
+    }),
+    // ---- two-proportion power analysis / sample-size calculator
+    // (the planning half of the A/B family): n per arm =
+    // 2(z_{1−α/2}+z_{power})²·p̄(1−p̄)/δ² for the fixture's baseline
+    // conversion and a 10% relative MDE, with z literals pinned
+    // (1.959964, 0.841621 — α=0.05 two-sided, 80% power). Reports
+    // whether the fixture itself is powered (it is not — a live,
+    // honest readout, not a tautology). ----
+    "q_abtest_power" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(when(sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 15, 1)
+          .otherwise(0).as("conv"))
+        .agg(count(lit(1)).as("n_users"), sum($"conv").as("k"))
+      val p = base.withColumn("pbar", $"k".cast("double") / $"n_users")
+      val nReq = when($"pbar" === 0.0 || $"pbar" === 1.0 || $"k" === 0, lit(0.0))
+        .otherwise(lit(2.0) * (lit(1.959964) + lit(0.841621)) * (lit(1.959964) + lit(0.841621)) *
+          $"pbar" * (lit(1.0) - $"pbar") / (lit(0.1) * $"pbar" * lit(0.1) * $"pbar"))
+      p.withColumn("n_req", nReq)
+        .select($"n_users",
+          RoundPortableExpr.r($"pbar", 6).as("baseline_rate"),
+          ceil($"n_req").cast("long").as("n_required_per_arm"),
+          when($"n_users".cast("double") / 2.0 >= $"n_req", 1).otherwise(0).as("powered"))
+    }),
     // ---- CUPED variance-reduced A/B readout (Deng, Xu, Kohavi &
     // Walker, WSDM 2013): the experiment metric Y (post-period
     // purchases) is adjusted by the pre-experiment covariate X
@@ -6308,6 +6434,13 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
         |       1 AS tol10, 1 AS tol50, 1 AS tol90, 1 AS tol99, 1 AS bounded
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_tdigest_rollup" ->
+      """SELECT CAST(count(DISTINCT l_shipdate) AS BIGINT) AS n_shards,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+        |       1 AS tol50, 1 AS tol90, 1 AS tol99, 1 AS bounded
+        |FROM lineitem""".stripMargin,
     "ml_minhash_dedup" ->
       s"""WITH base AS (
          |  SELECT doc_id, ${shinglesSql("ws", 3)} AS sh
@@ -8308,6 +8441,22 @@ object SparkEntry {
         |FROM b a JOIN b bb ON a.c_nationkey = bb.c_nationkey AND a.blk = bb.blk
         |                  AND a.c_custkey < bb.c_custkey
         |WHERE damerau_levenshtein(a.c_name, bb.c_name) <= 2""".stripMargin,
+    "link_best_match" ->
+      """WITH b0 AS (SELECT c_custkey, c_nationkey, c_name, substr(c_name, 13, 3) AS blk
+        |            FROM customer),
+        |b AS (SELECT c_custkey, c_nationkey, c_name, blk FROM (
+        |        SELECT *, count(*) OVER (PARTITION BY c_nationkey, blk) AS bsz FROM b0)
+        |      WHERE bsz <= 40),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id, bb.c_custkey AS cand,
+        |         round(jaro_winkler_similarity(a.c_name, bb.c_name), 4) AS jw
+        |  FROM b a JOIN b bb ON a.c_nationkey = bb.c_nationkey AND a.blk = bb.blk
+        |                    AND a.c_custkey <> bb.c_custkey),
+        |ranked AS (
+        |  SELECT id, cand, jw,
+        |         row_number() OVER (PARTITION BY id ORDER BY jw DESC, cand) AS rk
+        |  FROM pairs)
+        |SELECT id, cand AS best_id, jw FROM ranked WHERE rk = 1""".stripMargin,
     "vdb_embed_backfill" ->
       s"""WITH ex AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
          |miss AS (SELECT d.doc_id, d.source, d.text FROM documents d
@@ -8778,6 +8927,37 @@ object SparkEntry {
         |                      (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
         |                      (1.0 / n_a + 1.0 / n_b)), 4) END AS z
         |FROM wide""".stripMargin,
+    "q_abtest_srm" ->
+      """WITH pu AS (SELECT user_id FROM events GROUP BY 1),
+        |cells AS (SELECT CAST(user_id % 2 AS INTEGER) AS variant, CAST(count(*) AS BIGINT) AS n
+        |          FROM pu GROUP BY 1),
+        |wide AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |                max(CASE WHEN variant = 1 THEN n END) AS n_b FROM cells),
+        |chi AS (SELECT n_a, n_b, CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM wide)
+        |SELECT n_a, n_b,
+        |       round((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e, 4) AS chi2,
+        |       CASE WHEN (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e > 3.841
+        |            THEN 1 ELSE 0 END AS srm_flag
+        |FROM chi""".stripMargin,
+    "q_abtest_power" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |                CAST(sum(conv) AS BIGINT) AS k FROM pu),
+        |p AS (SELECT n_users, k, CAST(k AS DOUBLE) / n_users AS pbar FROM base),
+        |calc AS (
+        |  SELECT n_users, k, pbar,
+        |         CASE WHEN pbar = 0.0 OR pbar = 1.0 OR k = 0 THEN 0.0
+        |              ELSE 2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621) *
+        |                   pbar * (1.0 - pbar) / (0.1 * pbar * 0.1 * pbar) END AS n_req
+        |  FROM p)
+        |SELECT n_users, round(pbar, 6) AS baseline_rate,
+        |       CAST(ceil(n_req) AS BIGINT) AS n_required_per_arm,
+        |       CASE WHEN CAST(n_users AS DOUBLE) / 2.0 >= n_req THEN 1 ELSE 0 END AS powered
+        |FROM calc""".stripMargin,
     "q_abtest_cuped" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -19,10 +19,10 @@ class TDigestSpec extends SparkSpec with Matchers {
     val uniform = Array.fill(20000)(rnd.nextDouble() * 1000.0)
     val skewed = Array.fill(20000)(math.exp(rnd.nextGaussian() * 2.0))
     for (xs <- Seq(uniform, skewed)) {
-      var buf = TDigestAgg.Buf(Array.empty, Array.empty, Array.empty)
       val agg = new TDigestAgg.Agg(Seq(0.5))
+      var buf = agg.zero
       xs.foreach(x => buf = agg.reduce(buf, x))
-      val (m, w) = TDigestAgg.compress(buf.means, buf.weights, buf.tail)
+      val (m, w) = TDigestAgg.compress(buf.means, buf.weights, buf.tail.toArray)
       for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
         val est = TDigestAgg.quantile(m, w, q)
         val ex = exactQ(xs, q)
@@ -44,12 +44,12 @@ class TDigestSpec extends SparkSpec with Matchers {
     val agg = new TDigestAgg.Agg(Seq(0.5))
     // 10 partitions digested independently, then merged pairwise
     val parts = xs.grouped(3000).map { part =>
-      var b = TDigestAgg.Buf(Array.empty, Array.empty, Array.empty)
+      var b = agg.zero
       part.foreach(x => b = agg.reduce(b, x))
       b
     }.toSeq
     val merged = parts.reduce((a, b) => agg.merge(a, b))
-    val (m, w) = TDigestAgg.compress(merged.means, merged.weights, merged.tail)
+    val (m, w) = TDigestAgg.compress(merged.means, merged.weights, merged.tail.toArray)
     m.length should be <= (2 * TDigestAgg.Compression).toInt
     for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
       val est = TDigestAgg.quantile(m, w, q)
@@ -76,6 +76,45 @@ class TDigestSpec extends SparkSpec with Matchers {
       math.abs(td(0) - row.getDouble(2)) / row.getDouble(2) should be <= 0.05
       math.abs(td(1) - row.getDouble(3)) / row.getDouble(3) should be <= 0.05
       td(2) should be <= 2 * TDigestAgg.Compression
+    }
+  }
+
+  test("digest-of-digests rollup preserves the rank-error envelope") {
+    val rnd = new scala.util.Random(19)
+    val xs = Array.fill(25000)(math.pow(rnd.nextDouble(), 3.0) * 500.0)
+    val st = new TDigestAgg.StateAgg
+    val shards = xs.grouped(1250).map { part =>
+      var b = st.zero
+      part.foreach(x => b = st.reduce(b, x))
+      st.finish(b)
+    }.toSeq
+    val mg = new TDigestAgg.MergeAgg(Seq(0.5))
+    var acc = mg.zero
+    shards.foreach(d => acc = mg.reduce(acc, d))
+    val (m, w) = TDigestAgg.compress(acc.means, acc.weights, acc.tail.toArray)
+    m.length should be <= (2 * TDigestAgg.Compression).toInt
+    w.sum shouldBe 25000.0 +- 1e-6 // no mass lost through the rollup
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = TDigestAgg.quantile(m, w, q)
+      val rank = xs.count(_ <= est).toDouble / xs.length
+      withClue(s"q=$q:") { math.abs(rank - q) should be <= 0.02 }
+    }
+  }
+
+  test("weighted census ingest equals raw-multiset ingest in rank space") {
+    val rnd = new scala.util.Random(23)
+    // discrete values so the census genuinely compacts (akin to prices)
+    val xs = Array.fill(20000)((rnd.nextInt(500) + 1) * 0.25)
+    val census = xs.groupBy(identity).map { case (v, arr) => (v, arr.length.toDouble) }.toArray
+    val wst = new graft.functions.TDigestAgg.WeightedStateAgg
+    var b = wst.zero
+    census.foreach(d => b = wst.reduce(b, d))
+    val (m, w) = wst.finish(b)
+    w.sum shouldBe 20000.0 +- 1e-6
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = TDigestAgg.quantile(m.toArray, w.toArray, q)
+      val rank = xs.count(_ <= est).toDouble / xs.length
+      withClue(s"q=$q:") { math.abs(rank - q) should be <= 0.02 }
     }
   }
 
