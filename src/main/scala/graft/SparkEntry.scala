@@ -4501,6 +4501,37 @@ object SparkEntry {
                 (lit(1.0) - ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b")) *
                 (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)).as("z"))
     }),
+    // ---- deterministic k-fold cross-validation assignment + the
+    // stratification audit every eval harness needs: folds are a salted
+    // content hash of the id (reproducible across runs, engines, and
+    // cluster sizes — never random()), and the audit emits each
+    // (fold, label) cell's observed count vs its expected share with a
+    // per-cell balance bit (|o−e|/e ≤ 0.5). The spine is DENSE
+    // (labels × folds, zero cells included) so a label silently missing
+    // from a fold fails the compare instead of vanishing. Per-cell
+    // rationals only — no cross-cell double sums, so no
+    // summation-order divergence between engines. ----
+    "ml_kfold" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5
+      val folds = s.read.parquet(t(dir, "embeddings"))
+        .select($"label",
+          (hexLong(concat(lit("fold:"), $"vec_id".cast("string"))) % k).cast("int").as("fold"))
+      val cells = folds.groupBy($"fold", $"label").agg(count(lit(1)).as("n"))
+      val labelTot = folds.groupBy($"label").agg(count(lit(1)).as("nl"))
+      val foldTot = folds.groupBy($"fold").agg(count(lit(1)).as("nf"))
+      val total = folds.agg(count(lit(1)).as("nn"))
+      val spine = labelTot.crossJoin(
+        s.range(0, k).select($"id".cast("int").as("fold")))
+      spine.join(cells, Seq("fold", "label"), "left")
+        .na.fill(0L, Seq("n"))
+        .join(foldTot, "fold")
+        .crossJoin(broadcast(total))
+        .select($"fold", $"label", $"n",
+          RoundPortableExpr.r($"nf".cast("double") * $"nl" / $"nn", 4).as("expected"),
+          when(abs($"n" - $"nf".cast("double") * $"nl" / $"nn") /
+            ($"nf".cast("double") * $"nl" / $"nn") <= 0.5, 1).otherwise(0).as("dev_ok"))
+    }),
     // ---- sample-ratio-mismatch guard (the FIRST check any experiment
     // readout runs: if assignment isn't hitting its planned split, every
     // downstream metric is suspect): chi-square of observed arm counts
@@ -8927,6 +8958,24 @@ object SparkEntry {
         |                      (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
         |                      (1.0 / n_a + 1.0 / n_b)), 4) END AS z
         |FROM wide""".stripMargin,
+    "ml_kfold" ->
+      s"""WITH folds AS (
+         |  SELECT label,
+         |         CAST(${hexLongSql("'fold:' || CAST(vec_id AS VARCHAR)")} % 5 AS INT) AS fold
+         |  FROM embeddings),
+         |cells AS (SELECT fold, label, CAST(count(*) AS BIGINT) AS n FROM folds GROUP BY 1, 2),
+         |lt AS (SELECT label, CAST(count(*) AS BIGINT) AS nl FROM folds GROUP BY 1),
+         |ft AS (SELECT fold, CAST(count(*) AS BIGINT) AS nf FROM folds GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM folds),
+         |spine AS (SELECT lt.label, lt.nl, CAST(r.range AS INT) AS fold FROM lt, range(5) r)
+         |SELECT s.fold, s.label, COALESCE(c.n, 0) AS n,
+         |       round(CAST(ft.nf AS DOUBLE) * s.nl / tot.nn, 4) AS expected,
+         |       CASE WHEN abs(COALESCE(c.n, 0) - CAST(ft.nf AS DOUBLE) * s.nl / tot.nn) /
+         |                 (CAST(ft.nf AS DOUBLE) * s.nl / tot.nn) <= 0.5
+         |            THEN 1 ELSE 0 END AS dev_ok
+         |FROM spine s
+         |LEFT JOIN cells c ON c.fold = s.fold AND c.label = s.label
+         |JOIN ft ON ft.fold = s.fold, tot""".stripMargin,
     "q_abtest_srm" ->
       """WITH pu AS (SELECT user_id FROM events GROUP BY 1),
         |cells AS (SELECT CAST(user_id % 2 AS INTEGER) AS variant, CAST(count(*) AS BIGINT) AS n
