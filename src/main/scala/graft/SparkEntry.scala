@@ -4501,6 +4501,88 @@ object SparkEntry {
                 (lit(1.0) - ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b")) *
                 (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)).as("z"))
     }),
+    // ---- k-fold CROSS-VALIDATED OLS purely from moment censuses — the
+    // 100 TB shape of cross-validation: one grouped pass collects each
+    // fold's exact decimal moment vector (n, Σx, Σxx, Σxy, Σyy …);
+    // every fold's TRAINING moments are then totals − fold (sufficient
+    // statistics reaggregate; the data is never rescanned per fold),
+    // β comes from a 3×3 Cramer solve over the train moments, and the
+    // held-out RMSE expands algebraically over the fold's own moments:
+    // Σ(y−ŷ)² = Σy² + nβ₀² + β₁²Σx₁² + … — no per-row prediction pass.
+    // 5 folds cost ONE extra groupBy vs plain OLS, at any scale.
+    // Scaled-integer moments (×100) keep the census exact-decimal; the
+    // closed-form double arithmetic is written in the oracle's exact
+    // operation order. ----
+    "ml_cv_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val rows = s.read.parquet(t(dir, "lineitem"))
+        .select(
+          (hexLong(concat(lit("cv:"), $"l_orderkey".cast("string"), lit("-"),
+            $"l_linenumber".cast("string"))) % 5).cast("int").as("fold"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("ys"),
+          round($"l_quantity" * 100, 0).cast("long").as("x1s"),
+          round($"l_discount" * 100, 0).cast("long").as("x2s"))
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val fm = rows.groupBy($"fold").agg(
+        count(lit(1)).as("n"),
+        dsum($"x1s").as("sx1"), dsum($"x2s").as("sx2"), dsum($"ys").as("sy"),
+        dsum($"x1s" * $"x1s").as("s11"), dsum($"x2s" * $"x2s").as("s22"),
+        dsum($"x1s" * $"x2s").as("s12"), dsum($"x1s" * $"ys").as("sx1y"),
+        dsum($"x2s" * $"ys").as("sx2y"), dsum($"ys" * $"ys").as("syy"))
+      val tot = fm.agg(
+        sum($"n").as("tn"), sum($"sx1").as("tsx1"), sum($"sx2").as("tsx2"),
+        sum($"sy").as("tsy"), sum($"s11").as("ts11"), sum($"s22").as("ts22"),
+        sum($"s12").as("ts12"), sum($"sx1y").as("tsx1y"),
+        sum($"sx2y").as("tsx2y"), sum($"syy").as("tsyy"))
+      val train = fm.crossJoin(broadcast(tot)).select($"fold",
+        $"n".as("n_test"), $"sy".as("f_sy"), $"sx1".as("f_sx1"), $"sx2".as("f_sx2"),
+        $"s11".as("f_s11"), $"s22".as("f_s22"), $"s12".as("f_s12"),
+        $"sx1y".as("f_sx1y"), $"sx2y".as("f_sx2y"), $"syy".as("f_syy"),
+        ($"tn" - $"n").cast("double").as("n"),
+        ($"tsx1" - $"sx1").cast("double").as("sx1"),
+        ($"tsx2" - $"sx2").cast("double").as("sx2"),
+        ($"tsy" - $"sy").cast("double").as("sy"),
+        ($"ts11" - $"s11").cast("double").as("s11"),
+        ($"ts22" - $"s22").cast("double").as("s22"),
+        ($"ts12" - $"s12").cast("double").as("s12"),
+        ($"tsx1y" - $"sx1y").cast("double").as("sx1y"),
+        ($"tsx2y" - $"sx2y").cast("double").as("sx2y"))
+      val beta = train
+        .withColumn("det",
+          $"n" * ($"s11" * $"s22" - $"s12" * $"s12") -
+            $"sx1" * ($"sx1" * $"s22" - $"s12" * $"sx2") +
+            $"sx2" * ($"sx1" * $"s12" - $"s11" * $"sx2"))
+        .withColumn("det0",
+          $"sy" * ($"s11" * $"s22" - $"s12" * $"s12") -
+            $"sx1" * ($"sx1y" * $"s22" - $"s12" * $"sx2y") +
+            $"sx2" * ($"sx1y" * $"s12" - $"s11" * $"sx2y"))
+        .withColumn("det1",
+          $"n" * ($"sx1y" * $"s22" - $"s12" * $"sx2y") -
+            $"sy" * ($"sx1" * $"s22" - $"s12" * $"sx2") +
+            $"sx2" * ($"sx1" * $"sx2y" - $"sx1y" * $"sx2"))
+        .withColumn("det2",
+          $"n" * ($"s11" * $"sx2y" - $"sx1y" * $"s12") -
+            $"sx1" * ($"sx1" * $"sx2y" - $"sx1y" * $"sx2") +
+            $"sy" * ($"sx1" * $"s12" - $"s11" * $"sx2"))
+        .withColumn("b0", $"det0" / $"det")
+        .withColumn("b1", $"det1" / $"det")
+        .withColumn("b2", $"det2" / $"det")
+      val ev = beta.withColumn("sse_s",
+        $"f_syy".cast("double") + $"n_test" * $"b0" * $"b0" +
+          $"b1" * $"b1" * $"f_s11".cast("double") +
+          $"b2" * $"b2" * $"f_s22".cast("double") -
+          lit(2.0) * $"b0" * $"f_sy".cast("double") -
+          lit(2.0) * $"b1" * $"f_sx1y".cast("double") -
+          lit(2.0) * $"b2" * $"f_sx2y".cast("double") +
+          lit(2.0) * $"b0" * $"b1" * $"f_sx1".cast("double") +
+          lit(2.0) * $"b0" * $"b2" * $"f_sx2".cast("double") +
+          lit(2.0) * $"b1" * $"b2" * $"f_s12".cast("double"))
+      ev.select($"fold", $"n_test",
+        RoundPortableExpr.r($"b0" / 100.0, 4).as("beta0"),
+        RoundPortableExpr.r($"b1", 4).as("beta1"),
+        RoundPortableExpr.r($"b2", 4).as("beta2"),
+        RoundPortableExpr.r(sqrt($"sse_s" / $"n_test") / 100.0, 4).as("rmse"))
+    }),
     // ---- deterministic k-fold cross-validation assignment + the
     // stratification audit every eval harness needs: folds are a salted
     // content hash of the id (reproducible across runs, engines, and
@@ -8958,6 +9040,59 @@ object SparkEntry {
         |                      (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
         |                      (1.0 / n_a + 1.0 / n_b)), 4) END AS z
         |FROM wide""".stripMargin,
+    "ml_cv_linreg" ->
+      s"""WITH rows_s AS (
+         |  SELECT CAST(${hexLongSql("'cv:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} % 5 AS INT) AS fold,
+         |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ys,
+         |         CAST(round(l_quantity * 100, 0) AS BIGINT) AS x1s,
+         |         CAST(round(l_discount * 100, 0) AS BIGINT) AS x2s
+         |  FROM lineitem),
+         |fm AS (
+         |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         |         sum(CAST(x1s AS DECIMAL(38,0))) AS sx1, sum(CAST(x2s AS DECIMAL(38,0))) AS sx2,
+         |         sum(CAST(ys AS DECIMAL(38,0))) AS sy,
+         |         sum(CAST(x1s * x1s AS DECIMAL(38,0))) AS s11,
+         |         sum(CAST(x2s * x2s AS DECIMAL(38,0))) AS s22,
+         |         sum(CAST(x1s * x2s AS DECIMAL(38,0))) AS s12,
+         |         sum(CAST(x1s * ys AS DECIMAL(38,0))) AS sx1y,
+         |         sum(CAST(x2s * ys AS DECIMAL(38,0))) AS sx2y,
+         |         sum(CAST(ys * ys AS DECIMAL(38,0))) AS syy
+         |  FROM rows_s GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(n) AS tn, sum(sx1) AS tsx1, sum(sx2) AS tsx2, sum(sy) AS tsy,
+         |         sum(s11) AS ts11, sum(s22) AS ts22, sum(s12) AS ts12,
+         |         sum(sx1y) AS tsx1y, sum(sx2y) AS tsx2y, sum(syy) AS tsyy
+         |  FROM fm),
+         |train AS (
+         |  SELECT fold, n AS n_test, sy AS f_sy, sx1 AS f_sx1, sx2 AS f_sx2,
+         |         s11 AS f_s11, s22 AS f_s22, s12 AS f_s12,
+         |         sx1y AS f_sx1y, sx2y AS f_sx2y, syy AS f_syy,
+         |         CAST(tn - n AS DOUBLE) AS n, CAST(tsx1 - sx1 AS DOUBLE) AS sx1,
+         |         CAST(tsx2 - sx2 AS DOUBLE) AS sx2, CAST(tsy - sy AS DOUBLE) AS sy,
+         |         CAST(ts11 - s11 AS DOUBLE) AS s11, CAST(ts22 - s22 AS DOUBLE) AS s22,
+         |         CAST(ts12 - s12 AS DOUBLE) AS s12, CAST(tsx1y - sx1y AS DOUBLE) AS sx1y,
+         |         CAST(tsx2y - sx2y AS DOUBLE) AS sx2y
+         |  FROM fm, tot),
+         |beta AS (
+         |  SELECT *,
+         |         n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+         |         sy * (s11 * s22 - s12 * s12) - sx1 * (sx1y * s22 - s12 * sx2y) + sx2 * (sx1y * s12 - s11 * sx2y) AS det0,
+         |         n * (sx1y * s22 - s12 * sx2y) - sy * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+         |         n * (s11 * sx2y - sx1y * s12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * s12 - s11 * sx2) AS det2
+         |  FROM train),
+         |b AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM beta),
+         |ev AS (
+         |  SELECT fold, n_test,
+         |         CAST(f_syy AS DOUBLE) + n_test * b0 * b0 + b1 * b1 * CAST(f_s11 AS DOUBLE) + b2 * b2 * CAST(f_s22 AS DOUBLE)
+         |         - 2.0 * b0 * CAST(f_sy AS DOUBLE) - 2.0 * b1 * CAST(f_sx1y AS DOUBLE) - 2.0 * b2 * CAST(f_sx2y AS DOUBLE)
+         |         + 2.0 * b0 * b1 * CAST(f_sx1 AS DOUBLE) + 2.0 * b0 * b2 * CAST(f_sx2 AS DOUBLE)
+         |         + 2.0 * b1 * b2 * CAST(f_s12 AS DOUBLE) AS sse_s,
+         |         b0, b1, b2
+         |  FROM b)
+         |SELECT fold, n_test,
+         |       round(b0 / 100.0, 4) AS beta0, round(b1, 4) AS beta1, round(b2, 4) AS beta2,
+         |       round(sqrt(sse_s / n_test) / 100.0, 4) AS rmse
+         |FROM ev""".stripMargin,
     "ml_kfold" ->
       s"""WITH folds AS (
          |  SELECT label,
