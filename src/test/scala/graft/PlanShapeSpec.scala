@@ -73,6 +73,27 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("string-similarity kernels evaluate inside whole-stage codegen") {
+    // the one executing test here: AQE defers codegen-stage wrapping
+    // until the plan finalizes, so `*(n)` only shows on the FINAL plan
+    // (sf0.001, milliseconds)
+    val df = SparkEntry.queries("link_string_kernels")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("isFinalPlan=true")
+    p should include("damerau_levenshtein")
+    p should include("jaro_winkler")
+    // the projection carrying the kernels sits in a codegen stage (*(n))
+    val l = p.linesIterator.find(_.contains("damerau_levenshtein(c_name")).get
+    l should include("*(")
+  }
+
+  test("prefix-filter verify runs the bounded-intersect kernel, not array_intersect") {
+    val p = physical("dedup_prefix_filter")
+    p should include("bounded_intersect")
+    p should not include "array_intersect"
+  }
+
   test("fact-dim joins broadcast the dims (q3, q5)") {
     val q3 = physical("q3_join")
     q3 should include("BroadcastHashJoin")
