@@ -4614,6 +4614,89 @@ object SparkEntry {
           when(abs($"n" - $"nf".cast("double") * $"nl" / $"nn") /
             ($"nf".cast("double") * $"nl" / $"nn") <= 0.5, 1).otherwise(0).as("dev_ok"))
     }),
+    // ---- difference-in-differences readout (the quasi-experimental
+    // counterpart to q_abtest for when assignment isn't randomized over
+    // TIME): per-arm purchase means in the pre and post periods, DiD =
+    // (post_b − pre_b) − (post_a − pre_a), with the z statistic from
+    // the four cells' variances. Same exact-integer-moment census
+    // protocol as the CUPED entry — one keyed agg, one 2-row census,
+    // closed-form scalars in the oracle's operation order. ----
+    "q_diff_in_diff" -> ((s, dir) => {
+      import s.implicits._
+      val pu = Tables.events(s, dir)
+        .groupBy($"user_id", (($"user_id" % 2).cast("int")).as("variant"))
+        .agg(
+          sum(when(to_date($"ts") <= lit("2024-01-15").cast("date") &&
+            $"event_type" === "purchase", 1).otherwise(0)).as("y_pre"),
+          sum(when(to_date($"ts") > lit("2024-01-15").cast("date") &&
+            $"event_type" === "purchase", 1).otherwise(0)).as("y_post"))
+      val cells = pu.groupBy($"variant").agg(
+        count(lit(1)).as("n"),
+        sum($"y_pre").as("s1"), sum($"y_pre" * $"y_pre").as("s11"),
+        sum($"y_post").as("s2"), sum($"y_post" * $"y_post").as("s22"))
+      def side(v: Int, c: String, out: String) = max(when($"variant" === v, col(c))).as(out)
+      val wide = cells.agg(
+        side(0, "n", "n_a"), side(0, "s1", "pre_a"), side(0, "s11", "pre2_a"),
+        side(0, "s2", "post_a"), side(0, "s22", "post2_a"),
+        side(1, "n", "n_b"), side(1, "s1", "pre_b"), side(1, "s11", "pre2_b"),
+        side(1, "s2", "post_b"), side(1, "s22", "post2_b"))
+      val m = wide
+        .withColumn("m_pre_a", $"pre_a".cast("double") / $"n_a")
+        .withColumn("m_post_a", $"post_a".cast("double") / $"n_a")
+        .withColumn("m_pre_b", $"pre_b".cast("double") / $"n_b")
+        .withColumn("m_post_b", $"post_b".cast("double") / $"n_b")
+        .withColumn("v_pre_a", ($"pre2_a".cast("double") - $"pre_a".cast("double") * $"pre_a" / $"n_a") / ($"n_a" - 1))
+        .withColumn("v_post_a", ($"post2_a".cast("double") - $"post_a".cast("double") * $"post_a" / $"n_a") / ($"n_a" - 1))
+        .withColumn("v_pre_b", ($"pre2_b".cast("double") - $"pre_b".cast("double") * $"pre_b" / $"n_b") / ($"n_b" - 1))
+        .withColumn("v_post_b", ($"post2_b".cast("double") - $"post_b".cast("double") * $"post_b" / $"n_b") / ($"n_b" - 1))
+      val se2 = $"v_pre_a" / $"n_a" + $"v_post_a" / $"n_a" + $"v_pre_b" / $"n_b" + $"v_post_b" / $"n_b"
+      val did = ($"m_post_b" - $"m_pre_b") - ($"m_post_a" - $"m_pre_a")
+      m.select($"n_a", $"n_b",
+        RoundPortableExpr.r(did, 4).as("did"),
+        when(se2 <= 0.0, lit(0.0)).otherwise(
+          RoundPortableExpr.r(did / sqrt(se2), 4)).as("z"),
+        RoundPortableExpr.r($"m_post_a" - $"m_pre_a", 4).as("trend_a"),
+        RoundPortableExpr.r($"m_post_b" - $"m_pre_b", 4).as("trend_b"))
+    }),
+    // ---- IQR-fence outlier audit per group (the Tukey boxplot rule
+    // every data-quality dashboard runs): exact Q1/Q3 from the
+    // value-census + window-CDF (the scale-safe exact-quantile pattern
+    // — never a per-group value buffer), fences at ±1.5·IQR, outliers
+    // counted map-side against the broadcast fences. ----
+    "dq_outlier_iqr" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val census = li.groupBy($"l_returnflag", $"l_extendedprice").agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")
+      val cdf = census
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wAll))
+      val picks = Seq(0.25 -> "q1", 0.75 -> "q3").flatMap { case (q, nm) =>
+        val pos = lit(q) * ($"n" - 1)
+        Seq(
+          min(when($"cum" >= floor(pos) + 1, $"l_extendedprice")).as(s"lo_$nm"),
+          min(when($"cum" >= floor(pos) + 2, $"l_extendedprice")).as(s"hi_$nm"))
+      } :+ max($"n").as("n")
+      val quart = cdf.groupBy($"l_returnflag").agg(picks.head, picks.tail: _*)
+      def interp(q: Double, nm: String) = {
+        val pos = lit(q) * ($"n" - 1)
+        col(s"lo_$nm") + (coalesce(col(s"hi_$nm"), col(s"lo_$nm")) - col(s"lo_$nm")) * (pos - floor(pos))
+      }
+      val fences = quart.select($"l_returnflag",
+        interp(0.25, "q1").as("q1"), interp(0.75, "q3").as("q3"))
+        .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
+        .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
+      li.join(broadcast(fences), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          RoundPortableExpr.r(max($"q1"), 2).as("q1"),
+          RoundPortableExpr.r(max($"q3"), 2).as("q3"),
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
     // ---- sample-ratio-mismatch guard (the FIRST check any experiment
     // readout runs: if assignment isn't hitting its planned split, every
     // downstream metric is suspect): chi-square of observed arm counts
@@ -9040,6 +9123,77 @@ object SparkEntry {
         |                      (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
         |                      (1.0 / n_a + 1.0 / n_b)), 4) END AS z
         |FROM wide""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+        |         sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y_pre,
+        |         sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y_post
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y_pre) AS BIGINT) AS s1, CAST(sum(y_pre * y_pre) AS BIGINT) AS s11,
+        |         CAST(sum(y_post) AS BIGINT) AS s2, CAST(sum(y_post * y_post) AS BIGINT) AS s22
+        |  FROM pu GROUP BY 1),
+        |wide AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |         max(CASE WHEN variant = 0 THEN s1 END) AS pre_a,
+        |         max(CASE WHEN variant = 0 THEN s11 END) AS pre2_a,
+        |         max(CASE WHEN variant = 0 THEN s2 END) AS post_a,
+        |         max(CASE WHEN variant = 0 THEN s22 END) AS post2_a,
+        |         max(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |         max(CASE WHEN variant = 1 THEN s1 END) AS pre_b,
+        |         max(CASE WHEN variant = 1 THEN s11 END) AS pre2_b,
+        |         max(CASE WHEN variant = 1 THEN s2 END) AS post_b,
+        |         max(CASE WHEN variant = 1 THEN s22 END) AS post2_b
+        |  FROM cells),
+        |m AS (
+        |  SELECT *,
+        |         CAST(pre_a AS DOUBLE) / n_a AS m_pre_a, CAST(post_a AS DOUBLE) / n_a AS m_post_a,
+        |         CAST(pre_b AS DOUBLE) / n_b AS m_pre_b, CAST(post_b AS DOUBLE) / n_b AS m_post_b,
+        |         (CAST(pre2_a AS DOUBLE) - CAST(pre_a AS DOUBLE) * pre_a / n_a) / (n_a - 1) AS v_pre_a,
+        |         (CAST(post2_a AS DOUBLE) - CAST(post_a AS DOUBLE) * post_a / n_a) / (n_a - 1) AS v_post_a,
+        |         (CAST(pre2_b AS DOUBLE) - CAST(pre_b AS DOUBLE) * pre_b / n_b) / (n_b - 1) AS v_pre_b,
+        |         (CAST(post2_b AS DOUBLE) - CAST(post_b AS DOUBLE) * post_b / n_b) / (n_b - 1) AS v_post_b
+        |  FROM wide)
+        |SELECT n_a, n_b,
+        |       round((m_post_b - m_pre_b) - (m_post_a - m_pre_a), 4) AS did,
+        |       CASE WHEN v_pre_a / n_a + v_post_a / n_a + v_pre_b / n_b + v_post_b / n_b <= 0.0 THEN 0.0
+        |            ELSE round(((m_post_b - m_pre_b) - (m_post_a - m_pre_a)) /
+        |                 sqrt(v_pre_a / n_a + v_post_a / n_a + v_pre_b / n_b + v_post_b / n_b), 4) END AS z,
+        |       round(m_post_a - m_pre_a, 4) AS trend_a,
+        |       round(m_post_b - m_pre_b, 4) AS trend_b
+        |FROM m""".stripMargin,
+    "dq_outlier_iqr" ->
+      """WITH census AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT g, v, cnt,
+        |         sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM census),
+        |quart AS (
+        |  SELECT g,
+        |         min(CASE WHEN cum >= floor(CAST(0.25 AS DOUBLE) * (n - 1)) + 1 THEN v END) AS lo_q1,
+        |         min(CASE WHEN cum >= floor(CAST(0.25 AS DOUBLE) * (n - 1)) + 2 THEN v END) AS hi_q1,
+        |         min(CASE WHEN cum >= floor(CAST(0.75 AS DOUBLE) * (n - 1)) + 1 THEN v END) AS lo_q3,
+        |         min(CASE WHEN cum >= floor(CAST(0.75 AS DOUBLE) * (n - 1)) + 2 THEN v END) AS hi_q3,
+        |         max(n) AS n
+        |  FROM cdf GROUP BY 1),
+        |f AS (
+        |  SELECT g,
+        |         lo_q1 + (COALESCE(hi_q1, lo_q1) - lo_q1) *
+        |           (CAST(0.25 AS DOUBLE) * (n - 1) - floor(CAST(0.25 AS DOUBLE) * (n - 1))) AS q1,
+        |         lo_q3 + (COALESCE(hi_q3, lo_q3) - lo_q3) *
+        |           (CAST(0.75 AS DOUBLE) * (n - 1) - floor(CAST(0.75 AS DOUBLE) * (n - 1))) AS q3
+        |  FROM quart),
+        |fe AS (SELECT g, q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(fe.q1), 2) AS q1, round(max(fe.q3), 2) AS q3,
+        |       CAST(sum(CASE WHEN l.l_extendedprice < fe.lo OR l.l_extendedprice > fe.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN fe ON fe.g = l.l_returnflag GROUP BY 1""".stripMargin,
     "ml_cv_linreg" ->
       s"""WITH rows_s AS (
          |  SELECT CAST(${hexLongSql("'cv:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} % 5 AS INT) AS fold,

@@ -48,7 +48,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "ts_holt", "ts_seasonal", "ts_acf", "ts_cusum", "q_scd2", "dq_checks",
     "q_market_basket", "text_zipf", "q_abtest", "q_abtest_cuped", "q_abtest_srm",
     "q_abtest_power", "link_best_match", "agg_tdigest_rollup", "ml_kfold",
-    "ml_cv_linreg", "q_kaplan_meier", "ml_linreg",
+    "ml_cv_linreg", "q_diff_in_diff", "dq_outlier_iqr", "q_kaplan_meier", "ml_linreg",
     "ml_naive_bayes", "ml_bootstrap_ci", "rec_item_item", "ml_chi2_tokens",
     "text_keywords_tfidf", "ml_auc", "ml_calibration", "ts_holt_winters",
     "q_skyline", "ml_knn_classifier", "dq_benford", "agg_moments",
