@@ -4607,7 +4607,11 @@ object SparkEntry {
         s.range(0, k).select($"id".cast("int").as("fold")))
       spine.join(cells, Seq("fold", "label"), "left")
         .na.fill(0L, Seq("n"))
-        .join(foldTot, "fold")
+        // LEFT join + nf→0: an entirely-empty fold must surface as
+        // dev_ok=0 cells (expected 0, |n−0|/0 = NaN ≤ 0.5 is false on
+        // both engines), not vanish from the audit via an inner join
+        .join(foldTot, Seq("fold"), "left")
+        .na.fill(0L, Seq("nf"))
         .crossJoin(broadcast(total))
         .select($"fold", $"label", $"n",
           RoundPortableExpr.r($"nf".cast("double") * $"nl" / $"nn", 4).as("expected"),
@@ -9258,13 +9262,13 @@ object SparkEntry {
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM folds),
          |spine AS (SELECT lt.label, lt.nl, CAST(r.range AS INT) AS fold FROM lt, range(5) r)
          |SELECT s.fold, s.label, COALESCE(c.n, 0) AS n,
-         |       round(CAST(ft.nf AS DOUBLE) * s.nl / tot.nn, 4) AS expected,
-         |       CASE WHEN abs(COALESCE(c.n, 0) - CAST(ft.nf AS DOUBLE) * s.nl / tot.nn) /
-         |                 (CAST(ft.nf AS DOUBLE) * s.nl / tot.nn) <= 0.5
+         |       round(CAST(COALESCE(ft.nf, 0) AS DOUBLE) * s.nl / tot.nn, 4) AS expected,
+         |       CASE WHEN abs(COALESCE(c.n, 0) - CAST(COALESCE(ft.nf, 0) AS DOUBLE) * s.nl / tot.nn) /
+         |                 (CAST(COALESCE(ft.nf, 0) AS DOUBLE) * s.nl / tot.nn) <= 0.5
          |            THEN 1 ELSE 0 END AS dev_ok
          |FROM spine s
          |LEFT JOIN cells c ON c.fold = s.fold AND c.label = s.label
-         |JOIN ft ON ft.fold = s.fold, tot""".stripMargin,
+         |LEFT JOIN ft ON ft.fold = s.fold, tot""".stripMargin,
     "q_abtest_srm" ->
       """WITH pu AS (SELECT user_id FROM events GROUP BY 1),
         |cells AS (SELECT CAST(user_id % 2 AS INTEGER) AS variant, CAST(count(*) AS BIGINT) AS n

@@ -402,7 +402,13 @@ object Hnsw {
       idCol: String = "vec_id", embCol: String = "embedding",
       oversample: Int = 3, exactCutoff: Double = 0.05,
       excludeSelf: Boolean = true, totalHint: Long = -1L): DataFrame = {
-    val elig = graft.core.PlanCache.persist(eligible.select(col(idCol).as("id")))
+    // NOT persisted: elig is read twice (the pricing count here + the
+    // candidate join inside the RETURNED lazy plan), but a per-call
+    // PlanCache.persist has no release point before the caller
+    // materializes — a long-lived serving session would accumulate one
+    // cached eligible set per filtered query. Recomputing the filtered
+    // scan once is the bounded price of staying memory-flat.
+    val elig = eligible.select(col(idCol).as("id"))
     val total = if (totalHint >= 0L) totalHint else graph.count()
     val matched = elig.count()
     val sel = if (total == 0) 1.0 else math.min(1.0, matched.toDouble / total)

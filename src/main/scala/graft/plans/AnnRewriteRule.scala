@@ -147,19 +147,28 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def graphProbeFilter(
       pchild: LogicalPlan, qvec: ArrayData, k: Int): Option[Expression] = {
     if (k <= 0) return None
-    for {
+    (for {
       root <- bareScanPath(pchild)
       m <- hnswM(root)
       idAttr <- pchild.output.find(a =>
         a.name == graft.core.VectorSchema.ID && a.dataType == StringType)
     } yield {
       import spark.implicits._
-      val graph = spark.read.parquet(root + ".hnsw")
-      val q = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
-      val hits = graft.ops.Hnsw.probeGraph(graph, q, k + 8, m = m, excludeSelf = false)
-        .select("neighbor_id").collect().map(_.getLong(0))
-      In(new XxHash64(Seq(idAttr)), hits.toSeq.sorted.map(Literal(_)))
-    }
+      // an EMPTY candidate list (empty graph) must fall through to the
+      // bucket-prefilter shape: In(hash, Nil) would constant-fold to
+      // false and the query would silently return zero rows instead of
+      // an approximate answer. Same fallthrough for an UNREADABLE graph
+      // (sidecar present, .hnsw directory lost) — a planning-time index
+      // consult must degrade, never fail the query.
+      val hits = scala.util.Try {
+        val graph = spark.read.parquet(root + ".hnsw")
+        val q = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
+        graft.ops.Hnsw.probeGraph(graph, q, k + 8, m = m, excludeSelf = false)
+          .select("neighbor_id").collect().map(_.getLong(0))
+      }.getOrElse(Array.empty[Long])
+      if (hits.isEmpty) None
+      else Some(In(new XxHash64(Seq(idAttr)), hits.toSeq.sorted.map(Literal(_))))
+    }).flatten
   }
 
   // ---- shape 2: the LSH bucket prefilter ----

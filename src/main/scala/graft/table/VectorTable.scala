@@ -104,10 +104,16 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     else {
       val in = fs.open(hnswMetaPath)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      // "rows" is OPTIONAL on read: sidecars written before the stat
+      // existed must keep serving the index (a parse miss here silently
+      // degrades every query to brute force and strands the .hnsw
+      // directory). rows = -1 marks the stat unknown — consumers fall
+      // back to counting (probeGraphFiltered's totalHint contract).
       val p = (""""m"\s*:\s*(\d+).*"efConstruction"\s*:\s*(\d+)""" +
-        """.*"segments"\s*:\s*(\d+).*"rows"\s*:\s*(\d+)""").r
+        """.*"segments"\s*:\s*(\d+)(?:.*"rows"\s*:\s*(\d+))?""").r
       p.findFirstMatchIn(txt).map(g =>
-        HnswIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt, g.group(4).toLong))
+        HnswIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt,
+          Option(g.group(4)).map(_.toLong).getOrElse(-1L)))
     }
 
   private def writeHnswMeta(meta: HnswIndexMeta): Unit = {
@@ -126,7 +132,10 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * collision only costs a spurious candidate row that the final
     * distance-ordered limit drops. */
   def hnswGraph: Option[DataFrame] =
-    if (hnswIndexMeta.isEmpty) None
+    // existence-checked, not just meta-checked: a sidecar whose .hnsw
+    // directory was lost must degrade the route to brute force, not
+    // fail every query (indexed or not) at plan time
+    if (hnswIndexMeta.isEmpty || !fs.exists(hnswGraphPath)) None
     else Some(spark.read.parquet(hnswGraphPath.toString))
 
   /** Long surrogate keys for the vector-index kernels (all three tiers
@@ -356,23 +365,38 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
 
   /** [[tombstoneCount]] memo — without it every indexed query re-reads
     * and distinct-counts the tombstone parquet just to size its probe
-    * widening. Invalidated by [[delete]]/[[vacuum]]/[[drop]]; the
-    * single-writer contract (SURVEY.md §7.4) is what makes an
-    * instance-local cache sound. */
-  private var tombCountCache: Option[Long] = None
+    * widening. Keyed by the tombstone DIRECTORY's filesystem signature
+    * (file names + lengths + mtimes), not instance-locally: two
+    * instances over the same root see each other's deletes — a stale
+    * count here silently under-widens probes (fewer than k live rows).
+    * The signature is one FS listing per query, orders of magnitude
+    * cheaper than the distinct-count job it replaces. */
+  private var tombCountCache: Option[(Long, Long)] = None // (signature, count)
+
+  private def tombSignature: Long =
+    if (!fs.exists(tombPath)) 0L
+    else fs.listStatus(tombPath).foldLeft(1L) { (h, st) =>
+      31L * (31L * (31L * h + st.getPath.getName.hashCode) +
+        st.getLen) + st.getModificationTime
+    }
 
   /** Distinct tombstoned ids — the index-probe widening bound: a
     * persisted graph still contains deleted rows until a rebuild, so
     * an index probe must surface k + tombstones candidates to
     * guarantee k LIVE results. Zero-cost when no delete ever ran;
-    * cached between deletes (single-writer). */
-  def tombstoneCount: Long = tombCountCache.getOrElse {
-    val n =
-      if (!fs.exists(tombPath)) 0L
-      else spark.read.parquet(tombPath.toString)
-        .select(VectorSchema.ID).distinct().count()
-    tombCountCache = Some(n)
-    n
+    * cached between deletes, signature-validated across instances. */
+  def tombstoneCount: Long = {
+    val sig = tombSignature
+    tombCountCache match {
+      case Some((s, n)) if s == sig => n
+      case _ =>
+        val n =
+          if (sig == 0L) 0L
+          else spark.read.parquet(tombPath.toString)
+            .select(VectorSchema.ID).distinct().count()
+        tombCountCache = Some((sig, n))
+        n
+    }
   }
 
   // ---- manifest snapshots (time travel) ----
@@ -467,7 +491,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       fs.delete(hadoopPath, true)
       fs.rename(tmp, hadoopPath)
       fs.delete(tombPath, true)
-      tombCountCache = Some(0L)
+      tombCountCache = Some((0L, 0L)) // no tombPath → signature 0
       expireSnapshots() // data files rewritten: retention-zero expiry
       // a vacuum erases the tombstone table the index probe widens by,
       // but the persisted index still carries the dead ids — rebuild
@@ -540,8 +564,11 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
             graft.ops.Hnsw.buildGraph(vecs, numSegments = deltaSegs,
                 segOffset = meta.segments, m = meta.m, efConstruction = meta.efConstruction)
               .write.mode("append").parquet(hnswGraphPath.toString)
+            // an unknown stat (-1: pre-stat sidecar) stays unknown —
+            // -1 + nNew would fabricate a tiny "index size" and skew
+            // every selectivity-priced probe
             writeHnswMeta(meta.copy(segments = meta.segments + deltaSegs,
-              rows = meta.rows + nNew))
+              rows = if (meta.rows < 0L) -1L else meta.rows + nNew))
           }
           // IVF-PQ: map-only encode against the FROZEN codebooks —
           // the delta lands inside the existing cell directories

@@ -172,6 +172,47 @@ class AnnRewriteSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("graph probe with an empty or lost graph falls back to the LSH shape, never zero rows") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+    try {
+      val wh = Files.createTempDirectory("graft-ann-empty").toString
+      val db = new VectorDB(spark, "t", wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
+      val docs = (0 until 200).map(i =>
+        s"""{"id": $i, "text": "topic ${i % 5} document $i with words about subject ${i % 5}"}""")
+      db.insert(docs.toDS(), embedField = Some("text"))
+      db.table.buildHnswIndex()
+      // overwrite the graph with ZERO rows (schema intact): the planning
+      // probe now surfaces no candidates — In(xxhash64(id), Nil) would
+      // optimizer-fold to false and the query would return 0 rows
+      val graphPath = s"$wh/t.hnsw"
+      val empty = spark.read.parquet(graphPath).where(lit(false))
+      val tmp = Files.createTempDirectory("graft-ann-empty-g").toString
+      empty.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(graphPath)
+      spark.conf.set("spark.graft.ann.autoRewrite", "true")
+      spark.conf.set("spark.graft.ann.bits", "2")
+      val qvec = db.embedder.embed("topic 3 subject")
+      val q = db.queryByVector(qvec, 10, useIndex = false)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      optimized should include("arrays_overlap") // fell back to shape 2
+      optimized should not include "xxhash64"
+      q.collect().length shouldBe 10
+      // unreadable graph (directory gone, sidecar still present): same
+      // fallback — a planning-time index consult degrades, never fails
+      val fs = new org.apache.hadoop.fs.Path(graphPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(graphPath), true)
+      val q2 = db.queryByVector(qvec, 10, useIndex = false)
+      q2.queryExecution.optimizedPlan.toString should include("arrays_overlap")
+      q2.collect().length shouldBe 10
+    } finally {
+      spark.conf.set("spark.graft.ann.autoRewrite", "false")
+      spark.conf.set("spark.graft.ann.bits", "12")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("persisted ANN index: rewrite filters on stored buckets, not per-row recompute") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))

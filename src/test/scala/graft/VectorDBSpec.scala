@@ -149,6 +149,48 @@ class VectorDBSpec extends SparkSpec with Matchers {
     db.table.drop()
   }
 
+  test("pre-stat HNSW sidecar (no rows field) still serves the index") {
+    val db = newDb("t6meta")
+    db.insert(docs(40), embedField = Some("text"))
+    db.table.buildHnswIndex()
+    // rewrite the sidecar in the FORMAT written before the rows stat
+    // existed: the index must keep serving (a parse miss silently
+    // degrades every query to brute force and strands the .hnsw dir)
+    val metaPath = new org.apache.hadoop.fs.Path(db.table.root + ".hnsw_index.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write("""{"m": 16, "efConstruction": 128, "segments": 1}""".getBytes("UTF-8"))
+    finally out.close()
+    val meta = db.table.hnswIndexMeta
+    meta.isDefined shouldBe true
+    meta.get.rows shouldBe -1L // unknown stat, not a parse failure
+    db.table.hnswGraph.isDefined shouldBe true
+    db.query("spark joins", k = 5).collect().length shouldBe 5
+    // the filtered probe's totalHint = -1 falls back to counting
+    val f = db.queryByVector(db.embedder.embed("spark joins"), k = 5,
+      filters = Seq(Cmp("group", CmpOp.Eq, 1)), indexFilteredProbe = true).collect()
+    all(f.map(r => get("group", r.metadata))) shouldBe "1"
+    // an insert against the unknown stat keeps it unknown (never -1+n)
+    db.insert(docs(50), embedField = Some("text"))
+    db.table.hnswIndexMeta.get.rows shouldBe -1L
+    db.table.drop()
+  }
+
+  test("tombstone count is visible across table instances on the same root") {
+    val db = newDb("t6x")
+    db.insert(docs(30), embedField = Some("text"))
+    // a SECOND instance over the same root, memo warmed before the delete
+    val other = new graft.table.VectorTable(spark, db.table.root, db.dim)
+    other.tombstoneCount shouldBe 0L
+    db.table.delete(get_json_object(col(graft.core.VectorSchema.METADATA), "$.group") === "1")
+    val expected = db.table.tombstoneCount
+    expected should be > 0L
+    // the other instance must see the delete (a stale cached count
+    // under-widens index probes — fewer than k live rows)
+    other.tombstoneCount shouldBe expected
+    db.table.drop()
+  }
+
   test("embedder registry: unknown name raises (vdb.py:24-27)") {
     intercept[IllegalArgumentException](Embedders.forName("no-such-embedder"))
   }
