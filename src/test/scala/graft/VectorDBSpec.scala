@@ -149,6 +149,36 @@ class VectorDBSpec extends SparkSpec with Matchers {
     db.table.drop()
   }
 
+  test("probe widening caps at WidenCap·k; past the cap the route is the exact path") {
+    val db = newDb("t6cap")
+    db.insert(docs(60), embedField = Some("text"))
+    db.table.buildHnswIndex()
+    db.probeWidth(10) shouldBe Some(10) // no debt: no widening
+    db.indexDeleteDebt shouldBe 0.0
+    // 20 tombstones (group 1 of 3): widened under the cap for k=10,
+    // PAST the cap for k=5 — probe width NEVER exceeds WidenCap·k
+    db.table.delete(get_json_object(col(graft.core.VectorSchema.METADATA), "$.group") === "1")
+    db.table.tombstoneCount shouldBe 20L
+    for (k <- 1 to 40)
+      withClue(s"k=$k:") {
+        db.probeWidth(k).foreach(_ should be <= VectorDB.WidenCap * k)
+        db.probeWidth(k).isDefined shouldBe (20L <= (VectorDB.WidenCap - 1L) * k)
+      }
+    db.probeWidth(10) shouldBe Some(30)
+    db.probeWidth(5) shouldBe None
+    db.indexDeleteDebt shouldBe (20.0 / 60.0) +- 1e-9
+    // under-cap: widened indexed route returns k live rows
+    val qv = db.embedder.embed("spark joins")
+    val live = db.queryByVector(qv, k = 10).collect()
+    live.length shouldBe 10
+    live.map(r => get("group", r.metadata)).toSet should not contain "1"
+    // past-cap: the facade result EQUALS the exact leg value-for-value
+    // (the same plan — raw kernel doubles included)
+    db.queryByVector(qv, k = 5).collect().toSeq shouldBe
+      db.queryByVector(qv, k = 5, useIndex = false).collect().toSeq
+    db.table.drop()
+  }
+
   test("pre-stat HNSW sidecar (no rows field) still serves the index") {
     val db = newDb("t6meta")
     db.insert(docs(40), embedField = Some("text"))
