@@ -4099,10 +4099,14 @@ object SparkEntry {
     // codebooks for IVF-PQ, stateless sign codes for BQ), probes a
     // 5-query panel through the facade route, and pins filtered ==
     // exact (filters bypass the index, the reference's own scope).
-    // Gates vs measured recall: IVF-PQ mean 0.84 (sf0.01) / 0.86
-    // (sf0.1) → floor 0.7; BQ mean 0.97 / 0.95 → floor 0.8. ----
+    // Gates vs measured recall: IVF-PQ probes query-ADAPTIVELY (floor
+    // nProbe 8, up to 16 cells within a 1.5× centroid-distance band —
+    // boundary queries widen, interior queries stay cheap), measured
+    // mean 0.90 (sf0.01 panel) / 0.88 (sf0.1) and 0.89/0.87 on a
+    // 50-query panel → floor 0.85 (raised from 0.7; fixed-8 probing
+    // measured 0.82/0.74). BQ mean 0.97 / 0.95 → floor 0.8. ----
     "vdb_knn_indexed_ivfpq" -> ((s, dir) =>
-      SparkEntry.indexedTierLifecycle(s, dir, "ivfpq", meanFloor = 0.7)),
+      SparkEntry.indexedTierLifecycle(s, dir, "ivfpq", meanFloor = 0.85)),
     "vdb_knn_indexed_bq" -> ((s, dir) =>
       SparkEntry.indexedTierLifecycle(s, dir, "bq", meanFloor = 0.8)),
     // ---- BOUNDED tombstone probe-widening, all three persisted tiers:

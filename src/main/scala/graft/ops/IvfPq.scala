@@ -52,6 +52,25 @@ object IvfPq {
       centers.zipWithIndex.map { case (c, i) => (sq(v, c), i) }
         .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
 
+    /** Query-ADAPTIVE cell selection (the multi-probe rule): always the
+      * `nProbeMin` nearest cells, then keep widening — up to
+      * `nProbeMax` — only while a cell's centroid distance stays
+      * within `ratio` × the nearest centroid's. A query deep inside
+      * one Voronoi cell probes the minimum; a query near cell
+      * boundaries (where fixed-nProbe recall is lost — its true
+      * neighbors straddle the boundary) widens automatically. Distance
+      * is squared L2 on the unit sphere, so `ratio` compares squared
+      * distances. */
+    def nearestCellsAdaptive(
+        v: Array[Float], nProbeMin: Int, nProbeMax: Int, ratio: Float): Array[Int] = {
+      val ds = centers.zipWithIndex.map { case (c, i) => (sq(v, c), i) }
+        .sortBy(x => (x._1, x._2))
+      val cut = ds(0)._1 * ratio
+      ds.take(math.min(nProbeMax, ds.length)).zipWithIndex
+        .takeWhile { case ((d, _), rank) => rank < nProbeMin || d <= cut }
+        .map(_._1._2)
+    }
+
     def residual(v: Array[Float], cell: Int): Array[Float] = {
       val c = centers(cell)
       Array.tabulate(dim)(j => v(j) - c(j))
@@ -182,7 +201,8 @@ object IvfPq {
     * [[persistCodes]]-partitioned. Returns (query_id, neighbor_id). */
   def search(queries: DataFrame, index: Index, codes: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 4, shortlistFactor: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nProbeMax: Int = 0, adaptRatio: Double = 1.5): DataFrame = {
     val spark = codes.sparkSession
     val bcIx = spark.sparkContext.broadcast(index)
     val qenc = RowEncoder.encoderFor(StructType(Seq(
@@ -197,7 +217,14 @@ object IvfPq {
         rows.flatMap { r =>
           val qid = r.getLong(0)
           val qv = normalize(r.getSeq[Float](1).toArray)
-          ix.nearestCells(qv, nProbe).iterator.map(c => Row(qid, c, qv.toSeq))
+          // nProbeMax > nProbe turns on query-adaptive widening: nProbe
+          // becomes the floor and boundary-straddling queries probe up
+          // to nProbeMax cells (see nearestCellsAdaptive)
+          val cells =
+            if (nProbeMax > nProbe)
+              ix.nearestCellsAdaptive(qv, nProbe, nProbeMax, adaptRatio.toFloat)
+            else ix.nearestCells(qv, nProbe)
+          cells.iterator.map(c => Row(qid, c, qv.toSeq))
         }
       }(qenc))
     // ≤ nCells values regardless of batch size: safe to collect, and a

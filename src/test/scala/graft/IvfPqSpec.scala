@@ -105,6 +105,43 @@ class IvfPqSpec extends SparkSpec with Matchers {
     core.PlanCache.release(spark)
   }
 
+  test("adaptive cell selection: floor always probed, widening only inside the ratio band") {
+    val (ix, _, codes) = buildPersisted()
+    import spark.implicits._
+    def norm(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    def sq(a: Array[Float], b: Array[Float]): Float =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val panel = emb.where(col("vec_id") < 20).select(col("embedding"))
+      .as[Array[Float]].collect().map(norm)
+    panel.foreach { qv =>
+      val fixed = ix.nearestCells(qv, 4)
+      val ad = ix.nearestCellsAdaptive(qv, 4, 8, 1.5f)
+      // the floor cells are always probed, in the same nearest-first order
+      ad.take(4).toSeq shouldBe fixed.toSeq
+      ad.length should be >= 4
+      ad.length should be <= 8
+      // every widened cell sits inside the ratio band of the nearest
+      val d = ix.centers.map(c => sq(qv, c))
+      ad.drop(4).foreach(cell => d(cell) should be <= d(fixed.head) * 1.5f)
+      // ratio → ∞ degenerates to fixed nProbeMax; tight ratio to the floor
+      ix.nearestCellsAdaptive(qv, 4, 8, Float.MaxValue).toSeq shouldBe
+        ix.nearestCells(qv, 8).toSeq
+    }
+    // searching with nProbeMax=nCells and a wide band reduces to the
+    // probe-everything exact path for any query (sanity: recall 1.0)
+    val q = emb.where(col("vec_id") < 5)
+    // self-exclusion on BOTH legs: IvfPq.search always skips qid==id
+    val exact = ops.Similarity.bruteTopK(q, emb, k = 5)
+    val wide = ops.IvfPq.search(q, ix, codes, emb, k = 5, nProbe = 1,
+      shortlistFactor = 64, nProbeMax = ix.nCells, adaptRatio = Double.MaxValue)
+    ops.Similarity.recallAtK(wide, exact, k = 5)
+      .agg(min(col("recall"))).head.getDouble(0) shouldBe 1.0
+    core.PlanCache.release(spark)
+  }
+
   test("bulk-batch search (every vector a query) matches the in-memory-code answer") {
     val (ix, c0, codes) = buildPersisted()
     def run(c: org.apache.spark.sql.DataFrame) =
