@@ -348,6 +348,32 @@ object SparkEntry {
       .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
   }
 
+  /** Shared body of the `ann_filtered_{ivfpq,bq}` entries: the OPT-IN
+    * filtered probe through the non-graph persisted tiers (tier parity
+    * with `vdb_knn_filtered_indexed`'s HNSW probe) — a moderate
+    * (label ≥ 5, ~50%) and a tight (label = 3, ~10%) predicate, each
+    * recall-gated vs the filtered exact truth through the facade. Uses
+    * the read-only built fixture. */
+  private[graft] def filteredTierProbe(s: SparkSession, dir: String, tier: String,
+      moderateFloor: Double, tightFloor: Double): DataFrame = {
+    import s.implicits._
+    val (wh, _) = tierFixture(s, dir, tier)
+    val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"), dim = 64)
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    def recallOf(f: Seq[Filters.Pred]): Double = {
+      val approx = db.queryByVector(qvec, k = 10, filters = f,
+        indexFilteredProbe = true).collect().map(_.id).toSet
+      val exact = db.queryByVector(qvec, k = 10, filters = f,
+        useIndex = false).collect().map(_.id).toSet
+      if (exact.isEmpty) 1.0 else (exact intersect approx).size.toDouble / exact.size
+    }
+    val moderate = recallOf(Seq(Filters.Cmp("label", Filters.CmpOp.Gte, 5)))
+    val tight = recallOf(Seq(Filters.Cmp("label", Filters.CmpOp.Eq, 3)))
+    Seq((0L, if (moderate >= moderateFloor) 1 else 0, if (tight >= tightFloor) 1 else 0))
+      .toDF("query_id", "recall_ok", "tight_ok")
+  }
+
   // ---- incremental entity-resolution STATE (the production shape:
   // prior pairs + component labels live in parquet; a batch step READS
   // them, verifies only touched blocks, re-clusters the contracted
@@ -4122,6 +4148,22 @@ object SparkEntry {
     // cap — probeWidth None, the query EQUALS the exact leg
     // value-for-value, and indexDeleteDebt surfaces the rebuild
     // signal. ----
+    // ---- tier parity for the OPT-IN filtered probe: the IVF-PQ tier
+    // semi-joins the code table down to the predicate's eligible
+    // surrogates BEFORE ADC ranking with nProbe scaled by 1/selectivity
+    // (IvfPq.searchFiltered); the BQ tier prefilters the packed sign
+    // codes so ineligible rows never enter the Hamming cascade. Both
+    // recall-gated vs the filtered exact truth at a moderate (~50%) and
+    // tight (~10%) predicate; the DEFAULT filtered route stays exact
+    // (vdb_knn_indexed_* pin filtered == exact). Measured recall over a
+    // 10-query panel: 1.0 everywhere at sf0.01; sf0.1 means 0.97/1.0
+    // (ivfpq mod/tight) and 0.98/1.0 (bq), panel min 0.9 → floor 0.8
+    // (the selectivity-scaled nProbe saturates to all cells at these
+    // selectivities, leaving only PQ/sign quantization error). ----
+    "ann_filtered_ivfpq" -> ((s, dir) =>
+      SparkEntry.filteredTierProbe(s, dir, "ivfpq", moderateFloor = 0.8, tightFloor = 0.8)),
+    "ann_filtered_bq" -> ((s, dir) =>
+      SparkEntry.filteredTierProbe(s, dir, "bq", moderateFloor = 0.8, tightFloor = 0.8)),
     "vdb_knn_capped_widen" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
@@ -9088,6 +9130,10 @@ object SparkEntry {
     "vdb_knn_capped_widen" ->
       """SELECT tier, 1 AS widen_ok, 1 AS capped_exact_ok, 1 AS debt_ok
         |FROM (VALUES ('hnsw'), ('ivfpq'), ('bq')) t(tier)""".stripMargin,
+    "ann_filtered_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
+    "ann_filtered_bq" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
     "vdb_knn_bulk" ->
       "SELECT vec_id AS query_id, 1 AS k_ok, 1 AS recall_ok FROM embeddings WHERE vec_id < 100",
     "layout_partitioned_read" ->

@@ -103,11 +103,21 @@ class VectorDB(
       // of the three exists): same contract as the HNSW route —
       // unfiltered queries probe the index, filtered queries stay
       // exact (the reference's own index scope, duckvdb.py:37-45)
+      // unless the caller opts into the filtered probe below
       case None if widened.isDefined && table.ivfPqIndexMeta.isDefined =>
         val (ix, codes) = table.ivfPqIndex.get
         ivfpqKnn(ix, codes, vec, k, widened.get)
       case None if widened.isDefined && table.bqIndexMeta.isDefined =>
         bqKnn(table.bqCodes.get, vec, k, widened.get)
+      // tier parity for the OPT-IN filtered probe: cell-intersected
+      // eligible-set search for IVF-PQ, code-side prefilter for BQ —
+      // same contract as the HNSW route (eligible set from the live
+      // filtered view, so tombstoned/ineligible rows never score and
+      // approximation touches recall only, never filter correctness)
+      case None if useIndex && indexFilteredProbe && table.ivfPqIndexMeta.isDefined =>
+        ivfpqFilteredKnn(vec, k, filters, useVariant)
+      case None if useIndex && indexFilteredProbe && table.bqIndexMeta.isDefined =>
+        bqFilteredKnn(vec, k, filters, useVariant)
       case _ =>
         val compiled =
           if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
@@ -278,6 +288,80 @@ class VectorDB(
         coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor)
       .select(col("neighbor_id").as("__h"), col("distance"))
     live
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))
+      .dropDuplicates()
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  /** Filtered probe through the persisted IVF-PQ tier
+    * ([[graft.ops.IvfPq.searchFiltered]]): the predicate's survivors
+    * (live, filtered view) form the eligible surrogate set; the code
+    * table is semi-joined down to it BEFORE ADC ranking, with nProbe
+    * scaled by 1/selectivity (exact fallback below the cutoff). The
+    * metadata join runs against the FILTERED view, so every output row
+    * satisfies the predicate even under a surrogate collision. */
+  private def ivfpqFilteredKnn(
+      vec: Array[Float], k: Int,
+      filters: Seq[Filters.Pred], useVariant: Boolean): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.ivfPqIndexMeta.get
+    val (ix, codes) = table.ivfPqIndex.get
+    val compiled =
+      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+      else Filters.compile(filters, col(VectorSchema.METADATA))
+    val filteredView = table.df.where(compiled)
+    val corpus = filteredView.select(
+      xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
+    val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    val hits = ops.IvfPq.searchFiltered(q, ix, codes, corpus, k,
+        eligible = corpus.select(col("vec_id")),
+        nProbe = meta.nProbe, shortlistFactor = meta.shortlistFactor)
+      .select(col("neighbor_id").as("__h"))
+    filteredView
+      .withColumn("__h", xxhash64(col(VectorSchema.ID)))
+      .join(broadcast(hits), Seq("__h"))
+      .select(col(VectorSchema.ID), col(VectorSchema.METADATA),
+        graft.functions.RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col(VectorSchema.EMBEDDING), typedlit(vec)), 4)
+          .as("distance"))
+      .dropDuplicates()
+      .orderBy(col("distance").asc, col(VectorSchema.ID).asc)
+      .limit(k)
+      .as[Result]
+  }
+
+  /** Filtered probe through the persisted BQ tier: a CODE-SIDE
+    * prefilter — the packed sign codes are semi-joined down to the
+    * predicate's eligible surrogates before the Hamming cascade, so
+    * ineligible rows never enter any shortlist and the recall
+    * character equals the unfiltered cascade's (no cell pruning to
+    * compensate for; at tight selectivities the coarse shortlist
+    * covers the whole eligible set and the cascade degenerates to
+    * exact). */
+  private def bqFilteredKnn(
+      vec: Array[Float], k: Int,
+      filters: Seq[Filters.Pred], useVariant: Boolean): Dataset[Result] = {
+    import spark.implicits._
+    val meta = table.bqIndexMeta.get
+    val compiled =
+      if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
+      else Filters.compile(filters, col(VectorSchema.METADATA))
+    val filteredView = table.df.where(compiled)
+    val corpus = filteredView.select(
+      xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
+    val eligCodes = table.bqCodes.get.join(
+      corpus.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+    val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    val hits = ops.Similarity.bqTopKFromCodes(eligCodes, q, corpus, k,
+        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor)
+      .select(col("neighbor_id").as("__h"), col("distance"))
+    filteredView
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))
       .join(broadcast(hits), Seq("__h"))
       .select(col(VectorSchema.ID), col(VectorSchema.METADATA), col("distance"))

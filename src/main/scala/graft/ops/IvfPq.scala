@@ -199,6 +199,46 @@ object IvfPq {
     * The distinct probed cells (≤ nCells ints, one tiny job) prune the
     * code scan statically — directory-level pruning when the codes are
     * [[persistCodes]]-partitioned. Returns (query_id, neighbor_id). */
+  /** Metadata-FILTERED IVF-ADC search — the cell-intersected
+    * eligible-set probe (the IVF counterpart of
+    * [[Hnsw.probeGraphFiltered]]): the predicate arrives as the
+    * `eligible` id set, the code table is SEMI-JOINED down to eligible
+    * rows BEFORE ADC ranking (ineligible codes never score, so
+    * approximation affects recall only, never filter correctness), and
+    * the probe width adapts to selectivity — nProbe scales by 1/sel
+    * (an eligible row's cell is uncorrelated with the query's nearest
+    * cells, so recovering oversample·k eligible candidates needs
+    * proportionally more cells), capped at nCells. Below `exactCutoff`
+    * selectivity the filtered corpus is already small and the probe
+    * degenerates to the exact scan over `corpus` (which the caller
+    * passes PRE-FILTERED — the same escape hatch as the HNSW path).
+    * Selectivity pricing costs one count job over the eligible scan;
+    * the index size comes from `totalHint` when the caller maintains
+    * it as a stat, falling back to one codes count. */
+  def searchFiltered(queries: DataFrame, index: Index, codes: DataFrame,
+      corpus: DataFrame, k: Int, eligible: DataFrame,
+      nProbe: Int = 4, shortlistFactor: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      exactCutoff: Double = 0.05, totalHint: Long = -1L): DataFrame = {
+    val elig = eligible.select(col(idCol))
+    val matched = elig.count()
+    val total = if (totalHint >= 0L) totalHint else codes.count()
+    val sel = if (total == 0L) 1.0 else math.min(1.0, matched.toDouble / total)
+    if (sel <= exactCutoff)
+      // schema aligned with the probe branch: (query_id, neighbor_id)
+      Similarity.bruteTopK(queries, corpus, k, idCol, embCol, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id"))
+    else {
+      val nProbeEff = math.min(index.nCells,
+        math.max(nProbe, math.ceil(nProbe / sel).toInt))
+      val eligCodes = codes.join(elig.select(col(idCol).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      search(queries, index, eligCodes, corpus, k, nProbeEff, shortlistFactor,
+        idCol, embCol,
+        nProbeMax = math.min(index.nCells, 2 * nProbeEff), adaptRatio = 1.5)
+    }
+  }
+
   def search(queries: DataFrame, index: Index, codes: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 4, shortlistFactor: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding",

@@ -348,6 +348,37 @@ class VectorDBSpec extends SparkSpec with Matchers {
     }
   }
 
+  // ---- OPT-IN filtered probes through the non-graph tiers (tier
+  // parity with the HNSW filtered probe): approximation may cost
+  // recall, NEVER filter correctness or tombstone visibility ----
+  for (tier <- Seq("ivfpq", "bq")) {
+    test(s"opt-in filtered probe through the $tier tier: filter + tombstone correctness") {
+      val db = newDb(s"t-f$tier")
+      db.insert(docs(60), embedField = Some("text"))
+      tier match {
+        case "ivfpq" => db.table.buildIvfPqIndex(nCells = 4)
+        case _ => db.table.buildBqIndex()
+      }
+      val qv = db.embedder.embed("spark joins")
+      val f = Seq(Cmp("group", CmpOp.Eq, 1))
+      val probed = db.queryByVector(qv, k = 10, filters = f, indexFilteredProbe = true).collect()
+      probed.length should be > 0
+      all(probed.map(r => get("group", r.metadata))) shouldBe "1"
+      val exact = db.queryByVector(qv, k = 10, filters = f, useIndex = false)
+        .collect().map(_.id).toSet
+      (exact intersect probed.map(_.id).toSet).size.toDouble / exact.size should be >= 0.8
+      // the DEFAULT filtered route stays exact (no opt-in, no index)
+      db.queryByVector(qv, k = 10, filters = f).collect().map(_.id).toSet shouldBe exact
+      // tombstoned rows are ineligible: they never surface post-delete
+      val top = probed.take(2).map(_.id).toSet
+      db.table.delete(col(graft.core.VectorSchema.ID).isin(top.toSeq: _*))
+      val after = db.queryByVector(qv, k = 10, filters = f, indexFilteredProbe = true).collect()
+      after.map(_.id).toSet intersect top shouldBe empty
+      all(after.map(r => get("group", r.metadata))) shouldBe "1"
+      db.table.drop()
+    }
+  }
+
   private def get(field: String, json: String): String = {
     import spark.implicits._
     spark.range(1).select(get_json_object(lit(json), s"$$.$field")).head().getString(0)
