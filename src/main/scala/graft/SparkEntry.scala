@@ -3581,7 +3581,11 @@ object SparkEntry {
     // small appended batches accumulate as six under-sized segments;
     // compaction rebuilds ONLY those into two fresh graphs (base
     // segments pass through untouched) and the probe over the merged
-    // index must still recover the full-corpus exact top-k. ----
+    // index must still recover the full-corpus exact top-k. Extended
+    // (r9) with the INSERT-PATH trigger: a persisted table under four
+    // steady small inserts (mergeAt=3) must keep its segment count
+    // under the threshold + the in-flight delta — the auto policy that
+    // makes the manual op above a background concern. ----
     "ann_hnsw_compact" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
@@ -3598,8 +3602,26 @@ object SparkEntry {
         maxRows = emb.count() / 8, numSegments = 2, segOffset = 100)
       val cmpPath = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp2").toString
       merged.write.mode("overwrite").parquet(cmpPath)
+      // insert-path auto-trigger leg (VectorTable.autoCompactHnsw):
+      // 4 × 25-row inserts against a built index, segment count bounded
+      s.conf.set("spark.graft.hnsw.mergeAt", "3")
+      val autoOk = try {
+        val wh = java.nio.file.Files.createTempDirectory("graft-hnsw-auto").toString
+        val rows = emb.where($"vec_id" < 100).select(
+          to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+        val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
+          dim = 64, newTable = true)
+        db.insertEmbedded(rows.where($"vec_id" < 25))
+        db.table.buildHnswIndex()
+        val maxSegs = (1 to 3).map { b =>
+          db.insertEmbedded(rows.where($"vec_id" >= b * 25 && $"vec_id" < (b + 1) * 25))
+          db.table.hnswGraph.get.select($"seg").distinct().count()
+        }.max
+        maxSegs <= 3 && db.table.hnswGraph.get.count() == 100
+      } finally s.conf.unset("spark.graft.hnsw.mergeAt")
       Similarity.recallGate(ops.Hnsw.probeGraph(s.read.parquet(cmpPath), q, k = 10),
-        Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
+          Similarity.bruteTopK(q, emb, k = 10), k = 10, floor = 0.9)
+        .withColumn("auto_bounded_ok", lit(if (autoOk) 1 else 0))
     }),
     // ---- incremental IVF index maintenance: 80% of the corpus is
     // indexed (quantizer fit + cell assign), the remaining 20% arrives
@@ -6729,7 +6751,8 @@ object SparkEntry {
     "ann_hnsw_filtered_tight" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_hnsw_compact" ->
-      "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+      """SELECT vec_id AS query_id, 1 AS recall_ok, 1 AS auto_bounded_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "layout_zorder" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 0) AS sum_qty
         |FROM lineitem

@@ -196,6 +196,24 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(hnswMetaPath, false)
   }
 
+  /** Lucene-style merge-policy TRIGGER on the insert path: steady
+    * inserts land one small delta segment each, growing probe fan-out
+    * without bound — when at least `spark.graft.hnsw.mergeAt`
+    * (default 8) segments at or below half the auto-size have
+    * accumulated, exactly those fold via [[compactHnswIndex]] (larger
+    * segments pass through untouched, so the rebuild cost is
+    * proportional to the accumulated SMALL deltas, amortized O(1) per
+    * inserted row — the tiered-merge argument). Cost when nothing
+    * triggers: one per-segment count over the graph table. */
+  private def autoCompactHnsw(): Unit = hnswIndexMeta.foreach { _ =>
+    val mergeAt = spark.conf.get("spark.graft.hnsw.mergeAt", "8").toInt
+    val maxRows = graft.ops.Hnsw.RowsPerSegment / 2
+    val nSmall = spark.read.parquet(hnswGraphPath.toString)
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxRows).count()
+    if (nSmall >= mergeAt) compactHnswIndex(maxRows)
+  }
+
   // ---- persisted IVF-PQ index tier (Jégou et al. IVFADC,
   // [[graft.ops.IvfPq]]) — the same single-index-slot lifecycle as the
   // HNSW tier (build at load → probe → delete-widen → vacuum-rebuild),
@@ -587,6 +605,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
           }
         }
         fresh.write.mode("append").parquet(root)
+        // merge policy AFTER the append is durable: accumulated small
+        // delta segments fold once they cross the mergeAt threshold
+        autoCompactHnsw()
       } finally fresh.unpersist(blocking = false)
     }
   }

@@ -149,6 +149,30 @@ class VectorDBSpec extends SparkSpec with Matchers {
     db.table.drop()
   }
 
+  test("steady small inserts auto-compact the HNSW tier: segment count stays bounded") {
+    spark.conf.set("spark.graft.hnsw.mergeAt", "4")
+    try {
+      val db = newDb("t6auto")
+      db.insert(docs(30), embedField = Some("text"))
+      db.table.buildHnswIndex()
+      def segCount() = db.table.hnswGraph.get.select("seg").distinct().count()
+      var maxSegs = segCount()
+      // 10 steady inserts of 10 fresh docs each: without the insert-path
+      // merge policy the graph would grow one delta segment per insert
+      // (11 segments); with mergeAt=4 the count must stay under the
+      // threshold + the in-flight delta
+      for (b <- 1 to 10) {
+        db.insert(docs(30 + 10 * b), embedField = Some("text"))
+        maxSegs = math.max(maxSegs, segCount())
+      }
+      maxSegs should be <= 4L
+      // nothing lost across repeated folds: every row still indexed and
+      // searchable through the facade
+      db.table.hnswGraph.get.count() shouldBe 130
+      db.query("spark joins", k = 130).collect().map(_.id).toSet.size shouldBe 130
+    } finally spark.conf.unset("spark.graft.hnsw.mergeAt")
+  }
+
   test("probe widening caps at WidenCap·k; past the cap the route is the exact path") {
     val db = newDb("t6cap")
     db.insert(docs(60), embedField = Some("text"))
