@@ -276,31 +276,54 @@ object SparkEntry {
   private[graft] val tierFixtureMemo =
     scala.collection.mutable.Map[(SparkSession, String, String), (String, Boolean)]()
 
-  private[graft] def tierFixture(
-      s: SparkSession, dir: String, tier: String): (String, Boolean) =
-    tierFixtureMemo.synchronized {
-      tierFixtureMemo.getOrElseUpdate((s, dir, tier), {
+  // (session, dir, tier) -> warehouse with the 80% BASE inserted and
+  // the tier index built, NO delta: the build artifact the delta-append
+  // consumers (batch lifecycle, streaming maintenance) each copy and
+  // append to. One KMeans/graph build per (session, dir, tier).
+  private[graft] val tierBaseFixtureMemo =
+    scala.collection.mutable.Map[(SparkSession, String, String), String]()
+
+  private[graft] def tierBaseFixture(s: SparkSession, dir: String, tier: String): String =
+    tierBaseFixtureMemo.synchronized {
+      tierBaseFixtureMemo.getOrElseUpdate((s, dir, tier), {
         import s.implicits._
-        val wh = java.nio.file.Files.createTempDirectory(s"graft-knn$tier").toString
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-base$tier").toString
         val emb = s.read.parquet(t(dir, "embeddings"))
         val rows = emb.select(
           to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
         val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"),
           dim = 64, newTable = true)
         db.insertEmbedded(rows.where($"vec_id" % 5 =!= 0))
-        def indexRows() = tier match {
-          case "ivfpq" => db.table.ivfPqIndex.get._2.count()
-          case "bq" => db.table.bqCodes.get.count()
-          case _ => db.table.hnswGraph.get.count()
-        }
         tier match {
           case "ivfpq" => db.table.buildIvfPqIndex()
           case "bq" => db.table.buildBqIndex()
           case _ => db.table.buildHnswIndex()
         }
-        val before = indexRows()
-        db.insertEmbedded(rows.where($"vec_id" % 5 === 0)) // delta -> appended index rows
-        (wh, indexRows() > before)
+        wh
+      })
+    }
+
+  private[graft] def tierIndexRows(db: VectorDB, tier: String): Long = tier match {
+    case "ivfpq" => db.table.ivfPqIndex.get._2.count()
+    case "bq" => db.table.bqCodes.get.count()
+    case _ => db.table.hnswGraph.get.count()
+  }
+
+  private[graft] def tierFixture(
+      s: SparkSession, dir: String, tier: String): (String, Boolean) =
+    tierFixtureMemo.synchronized {
+      tierFixtureMemo.getOrElseUpdate((s, dir, tier), {
+        import s.implicits._
+        // copy of the base fixture + the 20% delta batch-inserted:
+        // fresh rows become appended index rows (codes / new segments)
+        val wh = copyFixture(s, tierBaseFixture(s, dir, tier))
+        val emb = s.read.parquet(t(dir, "embeddings"))
+        val rows = emb.select(
+          to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding")
+        val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"), dim = 64)
+        val before = tierIndexRows(db, tier)
+        db.insertEmbedded(rows.where($"vec_id" % 5 === 0))
+        (wh, tierIndexRows(db, tier) > before)
       })
     }
 
@@ -556,6 +579,9 @@ object SparkEntry {
     drop(erTwoBatchMemo)(_ => ())
     tierFixtureMemo.synchronized { // parquet-backed warehouses
       tierFixtureMemo.keys.filter(_._1 eq s).toList.foreach(tierFixtureMemo.remove)
+    }
+    tierBaseFixtureMemo.synchronized {
+      tierBaseFixtureMemo.keys.filter(_._1 eq s).toList.foreach(tierBaseFixtureMemo.remove)
     }
     drop(bucketedLayout)(_ => ())
     drop(zorderLayout)(_ => ())
@@ -2744,6 +2770,23 @@ object SparkEntry {
     // probe over base ∪ delta segments recall-gated post-stream ----
     "stream_hnsw_append" -> ((s, dir) =>
       graft.streaming.AnnIngest.runHnswAppendAvailableNow(s, dir)),
+    // ---- streaming maintenance of the OTHER two persisted table
+    // tiers (tier parity for the ingest path): micro-batches stream
+    // through VectorDB.insertEmbedded against a copied base warehouse
+    // whose index is pre-built — the insert path appends each batch as
+    // index rows (frozen-codebook IVF-PQ encode / stateless BQ sign
+    // codes, both map-only). A batch row is probed back MID-STREAM at
+    // distance 0 (immediately searchable), and the post-stream panel
+    // recall-gates vs the exact facade leg (same floors as the batch
+    // lifecycle twins). ----
+    "stream_ivfpq_append" -> ((s, dir) =>
+      graft.streaming.AnnIngest.runTableTierAppendAvailableNow(s, dir,
+        SparkEntry.copyFixture(s, SparkEntry.tierBaseFixture(s, dir, "ivfpq")),
+        floor = 0.85)),
+    "stream_bq_append" -> ((s, dir) =>
+      graft.streaming.AnnIngest.runTableTierAppendAvailableNow(s, dir,
+        SparkEntry.copyFixture(s, SparkEntry.tierBaseFixture(s, dir, "bq")),
+        floor = 0.8)),
     // ---- streaming: near-dup ingest gate — incoming docs checked
     // against the static existing-corpus SimHash quarter table
     // (pigeonhole banding keys the stream-static join; stateless), per
@@ -6771,6 +6814,10 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "stream_hnsw_append" ->
       "SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "stream_ivfpq_append" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS searchable_ok",
+    "stream_bq_append" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS searchable_ok",
     "sim_ann_ivfpq" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok FROM embeddings WHERE vec_id < 10",
     "ann_index_probe" ->

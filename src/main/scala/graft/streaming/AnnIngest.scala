@@ -68,6 +68,64 @@ object AnnIngest {
       Similarity.bruteTopK(queries, emb, k = 10), k = 10, floor = 0.7)
   }
 
+  /** Streaming maintenance of a PERSISTED VectorTable index tier
+    * through the table layer (the IVF-PQ/BQ twins of the graph tier's
+    * stream): the base warehouse arrives with its index built (pass a
+    * throwaway COPY — this runner mutates it); each arriving
+    * micro-batch goes through `VectorDB.insertEmbedded`, whose insert
+    * path appends the batch as index rows (frozen-codebook encode for
+    * IVF-PQ, stateless sign codes for BQ — both map-only). INSIDE each
+    * committed batch, one of the batch's own vectors is probed back
+    * through the indexed facade route and must surface at distance 0 —
+    * the immediately-searchable proof, asserted mid-stream rather than
+    * after the fact. Post-stream, a 5-query panel mean-recall gates the
+    * appended index against the exact facade leg over the full corpus.
+    * Returns (query_id, recall_ok, searchable_ok). */
+  def runTableTierAppendAvailableNow(spark: SparkSession, dir: String,
+      baseWarehouse: String, floor: Double): DataFrame = {
+    import spark.implicits._
+    val db = new graft.VectorDB(spark, "items", baseWarehouse, "hashing",
+      Map("dim" -> "64"), dim = 64)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tier-stream").toString
+    val delta = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") % 5 === 0)
+    @volatile var searchableOk = true
+    @volatile var sawBatch = false
+    val q = delta.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          to_json(struct(col("vec_id"), col("label"))).as("metadata"), col("embedding"))
+        db.insertEmbedded(rows)
+        // immediately-searchable: a row of THIS batch, probed through
+        // the indexed route the moment its insert returns
+        val probe = batch.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding")).collect()
+        if (probe.nonEmpty) {
+          sawBatch = true
+          val qv = probe.head.getSeq[Float](0).toArray
+          val hit = db.queryByVector(qv, k = 1).collect()
+          searchableOk &&= hit.nonEmpty && hit.head.distance <= 1e-4
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val panel = emb.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    val recalls = panel.map { qv =>
+      val approx = db.queryByVector(qv, k = 10).collect().map(_.id).toSet
+      val exact = db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val meanRecall = recalls.sum / recalls.length
+    Seq((0L, if (meanRecall >= floor) 1 else 0,
+      if (searchableOk && sawBatch) 1 else 0))
+      .toDF("query_id", "recall_ok", "searchable_ok")
+  }
+
   /** Streaming maintenance of the persisted HNSW index — same
     * lifecycle as the IVF-PQ runner but for the graph family: the base
     * corpus (80%) is bulk-built once into graph segments

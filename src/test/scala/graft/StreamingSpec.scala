@@ -320,4 +320,20 @@ class StreamingSpec extends SparkSpec with Matchers {
     gate.getInt(1) shouldBe 1    // mean probe recall over the full corpus >= 0.7
     graft.core.PlanCache.release(spark)
   }
+
+  test("streaming TABLE-tier append (BQ): mid-stream insert immediately searchable, recall holds") {
+    val dir = "/root/testdata/sf0.001"
+    val gate = graft.streaming.AnnIngest.runTableTierAppendAvailableNow(
+      spark, dir,
+      SparkEntry.copyFixture(spark, SparkEntry.tierBaseFixture(spark, dir, "bq")),
+      floor = 0.8).head()
+    gate.getInt(1) shouldBe 1 // post-stream panel recall vs exact facade leg
+    gate.getInt(2) shouldBe 1 // a batch row probed back at distance 0 MID-stream
+    // the BASE fixture itself stays delta-free (the runner mutated only
+    // its copy): the memoized warehouse serves the next consumer intact
+    val base = new graft.table.VectorTable(
+      spark, SparkEntry.tierBaseFixture(spark, dir, "bq") + "/items", 64)
+    base.bqCodes.get.count() shouldBe base.numRows
+    graft.core.PlanCache.release(spark)
+  }
 }
