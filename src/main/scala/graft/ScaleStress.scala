@@ -238,6 +238,8 @@ object ScaleStress {
       else if (name == "hnsw_bulk") hnswBulk(spark, src)
       else if (name == "vdb_bulk") vdbBulk(spark, src)
       else if (name == "hnsw_compact") hnswCompact(spark, src, target, copies)
+      else if (name == "tier_serving") tierServing(spark, src, target, copies)
+      else if (name == "widen_debt") widenDebt(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
@@ -338,6 +340,79 @@ object ScaleStress {
     }
     probe("warm-up")
     probe("steady")
+  }
+
+  /** Serving-probe stress for the persisted IVF-PQ/BQ TABLE tiers (the
+    * facade route, not the bare op): each tier builds over the
+    * `copies`× corpus through VectorDB, then five k=10 serving queries
+    * time the indexed route and one times the exact leg — evidence the
+    * per-query serving cost is index-bound (codes/cell-pruned scan),
+    * not corpus-bound, as the corpus scales. */
+  private def tierServing(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    for (tier <- Seq("ivfpq", "bq")) {
+      val emb = spark.read.parquet(s"$target/embeddings.parquet")
+      val n = emb.count()
+      val wh = java.nio.file.Files.createTempDirectory(s"stress-$tier").toString
+      val db = new VectorDB(spark, "items", wh, "hashing", Map("dim" -> "64"),
+        dim = 64, newTable = true)
+      val t0 = System.nanoTime()
+      db.insertEmbedded(emb.select(
+        to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding"))
+      if (tier == "ivfpq")
+        db.table.buildIvfPqIndex(nCells = math.max(16, math.sqrt(n.toDouble).toInt / 4))
+      else db.table.buildBqIndex()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val panel = emb.where($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+      def probe(useIndex: Boolean): Double = {
+        val t1 = System.nanoTime()
+        panel.foreach(qv => db.queryByVector(qv, k = 10, useIndex = useIndex).collect())
+        (System.nanoTime() - t1) / 1e9 / panel.length
+      }
+      probe(useIndex = true) // warm
+      println(f"[stress] tier_serving $tier%-6s n=$n build=$tBuild%8.2f s" +
+        f"  indexed/query=${probe(useIndex = true)}%6.2f s" +
+        f"  exact/query=${probe(useIndex = false)}%6.2f s")
+    }
+  }
+
+  /** Delete-debt stress for the capped probe-widening
+    * ([[VectorDB.probeWidth]]): an HNSW-indexed warehouse over the
+    * `copies`× corpus, serving latency measured at debt 0 (kProbe=k),
+    * debt 3k (the widest CAPPED probe, kProbe=4k) and ~30% deletes
+    * (past the cap — exact-path fallback). Evidence for the r9 brief:
+    * indexed-query latency stays FLAT as delete debt grows, because
+    * widening is bounded and past-cap queries pay the exact scan, not
+    * a debt-proportional beam. */
+  private def widenDebt(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generateEmbeddings(spark, src, target, copies)
+    val emb = spark.read.parquet(s"$target/embeddings.parquet")
+    val n = emb.count()
+    val wh = java.nio.file.Files.createTempDirectory("stress-widen").toString
+    val db = new VectorDB(spark, "items", wh, "hashing", Map("dim" -> "64"),
+      dim = 64, newTable = true)
+    db.insertEmbedded(emb.select(
+      to_json(struct($"vec_id", $"label")).as("metadata"), $"embedding"))
+    db.table.buildHnswIndex()
+    val qv = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val mdId = org.apache.spark.sql.functions
+      .get_json_object(col(graft.core.VectorSchema.METADATA), "$.vec_id").cast("long")
+    def probe(tag: String): Unit = {
+      db.queryByVector(qv, k = 10).collect() // warm
+      val t1 = System.nanoTime()
+      (1 to 3).foreach(_ => db.queryByVector(qv, k = 10).collect())
+      val s = (System.nanoTime() - t1) / 1e9 / 3
+      println(f"[stress] widen_debt n=$n $tag%-28s kProbe=${db.probeWidth(10)}" +
+        f"  indexed/query=$s%6.2f s")
+    }
+    probe("debt=0")
+    db.table.delete(mdId >= 1000 && mdId < 1030) // 30 = 3k: widest capped probe
+    probe("debt=3k (capped widen)")
+    db.table.delete(mdId % 10 < 3) // ~30%: past the cap, exact fallback
+    probe("debt=30% (exact fallback)")
   }
 
   /** Query-batch-dimension stress for the distributed HNSW probe
