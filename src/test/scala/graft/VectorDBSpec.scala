@@ -27,6 +27,23 @@ class VectorDBSpec extends SparkSpec with Matchers {
     q.size should be >= 172
   }
 
+  test("README's registry count derives from the registry (single source of truth)") {
+    // the r8 verdict found README prose drifting one behind the
+    // registry: every "<N> registered queries"-shaped claim in README
+    // must equal SparkEntry.queries.size, or this test names the lines
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    val claims =
+      """(\d+) registered queries""".r.findAllMatchIn(readme).map(m => (m.group(1).toInt, m.matched)) ++
+        """Every registered query\s*\((\d+)\)""".r.findAllMatchIn(readme).map(m => (m.group(1).toInt, m.matched))
+    val found = claims.toSeq
+    found should not be empty
+    found.foreach { case (claimed, where) =>
+      withClue(s"README claim '$where' vs registry size $n:") { claimed shouldBe n }
+    }
+  }
+
   private def newDb(name: String) = {
     val wh = Files.createTempDirectory("graft-test").toString
     new VectorDB(spark, name, wh, "hashing", Map("dim" -> "16"), dim = 16, newTable = true)
