@@ -397,6 +397,33 @@ object SparkEntry {
       .toDF("query_id", "recall_ok", "tight_ok")
   }
 
+  /** Shared body of the `vdb_knn_bulk_{ivfpq,bq}` entries: BULK
+    * retrieval (queryByVectors) through the non-graph persisted tiers —
+    * a 100-query batch against the built fixture, every query returning
+    * exactly k rows, batch mean recall vs the exact bulk twin gated at
+    * the tier's floor. */
+  private[graft] def bulkTierProbe(s: SparkSession, dir: String, tier: String,
+      floor: Double): DataFrame = {
+    import s.implicits._
+    val (wh, _) = tierFixture(s, dir, tier)
+    val db = new VectorDB(s, "items", wh, "hashing", Map("dim" -> "64"), dim = 64)
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.where($"vec_id" < 100).select($"vec_id".as("query_id"), $"embedding")
+    val approx = db.queryByVectors(q, k = 10)
+    val exact = db.queryByVectors(q, k = 10, useIndex = false)
+    val matched = approx.select($"query_id", $"id")
+      .join(exact.select($"query_id", $"id"), Seq("query_id", "id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .join(approx.groupBy($"query_id").agg(count(lit(1)).as("ka")), Seq("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        min(when($"ka" === $"n", 1).otherwise(0)).as("k_ok"),
+        when(avg(coalesce($"hits", lit(0)).cast("double") / $"n") >= floor, 1)
+          .otherwise(0).as("recall_ok"))
+      .select($"n_queries", $"k_ok", $"recall_ok")
+  }
+
   // ---- incremental entity-resolution STATE (the production shape:
   // prior pairs + component labels live in parquet; a batch step READS
   // them, verifies only touched blocks, re-clusters the contracted
@@ -4296,6 +4323,18 @@ object SparkEntry {
           when($"ka" === $"n", 1).otherwise(0).as("k_ok"),
           when(coalesce($"hits", lit(0)) >= $"n" * 0.9, 1).otherwise(0).as("recall_ok"))
     }),
+    // ---- BULK retrieval through the NON-GRAPH tiers (bulk tier
+    // parity): the IVF-PQ probe is distributed in both dimensions
+    // (probe rows equi-join the cell-pruned codes — no driver panel),
+    // the BQ cascade broadcasts the batch over the code scan. Gates:
+    // all 100 queries return exactly k rows; batch MEAN recall vs the
+    // exact bulk twin ≥ the tier floor (measured 0.90/0.88 ivfpq,
+    // 0.97/0.95 bq at sf0.01/sf0.1 — same index shapes as the serving
+    // lifecycle entries). ----
+    "vdb_knn_bulk_ivfpq" -> ((s, dir) =>
+      SparkEntry.bulkTierProbe(s, dir, "ivfpq", floor = 0.85)),
+    "vdb_knn_bulk_bq" -> ((s, dir) =>
+      SparkEntry.bulkTierProbe(s, dir, "bq", floor = 0.8)),
     // ---- MLlib-Transformer embedder (third registry family): IDF
     // weights fitted with the real Tokenizer→HashingTF→IDF stages; the
     // corpus embeds through the REGISTRY path (mapPartitions, weights
@@ -9206,6 +9245,12 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
     "vdb_knn_bulk" ->
       "SELECT vec_id AS query_id, 1 AS k_ok, 1 AS recall_ok FROM embeddings WHERE vec_id < 100",
+    "vdb_knn_bulk_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS k_ok, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "vdb_knn_bulk_bq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS k_ok, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "layout_partitioned_read" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'click'""".stripMargin,

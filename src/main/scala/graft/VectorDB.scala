@@ -141,9 +141,12 @@ class VectorDB(
     * for. When the table carries a persisted HNSW graph and the batch
     * is unfiltered, the probe is [[graft.ops.Hnsw.probeGraphBulk]]'s
     * distributed (query × segment) cogroup — no driver-side panel, so
-    * wall clock stays linear in batch size; otherwise every query runs
-    * the exact distance pass against the (filtered) corpus in ONE
-    * distributed plan. Tombstone widening and the metadata join mirror
+    * wall clock stays linear in batch size; the IVF-PQ tier routes
+    * through [[graft.ops.IvfPq.search]] (distributed in both
+    * dimensions) and the BQ tier through the Hamming cascade
+    * (query batch broadcast — serving-to-moderate batches); otherwise
+    * every query runs the exact distance pass against the (filtered)
+    * corpus in ONE distributed plan. Tombstone widening and the metadata join mirror
     * the serving path. Returns (query_id, id, metadata, distance), k
     * rows per query, distance-ascending (ties on id). */
   def queryByVectors(
@@ -151,10 +154,33 @@ class VectorDB(
       useVariant: Boolean = false, useIndex: Boolean = true): DataFrame = {
     val qdf = queries.select(col("query_id").as("vec_id"), col(VectorSchema.EMBEDDING))
     val widened = if (useIndex && filters.isEmpty) probeWidth(k) else None
+    def liveSurrogates = table.df.select(
+      xxhash64(col(VectorSchema.ID)).as("vec_id"),
+      col(VectorSchema.EMBEDDING).as("embedding"))
     val hits = table.hnswGraph match {
       case Some(graph) if widened.isDefined =>
         val meta = table.hnswIndexMeta.get
         ops.Hnsw.probeGraphBulk(graph, qdf, widened.get, m = meta.m, excludeSelf = false)
+      // bulk tier parity: the IVF-PQ probe is already distributed in
+      // BOTH dimensions (probe rows equi-join the cell-pruned codes —
+      // no driver panel), so a bulk batch routes straight through it;
+      // the BQ cascade broadcasts the query batch against the code
+      // scan — right for serving-to-moderate batch sizes (the
+      // unbounded-batch shape stays the HNSW cogroup above).
+      // excludeSelf = false everywhere: user query_ids and xxhash64
+      // surrogates are distinct key spaces.
+      case None if widened.isDefined && table.ivfPqIndexMeta.isDefined =>
+        val meta = table.ivfPqIndexMeta.get
+        val (ix, codes) = table.ivfPqIndex.get
+        ops.IvfPq.search(qdf, ix, codes, liveSurrogates, widened.get,
+          nProbe = meta.nProbe, shortlistFactor = meta.shortlistFactor,
+          nProbeMax = math.min(ix.nCells, 2 * meta.nProbe), adaptRatio = 1.5,
+          excludeSelf = false, keepDistance = true)
+      case None if widened.isDefined && table.bqIndexMeta.isDefined =>
+        val meta = table.bqIndexMeta.get
+        ops.Similarity.bqTopKFromCodes(table.bqCodes.get, qdf, liveSurrogates,
+          widened.get, coarseFactor = meta.coarseFactor,
+          fineFactor = meta.fineFactor, excludeSelf = false)
       case _ =>
         val compiled =
           if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))

@@ -242,7 +242,8 @@ object IvfPq {
   def search(queries: DataFrame, index: Index, codes: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 4, shortlistFactor: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding",
-      nProbeMax: Int = 0, adaptRatio: Double = 1.5): DataFrame = {
+      nProbeMax: Int = 0, adaptRatio: Double = 1.5,
+      excludeSelf: Boolean = true, keepDistance: Boolean = false): DataFrame = {
     val spark = codes.sparkSession
     val bcIx = spark.sparkContext.broadcast(index)
     val qenc = RowEncoder.encoderFor(StructType(Seq(
@@ -285,7 +286,7 @@ object IvfPq {
         val qid = r.getLong(0)
         val cell = r.getInt(1)
         val id = r.getLong(3)
-        if (qid == id) Iterator.empty
+        if (excludeSelf && qid == id) Iterator.empty
         else {
           if (qid != lutQ || cell != lutCell) {
             lut = ix.books.lut(ix.residual(r.getSeq[Float](2).toArray, cell))
@@ -315,6 +316,10 @@ object IvfPq {
           graft.functions.VectorFunctions.cosineDistance(col("c_emb"), col("q_emb")), 4)
           .as("distance"))
       .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
+      // keepDistance serves callers that consume the exact-rerank
+      // distance directly (the facade's bulk path); the default 2-col
+      // contract is pinned by existing recall-gate consumers
+      .select(col("query_id") +: col("neighbor_id") +:
+        (if (keepDistance) Seq(col("distance")) else Nil): _*)
   }
 }

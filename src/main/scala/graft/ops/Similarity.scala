@@ -164,13 +164,18 @@ object Similarity {
   def bqTopKFromCodes(
       codes: DataFrame, queries: DataFrame, rerank: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      coarseFactor: Int = 64, fineFactor: Int = 16): DataFrame = {
+      coarseFactor: Int = 64, fineFactor: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
     val enc = codes.select(col("neighbor_id"), col("code"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
       graft.functions.BqEncodeExpr.col(col(embCol)).as("q_code"))
     val wc = Window.partitionBy("query_id").orderBy(col("hd").asc, col("neighbor_id").asc)
     val coarse = enc.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("neighbor_id"))
+      // excludeSelf = false when the query-id space is DISJOINT from
+      // the candidate ids (the facade's bulk path: user query_ids vs
+      // xxhash64 surrogates) — there an equality is a different row
+      // that happens to share a key, not "self"
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("code"),
         graft.functions.BqHammingDistance.col(col("q_code"), col("code")).as("hd"))
       .withColumn("rk", row_number().over(wc)).where(col("rk") <= k * coarseFactor)

@@ -389,6 +389,31 @@ class VectorDBSpec extends SparkSpec with Matchers {
     }
   }
 
+  for (tier <- Seq("ivfpq", "bq")) {
+    test(s"bulk retrieval routes through the $tier tier: k rows per query, recall holds") {
+      import spark.implicits._
+      val db = newDb(s"t-bulk-$tier")
+      db.insert(docs(60), embedField = Some("text"))
+      tier match {
+        case "ivfpq" => db.table.buildIvfPqIndex(nCells = 4)
+        case _ => db.table.buildBqIndex()
+      }
+      val texts = Seq((0L, "spark joins"), (1L, "duck ponds"), (2L, "doc number 7"))
+        .toDF("query_id", "text")
+      val approx = db.queryByTexts(texts, k = 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      val exact = db.queryByTexts(texts, k = 5, useIndex = false).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      (0L to 2L).foreach { qid =>
+        withClue(s"query $qid:") {
+          approx(qid).size shouldBe 5
+          (exact(qid) intersect approx(qid)).size.toDouble / 5 should be >= 0.8
+        }
+      }
+      db.table.drop()
+    }
+  }
+
   // ---- OPT-IN filtered probes through the non-graph tiers (tier
   // parity with the HNSW filtered probe): approximation may cost
   // recall, NEVER filter correctness or tombstone visibility ----
