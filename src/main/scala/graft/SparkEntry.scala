@@ -371,6 +371,44 @@ object SparkEntry {
       .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
   }
 
+  /** Shared body of the `ann_probe_rewrite_{ivfpq,bq}` entries: builds
+    * a warehouse with the tier's index, hand-writes the brute-force
+    * top-k plan over the bare table scan, and checks the
+    * planning-time index consult fired (candidate IN-filter in the
+    * plan, no LSH overlap) with recall vs the rule-free exact leg. */
+  private[graft] def probeRewriteTier(s: SparkSession, dir: String, tier: String,
+      floor: Double): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-probe$tier").toString
+    emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
+        to_json(struct($"label")).as("metadata"), $"embedding")
+      .write.mode("overwrite").parquet(s"$wh/src")
+    val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
+    tbl.loadFromParquet(s"$wh/src")
+    tier match {
+      case "ivfpq" => tbl.buildIvfPqIndex()
+      case _ => tbl.buildBqIndex()
+    }
+    val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    def knn(session: SparkSession) =
+      new graft.table.VectorTable(session, s"$wh/table", 64).df
+        .select(col("id"),
+          RoundPortableExpr.r(VectorFunctions.cosineDistance(col("embedding"), typedlit(qvec)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("id").asc).limit(10)
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s2))
+    s2.conf.set("spark.graft.ann.autoRewrite", "true")
+    val approxKnn = knn(s2)
+    val plan = approxKnn.queryExecution.optimizedPlan.toString
+    val usedProbe = plan.contains("xxhash64") && !plan.contains("arrays_overlap")
+    val approx = approxKnn.collect().map(_.getString(0)).toSet
+    val exact = knn(s).collect().map(_.getString(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    Seq((0L, if (usedProbe && recall >= floor) 1 else 0)).toDF("query_id", "recall_ok")
+  }
+
   /** Shared body of the `ann_filtered_{ivfpq,bq}` entries: the OPT-IN
     * filtered probe through the non-graph persisted tiers (tier parity
     * with `vdb_knn_filtered_indexed`'s HNSW probe) — a moderate
@@ -3867,6 +3905,19 @@ object SparkEntry {
       val recall = (exact intersect approx).size.toDouble / exact.size
       Seq((0L, if (usedProbe && recall >= 0.9) 1 else 0)).toDF("query_id", "recall_ok")
     }),
+    // ---- the planner-consults-index rewrite for the OTHER two tiers
+    // of the single index slot: a bare-scan brute-force plan over a
+    // table carrying .ivfpq codes (or .bq sign codes) gets its
+    // candidate IN-filter from an ADC (or Hamming-cascade) probe run at
+    // PLANNING time — same shape contract as ann_graph_probe_rewrite,
+    // proving the rule dispatches on whichever sidecar exists. Gates:
+    // probe shape in the plan (no LSH overlap) + recall vs the
+    // rule-free exact leg (ivfpq 0.8 — single-query ADC probe,
+    // adaptive nProbe; bq 0.9 — measured 1.0/0.9 at sf0.01/0.1). ----
+    "ann_probe_rewrite_ivfpq" -> ((s, dir) =>
+      SparkEntry.probeRewriteTier(s, dir, "ivfpq", floor = 0.8)),
+    "ann_probe_rewrite_bq" -> ((s, dir) =>
+      SparkEntry.probeRewriteTier(s, dir, "bq", floor = 0.9)),
     // ---- engine breadth: joins ----
     "q3_join" -> ((s, dir) => {
       import s.implicits._
@@ -6862,6 +6913,10 @@ object SparkEntry {
     "ann_index_probe" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
     "ann_graph_probe_rewrite" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
+    "ann_probe_rewrite_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
+    "ann_probe_rewrite_bq" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok",
     "agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_count, 1 AS within_tol

@@ -17,20 +17,24 @@ import graft.functions.{CosineDistance, LshBucketsExpr}
   *
   * — into an index-assisted plan. Two probe shapes, tried in order:
   *
-  *  1. **Persisted HNSW graph** ([[graft.table.VectorTable.buildHnswIndex]]):
-  *     when the plan bottoms out at a BARE scan of a table with a
-  *     `.hnsw` sibling index, the rule probes the graph AT PLANNING
-  *     TIME (the classic planner-consults-index move: beam-search the
-  *     segments for the query literal, collect the k+slack candidate
-  *     row keys) and plants `xxhash64(id) IN (<candidates>)` below the
-  *     distance projection — the scan then evaluates one hash + set
-  *     probe per row instead of a 2·dim-flop distance, and the
-  *     distance expression runs over ≤ k+slack rows, semantically
-  *     UNCHANGED (same kernel, same rounding, same ordering — only the
-  *     candidate set is approximate). Bare scan only: a predicate
-  *     between the projection and the scan would make a global top-k
-  *     candidate list under-return, so filtered plans fall through to
-  *     shape 2.
+  *  1. **Persisted index tier** — whichever of the single index slot's
+  *     three shapes the table carries
+  *     ([[graft.table.VectorTable.buildHnswIndex]] graph /
+  *     [[graft.table.VectorTable.buildIvfPqIndex]] codes /
+  *     [[graft.table.VectorTable.buildBqIndex]] sign codes): when the
+  *     plan bottoms out at a BARE scan of a table with an index
+  *     sidecar, the rule probes that index AT PLANNING TIME (the
+  *     classic planner-consults-index move: beam-search the graph /
+  *     ADC-rank the cell-pruned codes / run the Hamming cascade for
+  *     the query literal, collect the k+slack candidate row keys) and
+  *     plants `xxhash64(id) IN (<candidates>)` below the distance
+  *     projection — the scan then evaluates one hash + set probe per
+  *     row instead of a 2·dim-flop distance, and the distance
+  *     expression runs over ≤ k+slack rows, semantically UNCHANGED
+  *     (same kernel, same rounding, same ordering — only the candidate
+  *     set is approximate). Bare scan only: a predicate between the
+  *     projection and the scan would make a global top-k candidate
+  *     list under-return, so filtered plans fall through to shape 2.
   *  2. **LSH bucket prefilter**: rows whose stored (or inline-computed)
   *     sign-random-projection buckets collide with the query's in any
   *     hash table are scored; everything else is skipped.
@@ -123,48 +127,92 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `m` from the table's persisted HNSW meta sidecar, if the scan
-    * root has one (the probe must search with the build's `m` — levels
-    * derive from it). */
-  private def hnswM(root: String): Option[Int] = {
-    val metaPath = new org.apache.hadoop.fs.Path(root + ".hnsw_index.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) None
+  private def sidecarText(path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(metaPath)
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in).mkString finally in.close())
     }
   }
 
-  /** Probes the persisted graph for the plan's query literal and
-    * returns the candidate-key IN-predicate, or None when any
-    * precondition fails (no bare scan, no graph sidecar, no string
-    * `id` column — the key the graph was built over — or no literal
+  /** `m` from the table's persisted HNSW meta sidecar, if the scan
+    * root has one (the probe must search with the build's `m` — levels
+    * derive from it). */
+  private def hnswM(root: String): Option[Int] =
+    sidecarText(root + ".hnsw_index.json").flatMap(txt =>
+      """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt))
+
+  /** (nProbe, shortlistFactor) from an IVF-PQ meta sidecar — the
+    * build-pinned probe defaults the recall gates were measured at. */
+  private def ivfpqParams(root: String): Option[(Int, Int)] =
+    sidecarText(root + ".ivfpq_index.json").flatMap(txt =>
+      """"nProbe"\s*:\s*(\d+).*"shortlistFactor"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt).map(g => (g.group(1).toInt, g.group(2).toInt)))
+
+  /** (coarseFactor, fineFactor) from a BQ meta sidecar. */
+  private def bqParams(root: String): Option[(Int, Int)] =
+    sidecarText(root + ".bq_index.json").flatMap(txt =>
+      """"coarseFactor"\s*:\s*(\d+).*"fineFactor"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt).map(g => (g.group(1).toInt, g.group(2).toInt)))
+
+  /** Probes whichever persisted index tier the scan root carries
+    * (.hnsw graph, .ivfpq codes+artifact, .bq sign codes — the single
+    * index slot, so at most one exists) for the plan's query literal
+    * and returns the candidate-key IN-predicate, or None when any
+    * precondition fails (no bare scan, no sidecar, no string `id`
+    * column — the key the surrogates were built over — or no literal
     * limit). The probe itself runs here, at planning time, exactly
     * like a B-tree consult: k + 8 candidates (slack absorbs rounding
-    * ties at the k boundary), one tiny job over the graph table. */
+    * ties at the k boundary), one tiny job over the index artifact. */
   private def graphProbeFilter(
       pchild: LogicalPlan, qvec: ArrayData, k: Int): Option[Expression] = {
     if (k <= 0) return None
     (for {
       root <- bareScanPath(pchild)
-      m <- hnswM(root)
       idAttr <- pchild.output.find(a =>
         a.name == graft.core.VectorSchema.ID && a.dataType == StringType)
     } yield {
       import spark.implicits._
-      // an EMPTY candidate list (empty graph) must fall through to the
+      import org.apache.spark.sql.{functions => F}
+      // surrogate-keyed live vectors for the code tiers' exact rerank
+      def corpus = spark.read.parquet(root).select(
+        F.xxhash64(F.col(graft.core.VectorSchema.ID)).as("vec_id"),
+        F.col(graft.core.VectorSchema.EMBEDDING).as("embedding"))
+      // Long.MinValue query key: disjoint from xxhash64 surrogates, so
+      // the kernels' self-exclusion never bites
+      def q = Seq((Long.MinValue, qvec.toFloatArray)).toDF("vec_id", "embedding")
+      // an EMPTY candidate list (empty index) must fall through to the
       // bucket-prefilter shape: In(hash, Nil) would constant-fold to
       // false and the query would silently return zero rows instead of
-      // an approximate answer. Same fallthrough for an UNREADABLE graph
-      // (sidecar present, .hnsw directory lost) — a planning-time index
+      // an approximate answer. Same fallthrough for an UNREADABLE index
+      // (sidecar present, artifact lost) — a planning-time index
       // consult must degrade, never fail the query.
       val hits = scala.util.Try {
-        val graph = spark.read.parquet(root + ".hnsw")
-        val q = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
-        graft.ops.Hnsw.probeGraph(graph, q, k + 8, m = m, excludeSelf = false)
-          .select("neighbor_id").collect().map(_.getLong(0))
+        hnswM(root) match {
+          case Some(m) =>
+            val graph = spark.read.parquet(root + ".hnsw")
+            val qg = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
+            graft.ops.Hnsw.probeGraph(graph, qg, k + 8, m = m, excludeSelf = false)
+              .select("neighbor_id").collect().map(_.getLong(0))
+          case None => ivfpqParams(root) match {
+            case Some((nProbe, slf)) =>
+              val (ix, codes) = graft.ops.IvfPq.loadIndex(spark, root + ".ivfpq")
+              graft.ops.IvfPq.search(q, ix, codes, corpus, k + 8,
+                  nProbe = nProbe, shortlistFactor = slf,
+                  nProbeMax = math.min(ix.nCells, 2 * nProbe), adaptRatio = 1.5)
+                .select("neighbor_id").collect().map(_.getLong(0))
+            case None => bqParams(root) match {
+              case Some((cf, ff)) =>
+                val codes = spark.read.parquet(root + ".bq")
+                graft.ops.Similarity.bqTopKFromCodes(codes, q, corpus, k + 8,
+                    coarseFactor = cf, fineFactor = ff)
+                  .select("neighbor_id").collect().map(_.getLong(0))
+              case None => Array.empty[Long]
+            }
+          }
+        }
       }.getOrElse(Array.empty[Long])
       if (hits.isEmpty) None
       else Some(In(new XxHash64(Seq(idAttr)), hits.toSeq.sorted.map(Literal(_))))
