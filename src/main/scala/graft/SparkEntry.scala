@@ -371,25 +371,43 @@ object SparkEntry {
       .toDF("query_id", "recall_ok", "appended_ok", "filtered_ok")
   }
 
-  /** Shared body of the `ann_probe_rewrite_{ivfpq,bq}` entries: builds
-    * a warehouse with the tier's index, hand-writes the brute-force
-    * top-k plan over the bare table scan, and checks the
-    * planning-time index consult fired (candidate IN-filter in the
-    * plan, no LSH overlap) with recall vs the rule-free exact leg. */
+  // (session, dir, tier) -> rewrite-warehouse root: the bare table +
+  // tier index the planner-consult entries PLAN against — read-only
+  // for the query, so built once per session like the tier fixtures
+  private[graft] val rewriteWhMemo =
+    scala.collection.mutable.Map[(SparkSession, String, String), String]()
+
+  private[graft] def rewriteWarehouse(s: SparkSession, dir: String, tier: String): String =
+    rewriteWhMemo.synchronized {
+      rewriteWhMemo.getOrElseUpdate((s, dir, tier), {
+        import s.implicits._
+        val emb = s.read.parquet(t(dir, "embeddings"))
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-probe$tier").toString
+        emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
+            to_json(struct($"label")).as("metadata"), $"embedding")
+          .write.mode("overwrite").parquet(s"$wh/src")
+        val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
+        tbl.loadFromParquet(s"$wh/src")
+        tier match {
+          case "ivfpq" => tbl.buildIvfPqIndex()
+          case "bq" => tbl.buildBqIndex()
+          case _ => tbl.buildHnswIndex()
+        }
+        wh
+      })
+    }
+
+  /** Shared body of the `ann_probe_rewrite_{ivfpq,bq}` entries: the
+    * memoized warehouse with the tier's index, a hand-written
+    * brute-force top-k plan over the bare table scan, and the check
+    * that the planning-time index consult fired (candidate IN-filter
+    * in the plan, no LSH overlap) with recall vs the rule-free exact
+    * leg. */
   private[graft] def probeRewriteTier(s: SparkSession, dir: String, tier: String,
       floor: Double): DataFrame = {
     import s.implicits._
     val emb = s.read.parquet(t(dir, "embeddings"))
-    val wh = java.nio.file.Files.createTempDirectory(s"graft-probe$tier").toString
-    emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
-        to_json(struct($"label")).as("metadata"), $"embedding")
-      .write.mode("overwrite").parquet(s"$wh/src")
-    val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
-    tbl.loadFromParquet(s"$wh/src")
-    tier match {
-      case "ivfpq" => tbl.buildIvfPqIndex()
-      case _ => tbl.buildBqIndex()
-    }
+    val wh = rewriteWarehouse(s, dir, tier)
     val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
     def knn(session: SparkSession) =
       new graft.table.VectorTable(session, s"$wh/table", 64).df
@@ -647,6 +665,9 @@ object SparkEntry {
     }
     tierBaseFixtureMemo.synchronized {
       tierBaseFixtureMemo.keys.filter(_._1 eq s).toList.foreach(tierBaseFixtureMemo.remove)
+    }
+    rewriteWhMemo.synchronized {
+      rewriteWhMemo.keys.filter(_._1 eq s).toList.foreach(rewriteWhMemo.remove)
     }
     drop(bucketedLayout)(_ => ())
     drop(zorderLayout)(_ => ())
@@ -3880,13 +3901,7 @@ object SparkEntry {
     "ann_graph_probe_rewrite" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      val wh = java.nio.file.Files.createTempDirectory("graft-graphprobe").toString
-      emb.select(concat(lit("v"), format_string("%05d", $"vec_id")).as("id"),
-          to_json(struct($"label")).as("metadata"), $"embedding")
-        .write.mode("overwrite").parquet(s"$wh/src")
-      val tbl = new graft.table.VectorTable(s, s"$wh/table", 64)
-      tbl.loadFromParquet(s"$wh/src")
-      tbl.buildHnswIndex()
+      val wh = SparkEntry.rewriteWarehouse(s, dir, "hnsw") // memoized, read-only
       val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
       def knn(session: SparkSession) =
         new graft.table.VectorTable(session, s"$wh/table", 64).df
@@ -4286,11 +4301,12 @@ object SparkEntry {
     // candidate set (a 10%-deleted 1B-row table would otherwise probe
     // for 100M). Per tier, against a throwaway COPY of the built
     // fixture: (1) moderate debt (20 deletes ≤ 3k) keeps the widened
-    // INDEXED route — k live rows, zero dead ids, recall vs the
-    // post-delete exact truth; (2) heavy debt (~30% deleted) trips the
-    // cap — probeWidth None, the query EQUALS the exact leg
-    // value-for-value, and indexDeleteDebt surfaces the rebuild
-    // signal. ----
+    // INDEXED route — width arithmetic pinned per tier, and for the
+    // flagship graph tier the route runs end-to-end (k live rows, zero
+    // dead ids, recall vs the post-delete exact truth); (2) heavy debt
+    // (~30% deleted) trips the cap on ALL tiers — probeWidth None, the
+    // query EQUALS the exact leg value-for-value, and indexDeleteDebt
+    // surfaces the rebuild signal. ----
     // ---- tier parity for the OPT-IN filtered probe: the IVF-PQ tier
     // semi-joins the code table down to the predicate's eligible
     // surrogates BEFORE ADC ranking with nProbe scaled by 1/selectivity
@@ -4317,20 +4333,26 @@ object SparkEntry {
         val db = new VectorDB(s, "items", SparkEntry.copyFixture(s, src),
           "hashing", Map("dim" -> "64"), dim = 64)
         val mdId = get_json_object(col(graft.core.VectorSchema.METADATA), "$.vec_id").cast("long")
-        // phase 1 — moderate debt: 20 tombstones, within (WidenCap−1)·k
+        // phase 1 — moderate debt: 20 tombstones, within (WidenCap−1)·k.
+        // The widened INDEXED route runs end-to-end for the flagship
+        // graph tier; probeWidth itself is tier-agnostic (one facade
+        // helper, spec-pinned for k=1..40), so the other two tiers pin
+        // the width arithmetic without re-paying four probe jobs each.
         db.table.delete(mdId >= 100 && mdId < 120)
         val widened = db.probeWidth(10)
         val widenRouteOk = widened.contains(10 + 20) && 30 <= VectorDB.WidenCap * 10
-        val got = db.queryByVector(qvec, k = 10).collect()
-        val exact1 = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
-        // a returned row is DEAD iff its metadata vec_id was tombstoned
-        // above — parsed client-side from the k returned rows, no jobs
-        val deadReturned = got.exists { r =>
-          """"vec_id":(\d+)""".r.findFirstMatchIn(r.metadata)
-            .map(_.group(1).toLong).exists(v => v >= 100 && v < 120)
-        }
-        val widenOk = got.length == 10 && !deadReturned &&
-          (exact1 intersect got.map(_.id).toSet).size.toDouble / exact1.size >= floors(tier)
+        val widenOk = widenRouteOk && (tier != "hnsw" || {
+          val got = db.queryByVector(qvec, k = 10).collect()
+          val exact1 = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
+          // a returned row is DEAD iff its metadata vec_id was
+          // tombstoned above — parsed client-side, no jobs
+          val deadReturned = got.exists { r =>
+            """"vec_id":(\d+)""".r.findFirstMatchIn(r.metadata)
+              .map(_.group(1).toLong).exists(v => v >= 100 && v < 120)
+          }
+          got.length == 10 && !deadReturned &&
+            (exact1 intersect got.map(_.id).toSet).size.toDouble / exact1.size >= floors(tier)
+        })
         // phase 2 — heavy debt: ~30% deleted, the cap trips and the
         // route falls back to the exact path: results EQUAL the exact
         // leg (same plan, raw kernel doubles and all)
@@ -4339,7 +4361,7 @@ object SparkEntry {
         val viaFacade = db.queryByVector(qvec, k = 10).collect().toSeq
         val viaExact = db.queryByVector(qvec, k = 10, useIndex = false).collect().toSeq
         val debtOk = db.indexDeleteDebt > 0.2
-        (tier, if (widenRouteOk && widenOk) 1 else 0,
+        (tier, if (widenOk) 1 else 0,
           if (cappedEngaged && viaFacade == viaExact && viaFacade.length == 10) 1 else 0,
           if (debtOk) 1 else 0)
       }
