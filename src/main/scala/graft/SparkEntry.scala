@@ -4307,6 +4307,43 @@ object SparkEntry {
     // (~30% deleted) trips the cap on ALL tiers — probeWidth None, the
     // query EQUALS the exact leg value-for-value, and indexDeleteDebt
     // surfaces the rebuild signal. ----
+    // ---- OPT-IN auto-vacuum (spark.graft.vacuum.debtThreshold): a
+    // delete whose debt ratio crosses the threshold folds its own
+    // tombstones — data rewritten, the active index tier rebuilt over
+    // the survivors — exactly when the capped probe-widening is about
+    // to stop paying. Driven on a copy of the BQ-tier fixture (the
+    // cheapest rebuild: map-only sign encode; the graph-tier rebuild
+    // is spec-covered). Gates: tombstones folded to zero, the row
+    // count dropped by the deleted share, and the post-vacuum indexed
+    // route returns k rows with ZERO vacuumed ids (a stale code table
+    // would surface dead surrogates). ----
+    "vdb_auto_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val (src, _) = SparkEntry.tierFixture(s, dir, "bq")
+      s.conf.set("spark.graft.vacuum.debtThreshold", "0.25")
+      try {
+        val db = new VectorDB(s, "items", SparkEntry.copyFixture(s, src),
+          "hashing", Map("dim" -> "64"), dim = 64)
+        val total = db.numRows
+        val mdId = get_json_object(col(graft.core.VectorSchema.METADATA), "$.vec_id").cast("long")
+        db.table.delete(mdId % 10 < 3) // ~30% ≥ threshold → the delete vacuums
+        val vacuumedOk = db.table.tombstoneCount == 0L && db.numRows < total
+        val qvec = s.read.parquet(t(dir, "embeddings"))
+          .where($"vec_id" === 1).select($"embedding").head.getSeq[Float](0).toArray
+        val got = db.queryByVector(qvec, k = 10).collect()
+        // the entry gates VACUUM semantics (BQ recall has its own
+        // gates): the post-vacuum indexed route must return k rows and
+        // none of them a vacuumed id — a stale code table would
+        // surface dead surrogates here
+        val deadReturned = got.exists { r =>
+          """"vec_id":(\d+)""".r.findFirstMatchIn(r.metadata)
+            .map(_.group(1).toLong).exists(_ % 10 < 3)
+        }
+        Seq((0L, if (vacuumedOk) 1 else 0,
+          if (got.length == 10 && !deadReturned) 1 else 0))
+          .toDF("query_id", "vacuumed_ok", "live_ok")
+      } finally s.conf.unset("spark.graft.vacuum.debtThreshold")
+    }),
     // ---- tier parity for the OPT-IN filtered probe: the IVF-PQ tier
     // semi-joins the code table down to the predicate's eligible
     // surrogates BEFORE ADC ranking with nProbe scaled by 1/selectivity
@@ -9316,6 +9353,8 @@ object SparkEntry {
     "vdb_knn_capped_widen" ->
       """SELECT tier, 1 AS widen_ok, 1 AS capped_exact_ok, 1 AS debt_ok
         |FROM (VALUES ('hnsw'), ('ivfpq'), ('bq')) t(tier)""".stripMargin,
+    "vdb_auto_vacuum" ->
+      "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS vacuumed_ok, 1 AS live_ok",
     "ann_filtered_ivfpq" ->
       "SELECT CAST(0 AS BIGINT) AS query_id, 1 AS recall_ok, 1 AS tight_ok",
     "ann_filtered_bq" ->

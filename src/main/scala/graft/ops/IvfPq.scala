@@ -250,9 +250,15 @@ object IvfPq {
       StructField("query_id", LongType, nullable = false),
       StructField("cell", IntegerType, nullable = false),
       StructField("qv", ArrayType(FloatType, containsNull = false), nullable = false))))
-    // persisted: the probe table feeds the distinct-cells collect AND
-    // the scoring join; released by the materializing caller (PlanCache)
-    val qcells = graft.core.PlanCache.persist(
+    // NOT persisted: qcells is read twice (the distinct-cells collect
+    // here + the scoring join inside the RETURNED lazy plan), but a
+    // per-call PlanCache.persist has no release point before the
+    // caller materializes — a long-lived serving session would
+    // accumulate one cached probe table per query (the same leak class
+    // the r8 advisory flagged on probeGraphFiltered). Recomputing is
+    // one extra MAP-ONLY pass over the query side — bounded, and the
+    // price of staying memory-flat.
+    val qcells =
       queries.select(col(idCol), col(embCol)).mapPartitions { rows =>
         val ix = bcIx.value
         rows.flatMap { r =>
@@ -267,7 +273,7 @@ object IvfPq {
             else ix.nearestCells(qv, nProbe)
           cells.iterator.map(c => Row(qid, c, qv.toSeq))
         }
-      }(qenc))
+      }(qenc)
     // ≤ nCells values regardless of batch size: safe to collect, and a
     // STATIC predicate (unlike the join) reaches the parquet scan
     val probed = qcells.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted

@@ -378,6 +378,20 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     df.where(cond).select(VectorSchema.ID)
       .write.mode("append").parquet(tombPath.toString)
     tombCountCache = None
+    // OPT-IN auto-vacuum (the tombstone counterpart of the HNSW tier's
+    // insert-path merge policy): when `spark.graft.vacuum.debtThreshold`
+    // is set > 0 and the delete-debt ratio tombstones/(live+tombstones)
+    // crosses it, the delete folds its own debt — one data rewrite +
+    // index rebuild, exactly when the capped probe-widening is about
+    // to stop paying (VectorDB.WidenCap) rather than at an operator's
+    // discretion. Off by default: a vacuum is a full rewrite, and the
+    // read path is correct at ANY debt, so the spend is a policy
+    // choice. Cost when enabled: one live-count job per delete.
+    val threshold = spark.conf.get("spark.graft.vacuum.debtThreshold", "0").toDouble
+    if (threshold > 0.0) {
+      val t = tombstoneCount
+      if (t > 0L && t.toDouble / (numRows + t) >= threshold) vacuum()
+    }
     this
   }
 

@@ -220,6 +220,26 @@ class VectorDBSpec extends SparkSpec with Matchers {
     db.table.drop()
   }
 
+  test("opt-in auto-vacuum: a delete crossing the debt threshold folds its own debt") {
+    spark.conf.set("spark.graft.vacuum.debtThreshold", "0.25")
+    try {
+      val db = newDb("t6av")
+      db.insert(docs(60), embedField = Some("text"))
+      db.table.buildHnswIndex()
+      // small delete (1/60 ≈ 1.7% < 25%): tombstones accumulate, no rewrite
+      db.table.delete(get_json_object(col(graft.core.VectorSchema.METADATA), "$.id") === "0")
+      db.table.tombstoneCount shouldBe 1L
+      // group delete pushes debt to 21/60 = 35% ≥ 25%: the delete
+      // auto-vacuums — tombstones folded, index rebuilt over survivors
+      db.table.delete(get_json_object(col(graft.core.VectorSchema.METADATA), "$.group") === "1")
+      db.table.tombstoneCount shouldBe 0L
+      db.numRows shouldBe 39
+      db.table.hnswGraph.get.count() shouldBe 39 // rebuilt: dead ids physically gone
+      db.query("spark joins", k = 39).collect().map(_.id).toSet.size shouldBe 39
+      db.table.drop()
+    } finally spark.conf.unset("spark.graft.vacuum.debtThreshold")
+  }
+
   test("pre-stat HNSW sidecar (no rows field) still serves the index") {
     val db = newDb("t6meta")
     db.insert(docs(40), embedField = Some("text"))
