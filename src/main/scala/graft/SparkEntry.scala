@@ -1146,6 +1146,72 @@ object SparkEntry {
       tbl.drop()
       out
     }),
+    // ---- `gvdb` DataSource surface (sources/GvdbSource.scala): the
+    // warehouse as a Spark FORMAT NAME — the reference's "open the db
+    // file and query it" (duckvdb.py:17-45) recast as
+    // spark.read.format("gvdb"). Read path: the merge-on-read view
+    // (base minus tombstones) with column pruning and predicate
+    // pushdown INTO the engine's own scan — the id prefix below
+    // reaches buildScan as StringStartsWith (machine-asserted in
+    // GvdbSourceSpec); the lang predicate is NOT pushable (it's inside
+    // the metadata JSON) and runs above the scan, pinning the
+    // conservative unhandledFilters contract. Census: per-lang
+    // survivors of a tombstone delete, read through the format, so the
+    // oracle checks MoR semantics end to end through the DSv1 path. ----
+    "vdb_source_read" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-r").toString
+      val root = s"$wh/docs"
+      val rows = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      rows.write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(s, root, 1)
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val back = s.read.format("gvdb").load(root)
+        .where($"id".startsWith("1"))
+        .groupBy(get_json_object($"metadata", "$.lang").as("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(element_at($"embedding", 1).cast("long")).as("sum_chars"))
+      val got = back.collect().toSeq
+      tbl.drop()
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
+    // ---- gvdb write path: all host-language write surfaces hit the
+    // same dedup insert (duckvdb.py:56-61's ON CONFLICT DO NOTHING) —
+    // df.write mode("append") twice proves first-wins (second write is
+    // a no-op), SQL DDL (CREATE TEMPORARY VIEW ... USING gvdb) + INSERT
+    // INTO route through InsertableRelation, and the final census is
+    // read back via plain SQL over the view. ----
+    "vdb_source_write" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-w").toString
+      val root = s"$wh/docs"
+      val docs = s.read.parquet(t(dir, "documents"))
+      val rows = docs.where($"doc_id" < 500)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      rows.write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      rows.write.format("gvdb").mode("append").save(root) // dedup: no-op
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvdb_w USING gvdb OPTIONS (path '$root', dim '1')")
+      // SQL INSERT routes through InsertableRelation → the same anti-join
+      docs.where($"doc_id" >= 500 && $"doc_id" < 600)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("gvdb_delta")
+      s.sql("INSERT INTO gvdb_w SELECT id, metadata, embedding FROM gvdb_delta")
+      val back = s.sql(
+        """SELECT get_json_object(metadata, '$.lang') AS lang, count(*) AS cnt,
+          |       sum(cast(get_json_object(metadata, '$.n_chars') AS bigint)) AS sum_chars
+          |FROM gvdb_w GROUP BY 1""".stripMargin)
+      val got = back.collect().toSeq
+      new graft.table.VectorTable(s, root, 1).drop()
+      s.catalog.dropTempView("gvdb_w"); s.catalog.dropTempView("gvdb_delta")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
     // ---- manifest snapshots / time travel: snapshot = the data-file
     // list (append-only under insert — zero copy) + the tombstone ids
     // at snapshot time. Reading v1 after later inserts AND deletes
@@ -2885,6 +2951,12 @@ object SparkEntry {
     // proving no duplication. ----
     "stream_idempotent_sink" -> ((s, dir) =>
       EventStream.runIdempotentSinkAvailableNow(s, dir)),
+    // ---- streaming ingest through the `gvdb` format: writeStream →
+    // GvdbSink (per-batch dedup insert + committed-batch watermark),
+    // census read back through spark.read.format("gvdb") — the full
+    // DataSource round trip under the exactly-once contract. ----
+    "stream_sink_gvdb" -> ((s, dir) =>
+      EventStream.runGvdbSinkAvailableNow(s, dir)),
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
     "stream_interval_join" -> ((s, dir) =>
       EventStream.runIntervalJoinAvailableNow(s, dir)),
@@ -7338,6 +7410,24 @@ object SparkEntry {
         |       (SELECT count(*) FROM vis) AS n_after_reinsert,
         |       (SELECT count(*) FROM vis) AS n_after_vacuum,
         |       (SELECT bit_xor(doc_id) FROM vis) AS id_xor""".stripMargin,
+    // gvdb DataSource read: overwrite-load all docs, tombstone 'de',
+    // read back through the format with an id-prefix pushdown filter.
+    "vdb_source_read" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(doc_id AS VARCHAR) LIKE '1%' AND lang <> 'de'
+        |GROUP BY lang""".stripMargin,
+    // gvdb write surfaces: overwrite + redundant append (dedup no-op)
+    // of doc_id<500, then SQL INSERT INTO of [500,600) via the view.
+    "vdb_source_write" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 600
+        |GROUP BY lang""".stripMargin,
+    // gvdb streaming sink: every event lands exactly once.
+    "stream_sink_gvdb" ->
+      """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
     "text_line_filter" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |g AS (SELECT doc_id, ${lineGroupsSql("ws", 8)} AS lg FROM w),

@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType, StructType}
+
+import graft.core.VectorSchema
+import graft.table.VectorTable
+
+/** `gvdb` — the vector warehouse as a first-class Spark data source.
+  *
+  * The reference's surface is "open the database file, run SQL against
+  * it" (duckvdb.py:17-45); the Spark-native equivalent of that is a
+  * format name, so the warehouse participates in every host-language
+  * surface Spark has:
+  *
+  *  - batch read: `spark.read.format("gvdb").load(root)` — the
+  *    merge-on-read view (base minus tombstones), with column pruning
+  *    and predicate pushdown into the scan ([[GvdbRelation.buildScan]]);
+  *  - batch write: `df.write.format("gvdb").mode(...).save(root)` —
+  *    routed through [[VectorTable.insert]]'s dedup anti-join, so all
+  *    four `SaveMode`s keep the reference's ON-CONFLICT-DO-NOTHING
+  *    contract (duckvdb.py:56-61);
+  *  - SQL DDL: `CREATE TEMPORARY VIEW v USING gvdb OPTIONS (path ...)`
+  *    plus `INSERT INTO v ...` (via [[InsertableRelation]]);
+  *  - streaming sink: `ds.writeStream.format("gvdb")...` — per-batch
+  *    dedup insert with a committed-batch watermark for exactly-once
+  *    ([[GvdbSink]]).
+  *
+  * Options: `path` (required), `dim` (embedding dimension; optional —
+  * inferred from the existing table, else from the first written row).
+  */
+class DefaultSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "gvdb"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("gvdb: 'path' option is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = rootOf(parameters)
+    if (!new VectorTable(sqlContext.sparkSession, root, 1).exists)
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND", messageParameters = Map("path" -> root))
+    new GvdbRelation(sqlContext, root, parameters.get("dim").map(_.toInt))
+  }
+
+  /** `df.write.format("gvdb")` — all four save modes, over the dedup
+    * insert path. Note `SaveMode.Append` therefore means "insert the
+    * ids not already present", the reference's insert contract — not a
+    * blind file append. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val dimOpt = parameters.get("dim").map(_.toInt)
+    val spark = sqlContext.sparkSession
+    val exists = new VectorTable(spark, root, 1).exists
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new AnalysisException(
+          errorClass = "PATH_ALREADY_EXISTS", messageParameters = Map("outputPath" -> root))
+      case SaveMode.Ignore if exists => // no-op by contract
+      case SaveMode.Overwrite =>
+        GvdbWrite.insert(spark, root, data, overwrite = true, dimOpt)
+      case _ => // Append, or first write under ErrorIfExists/Ignore
+        GvdbWrite.insert(spark, root, data, overwrite = false, dimOpt)
+    }
+    new GvdbRelation(sqlContext, root, dimOpt)
+  }
+
+  /** `ds.writeStream.format("gvdb")` — append-only micro-batch inserts.
+    * Complete/Update modes are rejected: the table's insert path is
+    * first-wins by id (duckvdb.py:56-61), which is Append semantics —
+    * accepting Update here would silently drop updates. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append,
+      s"gvdb sink supports Append output mode only, got $outputMode")
+    new GvdbSink(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("dim").map(_.toInt))
+  }
+}
+
+/** Test/diagnostic instrumentation: the column/filter sets Spark pushed
+  * into the most recent [[GvdbRelation.buildScan]] call. Two bounded
+  * arrays, overwritten per scan — the DSv1 analogue of asserting on
+  * `PushedFilters` in an explain string, but machine-checkable. */
+object GvdbScan {
+  @volatile var lastRequiredColumns: Seq[String] = Seq.empty
+  @volatile var lastPushedFilters: Seq[Filter] = Seq.empty
+}
+
+/** The merge-on-read table as a DSv1 relation.
+  *
+  * `buildScan` receives the pruned column set and the translatable
+  * predicates from Catalyst and applies BOTH inside the engine's own
+  * plan (`VectorTable.df` → where → select), so the parquet scan
+  * underneath sees the filters (min/max row-group skipping, column
+  * pruning) exactly as a native `spark.read.parquet` would.
+  * [[unhandledFilters]] deliberately declares every filter unhandled:
+  * Spark re-evaluates them above the scan, so pushdown is pure IO
+  * reduction and can never change results (the conservative DSv1
+  * contract most production connectors ship with).
+  */
+class GvdbRelation(@transient override val sqlContext: SQLContext,
+    root: String, dimOpt: Option[Int])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  /** The LOGICAL schema — internal sidecar columns (the persisted LSH
+    * bucket column) never leak through the format surface. */
+  override def schema: StructType = VectorSchema.schema
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    GvdbScan.lastRequiredColumns = requiredColumns.toSeq
+    val pushable = filters.flatMap(f => GvdbFilters.toColumn(f).map(c => (f, c)))
+    GvdbScan.lastPushedFilters = pushable.map(_._1).toSeq
+    val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
+    val base = table.df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val filtered = pushable.foldLeft(base) { case (d, (_, c)) => d.where(c) }
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
+
+  /** `INSERT INTO <view> ...` over a `USING gvdb` temp view. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
+}
+
+/** `sources.Filter` → `Column` translation for the pushdown path.
+  * Conservative: an untranslatable node anywhere in a tree drops that
+  * whole conjunct (it still runs above the scan — see
+  * [[GvdbRelation.unhandledFilters]]). */
+object GvdbFilters {
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(child) => toColumn(child).map(!_)
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case _ => None
+  }
+}
+
+/** Shared write path: shape the incoming rows to the table contract,
+  * resolve the embedding dimension, route through the dedup insert. */
+object GvdbWrite {
+
+  /** dim resolution: explicit option > existing table rows > first
+    * incoming row. The inference reads ONE row (`head(1)`) — a bounded
+    * driver action, run once per batch write (the streaming sink
+    * memoizes it across batches). */
+  def resolveDim(spark: SparkSession, root: String, data: DataFrame,
+      dimOpt: Option[Int]): Option[Int] =
+    dimOpt
+      .orElse {
+        val t = new VectorTable(spark, root, 1)
+        if (!t.exists) None
+        else t.df.select(size(col(VectorSchema.EMBEDDING)).as("d"))
+          .head(1).headOption.map(_.getInt(0))
+      }
+      .orElse(data.select(size(col(VectorSchema.EMBEDDING)).as("d"))
+        .head(1).headOption.map(_.getInt(0)))
+
+  /** Columns are matched by NAME (any order, extras dropped) and cast
+    * to the contract types — `array<double>` embeddings from plain SQL
+    * land as `array<float>`, matching the reference's cast-at-insert
+    * (duckvdb.py:104). */
+  def shape(data: DataFrame): DataFrame = {
+    val need = VectorSchema.schema.fieldNames
+    val missing = need.filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"gvdb write requires columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
+    data.select(
+      col(VectorSchema.ID).cast(StringType).as(VectorSchema.ID),
+      col(VectorSchema.METADATA).cast(StringType).as(VectorSchema.METADATA),
+      // cast target keeps containsNull=true: Catalyst refuses a cast
+      // that NARROWS element nullability (array<float> with nullable
+      // elements → non-null elements), and the table's pinned read
+      // schema re-asserts containsNull=false at scan time anyway
+      col(VectorSchema.EMBEDDING).cast(ArrayType(FloatType, containsNull = true))
+        .as(VectorSchema.EMBEDDING))
+  }
+
+  def insert(spark: SparkSession, root: String, data: DataFrame,
+      overwrite: Boolean, dimOpt: Option[Int]): Unit = {
+    val shaped = shape(data)
+    resolveDim(spark, root, shaped, dimOpt) match {
+      case None => // empty batch into an empty/absent table: just create
+        new VectorTable(spark, root, 1).create(overwrite)
+      case Some(dim) =>
+        val table = new VectorTable(spark, root, dim)
+        table.create(overwrite)
+        table.insert(shaped)
+    }
+  }
+}
+
+/** Micro-batch sink over the dedup insert, with exactly-once delivery:
+  *
+  *  - batch-level: the last committed batch id is persisted beside the
+  *    table (`<root>.sink_commit`); a replayed batch (restart between
+  *    insert and commit, or an at-least-once source) is skipped without
+  *    running a job;
+  *  - row-level backstop: even if the watermark is lost, the insert's
+  *    id anti-join makes redelivery a no-op (the same two-layer recipe
+  *    as `stream_idempotent_sink` / the reference's ON CONFLICT).
+  *
+  * The incoming micro-batch DataFrame is re-wrapped through
+  * [[org.apache.spark.sql.graft.BatchShim]] — distributed, not a
+  * driver `collect()`.
+  */
+class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int]) extends Sink {
+
+  private val commitPath = new Path(root + ".sink_commit")
+  private def fs = commitPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Memoized across batches; resolved on the first non-empty one. */
+  private var dimMemo: Option[Int] = dimOpt
+
+  private[graft] def committedBatchId: Long =
+    if (!fs.exists(commitPath)) -1L
+    else {
+      val in = fs.open(commitPath)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+    }
+
+  private def commit(batchId: Long): Unit = {
+    val out = fs.create(commitPath, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= committedBatchId) return // replay: already applied
+    val batch = org.apache.spark.sql.graft.BatchShim.asBatch(data)
+    if (dimMemo.isEmpty) dimMemo = GvdbWrite.resolveDim(spark, root, GvdbWrite.shape(batch), None)
+    GvdbWrite.insert(spark, root, batch, overwrite = false, dimMemo)
+    commit(batchId)
+  }
+}

@@ -513,6 +513,42 @@ object EventStream {
     eagerThenDelete(spark, census, out)
   }
 
+  /** Streaming ingest through the `gvdb` FORMAT — the sink half of the
+    * DataSource surface (graft.sources.GvdbSink): events stream in as
+    * (id, metadata-JSON, embedding) rows via
+    * `writeStream.format("gvdb")`, each micro-batch lands through the
+    * table's dedup insert, and delivery is exactly-once by the
+    * committed-batch watermark + id anti-join backstop (the same
+    * two-layer recipe `stream_idempotent_sink` proves for a raw
+    * parquet sink, here packaged as a reusable Sink). The census reads
+    * BACK through `spark.read.format("gvdb")`, so the oracle pins the
+    * full round trip: stream → sink → MoR read. */
+  def runGvdbSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-gvdb-sink").toString
+    val root = s"$out/tbl"
+    val src = readEvents(spark, dir)
+      .select($"event_id".cast("string").as("id"),
+        to_json(struct($"event_type", $"value")).as("metadata"),
+        array($"value".cast("float")).as("embedding"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = src.writeStream.format("gvdb")
+        .option("path", root).option("dim", "1")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val census = spark.read.format("gvdb").load(root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"id").as("n_distinct"),
+        graft.functions.RoundPortableExpr.r(
+          sum(get_json_object($"metadata", "$.value").cast("double")), 2).as("sum_value"))
+    eagerThenDelete(spark, census, out)
+  }
+
   /** Streaming CDC apply: a keyed change stream (upserts + deletes,
     * derived deterministically from the incoming-doc half of the
     * fixture) is MERGED into a persisted base table per micro-batch —

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.StringStartsWith
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.{GvdbScan, GvdbSink}
+import graft.table.VectorTable
+
+/** The `gvdb` DataSource surface (sources/GvdbSource.scala): the vector
+  * warehouse as a Spark format name — batch read with pruning/pushdown
+  * over the merge-on-read view, all four SaveModes over the dedup
+  * insert, SQL DDL + INSERT INTO, and the exactly-once streaming sink. */
+class GvdbSourceSpec extends SparkSpec with Matchers {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-gvdbspec-$tag").toString + "/tbl"
+
+  private def rows(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toString, s"""{"k":"v$i","grp":${i % 3}}""",
+        Seq(i.toFloat, (i * 2).toFloat)))
+      .toDF("id", "metadata", "embedding")
+  }
+
+  test("read through format('gvdb') is the merge-on-read view") {
+    val root = freshRoot("mor")
+    rows(0 until 100).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val tbl = new VectorTable(spark, root, 2)
+    tbl.delete(get_json_object(col("metadata"), "$.grp") === "0")
+    val got = spark.read.format("gvdb").load(root)
+    got.columns.toSeq shouldBe Seq("id", "metadata", "embedding")
+    got.count() shouldBe tbl.df.count()
+    got.select("id").collect().map(_.getString(0)).sorted shouldBe
+      (0 until 100).filter(_ % 3 != 0).map(_.toString).sorted.toArray
+    tbl.drop()
+  }
+
+  test("internal index columns never leak through the format schema") {
+    val root = freshRoot("leak")
+    rows(0 until 50).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val tbl = new VectorTable(spark, root, 2)
+    tbl.buildAnnIndex(tables = 2, bits = 4) // adds __ann_buckets on disk
+    spark.read.format("gvdb").load(root).columns.toSeq shouldBe
+      Seq("id", "metadata", "embedding")
+    tbl.drop()
+  }
+
+  test("column pruning and filter pushdown reach buildScan") {
+    val root = freshRoot("push")
+    rows(0 until 200).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val q = spark.read.format("gvdb").load(root)
+      .where(col("id").startsWith("1") &&
+        get_json_object(col("metadata"), "$.grp") === "1")
+      .select("id")
+    val ids = q.collect().map(_.getString(0)).toSet
+    // semantics first: prefix-1 ids with grp==1 (id % 3 == 1)
+    ids shouldBe (0 until 200).filter(i =>
+      i.toString.startsWith("1") && i % 3 == 1).map(_.toString).toSet
+    // the scan saw the pruned column set (no embedding IO) ...
+    GvdbScan.lastRequiredColumns should contain("id")
+    GvdbScan.lastRequiredColumns should not contain "embedding"
+    // ... and the translatable prefix predicate was pushed down; the
+    // JSON-path predicate is untranslatable and stays above the scan
+    GvdbScan.lastPushedFilters should contain(StringStartsWith("id", "1"))
+  }
+
+  test("SaveModes: append dedups, overwrite replaces, error/ignore honor existence") {
+    val root = freshRoot("modes")
+    val r = rows(0 until 30)
+    r.write.format("gvdb").option("dim", "2").mode(SaveMode.Overwrite).save(root)
+    // append of the same rows is a no-op (first-wins by id)
+    r.write.format("gvdb").mode(SaveMode.Append).save(root)
+    spark.read.format("gvdb").load(root).count() shouldBe 30
+    // append of a superset inserts only the new ids
+    rows(0 until 40).write.format("gvdb").mode(SaveMode.Append).save(root)
+    spark.read.format("gvdb").load(root).count() shouldBe 40
+    // ErrorIfExists throws on an existing table
+    an[AnalysisException] should be thrownBy
+      r.write.format("gvdb").mode(SaveMode.ErrorIfExists).save(root)
+    // Ignore leaves the table untouched
+    rows(100 until 200).write.format("gvdb").mode(SaveMode.Ignore).save(root)
+    spark.read.format("gvdb").load(root).count() shouldBe 40
+    // Overwrite replaces
+    rows(0 until 5).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    spark.read.format("gvdb").load(root).count() shouldBe 5
+    new VectorTable(spark, root, 2).drop()
+  }
+
+  test("SQL DDL: CREATE TEMPORARY VIEW USING gvdb + INSERT INTO") {
+    val root = freshRoot("sql")
+    rows(0 until 20).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvdb_spec USING gvdb OPTIONS (path '$root', dim '2')")
+    spark.sql("SELECT count(*) FROM gvdb_spec").head().getLong(0) shouldBe 20L
+    rows(15 until 25).createOrReplaceTempView("gvdb_spec_delta")
+    spark.sql("INSERT INTO gvdb_spec SELECT * FROM gvdb_spec_delta")
+    // 15..19 already present → deduped; 20..24 inserted
+    spark.sql("SELECT count(*) FROM gvdb_spec").head().getLong(0) shouldBe 25L
+    spark.catalog.dropTempView("gvdb_spec")
+    spark.catalog.dropTempView("gvdb_spec_delta")
+    new VectorTable(spark, root, 2).drop()
+  }
+
+  test("streaming sink: exactly-once across batch replays, dedup across batches") {
+    val root = freshRoot("sink")
+    val sink = new GvdbSink(spark, root, Some(2))
+    sink.addBatch(0, rows(0 until 10))
+    sink.addBatch(0, rows(0 until 10)) // replayed batch id: skipped
+    sink.addBatch(1, rows(5 until 15)) // overlap 5..9: deduped by id
+    spark.read.format("gvdb").load(root).count() shouldBe 15
+    sink.committedBatchId shouldBe 1L
+    new VectorTable(spark, root, 2).drop()
+  }
+
+  test("writeStream.format('gvdb') end to end over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot("stream")
+    val cp = Files.createTempDirectory("graft-gvdbspec-cp").toString
+    val src = MemoryStream[(String, String, Seq[Float])]
+    val q = src.toDF().toDF("id", "metadata", "embedding")
+      .writeStream.format("gvdb")
+      .option("path", root).option("dim", "2")
+      .option("checkpointLocation", cp)
+      .start()
+    src.addData(("a", "{}", Seq(1f, 2f)), ("b", "{}", Seq(3f, 4f)))
+    q.processAllAvailable()
+    src.addData(("b", "{}", Seq(3f, 4f)), ("c", "{}", Seq(5f, 6f))) // b: dedup
+    q.processAllAvailable()
+    q.stop()
+    spark.read.format("gvdb").load(root)
+      .select("id").collect().map(_.getString(0)).sorted shouldBe Array("a", "b", "c")
+    new VectorTable(spark, root, 2).drop()
+  }
+
+  test("reading a missing path fails fast") {
+    an[AnalysisException] should be thrownBy
+      spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
+  }
+}
