@@ -4077,6 +4077,68 @@ object SparkEntry {
         WHERE o.o_orderpriority <> '5-LOW'
         GROUP BY c.c_mktsegment""")
     }),
+    // ---- recursive CTE (Spark 4's UnionLoop operator — the SQL-level
+    // iteration surface; DuckDB's WITH RECURSIVE is the oracle twin).
+    // Walks every customer key up its implicit 10-ary ancestor tree
+    // (parent = key div 10) and joins each ancestor back to the
+    // customer relation — an acyclic UNION ALL recursion, depth ≈
+    // digits(maxkey), so the loop body runs ~6 times regardless of SF.
+    // At scale each iteration is one keyed join over the frontier;
+    // the census per depth pins both the row multiplication and the
+    // join. (Spark bounds runaway recursion via
+    // spark.sql.cteRecursionLevelLimit / RowLimit — a 100 TB run
+    // raises the row limit consciously.) ----
+    "q_recursive_cte" -> ((s, dir) => {
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("g_customer_rec")
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS id, CAST(c_custkey AS BIGINT) AS cur, 0 AS depth
+          FROM g_customer_rec
+          UNION ALL
+          SELECT id, cur div 10, depth + 1 FROM walk WHERE cur > 0
+        )
+        SELECT w.depth, count(*) AS cnt, CAST(sum(c.c_custkey) AS BIGINT) AS key_sum,
+               CAST(bit_xor(c.c_custkey) AS BIGINT) AS key_xor
+        FROM walk w JOIN g_customer_rec c ON w.cur = c.c_custkey
+        GROUP BY w.depth""")
+    }),
+    // ---- correlated LATERAL join (per-row dependent subquery): top-2
+    // nations per region by customer count, tie-broken by name. Spark
+    // plans this as DomainJoin → rewritten to a ranked window under
+    // the hood; semantically it's the per-group top-k every catalog
+    // query needs, expressed in the SQL-standard form. ----
+    "q_lateral_join" -> ((s, dir) => {
+      s.read.parquet(t(dir, "region")).createOrReplaceTempView("g_region_lat")
+      s.read.parquet(t(dir, "nation")).createOrReplaceTempView("g_nation_lat")
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("g_customer_lat")
+      s.sql("""
+        SELECT r.r_name AS region, l.nation, l.cust_cnt
+        FROM g_region_lat r,
+        LATERAL (
+          SELECT n.n_name AS nation, count(c.c_custkey) AS cust_cnt
+          FROM g_nation_lat n JOIN g_customer_lat c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY cust_cnt DESC, n.n_name
+          LIMIT 2
+        ) l""")
+    }),
+    // ---- UNPIVOT (SQL-standard wide→long reshape, the inverse of
+    // q_pivot): per-returnflag status counts melted to (flag, metric,
+    // value) rows. Runs as a generate/expand over the aggregate — one
+    // shuffle for the groupBy, the reshape is map-side. ----
+    "q_unpivot" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem")).createOrReplaceTempView("g_lineitem_unp")
+      s.sql("""
+        WITH agg AS (
+          SELECT l_returnflag AS flag,
+                 CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+                 CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_cnt,
+                 CAST(count(*) AS BIGINT) AS total_cnt
+          FROM g_lineitem_unp GROUP BY l_returnflag)
+        SELECT flag, metric, value
+        FROM agg UNPIVOT (value FOR metric IN (open_cnt, filled_cnt, total_cnt))""")
+    }),
     "q_join_semi" -> ((s, dir) => {
       import s.implicits._
       val c = s.read.parquet(t(dir, "customer"))
@@ -8212,6 +8274,39 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderpriority <> '5-LOW'
         |GROUP BY c.c_mktsegment""".stripMargin,
+    // WITH RECURSIVE twin of Spark's UnionLoop ('//' is DuckDB's
+    // integer division; Spark-side uses 'div')
+    "q_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS id, CAST(c_custkey AS BIGINT) AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT id, cur // 10, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT w.depth, count(*) AS cnt, CAST(sum(c.c_custkey) AS BIGINT) AS key_sum,
+        |       CAST(bit_xor(c.c_custkey) AS BIGINT) AS key_xor
+        |FROM walk w JOIN customer c ON w.cur = c.c_custkey
+        |GROUP BY w.depth""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT r.r_name AS region, l.nation, l.cust_cnt
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name AS nation, CAST(count(c.c_custkey) AS BIGINT) AS cust_cnt
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY cust_cnt DESC, n.n_name
+        |  LIMIT 2
+        |) l""".stripMargin,
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+        |         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_cnt,
+        |         CAST(count(*) AS BIGINT) AS total_cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, metric, value
+        |FROM agg UNPIVOT (value FOR metric IN (open_cnt, filled_cnt, total_cnt))""".stripMargin,
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

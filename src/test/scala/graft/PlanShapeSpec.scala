@@ -61,7 +61,10 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "q_runs_test", "search_eval_metrics", "ts_backtest", "q_histogram2d",
     "dq_referential", "graph_summary", "text_source_tv",
     "q_new_vs_returning", "q_basket_size_dist", "ts_weekday_profile",
-    "dq_freshness", "q_ship_lag", "ml_perceptron_eval")
+    "dq_freshness", "q_ship_lag", "ml_perceptron_eval",
+    // round-9 SQL surfaces (lateral's per-row subquery decorrelates to
+    // a ranked window — never a cartesian)
+    "q_recursive_cte", "q_lateral_join", "q_unpivot")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -86,6 +89,10 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     // the projection carrying the kernels sits in a codegen stage (*(n))
     val l = p.linesIterator.find(_.contains("damerau_levenshtein(c_name")).get
     l should include("*(")
+  }
+
+  test("recursive CTE plans as UnionLoop (native SQL iteration, not an unrolled union)") {
+    physical("q_recursive_cte") should include("UnionLoop")
   }
 
   test("prefix-filter verify runs the bounded-intersect kernel, not array_intersect") {
