@@ -1212,6 +1212,30 @@ object SparkEntry {
       s.catalog.dropTempView("gvdb_w"); s.catalog.dropTempView("gvdb_delta")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
+    // ---- gvdb TABLE-VALUED FUNCTIONS (plans/GvdbTableFunctions): the
+    // reference's SQL-query-against-the-open-database surface
+    // (duckvdb.py:101-116) as Spark TVFs — `gvdb_knn(path, qvec, k)`
+    // top-k through pure SQL and `gvdb_scan(path)` for the MoR view,
+    // both resolving to the SAME logical plan as the DataFrame facade
+    // (pruned scan, portable-rounded distance, (distance, id)-ordered
+    // TakeOrdered top-k — asserted in ExtensionsSpec). Probes the
+    // memoized read-only rewrite warehouse; the query vector enters the
+    // SQL text as an array literal (X3: bound value, never spliced
+    // filter strings). ----
+    "vdb_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GvdbTableFunctions.register(s)
+      val wh = SparkEntry.rewriteWarehouse(s, dir, "hnsw")
+      val q = s.read.parquet(t(dir, "embeddings")).where($"vec_id" === 0)
+        .select($"embedding").head.getSeq[Float](0)
+      // Float.toString is shortest-round-trip, so the SQL literal parses
+      // back (via decimal/double) to the exact stored float
+      val vecSql = q.map(_.toString).mkString("array(", ", ", ")")
+      s.sql(s"""
+        SELECT k.id, k.distance, t.n_rows
+        FROM gvdb_knn('$wh/table', $vecSql, 10) k
+        CROSS JOIN (SELECT count(*) AS n_rows FROM gvdb_scan('$wh/table')) t""")
+    }),
     // ---- manifest snapshots / time travel: snapshot = the data-file
     // list (append-only under insert — zero copy) + the tombstone ids
     // at snapshot time. Reading v1 after later inserts AND deletes
@@ -7485,6 +7509,15 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 600
         |GROUP BY lang""".stripMargin,
+    // gvdb TVFs probe the rewrite warehouse (= embeddings with
+    // v%05d ids); knn semantics identical to vdb_knn's oracle
+    "vdb_tvf" ->
+      """SELECT 'v' || lpad(CAST(e.vec_id AS VARCHAR), 5, '0') AS id,
+        |       round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) AS distance,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY distance, id LIMIT 10""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
       """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,

@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bq_sign_cosine_distance",
         "bq_sign_cosine_distance(q, code) - asymmetric cosine distance vs the sign vector"),
       (exprs: Seq[Expression]) => BqSignCosineDistance(exprs(0), exprs(1))))
+    // table-valued functions over the gvdb warehouse: SQL users get the
+    // same logical plan as the host-language facade (GvdbTableFunctions)
+    ext.injectTableFunction((FunctionIdentifier("gvdb_scan"),
+      info("gvdb_scan", "gvdb_scan(path) - merge-on-read view of a gvdb vector table"),
+      GvdbTableFunctions.scanBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("gvdb_knn"),
+      info("gvdb_knn", "gvdb_knn(path, qvec, k) - exact top-k cosine neighbors of qvec"),
+      GvdbTableFunctions.knnBuilder _))
     ext.injectOptimizerRule(session => new AnnRewriteRule(session))
   }
 

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.{RoundPortableExpr, VectorFunctions}
+
+/** Table-valued functions over the `gvdb` warehouse — the SQL-native
+  * query surface of the reference ("run SQL against the open database
+  * file", duckvdb.py:101-116) on Spark's TVF machinery:
+  *
+  *  - `gvdb_scan(path)` — the merge-on-read view as a table;
+  *  - `gvdb_knn(path, qvec, k)` — exact top-k cosine neighbors:
+  *    distance rounded to 4 decimals (the facade's portable-rounding
+  *    contract) and ordered (distance, id) so ties are deterministic.
+  *
+  * Builders return the LOGICAL plan of the equivalent DataFrame, so
+  * SQL users get the identical physical plan as the host-language API
+  * (pruned MoR scan, broadcast tombstone anti-join, TakeOrdered top-k)
+  * — nothing is re-implemented for the SQL path.
+  *
+  * Two activation paths: session-build time via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`), or at runtime
+  * on a live session via [[register]].
+  */
+object GvdbTableFunctions {
+
+  def scanBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, s"gvdb_scan(path) takes 1 argument, got ${exprs.size}")
+    logical(active.read.format("gvdb").load(stringArg(exprs.head, "gvdb_scan", "path")))
+  }
+
+  def knnBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3, s"gvdb_knn(path, qvec, k) takes 3 arguments, got ${exprs.size}")
+    val path = stringArg(exprs(0), "gvdb_knn", "path")
+    val k = intArg(exprs(2), "gvdb_knn", "k")
+    // the query vector stays an EXPRESSION (it may be any array-typed
+    // SQL expression, not just a literal); the cast makes double
+    // literals land as the table's float vectors
+    val qv = GraftBridge.column(exprs(1)).cast(ArrayType(FloatType))
+    logical(active.read.format("gvdb").load(path)
+      .select(col("id"), col("metadata"),
+        RoundPortableExpr.r(
+          VectorFunctions.cosineDistance(col("embedding"), qv), 4).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k))
+  }
+
+  /** Runtime registration on a live session (temp-function scope) —
+    * the path a notebook or the Verify harness uses; the extension
+    * injects the same builders at session build. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("gvdb_scan", scanBuilder, "built-in")
+    reg.createOrReplaceTempFunction("gvdb_knn", knnBuilder, "built-in")
+  }
+
+  /** TVF builders run during analysis of a live query — the active
+    * session is the one analyzing. */
+  private def active: SparkSession = SparkSession.active
+
+  private def logical(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def stringArg(e: Expression, fn: String, name: String): String = {
+    require(e.foldable, s"$fn: '$name' must be a literal string")
+    String.valueOf(e.eval(null))
+  }
+
+  private def intArg(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: '$name' must be a literal integer")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$fn: '$name' = $other is not an integer")
+    }
+  }
+}

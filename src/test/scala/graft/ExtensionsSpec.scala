@@ -64,4 +64,26 @@ class ExtensionsSpec extends SparkSpec with Matchers {
   test("GraftExtensions class instantiates (spark.sql.extensions entry point)") {
     new graft.plans.GraftExtensions() should not be null
   }
+
+  test("gvdb table-valued functions: SQL scan/knn match the DataFrame path and fuse top-k") {
+    import spark.implicits._
+    graft.plans.GvdbTableFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-tvf").toString + "/tbl"
+    // angles spread on the unit circle: distance to (1, 0) grows with i
+    (0 until 50).map { i =>
+      val a = i * 0.02
+      (f"d$i%02d", "{}", Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "2").mode("overwrite").save(root)
+
+    spark.sql(s"SELECT count(*) AS n FROM gvdb_scan('$root')")
+      .head().getLong(0) shouldBe 50L
+
+    val knn = spark.sql(s"SELECT id, distance FROM gvdb_knn('$root', array(1.0, 0.0), 3)")
+    knn.collect().map(_.getString(0)).toSeq shouldBe Seq("d00", "d01", "d02")
+    // the SQL path gets the facade's plan: fused top-k, not a full sort
+    knn.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+
+    new graft.table.VectorTable(spark, root, 2).drop()
+  }
 }
