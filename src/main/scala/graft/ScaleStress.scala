@@ -241,6 +241,7 @@ object ScaleStress {
       else if (name == "tier_serving") tierServing(spark, src, target, copies)
       else if (name == "widen_debt") widenDebt(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
+      else if (name == "gvdb_source") gvdbSource(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -461,6 +462,49 @@ object ScaleStress {
     * batches through the facade (graph cogroup probe + metadata join).
     * Must scale ≈ linearly in batch size like the raw hnsw_bulk row;
     * the delta vs that row is the metadata-join tax. */
+  /** The `gvdb` DataSource path at corpus scale: format-write (dedup
+    * insert), tombstone a label slice, then read back through
+    * `format("gvdb")` three ways — MoR census (count over the
+    * anti-join), a pruned+pushed id-prefix projection, and the logical
+    * full row scan. Linearity of all three legs vs the `copies`×
+    * corpus is the evidence the DSv1 surface adds no super-linear
+    * stage on top of the table read it delegates to (the anti-join's
+    * build side is the tombstone list, which broadcasts at any corpus
+    * size where deletes stay proportional). */
+  private def gvdbSource(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies) // documents corpus (embeddings is only 2k rows — job-floor noise)
+    def runOnce(dir: String, tag: String): (Double, Double, Double) = {
+      val root = s"/tmp/graft-gvdb-stress-$tag/tbl"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      docs.select(concat(lit("d"), format_string("%09d", $"doc_id")).as("id"),
+          to_json(struct($"lang", $"source", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float"), ($"doc_id" % 97).cast("float"),
+            ($"doc_id" % 89).cast("float"), lit(1.0f)).as("embedding"))
+        .write.format("gvdb").option("dim", "4").mode("overwrite").save(root)
+      val tLoad = (System.nanoTime() - t0) / 1e9
+      val tbl = new graft.table.VectorTable(spark, root, 4)
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val t1 = System.nanoTime()
+      val live = spark.read.format("gvdb").load(root).count()
+      val tCensus = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val pruned = spark.read.format("gvdb").load(root)
+        .where($"id".startsWith("d00000")).select($"id").count()
+      val tPruned = (System.nanoTime() - t2) / 1e9
+      graft.core.PlanCache.release(spark)
+      println(f"[stress] gvdb_source $tag%-7s load=$tLoad%7.2f s" +
+        f"  census=$tCensus%6.2f s (live=$live)  pruned=$tPruned%6.2f s (rows=$pruned)")
+      tbl.drop()
+      (tLoad, tCensus, tPruned)
+    }
+    val (l0, c0, p0) = runOnce(src, "sf0.1")
+    val (l1, c1, p1) = runOnce(target, "sf1")
+    println(f"[stress] ratio  gvdb_source           load=${l1 / l0}%5.2fx" +
+      f" census=${c1 / c0}%5.2fx pruned=${p1 / p0}%5.2fx for ${copies}x data")
+  }
+
   private def vdbBulk(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -1212,6 +1212,37 @@ object SparkEntry {
       s.catalog.dropTempView("gvdb_w"); s.catalog.dropTempView("gvdb_delta")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
+    // ---- gvdb time travel through the format: `versionAsOf` pins a
+    // manifest snapshot (Delta's option, over VectorTable.snapshot's
+    // file-list manifests) — v1 must be immune to the insert AND the
+    // delete that happen after it; v2 and the live view agree. One
+    // census row per view, all three through spark.read.format. ----
+    "vdb_source_timetravel" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-tt").toString
+      val root = s"$wh/docs"
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 300).write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(s, root, 1)
+      val v1 = tbl.snapshot()
+      slice(300, 400).write.format("gvdb").mode("append").save(root)
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val v2 = tbl.snapshot()
+      def census(df: DataFrame, tag: String) = df
+        .agg(count(lit(1)).as("cnt"),
+          sum(get_json_object($"metadata", "$.n_chars").cast("long")).as("sum_chars"))
+        .withColumn("ver", lit(tag))
+      val out = census(s.read.format("gvdb").option("versionAsOf", v1).load(root), "v1")
+        .unionByName(census(s.read.format("gvdb").option("versionAsOf", v2).load(root), "v2"))
+        .unionByName(census(s.read.format("gvdb").load(root), "live"))
+      val got = out.collect().toSeq
+      tbl.drop()
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), out.schema)
+    }),
     // ---- gvdb TABLE-VALUED FUNCTIONS (plans/GvdbTableFunctions): the
     // reference's SQL-query-against-the-open-database surface
     // (duckvdb.py:101-116) as Spark TVFs — `gvdb_knn(path, qvec, k)`
@@ -7509,6 +7540,17 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 600
         |GROUP BY lang""".stripMargin,
+    // gvdb time travel: v1 = first 300 docs (pre-insert, pre-delete);
+    // v2 and live both = docs < 400 minus 'de'
+    "vdb_source_timetravel" ->
+      """SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, 'v1' AS ver
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT count(*), CAST(sum(n_chars) AS BIGINT), 'v2'
+        |FROM documents WHERE doc_id < 400 AND lang <> 'de'
+        |UNION ALL
+        |SELECT count(*), CAST(sum(n_chars) AS BIGINT), 'live'
+        |FROM documents WHERE doc_id < 400 AND lang <> 'de'""".stripMargin,
     // gvdb TVFs probe the rewrite warehouse (= embeddings with
     // v%05d ids); knn semantics identical to vdb_knn's oracle
     "vdb_tvf" ->

@@ -30,8 +30,12 @@ import graft.functions.{RoundPortableExpr, VectorFunctions}
 object GvdbTableFunctions {
 
   def scanBuilder(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.size == 1, s"gvdb_scan(path) takes 1 argument, got ${exprs.size}")
-    logical(active.read.format("gvdb").load(stringArg(exprs.head, "gvdb_scan", "path")))
+    require(exprs.size == 1 || exprs.size == 2,
+      s"gvdb_scan(path[, versionAsOf]) takes 1-2 arguments, got ${exprs.size}")
+    var rdr = active.read.format("gvdb")
+    if (exprs.size == 2) // time travel: pin the manifest snapshot
+      rdr = rdr.option("versionAsOf", intArg(exprs(1), "gvdb_scan", "versionAsOf"))
+    logical(rdr.load(stringArg(exprs.head, "gvdb_scan", "path")))
   }
 
   def knnBuilder(exprs: Seq[Expression]): LogicalPlan = {

@@ -34,7 +34,9 @@ import graft.table.VectorTable
   *    ([[GvdbSink]]).
   *
   * Options: `path` (required), `dim` (embedding dimension; optional —
-  * inferred from the existing table, else from the first written row).
+  * inferred from the existing table, else from the first written row),
+  * `versionAsOf` (read a manifest snapshot instead of the live table —
+  * Delta-style time travel; such a relation rejects writes).
   */
 class DefaultSource
     extends RelationProvider
@@ -54,7 +56,8 @@ class DefaultSource
     if (!new VectorTable(sqlContext.sparkSession, root, 1).exists)
       throw new AnalysisException(
         errorClass = "PATH_NOT_FOUND", messageParameters = Map("path" -> root))
-    new GvdbRelation(sqlContext, root, parameters.get("dim").map(_.toInt))
+    new GvdbRelation(sqlContext, root, parameters.get("dim").map(_.toInt),
+      parameters.get("versionAsOf").map(_.toInt))
   }
 
   /** `df.write.format("gvdb")` — all four save modes, over the dedup
@@ -115,7 +118,7 @@ object GvdbScan {
   * contract most production connectors ship with).
   */
 class GvdbRelation(@transient override val sqlContext: SQLContext,
-    root: String, dimOpt: Option[Int])
+    root: String, dimOpt: Option[Int], versionAsOf: Option[Int] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
@@ -131,14 +134,22 @@ class GvdbRelation(@transient override val sqlContext: SQLContext,
     val pushable = filters.flatMap(f => GvdbFilters.toColumn(f).map(c => (f, c)))
     GvdbScan.lastPushedFilters = pushable.map(_._1).toSeq
     val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
-    val base = table.df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // versionAsOf pins the manifest snapshot (Delta-style time travel):
+    // exactly the files + tombstones recorded at snapshot() time
+    val view = versionAsOf.map(table.asOf).getOrElse(table.df)
+    val base = view.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val filtered = pushable.foldLeft(base) { case (d, (_, c)) => d.where(c) }
     filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 
-  /** `INSERT INTO <view> ...` over a `USING gvdb` temp view. */
-  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+  /** `INSERT INTO <view> ...` over a `USING gvdb` temp view. A
+    * version-pinned relation is immutable history — writes are
+    * rejected, matching Delta's versionAsOf contract. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty,
+      s"gvdb: cannot write to a versionAsOf=$versionAsOf snapshot (read-only history)")
     GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
+  }
 }
 
 /** `sources.Filter` → `Column` translation for the pushdown path.

@@ -142,6 +142,34 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("versionAsOf reads the pinned snapshot (time travel) and rejects writes") {
+    val root = freshRoot("tt")
+    rows(0 until 20).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val tbl = new VectorTable(spark, root, 2)
+    val v1 = tbl.snapshot()
+    rows(20 until 30).write.format("gvdb").mode(SaveMode.Append).save(root)
+    tbl.delete(col("id") === "5")
+    spark.read.format("gvdb").load(root).count() shouldBe 29
+    // the pinned snapshot is immune to the later insert AND delete
+    val snap = spark.read.format("gvdb").option("versionAsOf", v1.toString).load(root)
+    snap.count() shouldBe 20
+    snap.select("id").collect().map(_.getString(0)) should contain("5")
+    // the TVF's 2-arg variant pins the same version
+    graft.plans.GvdbTableFunctions.register(spark)
+    spark.sql(s"SELECT count(*) AS n FROM gvdb_scan('$root', $v1)")
+      .head().getLong(0) shouldBe 20L
+    // history is immutable: INSERT INTO a version-pinned view rejects
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvdb_tt USING gvdb " +
+      s"OPTIONS (path '$root', dim '2', versionAsOf '$v1')")
+    rows(50 until 55).createOrReplaceTempView("gvdb_tt_delta")
+    an[Exception] should be thrownBy
+      spark.sql("INSERT INTO gvdb_tt SELECT * FROM gvdb_tt_delta")
+    spark.catalog.dropTempView("gvdb_tt")
+    spark.catalog.dropTempView("gvdb_tt_delta")
+    tbl.drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
