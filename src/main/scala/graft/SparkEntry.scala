@@ -1243,6 +1243,35 @@ object SparkEntry {
       tbl.drop()
       s.createDataFrame(s.sparkContext.parallelize(got, 1), out.schema)
     }),
+    // ---- gvdb snapshot CDC through SQL: gvdb_changes(path, v1, v2)
+    // (the table_changes analogue over VectorTable.diffSnapshots — two
+    // id-only anti-joins between pinned manifests, payload never
+    // shuffled). added = the insert between the snapshots minus its
+    // later-deleted rows; deleted = the delete's rows present at v1. ----
+    "vdb_source_changes" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GvdbTableFunctions.register(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-cdc").toString
+      val root = s"$wh/docs"
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 300).write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(s, root, 1)
+      val v1 = tbl.snapshot()
+      slice(300, 350).write.format("gvdb").mode("append").save(root)
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val v2 = tbl.snapshot()
+      val out = s.sql(s"""
+        SELECT change, count(*) AS cnt, CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum
+        FROM gvdb_changes('$root', $v1, $v2)
+        GROUP BY change""")
+      val got = out.collect().toSeq
+      tbl.drop()
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), out.schema)
+    }),
     // ---- gvdb TABLE-VALUED FUNCTIONS (plans/GvdbTableFunctions): the
     // reference's SQL-query-against-the-open-database surface
     // (duckvdb.py:101-116) as Spark TVFs — `gvdb_knn(path, qvec, k)`
@@ -7551,6 +7580,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT count(*), CAST(sum(n_chars) AS BIGINT), 'live'
         |FROM documents WHERE doc_id < 400 AND lang <> 'de'""".stripMargin,
+    // gvdb snapshot CDC: added = the [300,350) insert minus its 'de'
+    // rows (deleted before v2); deleted = 'de' rows present at v1
+    "vdb_source_changes" ->
+      """SELECT 'added' AS change, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 350 AND lang <> 'de'
+        |UNION ALL
+        |SELECT 'deleted', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id < 300 AND lang = 'de'""".stripMargin,
     // gvdb TVFs probe the rewrite warehouse (= embeddings with
     // v%05d ids); knn semantics identical to vdb_knn's oracle
     "vdb_tvf" ->

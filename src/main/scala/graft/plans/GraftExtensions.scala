@@ -81,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("gvdb_knn"),
       info("gvdb_knn", "gvdb_knn(path, qvec, k) - exact top-k cosine neighbors of qvec"),
       GvdbTableFunctions.knnBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("gvdb_changes"),
+      info("gvdb_changes", "gvdb_changes(path, from, to) - (id, change) CDC between snapshots"),
+      GvdbTableFunctions.changesBuilder _))
     ext.injectOptimizerRule(session => new AnnRewriteRule(session))
   }
 

@@ -54,6 +54,19 @@ object GvdbTableFunctions {
       .limit(k))
   }
 
+  /** `gvdb_changes(path, fromVersion, toVersion)` — snapshot CDC (the
+    * `table_changes` analogue): (id, change) rows with change ∈
+    * {'added','deleted'}, two id-only anti-joins between the pinned
+    * manifests ([[graft.table.VectorTable.diffSnapshots]]). */
+  def changesBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3,
+      s"gvdb_changes(path, fromVersion, toVersion) takes 3 arguments, got ${exprs.size}")
+    val path = stringArg(exprs(0), "gvdb_changes", "path")
+    val from = intArg(exprs(1), "gvdb_changes", "fromVersion")
+    val to = intArg(exprs(2), "gvdb_changes", "toVersion")
+    logical(new graft.table.VectorTable(active, path, 1).diffSnapshots(from, to))
+  }
+
   /** Runtime registration on a live session (temp-function scope) —
     * the path a notebook or the Verify harness uses; the extension
     * injects the same builders at session build. Idempotent. */
@@ -61,6 +74,7 @@ object GvdbTableFunctions {
     val reg = spark.sessionState.tableFunctionRegistry
     reg.createOrReplaceTempFunction("gvdb_scan", scanBuilder, "built-in")
     reg.createOrReplaceTempFunction("gvdb_knn", knnBuilder, "built-in")
+    reg.createOrReplaceTempFunction("gvdb_changes", changesBuilder, "built-in")
   }
 
   /** TVF builders run during analysis of a live query — the active

@@ -170,6 +170,22 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     tbl.drop()
   }
 
+  test("gvdb_changes TVF: snapshot CDC surfaces adds and deletes by id") {
+    val root = freshRoot("cdc")
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val tbl = new VectorTable(spark, root, 2)
+    val v1 = tbl.snapshot()
+    rows(10 until 13).write.format("gvdb").mode(SaveMode.Append).save(root)
+    tbl.delete(col("id") === "4")
+    val v2 = tbl.snapshot()
+    graft.plans.GvdbTableFunctions.register(spark)
+    val changes = spark.sql(s"SELECT id, change FROM gvdb_changes('$root', $v1, $v2)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    changes shouldBe Set(("10", "added"), ("11", "added"), ("12", "added"), ("4", "deleted"))
+    tbl.drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
