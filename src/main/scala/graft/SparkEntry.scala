@@ -1243,6 +1243,49 @@ object SparkEntry {
       tbl.drop()
       s.createDataFrame(s.sparkContext.parallelize(got, 1), out.schema)
     }),
+    // ---- gvdb STREAMING SOURCE: readStream.format("gvdb") turns the
+    // warehouse into an insert feed (offsets = the append-only
+    // data-file manifest, GvdbSourceOffset). Phase 1 drains the
+    // initial load; an insert lands between the runs and phase 2 —
+    // resuming from the SAME checkpoint, so the offset round-trips
+    // the offset log — must deliver ONLY the delta. Deletes are
+    // contractually not streamed. Census per phase proves both. ----
+    "stream_source_gvdb" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-src").toString
+      val root = s"$wh/docs"
+      val out = s"$wh/out"
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 300).write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      def drain(tag: String): Unit = {
+        val q = s.readStream.format("gvdb").load(root)
+          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/tag=$tag"); ()
+          }
+          .option("checkpointLocation", s"$wh/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      try {
+        drain("p1")
+        slice(300, 400).write.format("gvdb").mode("append").save(root)
+        drain("p2")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val census = s.read.parquet(out)
+        .groupBy($"tag").agg(count(lit(1)).as("cnt"),
+          sum(get_json_object($"metadata", "$.n_chars").cast("long")).as("sum_chars"))
+      val got = census.collect().toSeq
+      new graft.table.VectorTable(s, root, 1).drop()
+      EventStream.deleteScratch(wh)
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), census.schema)
+    }),
     // ---- gvdb snapshot CDC through SQL: gvdb_changes(path, v1, v2)
     // (the table_changes analogue over VectorTable.diffSnapshots — two
     // id-only anti-joins between pinned manifests, payload never
@@ -7580,6 +7623,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT count(*), CAST(sum(n_chars) AS BIGINT), 'live'
         |FROM documents WHERE doc_id < 400 AND lang <> 'de'""".stripMargin,
+    // gvdb streaming source: p1 = the initial load, p2 = ONLY the
+    // insert that landed between the checkpointed runs
+    "stream_source_gvdb" ->
+      """SELECT 'p1' AS tag, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 'p2', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 400""".stripMargin,
     // gvdb snapshot CDC: added = the [300,350) insert minus its 'de'
     // rows (deleted before v2); deleted = 'de' rows present at v1
     "vdb_source_changes" ->

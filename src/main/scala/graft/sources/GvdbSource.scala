@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -42,6 +43,7 @@ class DefaultSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "gvdb"
@@ -94,6 +96,17 @@ class DefaultSource
     new GvdbSink(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("dim").map(_.toInt))
   }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("gvdb", VectorSchema.schema)
+
+  /** `spark.readStream.format("gvdb").load(root)` — the warehouse as an
+    * insert feed ([[GvdbStreamSource]]). */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters))
 }
 
 /** Test/diagnostic instrumentation: the column/filter sets Spark pushed
@@ -272,4 +285,79 @@ class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int]) extends S
     GvdbWrite.insert(spark, root, batch, overwrite = false, dimMemo)
     commit(batchId)
   }
+}
+
+/** Streaming offset for [[GvdbStreamSource]]: the sorted list of data
+  * files visible in the table directory. File names ARE the progress
+  * marker because the table is append-only between physical rewrites
+  * (insert never rewrites a part file — the Lucene segment contract),
+  * so set difference between two offsets is exactly the inserted data.
+  * The JSON round-trips through the checkpoint's offset log, which is
+  * what makes a restarted query resume at the right file set. Scale
+  * contract: the offset carries one name per part file (~10⁴ names at
+  * a sane file size budget); a production-hardened source would move
+  * to a compacted seen-files log past that, same as FileStreamSource's
+  * metadata log. */
+case class GvdbSourceOffset(files: Seq[String]) extends OffsetV1 {
+  override val json: String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{\"files\": [", ", ", "]}")
+}
+
+object GvdbSourceOffset {
+  /** Any non-native offset (e.g. the checkpoint log's SerializedOffset
+    * after a restart) is re-parsed from its JSON. */
+  def from(o: OffsetV1): GvdbSourceOffset = o match {
+    case g: GvdbSourceOffset => g
+    case other => parse(other.json)
+  }
+
+  private[sources] def parse(json: String): GvdbSourceOffset =
+    GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json).map(_.group(1))
+      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      .filterNot(_ == "files"))
+}
+
+/** The warehouse as a streaming INSERT FEED:
+  * `spark.readStream.format("gvdb").load(root)` emits each inserted row
+  * exactly once, driven by the append-only data-file manifest
+  * ([[GvdbSourceOffset]]). Deletes are NOT streamed — tombstones hide
+  * rows from batch reads but never rewrite data files; consumers who
+  * need deletes read `gvdb_changes` between snapshots instead (the same
+  * split Delta makes between its CDF and plain streaming reads).
+  * Single-writer contract as everywhere in the table: a concurrent
+  * vacuum/reindex REWRITES files and would invalidate outstanding
+  * offsets, exactly like compaction under a FileStreamSource.
+  */
+class GvdbStreamSource(spark: SparkSession, root: String) extends Source {
+
+  private val rootPath = new Path(root)
+  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def schema: StructType = VectorSchema.schema
+
+  private def listNow(): Seq[String] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+
+  override def getOffset: Option[OffsetV1] = {
+    val files = listNow()
+    if (files.isEmpty) None else Some(GvdbSourceOffset(files))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val seen = start.map(GvdbSourceOffset.from(_).files.toSet).getOrElse(Set.empty)
+    val newFiles = GvdbSourceOffset.from(end).files.filterNot(seen)
+    val batch =
+      if (newFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        // pinned logical schema: an LSH-indexed table's files carry the
+        // extra bucket column, which must not leak into the stream
+        spark.read.schema(schema).parquet(newFiles: _*)
+    org.apache.spark.sql.graft.BatchShim.asStream(batch)
+  }
+
+  override def stop(): Unit = ()
 }

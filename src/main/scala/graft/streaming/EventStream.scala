@@ -631,6 +631,10 @@ object EventStream {
     eagerThenDelete(spark, census, root)
   }
 
+  /** Scratch cleanup for registry entries that stage temp stream
+    * output outside this object. */
+  def deleteScratch(path: String): Unit = deleteRecursively(new java.io.File(path))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(); ()

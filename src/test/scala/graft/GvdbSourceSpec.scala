@@ -186,6 +186,33 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     tbl.drop()
   }
 
+  test("readStream.format('gvdb'): insert feed, incremental offsets across restarts") {
+    val root = freshRoot("src")
+    val cp = Files.createTempDirectory("graft-gvdbspec-srccp").toString
+    val out = Files.createTempDirectory("graft-gvdbspec-srcout").toString
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    def drain(tag: String): Unit = {
+      val q = spark.readStream.format("gvdb").load(root)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$out/tag=$tag"); ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("p1")
+    rows(10 until 15).write.format("gvdb").mode(SaveMode.Append).save(root)
+    // a delete must NOT retract already-streamed rows (insert feed)
+    new VectorTable(spark, root, 2).delete(col("id") === "3")
+    drain("p2") // restart from the checkpoint: only the delta files
+    val got = spark.read.parquet(out)
+    got.where(col("tag") === "p1").count() shouldBe 10
+    got.where(col("tag") === "p2").select("id").collect().map(_.getString(0)).sorted shouldBe
+      Array("10", "11", "12", "13", "14")
+    new VectorTable(spark, root, 2).drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
