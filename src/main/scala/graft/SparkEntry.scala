@@ -5508,6 +5508,46 @@ object SparkEntry {
             lit(1.0) - ($"myy" - $"b1" * $"m1y" - $"b2" * $"m2y") / $"myy", 6)
             .as("r2"))
     }),
+    // ---- ridge regression — the REGULARIZATION PATH over the same
+    // exact moment census as ml_linreg: one decimal-exact aggregation
+    // pass builds (n, Σx, Σxx, Σxy), then every λ on the grid is a
+    // closed-form 2×2 solve of (M + λn·I)b = m_y against the SHARED
+    // broadcast census (a 1×4 crossJoin — the whole path costs ONE
+    // corpus pass regardless of grid size, the 100 TB hyperparameter
+    // sweep shape). Penalty scales with n so shrinkage is
+    // per-observation. λ=0 must reproduce ml_linreg's OLS solution;
+    // |b| must be monotonically non-increasing in λ. ----
+    "ml_ridge" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(t(dir, "lineitem")).select(
+        round($"l_quantity", 0).cast("decimal(38,0)").as("x1"),
+        round($"l_discount" * 100, 0).cast("decimal(38,0)").as("x2"),
+        round($"l_extendedprice" * 100, 0).cast("decimal(38,0)").as("y"))
+      val sums = base.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x1").cast("double").as("s1"),
+        sum($"x2").cast("double").as("s2"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x1" * $"x1").cast("double").as("s11"),
+        sum($"x2" * $"x2").cast("double").as("s22"),
+        sum($"x1" * $"x2").cast("double").as("s12"),
+        sum($"x1" * $"y").cast("double").as("s1y"),
+        sum($"x2" * $"y").cast("double").as("s2y"))
+      val lambdas = Seq(0.0, 1.0, 10.0, 100.0).toDF("lambda")
+      sums.crossJoin(broadcast(lambdas))
+        .withColumn("m11", $"s11" - $"s1" * $"s1" / $"n" + $"lambda" * $"n")
+        .withColumn("m22", $"s22" - $"s2" * $"s2" / $"n" + $"lambda" * $"n")
+        .withColumn("m12", $"s12" - $"s1" * $"s2" / $"n")
+        .withColumn("m1y", $"s1y" - $"s1" * $"sy" / $"n")
+        .withColumn("m2y", $"s2y" - $"s2" * $"sy" / $"n")
+        .withColumn("det", $"m11" * $"m22" - $"m12" * $"m12")
+        .withColumn("b1", ($"m22" * $"m1y" - $"m12" * $"m2y") / $"det")
+        .withColumn("b2", ($"m11" * $"m2y" - $"m12" * $"m1y") / $"det")
+        .select($"lambda",
+          RoundPortableExpr.r(($"sy" - $"b1" * $"s1" - $"b2" * $"s2") / $"n", 4).as("b0"),
+          RoundPortableExpr.r($"b1", 6).as("b1"),
+          RoundPortableExpr.r($"b2", 6).as("b2"))
+    }),
     // ---- leading principal component by exact distributed covariance
     // (one Gram mapPartitions pass, shuffle O(partitions × dim²)) +
     // driver power iteration on the bounded 64×64 artifact — the
@@ -10123,6 +10163,34 @@ object SparkEntry {
         |SELECT CAST(duration AS BIGINT) AS duration, d, CAST(n_risk AS BIGINT) AS n_risk,
         |       CASE WHEN cmin = 0.0 THEN 0.0 ELSE round(exp(lnsum), 4) END AS survival
         |FROM c3 WHERE d > 0""".stripMargin,
+    "ml_ridge" ->
+      """WITH base AS (SELECT CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS x1,
+        |                     CAST(round(l_discount * 100, 0) AS DECIMAL(38,0)) AS x2,
+        |                     CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0)) AS y
+        |              FROM lineitem),
+        |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |                CAST(sum(y) AS DOUBLE) AS sy,
+        |                CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |                CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |                CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |                CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |                CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        |         FROM base),
+        |grid AS (SELECT n, s1, s2, sy, s1y, s2y, lambda,
+        |                s11 - s1 * s1 / n + lambda * n AS m11,
+        |                s22 - s2 * s2 / n + lambda * n AS m22,
+        |                s12 - s1 * s2 / n AS m12,
+        |                s1y - s1 * sy / n AS m1y,
+        |                s2y - s2 * sy / n AS m2y
+        |         FROM sums CROSS JOIN (VALUES (0.0), (1.0), (10.0), (100.0)) lam(lambda)),
+        |solved AS (SELECT *, m11 * m22 - m12 * m12 AS det,
+        |                  (m22 * m1y - m12 * m2y) / (m11 * m22 - m12 * m12) AS b1,
+        |                  (m11 * m2y - m12 * m1y) / (m11 * m22 - m12 * m12) AS b2
+        |           FROM grid)
+        |SELECT lambda, round((sy - b1 * s1 - b2 * s2) / n, 4) AS b0,
+        |       round(b1, 6) AS b1, round(b2, 6) AS b2
+        |FROM solved""".stripMargin,
     "ml_linreg" ->
       """WITH base AS (SELECT CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS x1,
         |                     CAST(round(l_discount * 100, 0) AS DECIMAL(38,0)) AS x2,

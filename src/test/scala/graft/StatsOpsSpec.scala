@@ -183,4 +183,19 @@ class StatsOpsSpec extends SparkSpec with Matchers {
     out(("a", 1L)) shouldBe 4.0
     out.size shouldBe 3
   }
+
+  test("ml_ridge: lambda=0 reproduces OLS, and shrinkage is monotone in lambda") {
+    val dir = "/root/testdata/sf0.001"
+    val ridge = SparkEntry.queries("ml_ridge")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val ols = SparkEntry.queries("ml_linreg")(spark, dir).head()
+    ridge.head._1 shouldBe 0.0
+    ridge.head._2 shouldBe ols.getDouble(1) // b1 at lambda=0 == OLS b1
+    ridge.head._3 shouldBe ols.getDouble(2)
+    // per-observation L2 penalty only shrinks: |b| non-increasing
+    ridge.sliding(2).foreach { case Array((_, b1a, b2a), (_, b1b, b2b)) =>
+      math.abs(b1b) should be <= math.abs(b1a) + 1e-9
+      math.abs(b2b) should be <= math.abs(b2a) + 1e-9
+    }
+  }
 }
