@@ -102,11 +102,13 @@ class DefaultSource
     ("gvdb", VectorSchema.schema)
 
   /** `spark.readStream.format("gvdb").load(root)` — the warehouse as an
-    * insert feed ([[GvdbStreamSource]]). */
+    * insert feed ([[GvdbStreamSource]]). Option `maxFilesPerTrigger`
+    * bounds each micro-batch's file count (FileStreamSource's knob). */
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters))
+    new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      metadataPath, parameters.get("maxFilesPerTrigger").map(_.toInt))
 }
 
 /** Test/diagnostic instrumentation: the column/filter sets Spark pushed
@@ -312,6 +314,14 @@ object GvdbSourceOffset {
     case other => parse(other.json)
   }
 
+  /** Same, for the connector-level offsets the admission-control API
+    * hands over ([[GvdbStreamSource.latestOffset]]). */
+  def fromAny(o: org.apache.spark.sql.connector.read.streaming.Offset): GvdbSourceOffset =
+    o match {
+      case g: GvdbSourceOffset => g
+      case other => parse(other.json)
+    }
+
   private[sources] def parse(json: String): GvdbSourceOffset =
     GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json).map(_.group(1))
       .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
@@ -329,18 +339,58 @@ object GvdbSourceOffset {
   * vacuum/reindex REWRITES files and would invalidate outstanding
   * offsets, exactly like compaction under a FileStreamSource.
   */
-class GvdbStreamSource(spark: SparkSession, root: String) extends Source {
+class GvdbStreamSource(spark: SparkSession, root: String,
+    metadataPath: String = "", maxFilesPerTrigger: Option[Int] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def schema: StructType = VectorSchema.schema
 
+  /** AvailableNow bound: the listing snapshotted when the trigger
+    * starts — the run drains up to here (possibly over several capped
+    * batches) and stops, ignoring files that land mid-run. */
+  private var availableNowBound: Option[Set[String]] = None
+
   private def listNow(): Seq[String] =
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).map(_.toString).sorted
 
+  override def initialOffset(): ConnOffset = GvdbSourceOffset(Seq.empty)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(listNow().toSet)
+
+  /** Admission-controlled progress: the engine hands over the CURRENT
+    * position (committed or initial — also correct across restarts, no
+    * source-side state needed) and the read limit; the next offset
+    * grows by at most `maxFilesPerTrigger` files in name order. */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    // start is NULL on a fresh query's first call; null return = no data
+    val seen = Option(start).map(GvdbSourceOffset.fromAny(_).files.toSet).getOrElse(Set.empty[String])
+    val visible = availableNowBound match {
+      case Some(bound) => listNow().filter(bound)
+      case None => listNow()
+    }
+    val fresh = visible.filterNot(seen)
+    val take = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _: ReadAllAvailable => fresh
+      case _ => fresh
+    }
+    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq)
+  }
+
+  /** Legacy v1 path (engines that don't consult admission control):
+    * uncapped latest listing. */
   override def getOffset: Option[OffsetV1] = {
     val files = listNow()
     if (files.isEmpty) None else Some(GvdbSourceOffset(files))

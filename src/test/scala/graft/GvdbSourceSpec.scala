@@ -213,6 +213,33 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("streaming source rate limit: maxFilesPerTrigger bounds each micro-batch") {
+    val root = freshRoot("rate")
+    val cp = Files.createTempDirectory("graft-gvdbspec-ratecp").toString
+    // three separate inserts → at least three part-file groups on disk
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    rows(10 until 20).write.format("gvdb").mode(SaveMode.Append).save(root)
+    rows(20 until 30).write.format("gvdb").mode(SaveMode.Append).save(root)
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = spark.readStream.format("gvdb")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getString(0))
+        if (ids.nonEmpty) batches.incrementAndGet()
+        ids.foreach(seen.add); ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // complete, exactly-once delivery — but split across several
+    // bounded micro-batches instead of one snapshot batch
+    seen.size shouldBe 30
+    batches.get should be >= 3
+    new VectorTable(spark, root, 2).drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
