@@ -4229,6 +4229,32 @@ object SparkEntry {
         FROM walk w JOIN g_customer_rec c ON w.cur = c.c_custkey
         GROUP BY w.depth""")
     }),
+    // ---- recursive CTE with a JOIN in the loop body — reachability
+    // over an edge RELATION (q_recursive_cte's recursion is pure
+    // per-row arithmetic; this one's every iteration is a distributed
+    // frontier-to-edges hash join, the transitive-closure shape).
+    // Edges: child → parent = child div 10 over the customer keys
+    // (strictly shrinking, so the walk is acyclic); anchor = the
+    // single-digit roots; census per depth. At 100× the per-iteration
+    // cost is one keyed join on the frontier — BFS's scale shape,
+    // here expressed natively in SQL instead of ops.Graph.bfs's
+    // driver loop. ----
+    "q_recursive_reach" -> ((s, dir) => {
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("g_customer_reach")
+      s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT c.c_custkey AS child, CAST(c.c_custkey div 10 AS BIGINT) AS parent
+          FROM g_customer_reach c WHERE c.c_custkey >= 10
+        ),
+        walk AS (
+          SELECT CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+          FROM g_customer_reach WHERE c_custkey < 10
+          UNION ALL
+          SELECT e.child, w.depth + 1 FROM walk w JOIN e ON e.parent = w.node
+        )
+        SELECT depth, count(*) AS cnt, CAST(sum(node) AS BIGINT) AS node_sum
+        FROM walk GROUP BY depth""")
+    }),
     // ---- correlated LATERAL join (per-row dependent subquery): top-2
     // nations per region by customer count, tie-broken by name. Spark
     // plans this as DomainJoin → rewritten to a ranked window under
@@ -8490,6 +8516,19 @@ object SparkEntry {
         |       CAST(bit_xor(c.c_custkey) AS BIGINT) AS key_xor
         |FROM walk w JOIN customer c ON w.cur = c.c_custkey
         |GROUP BY w.depth""".stripMargin,
+    "q_recursive_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c.c_custkey AS child, CAST(c.c_custkey // 10 AS BIGINT) AS parent
+        |  FROM customer c WHERE c.c_custkey >= 10
+        |),
+        |walk AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT e.child, w.depth + 1 FROM walk w JOIN e ON e.parent = w.node
+        |)
+        |SELECT depth, count(*) AS cnt, CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM walk GROUP BY depth""".stripMargin,
     "q_lateral_join" ->
       """SELECT r.r_name AS region, l.nation, l.cust_cnt
         |FROM region r,

@@ -144,6 +144,19 @@ class GvdbRelation(@transient override val sqlContext: SQLContext,
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** Real statistics instead of the pessimistic default (which is
+    * `spark.sql.defaultSizeInBytes` = "never broadcast"): the summed
+    * parquet file lengths of the table directory. Lets Catalyst
+    * broadcast a small warehouse in a join against a fact table — the
+    * dim-enrichment shape. One FS listing at plan time; tombstones only
+    * shrink the live set, so this stays a safe over-estimate. */
+  override def sizeInBytes: Long = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) 0L
+    else hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+  }
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     GvdbScan.lastRequiredColumns = requiredColumns.toSeq
     val pushable = filters.flatMap(f => GvdbFilters.toColumn(f).map(c => (f, c)))

@@ -240,6 +240,20 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("relation reports real sizeInBytes, so a small warehouse broadcasts in joins") {
+    import spark.implicits._
+    val root = freshRoot("size")
+    rows(0 until 50).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val dim = spark.read.format("gvdb").load(root)
+      .select(col("id"), get_json_object(col("metadata"), "$.grp").as("grp"))
+    val fact = (0 until 1000).map(i => ((i % 50).toString, i.toLong)).toDF("id", "v")
+    val joined = fact.join(dim, Seq("id"))
+    joined.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    joined.count() shouldBe 1000
+    new VectorTable(spark, root, 2).drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()

@@ -64,7 +64,7 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     "dq_freshness", "q_ship_lag", "ml_perceptron_eval",
     // round-9 SQL surfaces (lateral's per-row subquery decorrelates to
     // a ranked window — never a cartesian)
-    "q_recursive_cte", "q_lateral_join", "q_unpivot")
+    "q_recursive_cte", "q_lateral_join", "q_unpivot", "q_recursive_reach")
 
   test("no unintended cross product in any relational plan") {
     // the only legitimate nested-loop shapes: broadcast single-row query
@@ -93,6 +93,8 @@ class PlanShapeSpec extends SparkSpec with Matchers {
 
   test("recursive CTE plans as UnionLoop (native SQL iteration, not an unrolled union)") {
     physical("q_recursive_cte") should include("UnionLoop")
+    // the join-per-iteration variant too: frontier ⋈ edges inside the loop
+    physical("q_recursive_reach") should include("UnionLoop")
   }
 
   test("prefix-filter verify runs the bounded-intersect kernel, not array_intersect") {
