@@ -58,37 +58,55 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf("spark.graft.ann.autoRewrite", "false").toBoolean) return plan
     plan.transformDown {
-      case limit @ GlobalLimit(_, LocalLimit(_,
-          sort @ Sort(SortOrder(distAttr: Attribute, Ascending, _, _) +: _, true, sortChild, _))) =>
-        val k = limit.limitExpr match {
-          case Literal(i: Int, _) => i
-          case _ => -1
-        }
-        var done = false
-        val newChild = sortChild.transformDown {
-          case p @ Project(projList, pchild) if !done && definesCosineDistance(projList, distAttr).isDefined =>
-            val (embAttr, qvec) = definesCosineDistance(projList, distAttr).get
-            done = true
-            pchild match {
-              // idempotence: the optimizer batch runs rules to fixpoint —
-              // if a probe predicate (either shape) is already in place,
-              // leave the plan unchanged instead of stacking another
-              // copy per iteration
-              case Filter(cond, _) if cond.exists(e =>
-                  e.isInstanceOf[ArraysOverlap] || isProbeInFilter(e)) => p
-              case _ =>
-                graphProbeFilter(pchild, qvec, k) match {
-                  case Some(probePred) => Project(projList, Filter(probePred, pchild))
-                  case None =>
-                    Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+      case limit @ GlobalLimit(_, LocalLimit(_, lchild)) =>
+        // a column-pruning Project may sit between limit and sort (the
+        // optimizer pushes the outer SELECT's pruning below the limit —
+        // the shape every SQL/TVF top-k takes); look through it and
+        // re-wrap on rewrite
+        val (rewrap, core) = stripPruningProjects(lchild)
+        core match {
+          case sort @ Sort(SortOrder(distAttr: Attribute, Ascending, _, _) +: _, true, sortChild, _) =>
+            val k = limit.limitExpr match {
+              case Literal(i: Int, _) => i
+              case _ => -1
+            }
+            var done = false
+            val newChild = sortChild.transformDown {
+              case p @ Project(projList, pchild) if !done && definesCosineDistance(projList, distAttr).isDefined =>
+                val (embAttr, qvec) = definesCosineDistance(projList, distAttr).get
+                done = true
+                pchild match {
+                  // idempotence: the optimizer batch runs rules to fixpoint —
+                  // if a probe predicate (either shape) is already in place,
+                  // leave the plan unchanged instead of stacking another
+                  // copy per iteration
+                  case Filter(cond, _) if cond.exists(e =>
+                      e.isInstanceOf[ArraysOverlap] || isProbeInFilter(e)) => p
+                  case _ =>
+                    graphProbeFilter(pchild, qvec, k) match {
+                      case Some(probePred) => Project(projList, Filter(probePred, pchild))
+                      case None =>
+                        Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+                    }
                 }
             }
+            if (done) GlobalLimit(limit.limitExpr,
+              LocalLimit(limit.limitExpr, rewrap(sort.copy(child = newChild))))
+            else limit
+          case _ => limit
         }
-        if (done) GlobalLimit(limit.limitExpr,
-          LocalLimit(limit.limitExpr, sort.copy(child = newChild)))
-        else limit
     }
   }
+
+  /** Peels attribute-only Projects, returning a function that restores
+    * them around a rewritten child. */
+  private def stripPruningProjects(p: LogicalPlan): (LogicalPlan => LogicalPlan, LogicalPlan) =
+    p match {
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
+        val (f, core) = stripPruningProjects(pr.child)
+        (child => pr.copy(child = f(child)), core)
+      case other => (identity, other)
+    }
 
   private def isProbeInFilter(e: Expression): Boolean = e match {
     case In(_: XxHash64, _) => true
@@ -120,6 +138,11 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
         Some(fs.location.rootPaths.head.toString)
+      // the gvdb format's relation (covers the gvdb_knn TVF's plan —
+      // SQL users get the same planning-time index consult); a
+      // version-pinned snapshot reports None (index tracks the live
+      // table)
+      case g: graft.sources.GvdbRelation => g.indexableRoot
       case _ => None
     }
     case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>

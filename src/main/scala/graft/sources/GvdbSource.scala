@@ -136,6 +136,14 @@ class GvdbRelation(@transient override val sqlContext: SQLContext,
     root: String, dimOpt: Option[Int], versionAsOf: Option[Int] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** The table root, exposed for the ANN planner rewrite: a bare scan
+    * of a LIVE gvdb relation is index-consultable exactly like a bare
+    * parquet scan of the same root (AnnRewriteRule.bareScanPath). A
+    * version-pinned relation is NOT — the persisted index tracks the
+    * live table, not the snapshot. */
+  private[graft] def indexableRoot: Option[String] =
+    if (versionAsOf.isEmpty) Some(root) else None
+
   private def spark: SparkSession = sqlContext.sparkSession
 
   /** The LOGICAL schema — internal sidecar columns (the persisted LSH

@@ -86,4 +86,31 @@ class ExtensionsSpec extends SparkSpec with Matchers {
 
     new graft.table.VectorTable(spark, root, 2).drop()
   }
+
+  test("SQL gvdb_knn is planner-accelerated by a persisted HNSW index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tvf-ann").toString + "/tbl"
+    (0 until 200).map { i =>
+      val a = i * 0.01
+      (f"d$i%03d", "{}", Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+    }.toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "4").mode("overwrite").save(root)
+    new graft.table.VectorTable(spark, root, 4).buildHnswIndex()
+
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s2))
+    s2.conf.set("spark.graft.ann.autoRewrite", "true")
+    graft.plans.GvdbTableFunctions.register(s2)
+    graft.plans.GvdbTableFunctions.register(spark) // exact leg, rule-free session
+    val sql = s"SELECT id FROM gvdb_knn('$root', array(1.0, 0.0, 0.0, 0.0), 5)"
+
+    val accelerated = s2.sql(sql)
+    // the planning-time graph consult planted its candidate IN-filter
+    // (xxhash64 surrogate keys), replacing the corpus distance scan
+    accelerated.queryExecution.optimizedPlan.toString should include("xxhash64")
+    val approx = accelerated.collect().map(_.getString(0)).toSet
+    val exact = spark.sql(sql).collect().map(_.getString(0)).toSet
+    (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    new graft.table.VectorTable(spark, root, 4).drop()
+  }
 }
