@@ -5574,6 +5574,68 @@ object SparkEntry {
           RoundPortableExpr.r($"b1", 6).as("b1"),
           RoundPortableExpr.r($"b2", 6).as("b2"))
     }),
+    // ---- split-conformal prediction intervals — distribution-free
+    // uncertainty for the OLS model: deterministic hash split into
+    // train(½)/calibration(¼)/test(¼), the moment-census OLS fit on
+    // train only, the conformal radius q̂ = the k-th smallest
+    // calibration |residual| with k = ⌈0.9·(n_cal+1)⌉ (an ORDER
+    // STATISTIC by integer rank — portable across engines where an
+    // interpolated quantile is not), and the guarantee checked where
+    // it is made: empirical test coverage ≥≈ 90%. One corpus pass for
+    // moments, one for residuals, one bounded single-column sort for
+    // the rank — the calibration set is the only globally-sorted
+    // relation and it is a fraction of the corpus. ----
+    "ml_conformal" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("conf:"), $"l_orderkey".cast("string"),
+        lit(":"), $"l_linenumber".cast("string"))), 1, 15), 16, 10).cast("long") % 4
+      val base = s.read.parquet(t(dir, "lineitem")).select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_quantity", 0).cast("decimal(38,0)").as("x1"),
+        round($"l_discount" * 100, 0).cast("decimal(38,0)").as("x2"),
+        round($"l_extendedprice" * 100, 0).cast("decimal(38,0)").as("y"),
+        h.as("split"))
+      val sums = base.where($"split" <= 1).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x1").cast("double").as("s1"), sum($"x2").cast("double").as("s2"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x1" * $"x1").cast("double").as("s11"),
+        sum($"x2" * $"x2").cast("double").as("s22"),
+        sum($"x1" * $"x2").cast("double").as("s12"),
+        sum($"x1" * $"y").cast("double").as("s1y"),
+        sum($"x2" * $"y").cast("double").as("s2y"))
+      val coef = sums
+        .withColumn("m11", $"s11" - $"s1" * $"s1" / $"n")
+        .withColumn("m22", $"s22" - $"s2" * $"s2" / $"n")
+        .withColumn("m12", $"s12" - $"s1" * $"s2" / $"n")
+        .withColumn("m1y", $"s1y" - $"s1" * $"sy" / $"n")
+        .withColumn("m2y", $"s2y" - $"s2" * $"sy" / $"n")
+        .withColumn("det", $"m11" * $"m22" - $"m12" * $"m12")
+        .withColumn("b1", ($"m22" * $"m1y" - $"m12" * $"m2y") / $"det")
+        .withColumn("b2", ($"m11" * $"m2y" - $"m12" * $"m1y") / $"det")
+        .withColumn("b0", ($"sy" - $"b1" * $"s1" - $"b2" * $"s2") / $"n")
+        .select($"b0", $"b1", $"b2")
+      val scored = base.where($"split" >= 2).crossJoin(broadcast(coef))
+        .withColumn("resid", abs($"y".cast("double") -
+          ($"b0" + $"b1" * $"x1".cast("double") + $"b2" * $"x2".cast("double"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"resid".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      val cal = scored.where($"split" === 2)
+        .select($"resid", $"l_orderkey", $"l_linenumber")
+        .withColumn("rk", row_number().over(w))
+      val kq = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      val qhat = cal.join(broadcast(kq), $"rk" === $"k")
+        .select($"n_cal", $"k", $"resid".as("q"))
+      scored.where($"split" === 3).crossJoin(broadcast(qhat))
+        .agg(first($"n_cal").as("n_cal"), first($"k").as("k"),
+          RoundPortableExpr.r(first($"q"), 4).as("qhat"),
+          count(lit(1)).as("n_test"),
+          sum(when($"resid" <= $"q", 1L).otherwise(0L)).as("n_covered"),
+          RoundPortableExpr.r(
+            sum(when($"resid" <= $"q", 1.0).otherwise(0.0)) / count(lit(1)), 4)
+            .as("coverage"))
+    }),
     // ---- leading principal component by exact distributed covariance
     // (one Gram mapPartitions pass, shuffle O(partitions × dim²)) +
     // driver power iteration on the bounded 64×64 artifact — the
@@ -10202,6 +10264,50 @@ object SparkEntry {
         |SELECT CAST(duration AS BIGINT) AS duration, d, CAST(n_risk AS BIGINT) AS n_risk,
         |       CASE WHEN cmin = 0.0 THEN 0.0 ELSE round(exp(lnsum), 4) END AS survival
         |FROM c3 WHERE d > 0""".stripMargin,
+    "ml_conformal" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS x1,
+        |         CAST(round(l_discount * 100, 0) AS DECIMAL(38,0)) AS x2,
+        |         CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0)) AS y,
+        |         CAST(('0x' || substr(md5('conf:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+        |                CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS split
+        |  FROM lineitem),
+        |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |                CAST(sum(y) AS DOUBLE) AS sy,
+        |                CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |                CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |                CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |                CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |                CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        |         FROM base WHERE split <= 1),
+        |m AS (SELECT n, s1, s2, sy,
+        |             s11 - s1 * s1 / n AS m11, s22 - s2 * s2 / n AS m22,
+        |             s12 - s1 * s2 / n AS m12,
+        |             s1y - s1 * sy / n AS m1y, s2y - s2 * sy / n AS m2y
+        |      FROM sums),
+        |coef AS (SELECT (m22 * m1y - m12 * m2y) / (m11 * m22 - m12 * m12) AS b1,
+        |                (m11 * m2y - m12 * m1y) / (m11 * m22 - m12 * m12) AS b2, n, s1, s2, sy
+        |         FROM m),
+        |coef2 AS (SELECT (sy - b1 * s1 - b2 * s2) / n AS b0, b1, b2 FROM coef),
+        |scored AS (SELECT b.l_orderkey, b.l_linenumber, b.split,
+        |                  abs(CAST(b.y AS DOUBLE) -
+        |                      (c.b0 + c.b1 * CAST(b.x1 AS DOUBLE) + c.b2 * CAST(b.x2 AS DOUBLE))) AS resid
+        |           FROM base b CROSS JOIN coef2 c WHERE b.split >= 2),
+        |cal AS (SELECT resid,
+        |               row_number() OVER (ORDER BY resid, l_orderkey, l_linenumber) AS rk
+        |        FROM scored WHERE split = 2),
+        |kq AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |              (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k
+        |       FROM cal),
+        |qhat AS (SELECT kq.n_cal, kq.k, cal.resid AS q FROM cal JOIN kq ON cal.rk = kq.k)
+        |SELECT q.n_cal, CAST(q.k AS BIGINT) AS k, round(q.q, 4) AS qhat,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN t.resid <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |       round(sum(CASE WHEN t.resid <= q.q THEN 1.0 ELSE 0.0 END) / count(*), 4) AS coverage
+        |FROM scored t CROSS JOIN qhat q WHERE t.split = 3
+        |GROUP BY q.n_cal, q.k, q.q""".stripMargin,
     "ml_ridge" ->
       """WITH base AS (SELECT CAST(round(l_quantity, 0) AS DECIMAL(38,0)) AS x1,
         |                     CAST(round(l_discount * 100, 0) AS DECIMAL(38,0)) AS x2,

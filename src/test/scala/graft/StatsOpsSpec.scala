@@ -198,4 +198,15 @@ class StatsOpsSpec extends SparkSpec with Matchers {
       math.abs(b2b) should be <= math.abs(b2a) + 1e-9
     }
   }
+
+  test("ml_conformal: the 90% marginal-coverage guarantee holds on the test split") {
+    val r = SparkEntry.queries("ml_conformal")(spark, "/root/testdata/sf0.001").head()
+    val nCal = r.getLong(0); val k = r.getLong(1)
+    k shouldBe (9 * (nCal + 1) + 9) / 10 // the finite-sample rank
+    val coverage = r.getDouble(5)
+    // split-conformal: P(cover) ∈ [0.9, 0.9 + 1/(n_cal+1)] in
+    // expectation; the empirical check allows sampling slack
+    coverage should be >= 0.86
+    coverage should be <= 0.95
+  }
 }
