@@ -3,9 +3,11 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic
 
-/** The one internal-API bridge in the project, isolated in this package
-  * so the `private[sql]` scope is satisfied — the same technique every
-  * production DSv1 sink (Delta's `DeltaSink`, spark-redshift) uses.
+/** The streaming half of the project's internal-API bridging (the
+  * Column↔Expression half lives in `graftbridge.GraftBridge`), isolated
+  * in this package so the `private[sql]` scope is satisfied — the same
+  * technique every production DSv1 sink (Delta's `DeltaSink`,
+  * spark-redshift) uses.
   *
   * Inside `Sink.addBatch` the incoming DataFrame is backed by the
   * streaming query's `IncrementalExecution`; feeding it to a batch
