@@ -220,13 +220,16 @@ object GvdbWrite {
   /** dim resolution: explicit option > existing table rows > first
     * incoming row. The inference reads ONE row (`head(1)`) — a bounded
     * driver action, run once per batch write (the streaming sink
-    * memoizes it across batches). */
+    * memoizes it across batches). An OVERWRITE never consults the
+    * existing table: the old rows are about to be replaced, and pinning
+    * their dimension would reject a legitimate reshape (overwriting a
+    * dim-2 table with dim-4 vectors). */
   def resolveDim(spark: SparkSession, root: String, data: DataFrame,
-      dimOpt: Option[Int]): Option[Int] =
+      dimOpt: Option[Int], overwrite: Boolean = false): Option[Int] =
     dimOpt
       .orElse {
         val t = new VectorTable(spark, root, 1)
-        if (!t.exists) None
+        if (overwrite || !t.exists) None
         else t.df.select(size(col(VectorSchema.EMBEDDING)).as("d"))
           .head(1).headOption.map(_.getInt(0))
       }
@@ -256,7 +259,7 @@ object GvdbWrite {
   def insert(spark: SparkSession, root: String, data: DataFrame,
       overwrite: Boolean, dimOpt: Option[Int]): Unit = {
     val shaped = shape(data)
-    resolveDim(spark, root, shaped, dimOpt) match {
+    resolveDim(spark, root, shaped, dimOpt, overwrite) match {
       case None => // empty batch into an empty/absent table: just create
         new VectorTable(spark, root, 1).create(overwrite)
       case Some(dim) =>

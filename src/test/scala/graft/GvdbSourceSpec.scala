@@ -254,6 +254,23 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("overwrite may reshape the embedding dimension (old table's dim is not pinned)") {
+    import spark.implicits._
+    val root = freshRoot("reshape")
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    // overwrite with dim-4 vectors and NO dim option: must infer from
+    // the incoming data, not the about-to-be-replaced table
+    (0 until 5).map(i => (i.toString, "{}", Seq(1f, 2f, 3f, 4f)))
+      .toDF("id", "metadata", "embedding")
+      .write.format("gvdb").mode(SaveMode.Overwrite).save(root)
+    val back = spark.read.format("gvdb").load(root)
+    back.count() shouldBe 5
+    back.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0) shouldBe 4
+    new VectorTable(spark, root, 4).drop()
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
