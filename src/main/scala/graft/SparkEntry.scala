@@ -1339,6 +1339,47 @@ object SparkEntry {
         FROM gvdb_knn('$wh/table', $vecSql, 10) k
         CROSS JOIN (SELECT count(*) AS n_rows FROM gvdb_scan('$wh/table')) t""")
     }),
+    // ---- gvdb CATALOG PLUGIN (sources/GvdbCatalog): the reference's
+    // one-name-one-database contract (vdb.py:15-16) at Spark's catalog
+    // level — CREATE NAMESPACE/TABLE under a warehouse dir, INSERT INTO
+    // through the dedup anti-join (overlapping second insert is
+    // first-wins), a facade tombstone delete on the table's PATH
+    // visible through the catalog NAME (catalog tables are warehouse
+    // paths — every surface interoperates), census via plain SELECT
+    // over the MoR BatchScan. The catalog name is unique per run: Spark
+    // caches catalog instances per name with their init-time warehouse
+    // option, and this entry's warehouse is a scratch dir. ----
+    "vdb_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat").toString
+      val cat = "gcat" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.prod")
+      s.sql(s"CREATE TABLE $cat.prod.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 600).createOrReplaceTempView("cat_delta1")
+      s.sql(s"INSERT INTO $cat.prod.docs SELECT id, metadata, embedding FROM cat_delta1")
+      // overlapping insert: [300,600) already present → deduped by id
+      slice(300, 700).createOrReplaceTempView("cat_delta2")
+      s.sql(s"INSERT INTO $cat.prod.docs SELECT id, metadata, embedding FROM cat_delta2")
+      new graft.table.VectorTable(s, s"$wh/prod/docs", 1)
+        .delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val back = s.sql(s"""
+        SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
+               sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars
+        FROM $cat.prod.docs GROUP BY 1""")
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.prod.docs")
+      s.sql(s"DROP NAMESPACE $cat.prod")
+      s.catalog.dropTempView("cat_delta1"); s.catalog.dropTempView("cat_delta2")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
     // ---- manifest snapshots / time travel: snapshot = the data-file
     // list (append-only under insert — zero copy) + the tombstone ids
     // at snapshot time. Reading v1 after later inserts AND deletes
@@ -7776,6 +7817,12 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY distance, id LIMIT 10""".stripMargin,
+    // gvdb catalog plugin: [0,600) ∪ [300,700) dedups to [0,700),
+    // then the 'de' tombstone delete applies through the catalog name
+    "vdb_catalog" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 700 AND lang <> 'de'
+        |GROUP BY lang""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
       """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,

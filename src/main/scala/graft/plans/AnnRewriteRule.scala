@@ -83,10 +83,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   case Filter(cond, _) if cond.exists(e =>
                       e.isInstanceOf[ArraysOverlap] || isProbeInFilter(e)) => p
                   case _ =>
-                    graphProbeFilter(pchild, qvec, k) match {
+                    graphProbeFilter(pchild, qvec, k)
+                      .orElse(bucketPredicate(embAttr, qvec, pchild)) match {
                       case Some(probePred) => Project(projList, Filter(probePred, pchild))
-                      case None =>
-                        Project(projList, Filter(bucketPredicate(embAttr, qvec, pchild), pchild))
+                      case None => p // no profitable shape: keep the exact plan
                     }
                 }
             }
@@ -145,9 +145,36 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case g: graft.sources.GvdbRelation => g.indexableRoot
       case _ => None
     }
+    // the gvdb format's V2 table (covers spark.read.format("gvdb"),
+    // USING gvdb temp views, the gvdb TVFs and catalog tables — SQL
+    // users get the same planning-time index consult). Injected-rule
+    // invocations see the pre-pushdown relation; extraOptimizations
+    // ones run after pushdown and see the ScanRelation wrapper.
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GvdbTable => g.indexableRoot
+        case _ => None
+      }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      sr.relation.table match {
+        case g: graft.sources.GvdbTable => g.indexableRoot
+        case _ => None
+      }
     case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
       bareScanPath(p.child)
     case _ => None
+  }
+
+  /** Distinct tombstoned ids of the root's merge-on-read side table —
+    * the probe-widening bound. Zero-cost (one existence check) when no
+    * delete ever ran; one id-column distinct-count job otherwise. */
+  private def tombstoneDebt(root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root + ".tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else scala.util.Try(
+      spark.read.parquet(p.toString)
+        .select(graft.core.VectorSchema.ID).distinct().count()).getOrElse(0L)
   }
 
   private def sidecarText(path: String): Option[String] = {
@@ -196,9 +223,22 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       root <- bareScanPath(pchild)
       idAttr <- pchild.output.find(a =>
         a.name == graft.core.VectorSchema.ID && a.dataType == StringType)
+      // merge-on-read delete debt: the persisted index still carries
+      // tombstoned rows, and on a gvdb scan the MoR anti-join removes
+      // them ABOVE the planted candidate filter — so the probe must
+      // widen by the tombstone count or the query under-returns
+      // (< k live rows). Same capped-widening rule as the facade
+      // (VectorDB.probeWidth): past WidenCap·k the widened beam is
+      // doing brute-force-sized work, so the rewrite abstains and the
+      // plan stays exact.
+      debt = tombstoneDebt(root)
+      if debt <= (graft.VectorDB.WidenCap - 1L) * k
     } yield {
       import spark.implicits._
       import org.apache.spark.sql.{functions => F}
+      // +8 slack absorbs rounding ties at the k boundary; +debt keeps
+      // k LIVE candidates under merge-on-read deletes
+      val kProbe = k + 8 + debt.toInt
       // surrogate-keyed live vectors for the code tiers' exact rerank
       def corpus = spark.read.parquet(root).select(
         F.xxhash64(F.col(graft.core.VectorSchema.ID)).as("vec_id"),
@@ -217,19 +257,19 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(m) =>
             val graph = spark.read.parquet(root + ".hnsw")
             val qg = Seq((0L, qvec.toFloatArray)).toDF("vec_id", "embedding")
-            graft.ops.Hnsw.probeGraph(graph, qg, k + 8, m = m, excludeSelf = false)
+            graft.ops.Hnsw.probeGraph(graph, qg, kProbe, m = m, excludeSelf = false)
               .select("neighbor_id").collect().map(_.getLong(0))
           case None => ivfpqParams(root) match {
             case Some((nProbe, slf)) =>
               val (ix, codes) = graft.ops.IvfPq.loadIndex(spark, root + ".ivfpq")
-              graft.ops.IvfPq.search(q, ix, codes, corpus, k + 8,
+              graft.ops.IvfPq.search(q, ix, codes, corpus, kProbe,
                   nProbe = nProbe, shortlistFactor = slf,
                   nProbeMax = math.min(ix.nCells, 2 * nProbe), adaptRatio = 1.5)
                 .select("neighbor_id").collect().map(_.getLong(0))
             case None => bqParams(root) match {
               case Some((cf, ff)) =>
                 val codes = spark.read.parquet(root + ".bq")
-                graft.ops.Similarity.bqTopKFromCodes(codes, q, corpus, k + 8,
+                graft.ops.Similarity.bqTopKFromCodes(codes, q, corpus, kProbe,
                     coarseFactor = cf, fineFactor = ff)
                   .select("neighbor_id").collect().map(_.getLong(0))
               case None => Array.empty[Long]
@@ -244,7 +284,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ---- shape 2: the LSH bucket prefilter ----
 
-  private def bucketPredicate(embAttr: Attribute, qvec: ArrayData, pchild: LogicalPlan): Expression = {
+  private def bucketPredicate(
+      embAttr: Attribute, qvec: ArrayData, pchild: LogicalPlan): Option[Expression] = {
     val dim = qvec.numElements()
     val tables = conf("spark.graft.ann.tables", "8").toInt
     val bits = conf("spark.graft.ann.bits", "12").toInt
@@ -258,10 +299,22 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       a.name == graft.core.VectorSchema.ANN_BUCKETS &&
         a.dataType.isInstanceOf[ArrayType] &&
         a.dataType.asInstanceOf[ArrayType].elementType == LongType)
-    val bucketsExpr = stored.getOrElse(LshBucketsExpr(embAttr, dim, tables, bits, seed))
-    // query buckets computed once here on the driver, shipped as a literal
-    val qBuckets = LshBucketsExpr(Literal(qvec, ArrayType(FloatType)), dim, tables, bits, seed)
-      .eval(null).asInstanceOf[ArrayData]
-    ArraysOverlap(bucketsExpr, Literal(qBuckets.copy(), ArrayType(LongType, containsNull = false)))
+    // a gvdb-format scan HIDES the stored bucket column (internal
+    // sidecar columns never leak through the format schema), so on an
+    // LSH-indexed gvdb root the stored-bucket fast path can never fire
+    // — and the inline fallback would PESSIMIZE (tables × bits
+    // projections per row > the distance scan it avoids). Abstain:
+    // the exact plan is the better plan there.
+    val lshIndexedButHidden = stored.isEmpty &&
+      bareScanPath(pchild).exists(root => sidecarText(root + ".ann_index.json").isDefined)
+    if (lshIndexedButHidden) None
+    else {
+      val bucketsExpr = stored.getOrElse(LshBucketsExpr(embAttr, dim, tables, bits, seed))
+      // query buckets computed once here on the driver, shipped as a literal
+      val qBuckets = LshBucketsExpr(Literal(qvec, ArrayType(FloatType)), dim, tables, bits, seed)
+        .eval(null).asInstanceOf[ArrayData]
+      Some(ArraysOverlap(bucketsExpr,
+        Literal(qBuckets.copy(), ArrayType(LongType, containsNull = false))))
+    }
   }
 }

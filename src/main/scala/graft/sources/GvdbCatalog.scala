@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.VectorSchema
+import graft.table.VectorTable
+
+/** Catalog plugin for gvdb vector tables — the reference's "one name ↔
+  * one database file" contract (vdb.py:15-16: `/db/{name}.duckdb` on a
+  * shared volume) lifted to Spark's catalog level:
+  *
+  * {{{
+  *   spark.sql.catalog.vdb           = graft.sources.GvdbCatalog
+  *   spark.sql.catalog.vdb.warehouse = /shared/volume/vdb
+  *
+  *   CREATE NAMESPACE vdb.prod
+  *   CREATE TABLE vdb.prod.docs (id string, metadata string,
+  *                               embedding array<float>) USING gvdb
+  *   INSERT INTO vdb.prod.docs SELECT ...   -- dedup anti-join insert
+  *   SELECT * FROM vdb.prod.docs            -- merge-on-read BatchScan
+  * }}}
+  *
+  * Layout mirrors the reference's volume: `<warehouse>/<ns…>/<table>`
+  * is the table's parquet root, with the engine's sidecars (tombstones,
+  * snapshots, index tiers) as `<table>.<suffix>` siblings — so every
+  * facade/TVF/format surface works on a catalog table's path
+  * unchanged, and vice versa. `CREATE TABLE … LOCATION p` pins an
+  * external root via a one-line pointer file, matching Spark's
+  * external-table contract (the catalog entry owns the name, not the
+  * data: DROP on an external table unlinks without deleting).
+  *
+  * The catalog keeps NO state beyond the filesystem — table existence
+  * IS directory existence (the reference's file-per-database model),
+  * so it needs no metastore service and concurrent Spark apps sharing
+  * the warehouse path see the same catalog.
+  */
+class GvdbCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"gvdb catalog '$name' requires option 'spark.sql.catalog.$name.warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toIndexedSeq).mkString("/"))
+
+  /** The managed directory for an identifier — the table root, unless a
+    * pointer file redirects to an external LOCATION. */
+  private def managedPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  private def pointerPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name() + ".location")
+
+  /** Resolved data root: the external location if pinned, else the
+    * managed directory itself. */
+  private def tableRoot(ident: Identifier): String =
+    if (!fs.exists(pointerPath(ident))) managedPath(ident).toString
+    else {
+      val in = fs.open(pointerPath(ident))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+
+  private def exists(ident: Identifier): Boolean =
+    fs.exists(managedPath(ident)) || fs.exists(pointerPath(ident))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace.toIndexedSeq)
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      // sidecars (tombstones, snapshots, index tiers, location
+      // pointers) are dot-suffixed siblings of their table dir; a
+      // plain undotted entry is either a table root or a namespace —
+      // namespaces are excluded by the VectorTable existence check
+      // being directory-based for both, so include only undotted dirs
+      .filter(n => !n.contains("."))
+      .map(n => Identifier.of(namespace, n))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    new GvdbTable(spark, tableRoot(ident), None, None)
+  }
+
+  /** Accepts an empty schema (`CREATE TABLE t USING gvdb LOCATION …`)
+    * or the contract schema; anything else is rejected — the outer
+    * schema of a vector table is fixed (duckvdb.py:32, SURVEY §1.3). */
+  private def validateSchema(schema: StructType): Unit = {
+    if (schema.isEmpty) return
+    val names = schema.fieldNames.toSeq
+    require(names == VectorSchema.schema.fieldNames.toSeq,
+      s"gvdb tables have the fixed schema (id string, metadata string, " +
+        s"embedding array<float>); got columns ${names.mkString(", ")}")
+    val embType = schema(VectorSchema.EMBEDDING).dataType
+    require(embType.isInstanceOf[ArrayType] &&
+        embType.asInstanceOf[ArrayType].elementType == FloatType,
+      s"gvdb 'embedding' column must be array<float>, got ${embType.simpleString}")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident.asMultipartIdentifier)
+    require(partitions.isEmpty, "gvdb tables do not support partitioning clauses")
+    validateSchema(schema)
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace().toIndexedSeq)
+    Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(loc) =>
+        // external table: record the pointer; create the root only if
+        // absent (pointing at an existing gvdb table adopts it)
+        val out = fs.create(pointerPath(ident), false)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+        new VectorTable(spark, loc, 1).create()
+      case None =>
+        new VectorTable(spark, managedPath(ident).toString, 1).create()
+    }
+    new GvdbTable(spark, tableRoot(ident), None, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "gvdb tables have a fixed schema; ALTER TABLE is not supported")
+
+  /** DROP: a managed table's data (and all sidecars) die with the
+    * entry; an external table is unlinked only — its data root is
+    * owned by whoever created it (Spark's external-table contract). */
+  override def dropTable(ident: Identifier): Boolean =
+    if (!exists(ident)) false
+    else {
+      val external = fs.exists(pointerPath(ident))
+      if (!external) new VectorTable(spark, managedPath(ident).toString, 1).drop()
+      fs.delete(pointerPath(ident), false)
+      fs.delete(managedPath(ident), true)
+      true
+    }
+
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    // The RENAME TO target may arrive name-only (empty namespace) or
+    // fully qualified INCLUDING the catalog name (Spark hands the
+    // parsed multipart through untrimmed) — normalize both to this
+    // catalog's namespace space.
+    val rawNs = rawNewIdent.namespace()
+    val ns =
+      if (rawNs.isEmpty) oldIdent.namespace()
+      else if (rawNs.headOption.contains(catalogName)) rawNs.drop(1)
+      else rawNs
+    val newIdent = Identifier.of(ns, rawNewIdent.name())
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent.asMultipartIdentifier)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent.asMultipartIdentifier)
+    if (!fs.exists(nsPath(newIdent.namespace())))
+      throw new NoSuchNamespaceException(catalogName +: newIdent.namespace().toIndexedSeq)
+    // rename the table dir AND every dot-suffixed sidecar sibling, so
+    // tombstones/snapshots/indexes follow the name
+    val srcDir = nsPath(oldIdent.namespace())
+    fs.listStatus(srcDir).toSeq.map(_.getPath)
+      .filter(p => p.getName == oldIdent.name() || p.getName.startsWith(oldIdent.name() + "."))
+      .foreach { p =>
+        val newName = newIdent.name() + p.getName.stripPrefix(oldIdent.name())
+        fs.rename(p, new Path(nsPath(newIdent.namespace()), newName))
+      }
+  }
+
+  // ---- namespaces ----
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(n => !n.contains("."))
+      .map(Array(_)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (!fs.exists(nsPath(namespace)))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toIndexedSeq)
+    else Array.empty // single-level namespaces (one volume dir per ns)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty || fs.exists(nsPath(namespace)))
+      Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toIndexedSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (fs.exists(nsPath(namespace)))
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toIndexedSeq).toArray)
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("gvdb namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(p, true)
+    }
+  }
+
+  private implicit class IdentOps(ident: Identifier) {
+    def asMultipartIdentifier: Seq[String] =
+      (catalogName +: ident.namespace().toIndexedSeq) :+ ident.name()
+  }
+}

@@ -40,7 +40,8 @@ import graft.table.VectorTable
   * Delta-style time travel; such a relation rejects writes).
   */
 class DefaultSource
-    extends RelationProvider
+    extends org.apache.spark.sql.connector.catalog.TableProvider
+    with RelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
     with StreamSourceProvider
@@ -51,6 +52,29 @@ class DefaultSource
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("gvdb: 'path' option is required"))
+
+  // ---- DataSource V2 (batch read + SQL INSERT write — see GvdbTableV2
+  // .scala). Batch `spark.read`/temp views resolve through here; the
+  // V1 traits below stay live for the paths the engine still routes to
+  // V1: DataFrameWriter.save (all four SaveModes), and streaming
+  // source/sink (this table advertises no streaming capabilities). ----
+
+  /** The outer schema is fixed by contract (duckvdb.py:32) — nothing to
+    * infer, so a missing table is not an error here (writes create). */
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    VectorSchema.schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("gvdb: 'path' option is required"))
+    new GvdbTable(SparkSession.active, root,
+      Option(opts.get("dim")).map(_.toInt),
+      Option(opts.get("versionAsOf")).map(_.toInt))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -93,8 +117,15 @@ class DefaultSource
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append,
       s"gvdb sink supports Append output mode only, got $outputMode")
+    // the batch watermark is scoped by the query's checkpoint location
+    // (batch ids are only meaningful within one checkpoint lineage — a
+    // NEW query against a reused root restarts at batch 0 and must not
+    // see another query's committed id); with no explicit checkpoint,
+    // the sink keeps no watermark and the row-level id anti-join is
+    // the (still exactly-once-effective) dedup layer
     new GvdbSink(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("dim").map(_.toInt))
+      parameters.get("dim").map(_.toInt),
+      parameters.get("checkpointLocation"))
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -109,15 +140,6 @@ class DefaultSource
       parameters: Map[String, String]): Source =
     new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters),
       metadataPath, parameters.get("maxFilesPerTrigger").map(_.toInt))
-}
-
-/** Test/diagnostic instrumentation: the column/filter sets Spark pushed
-  * into the most recent [[GvdbRelation.buildScan]] call. Two bounded
-  * arrays, overwritten per scan — the DSv1 analogue of asserting on
-  * `PushedFilters` in an explain string, but machine-checkable. */
-object GvdbScan {
-  @volatile var lastRequiredColumns: Seq[String] = Seq.empty
-  @volatile var lastPushedFilters: Seq[Filter] = Seq.empty
 }
 
 /** The merge-on-read table as a DSv1 relation.
@@ -166,9 +188,7 @@ class GvdbRelation(@transient override val sqlContext: SQLContext,
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    GvdbScan.lastRequiredColumns = requiredColumns.toSeq
     val pushable = filters.flatMap(f => GvdbFilters.toColumn(f).map(c => (f, c)))
-    GvdbScan.lastPushedFilters = pushable.map(_._1).toSeq
     val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
     // versionAsOf pins the manifest snapshot (Delta-style time travel):
     // exactly the files + tombstones recorded at snapshot() time
@@ -239,12 +259,18 @@ object GvdbWrite {
   /** Columns are matched by NAME (any order, extras dropped) and cast
     * to the contract types — `array<double>` embeddings from plain SQL
     * land as `array<float>`, matching the reference's cast-at-insert
-    * (duckvdb.py:104). */
-  def shape(data: DataFrame): DataFrame = {
+    * (duckvdb.py:104). A frame that doesn't carry the contract names
+    * but has exactly the contract arity is matched by POSITION — the
+    * SQL `INSERT INTO t VALUES (...)` shape, whose query columns are
+    * synthetic (`col1`...) because ACCEPT_ANY_SCHEMA skips the
+    * analyzer's output renaming. */
+  def shape(raw: DataFrame): DataFrame = {
     val need = VectorSchema.schema.fieldNames
-    val missing = need.filterNot(data.columns.contains)
-    require(missing.isEmpty,
-      s"gvdb write requires columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
+    val missing = need.filterNot(raw.columns.contains)
+    require(missing.isEmpty || raw.columns.length == need.length,
+      s"gvdb write requires columns ${need.mkString(", ")} (or exactly " +
+        s"${need.length} positional columns); missing: ${missing.mkString(", ")}")
+    val data = if (missing.isEmpty) raw else raw.toDF(need.toIndexedSeq: _*)
     data.select(
       col(VectorSchema.ID).cast(StringType).as(VectorSchema.ID),
       col(VectorSchema.METADATA).cast(StringType).as(VectorSchema.METADATA),
@@ -273,35 +299,60 @@ object GvdbWrite {
 /** Micro-batch sink over the dedup insert, with exactly-once delivery:
   *
   *  - batch-level: the last committed batch id is persisted beside the
-  *    table (`<root>.sink_commit`); a replayed batch (restart between
-  *    insert and commit, or an at-least-once source) is skipped without
-  *    running a job;
-  *  - row-level backstop: even if the watermark is lost, the insert's
+  *    table, SCOPED BY THE QUERY'S CHECKPOINT LINEAGE
+  *    (`<root>.sink_commits/<hash(checkpointLocation)>` — the Delta
+  *    DSv1 sink's (appId, version) txn pattern): batch ids restart at
+  *    0 for every new checkpoint, so an unscoped watermark would make
+  *    a fresh query against a reused root silently skip its first
+  *    batches. A replayed batch within the same lineage (restart
+  *    between insert and commit, or an at-least-once source) is
+  *    skipped without running a job. Queries with no explicit
+  *    checkpoint location keep no watermark at all.
+  *  - row-level backstop: even without the watermark, the insert's
   *    id anti-join makes redelivery a no-op (the same two-layer recipe
   *    as `stream_idempotent_sink` / the reference's ON CONFLICT).
+  *
+  * The commit record is written to a temp file and renamed over the
+  * final name, and an unreadable/unparseable record degrades to "no
+  * watermark" (anti-join backstop) instead of wedging the query.
+  * [[graft.table.VectorTable.drop]] removes the commit directory with
+  * the table, so a dropped-and-recreated root never sees stale ids.
   *
   * The incoming micro-batch DataFrame is re-wrapped through
   * [[org.apache.spark.sql.graft.BatchShim]] — distributed, not a
   * driver `collect()`.
   */
-class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int]) extends Sink {
+class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int],
+    checkpointLocation: Option[String] = None) extends Sink {
 
-  private val commitPath = new Path(root + ".sink_commit")
-  private def fs = commitPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val commitPath: Option[Path] = checkpointLocation.map { cp =>
+    // content-addressed scope: stable across restarts of the same
+    // query (same checkpoint), distinct across different queries
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(cp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(root + ".sink_commits", digest)
+  }
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Memoized across batches; resolved on the first non-empty one. */
   private var dimMemo: Option[Int] = dimOpt
 
-  private[graft] def committedBatchId: Long =
-    if (!fs.exists(commitPath)) -1L
-    else {
-      val in = fs.open(commitPath)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-    }
+  private[graft] def committedBatchId: Long = commitPath match {
+    case Some(p) if fs.exists(p) =>
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      // a torn/empty record (crash mid-write on a non-atomic FS) falls
+      // back to the row-level anti-join, never a parse error
+      scala.util.Try(txt.trim.toLong).getOrElse(-1L)
+    case _ => -1L
+  }
 
-  private def commit(batchId: Long): Unit = {
-    val out = fs.create(commitPath, true)
+  private def commit(batchId: Long): Unit = commitPath.foreach { p =>
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false) // rename won't replace; a crash here = no record
+    fs.rename(tmp, p)
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -346,10 +397,15 @@ object GvdbSourceOffset {
       case other => parse(other.json)
     }
 
-  private[sources] def parse(json: String): GvdbSourceOffset =
-    GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json).map(_.group(1))
-      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-      .filterNot(_ == "files"))
+  /** Parses only the CONTENTS of the `"files"` JSON array — a file
+    * whose path happens to contain a quoted token elsewhere in the
+    * document (or is literally named "files") can't corrupt the set. */
+  private[sources] def parse(json: String): GvdbSourceOffset = {
+    val body = """"files"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
+      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+  }
 }
 
 /** The warehouse as a streaming INSERT FEED:
@@ -410,7 +466,10 @@ class GvdbStreamSource(spark: SparkSession, root: String,
       case _: ReadAllAvailable => fresh
       case _ => fresh
     }
-    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq)
+    // sorted: offset equality must be insensitive to set-iteration
+    // order, or a restart comparing against the checkpoint log's
+    // re-parsed offset would see spurious "new data"
+    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq.sorted)
   }
 
   /** Legacy v1 path (engines that don't consult admission control):

@@ -334,6 +334,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
+    // streaming-sink watermarks die with the table: a recreated root
+    // must not inherit committed batch ids (GvdbSink scoping contract)
+    fs.delete(new Path(root + ".sink_commits"), true)
     dropHnswIndex()
     dropIvfPqIndex()
     dropBqIndex()

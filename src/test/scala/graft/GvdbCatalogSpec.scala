@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.table.VectorTable
+
+/** The gvdb catalog plugin (sources/GvdbCatalog.scala): the reference's
+  * one-name-one-database contract (vdb.py:15-16) at Spark's catalog
+  * level — CREATE/DROP NAMESPACE and TABLE, INSERT INTO through the
+  * dedup anti-join, plain SELECT through the merge-on-read BatchScan,
+  * external LOCATION tables adopting existing warehouse roots. */
+class GvdbCatalogSpec extends SparkSpec with Matchers {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-catalog").toString
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.vdbcat", "graft.sources.GvdbCatalog")
+    spark.conf.set("spark.sql.catalog.vdbcat.warehouse", warehouse)
+  }
+
+  test("managed table lifecycle: DDL, dedup insert, MoR select, drop") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.prod")
+    spark.sql("""CREATE TABLE vdbcat.prod.docs
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    import spark.implicits._
+    (0 until 20).map(i => (i.toString, s"""{"grp":${i % 2}}""", Seq(i.toFloat, 1f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("cat_delta")
+    spark.sql("INSERT INTO vdbcat.prod.docs SELECT id, metadata, embedding FROM cat_delta")
+    // overlapping re-insert: first-wins by id (duckvdb.py:56-61)
+    spark.sql("INSERT INTO vdbcat.prod.docs SELECT id, metadata, embedding FROM cat_delta")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.prod.docs").head().getLong(0) shouldBe 20L
+    // the catalog read is the V2 BatchScan over the merge-on-read view:
+    // a facade delete on the SAME path (catalog tables ARE warehouse
+    // paths) is visible through the catalog name
+    new VectorTable(spark, s"$warehouse/prod/docs", 2)
+      .delete(get_json_object(col("metadata"), "$.grp") === "1")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.prod.docs").head().getLong(0) shouldBe 10L
+    spark.sql("SELECT * FROM vdbcat.prod.docs").queryExecution.executedPlan
+      .toString should include("BatchScan")
+    spark.sql("SHOW TABLES IN vdbcat.prod").collect()
+      .map(_.getString(1)) should contain("docs")
+    spark.sql("DROP TABLE vdbcat.prod.docs")
+    spark.catalog.tableExists("vdbcat.prod.docs") shouldBe false
+    // managed drop removed data and sidecars
+    new java.io.File(s"$warehouse/prod/docs").exists() shouldBe false
+    new java.io.File(s"$warehouse/prod/docs.tombstones").exists() shouldBe false
+  }
+
+  test("external LOCATION table adopts an existing gvdb root; DROP unlinks only") {
+    init()
+    import spark.implicits._
+    val external = Files.createTempDirectory("graft-catalog-ext").toString + "/tbl"
+    (0 until 7).map(i => (i.toString, "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "1").mode("overwrite").save(external)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.ext")
+    spark.sql(s"CREATE TABLE vdbcat.ext.adopted USING gvdb LOCATION '$external'")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.ext.adopted").head().getLong(0) shouldBe 7L
+    spark.sql("INSERT INTO vdbcat.ext.adopted VALUES ('x', '{}', array(9.0f))")
+    spark.sql("DROP TABLE vdbcat.ext.adopted")
+    // the external root survives the unlink, with the inserted row
+    spark.read.format("gvdb").load(external).count() shouldBe 8L
+    new VectorTable(spark, external, 1).drop()
+  }
+
+  test("fixed-schema contract is enforced at CREATE TABLE") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.bad")
+    an[Exception] should be thrownBy
+      spark.sql("CREATE TABLE vdbcat.bad.wrong (a int, b string) USING gvdb")
+    an[Exception] should be thrownBy
+      spark.sql("""CREATE TABLE vdbcat.bad.wrongemb
+                   (id string, metadata string, embedding array<double>) USING gvdb""")
+  }
+
+  test("namespace lifecycle and rename carry sidecars") {
+    init()
+    spark.sql("CREATE NAMESPACE vdbcat.life")
+    spark.sql("""CREATE TABLE vdbcat.life.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("INSERT INTO vdbcat.life.t VALUES ('a', '{}', array(1.0f, 0.0f))")
+    // a tombstone sidecar must follow the rename
+    new VectorTable(spark, s"$warehouse/life/t", 2).delete(col("id") === "zzz")
+    spark.sql("ALTER TABLE vdbcat.life.t RENAME TO vdbcat.life.t2")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.life.t2").head().getLong(0) shouldBe 1L
+    new java.io.File(s"$warehouse/life/t2.tombstones").exists() shouldBe true
+    spark.sql("DROP TABLE vdbcat.life.t2")
+    spark.sql("DROP NAMESPACE vdbcat.life")
+    spark.sql("SHOW NAMESPACES IN vdbcat").collect()
+      .map(_.getString(0)) should not contain "life"
+  }
+}

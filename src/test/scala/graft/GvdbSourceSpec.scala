@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.StringStartsWith
 import org.scalatest.matchers.should.Matchers
 
-import graft.sources.{GvdbScan, GvdbSink}
+import graft.sources.GvdbSink
 import graft.table.VectorTable
 
 /** The `gvdb` DataSource surface (sources/GvdbSource.scala): the vector
@@ -52,7 +52,7 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     tbl.drop()
   }
 
-  test("column pruning and filter pushdown reach buildScan") {
+  test("DSv2 scan: column pruning and filter pushdown visible in the plan") {
     val root = freshRoot("push")
     rows(0 until 200).write.format("gvdb").option("dim", "2")
       .mode(SaveMode.Overwrite).save(root)
@@ -64,12 +64,15 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     // semantics first: prefix-1 ids with grp==1 (id % 3 == 1)
     ids shouldBe (0 until 200).filter(i =>
       i.toString.startsWith("1") && i % 3 == 1).map(_.toString).toSet
-    // the scan saw the pruned column set (no embedding IO) ...
-    GvdbScan.lastRequiredColumns should contain("id")
-    GvdbScan.lastRequiredColumns should not contain "embedding"
-    // ... and the translatable prefix predicate was pushed down; the
-    // JSON-path predicate is untranslatable and stays above the scan
-    GvdbScan.lastPushedFilters should contain(StringStartsWith("id", "1"))
+    // the read is a V2 BatchScan whose description reports the handled
+    // prefix predicate and the pruned read schema (id + metadata for
+    // the JSON probe, embedding never read); the untranslatable
+    // JSON-path predicate stays in a Filter above the scan
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("BatchScan")
+    plan should include(StringStartsWith("id", "1").toString)
+    plan should include regex "ReadSchema: struct<id:string[^>]*>"
+    plan should not include "embedding:"
   }
 
   test("SaveModes: append dedups, overwrite replaces, error/ignore honor existence") {
@@ -112,13 +115,24 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
 
   test("streaming sink: exactly-once across batch replays, dedup across batches") {
     val root = freshRoot("sink")
-    val sink = new GvdbSink(spark, root, Some(2))
+    val sink = new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-a"))
     sink.addBatch(0, rows(0 until 10))
     sink.addBatch(0, rows(0 until 10)) // replayed batch id: skipped
     sink.addBatch(1, rows(5 until 15)) // overlap 5..9: deduped by id
     spark.read.format("gvdb").load(root).count() shouldBe 15
     sink.committedBatchId shouldBe 1L
+    // the watermark is scoped by checkpoint lineage: a NEW query (fresh
+    // checkpoint, batch ids restarting at 0) against the same root must
+    // not see this query's committed id — its batch 0 still runs (and
+    // the id anti-join, not the watermark, dedups the overlap)
+    val fresh = new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-b"))
+    fresh.committedBatchId shouldBe -1L
+    fresh.addBatch(0, rows(10 until 20)) // 10..14 present → deduped
+    spark.read.format("gvdb").load(root).count() shouldBe 20
+    // dropping the table drops the watermarks with it
     new VectorTable(spark, root, 2).drop()
+    new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-a"))
+      .committedBatchId shouldBe -1L
   }
 
   test("writeStream.format('gvdb') end to end over MemoryStream") {
