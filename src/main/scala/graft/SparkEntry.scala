@@ -1286,6 +1286,55 @@ object SparkEntry {
       EventStream.deleteScratch(wh)
       s.createDataFrame(s.sparkContext.parallelize(got, 1), census.schema)
     }),
+    // ---- gvdb STREAMING CHANGE FEED: readStream.format("gvdb")
+    // .option("readChangeFeed", true) — the snapshot CDC surface as a
+    // stream (Delta readChangeFeed analogue). Offsets are snapshot
+    // versions; each micro-batch unions one id-only diffSnapshots per
+    // version step, so deletes ARE streamed (the insert feed's
+    // documented gap). Phase 1 drains v1 (initial adds); an insert +
+    // tombstone delete land between the runs under snapshot v2; phase
+    // 2 — resuming from the SAME checkpoint — must emit exactly the
+    // v2 step: its adds and its delete. ----
+    "stream_source_changes" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-cdcs").toString
+      val root = s"$wh/docs"
+      val out = s"$wh/out"
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 300).write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(s, root, 1)
+      tbl.snapshot() // v1
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      def drain(tag: String): Unit = {
+        val q = s.readStream.format("gvdb").option("readChangeFeed", "true").load(root)
+          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/tag=$tag"); ()
+          }
+          .option("checkpointLocation", s"$wh/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      try {
+        drain("p1")
+        slice(300, 350).write.format("gvdb").mode("append").save(root)
+        tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+        tbl.snapshot() // v2
+        drain("p2")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val census = s.read.parquet(out)
+        .groupBy($"tag", $"change").agg(count(lit(1)).as("cnt"),
+          sum($"id".cast("long")).as("id_sum"))
+      val got = census.collect().toSeq
+      tbl.drop()
+      EventStream.deleteScratch(wh)
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), census.schema)
+    }),
     // ---- gvdb snapshot CDC through SQL: gvdb_changes(path, v1, v2)
     // (the table_changes analogue over VectorTable.diffSnapshots — two
     // id-only anti-joins between pinned manifests, payload never
@@ -7800,6 +7849,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'p2', count(*), CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id >= 300 AND doc_id < 400""".stripMargin,
+    // gvdb streaming change feed: p1 = v1's initial adds; p2 = the v2
+    // step only — the [300,350) insert minus its 'de' rows (tombstoned
+    // before the snapshot) as adds, and every 'de' row present at v1
+    // as deletes
+    "stream_source_changes" ->
+      """SELECT 'p1' AS tag, 'added' AS change, count(*) AS cnt,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 'p2', 'added', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 350 AND lang <> 'de'
+        |UNION ALL
+        |SELECT 'p2', 'deleted', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id < 300 AND lang = 'de'""".stripMargin,
     // gvdb snapshot CDC: added = the [300,350) insert minus its 'de'
     // rows (deleted before v2); deleted = 'de' rows present at v1
     "vdb_source_changes" ->

@@ -128,18 +128,28 @@ class DefaultSource
       parameters.get("checkpointLocation"))
   }
 
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("gvdb", VectorSchema.schema)
+    if (isChangeFeed(parameters)) ("gvdb", GvdbChangeFeedSource.schema)
+    else ("gvdb", VectorSchema.schema)
 
   /** `spark.readStream.format("gvdb").load(root)` — the warehouse as an
     * insert feed ([[GvdbStreamSource]]). Option `maxFilesPerTrigger`
-    * bounds each micro-batch's file count (FileStreamSource's knob). */
+    * bounds each micro-batch's file count (FileStreamSource's knob).
+    * Option `readChangeFeed=true` switches to the snapshot CDC feed
+    * ([[GvdbChangeFeedSource]]): inserts AND tombstone deletes, with
+    * snapshot versions as offsets. */
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      metadataPath, parameters.get("maxFilesPerTrigger").map(_.toInt))
+    if (isChangeFeed(parameters))
+      new GvdbChangeFeedSource(sqlContext.sparkSession, rootOf(parameters))
+    else
+      new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters),
+        metadataPath, parameters.get("maxFilesPerTrigger").map(_.toInt))
 }
 
 /** The merge-on-read table as a DSv1 relation.
@@ -406,6 +416,83 @@ object GvdbSourceOffset {
     GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
       .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
   }
+}
+
+/** Offset of the change feed: the latest consumed snapshot version. */
+case class GvdbChangesOffset(version: Int) extends OffsetV1 {
+  override val json: String = s"""{"version": $version}"""
+}
+
+object GvdbChangesOffset {
+  def from(o: OffsetV1): GvdbChangesOffset = o match {
+    case g: GvdbChangesOffset => g
+    case other =>
+      GvdbChangesOffset(""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(other.json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"gvdb change feed: unreadable offset ${other.json}")))
+  }
+}
+
+object GvdbChangeFeedSource {
+  import org.apache.spark.sql.types.{IntegerType, StructField}
+  /** (id, change ∈ {'added','deleted'}, version) — the id-keyed CDC
+    * contract of [[VectorTable.diffSnapshots]], stamped with the
+    * snapshot version that produced each row. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("change", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+}
+
+/** The warehouse as a streaming CHANGE FEED (Delta's `readChangeFeed`
+  * analogue): `spark.readStream.format("gvdb")
+  * .option("readChangeFeed", "true").load(root)` emits the per-version
+  * deltas of the table's manifest snapshots — inserts AND tombstone
+  * deletes, which the plain insert feed contractually omits. Offsets
+  * are SNAPSHOT VERSIONS ([[GvdbChangesOffset]]): progress is made
+  * when the writer records a snapshot ([[VectorTable.snapshot]] — the
+  * commit points of this table format), and each micro-batch is the
+  * union of one [[VectorTable.diffSnapshots]] per version step, so
+  * granularity survives even when several snapshots land between
+  * triggers. Version 1 diffs against the empty table (everything
+  * added). Same physical-rewrite caveat as every snapshot surface:
+  * vacuum/reindex expire snapshots and with them outstanding change
+  * offsets. */
+class GvdbChangeFeedSource(spark: SparkSession, root: String) extends Source {
+
+  private def table = new VectorTable(spark, root, 1)
+
+  override def schema: StructType = GvdbChangeFeedSource.schema
+
+  override def getOffset: Option[OffsetV1] =
+    table.snapshotVersions.lastOption.map(GvdbChangesOffset(_))
+
+  /** One diff per version step, tagged with the step's version. The
+    * per-step diffs are id-only anti-joins between pinned manifests —
+    * the payload is never read, so a step's cost is bounded by the
+    * id column of the two snapshots regardless of table width. */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(GvdbChangesOffset.from(_).version).getOrElse(0)
+    val to = GvdbChangesOffset.from(end).version
+    val tbl = table
+    val steps = ((from + 1) to to).map { v =>
+      val diff =
+        if (v == 1) // first snapshot: diff against the empty table
+          tbl.asOf(1).select(col(VectorSchema.ID))
+            .withColumn("change", lit("added"))
+        else tbl.diffSnapshots(v - 1, v)
+      diff.withColumn("version", lit(v))
+    }
+    val batch =
+      if (steps.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else steps.reduce(_.unionByName(_))
+    org.apache.spark.sql.graft.BatchShim.asStream(
+      batch.select(col("id"), col("change"), col("version")))
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** The warehouse as a streaming INSERT FEED:

@@ -227,6 +227,42 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("readChangeFeed stream: per-version adds AND deletes, resumable at version offsets") {
+    val root = freshRoot("cdcstream")
+    val cp = Files.createTempDirectory("graft-gvdbspec-cdccp").toString
+    val out = Files.createTempDirectory("graft-gvdbspec-cdcout").toString
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val tbl = new VectorTable(spark, root, 2)
+    tbl.snapshot() // v1
+    def drain(tag: String): Unit = {
+      val q = spark.readStream.format("gvdb")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$out/tag=$tag"); ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("p1") // v1 vs empty: 10 adds
+    rows(10 until 13).write.format("gvdb").mode(SaveMode.Append).save(root)
+    tbl.delete(col("id") === "4")
+    tbl.snapshot() // v2
+    rows(13 until 14).write.format("gvdb").mode(SaveMode.Append).save(root)
+    tbl.snapshot() // v3: one more add — granularity per version step
+    drain("p2") // resumes at v1 → emits v2 and v3 steps only
+    val got = spark.read.parquet(out)
+    got.where(col("tag") === "p1").count() shouldBe 10
+    got.where(col("tag") === "p1" && col("change") =!= "added").count() shouldBe 0
+    val p2 = got.where(col("tag") === "p2")
+      .select("id", "change", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    p2 shouldBe Set(("10", "added", 2), ("11", "added", 2), ("12", "added", 2),
+      ("4", "deleted", 2), ("13", "added", 3))
+    tbl.drop()
+  }
+
   test("streaming source rate limit: maxFilesPerTrigger bounds each micro-batch") {
     val root = freshRoot("rate")
     val cp = Files.createTempDirectory("graft-gvdbspec-ratecp").toString
