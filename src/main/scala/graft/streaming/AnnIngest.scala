@@ -23,13 +23,40 @@ import graft.ops.{Hnsw, IvfPq, Similarity}
   * foreachBatch contract — a batch whose job commits is never re-run,
   * and a crash MID-append leaves only uncommitted `_temporary` files
   * (invisible to readers), so retries do not duplicate visible rows.
-  * The residual at-least-once window (job committed, checkpoint write
-  * lost) is inherent to external-sink foreachBatch; a deployment
-  * needing exactly-once keys each batch's files by `batchId`
-  * (partitionBy(ingest_batch, cell) + dynamic partition overwrite) so
-  * the replay overwrites itself.
+  * The at-least-once window foreachBatch leaves open (job committed,
+  * checkpoint write lost → the SAME batch id is redelivered) is closed
+  * by [[onceLedgered]]: every index-mutating batch body runs under a
+  * batch-id ledger kept next to the index, so a replayed batch id
+  * skips the append instead of doubling segments — the same
+  * idempotence move as the `stream_cdc_apply` batchId-keyed writer.
   */
 object AnnIngest {
+
+  /** Batch-id ledger guard for index-mutating `foreachBatch` bodies:
+    * runs `body` only if `batchId` has no mark in `ledgerDir`, then
+    * records the mark (one empty file per applied batch id, beside the
+    * index it guards). A redelivered batch id — at-least-once
+    * foreachBatch after a failure, or a checkpoint whose commit write
+    * was lost — becomes a no-op instead of a duplicate append.
+    * Residual window: a crash BETWEEN the append's commit and the mark
+    * write replays the body once; closing that needs the mark inside
+    * the data commit itself (a txn log), which plain parquet appends
+    * don't have — the ledger reduces duplication from "every
+    * redelivery" to "crash in that one gap". Returns whether `body`
+    * ran. */
+  private[graft] def onceLedgered(spark: SparkSession, ledgerDir: String,
+      batchId: Long)(body: => Unit): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mark = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    if (fs.exists(mark)) false
+    else {
+      body
+      fs.mkdirs(dir)
+      fs.create(mark, true).close()
+      true
+    }
+  }
 
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -53,8 +80,10 @@ object AnnIngest {
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .where(col("vec_id") % 5 === 0)
     val q = delta.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfPq.appendCodes(ix, batch, s"$root/delta")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onceLedgered(batch.sparkSession, s"$root/ledger", batchId) {
+          IvfPq.appendCodes(ix, batch, s"$root/delta")
+        }
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -154,10 +183,12 @@ object AnnIngest {
       .where(col("vec_id") % 5 === 0)
     val q = delta.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Hnsw.buildGraph(batch, numSegments = 2, segOffset = 4 + batchId.toInt * 2)
-          .write.mode("append").parquet(s"$root/graph")
-        Hnsw.compactIfNeeded(batch.sparkSession, s"$root/graph",
-          maxRows = smallMaxRows, mergeAt = mergeAt)
+        onceLedgered(batch.sparkSession, s"$root/ledger", batchId) {
+          Hnsw.buildGraph(batch, numSegments = 2, segOffset = 4 + batchId.toInt * 2)
+            .write.mode("append").parquet(s"$root/graph")
+          Hnsw.compactIfNeeded(batch.sparkSession, s"$root/graph",
+            maxRows = smallMaxRows, mergeAt = mergeAt)
+        }
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -321,6 +321,38 @@ class StreamingSpec extends SparkSpec with Matchers {
     graft.core.PlanCache.release(spark)
   }
 
+  test("ANN ingest batch ledger: a replayed batch id cannot double-append segments") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    graft.ops.Hnsw.buildGraph(emb.where(col("vec_id") % 5 =!= 0), numSegments = 2)
+      .write.mode("overwrite").parquet(s"$root/graph")
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    def applyBatch(id: Long): Boolean =
+      graft.streaming.AnnIngest.onceLedgered(spark, s"$root/ledger", id) {
+        graft.ops.Hnsw.buildGraph(batch, numSegments = 1, segOffset = 2 + id.toInt)
+          .write.mode("append").parquet(s"$root/graph")
+      }
+    applyBatch(0) shouldBe true
+    val queries = emb.where(col("vec_id") < 5)
+    def probeIds() = graft.ops.Hnsw
+      .probeGraph(spark.read.parquet(s"$root/graph"), queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowsBefore = spark.read.parquet(s"$root/graph").count()
+    val hitsBefore = probeIds()
+    // the redelivered batch id (foreachBatch at-least-once after a
+    // failure) must be a no-op: same segment rows, same probe answers
+    applyBatch(0) shouldBe false
+    spark.read.parquet(s"$root/graph").count() shouldBe rowsBefore
+    probeIds() shouldBe hitsBefore
+    // a NEW batch id still appends
+    applyBatch(1) shouldBe true
+    spark.read.parquet(s"$root/graph").count() should be > rowsBefore
+    graft.core.PlanCache.release(spark)
+  }
+
   test("streaming TABLE-tier append (BQ): mid-stream insert immediately searchable, recall holds") {
     val dir = "/root/testdata/sf0.001"
     val gate = graft.streaming.AnnIngest.runTableTierAppendAvailableNow(
