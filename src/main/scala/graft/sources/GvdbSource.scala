@@ -21,18 +21,26 @@ import graft.table.VectorTable
   * format name, so the warehouse participates in every host-language
   * surface Spark has:
   *
-  *  - batch read: `spark.read.format("gvdb").load(root)` — the
-  *    merge-on-read view (base minus tombstones), with column pruning
-  *    and predicate pushdown into the scan ([[GvdbRelation.buildScan]]);
+  *  - batch read: `spark.read.format("gvdb").load(root)` — DataSource
+  *    V2 ([[GvdbTable]] → [[GvdbBatchScan]]): the merge-on-read view
+  *    (base minus tombstones) as a `BatchScan` with column pruning and
+  *    HANDLED predicate pushdown, streaming `InternalRow`s with no
+  *    external-row conversion;
   *  - batch write: `df.write.format("gvdb").mode(...).save(root)` —
   *    routed through [[VectorTable.insert]]'s dedup anti-join, so all
   *    four `SaveMode`s keep the reference's ON-CONFLICT-DO-NOTHING
-  *    contract (duckvdb.py:56-61);
+  *    contract (duckvdb.py:56-61). Path-based writes stay on this V1
+  *    path by capability design (see [[GvdbTable]]);
   *  - SQL DDL: `CREATE TEMPORARY VIEW v USING gvdb OPTIONS (path ...)`
-  *    plus `INSERT INTO v ...` (via [[InsertableRelation]]);
+  *    plus `INSERT INTO v ...` (`AppendData` → [[V1Write]] → the same
+  *    dedup insert), and full catalog DDL via
+  *    [[graft.sources.GvdbCatalog]];
   *  - streaming sink: `ds.writeStream.format("gvdb")...` — per-batch
-  *    dedup insert with a committed-batch watermark for exactly-once
-  *    ([[GvdbSink]]).
+  *    dedup insert with a checkpoint-scoped committed-batch watermark
+  *    for exactly-once ([[GvdbSink]]);
+  *  - streaming sources: the insert feed ([[GvdbStreamSource]]) and,
+  *    with `readChangeFeed=true`, the snapshot CDC feed
+  *    ([[GvdbChangeFeedSource]] — inserts AND deletes).
   *
   * Options: `path` (required), `dim` (embedding dimension; optional —
   * inferred from the existing table, else from the first written row),

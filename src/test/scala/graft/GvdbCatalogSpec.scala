@@ -67,6 +67,41 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     new VectorTable(spark, external, 1).drop()
   }
 
+  test("ANN planner rewrite consults the index through a catalog table name") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.ann")
+    spark.sql("""CREATE TABLE vdbcat.ann.vecs
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    (0 until 200).map { i =>
+      val a = i * 0.01
+      (f"d$i%03d", "{}", Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+    }.toDF("id", "metadata", "embedding").createOrReplaceTempView("ann_delta")
+    spark.sql("INSERT INTO vdbcat.ann.vecs SELECT id, metadata, embedding FROM ann_delta")
+    new VectorTable(spark, s"$warehouse/ann/vecs", 4).buildHnswIndex()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.vdbcat", "graft.sources.GvdbCatalog")
+    s2.conf.set("spark.sql.catalog.vdbcat.warehouse", warehouse)
+    s2.experimental.extraOptimizations = Seq(new graft.plans.AnnRewriteRule(s2))
+    s2.conf.set("spark.graft.ann.autoRewrite", "true")
+    val knnSql =
+      """SELECT id FROM (
+        |  SELECT id, cosine_distance(embedding,
+        |    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT),
+        |          CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS d
+        |  FROM vdbcat.ann.vecs) ORDER BY d LIMIT 5""".stripMargin
+    Seq(s2, spark).foreach(_.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_distance",
+        exprs => graft.functions.CosineDistance(exprs(0), exprs(1)), "built-in"))
+    val accelerated = s2.sql(knnSql)
+    // the planning-time graph consult planted its candidate IN-filter
+    accelerated.queryExecution.optimizedPlan.toString should include("xxhash64")
+    val approx = accelerated.collect().map(_.getString(0)).toSet
+    val exact = spark.sql(knnSql).collect().map(_.getString(0)).toSet
+    (exact intersect approx).size.toDouble / exact.size should be >= 0.8
+    spark.sql("DROP TABLE vdbcat.ann.vecs")
+  }
+
   test("fixed-schema contract is enforced at CREATE TABLE") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.bad")
