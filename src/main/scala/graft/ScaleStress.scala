@@ -129,6 +129,17 @@ object ScaleStress {
     * moments scale in rows, not in distribution. */
   def generateRelational(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
     import spark.implicits._
+    // fixed-cardinality dimensions copy verbatim: region/nation are
+    // bounded by geography (customer copies keep c_nationkey in the
+    // same 0..24 space), supplier by the fixture's supplier count —
+    // scaling them would break the FK semantics the joins exercise
+    new java.io.File(target).mkdirs()
+    Seq("region", "nation", "supplier").foreach { tname =>
+      if (!new java.io.File(s"$target/$tname.parquet").exists &&
+          new java.io.File(s"$src/$tname.parquet").exists)
+        spark.read.parquet(s"$src/$tname.parquet")
+          .write.mode("overwrite").parquet(s"$target/$tname.parquet")
+    }
     if (new java.io.File(s"$target/orders.parquet").exists &&
         new java.io.File(s"$target/lineitem.parquet").exists &&
         new java.io.File(s"$target/part.parquet").exists) return
@@ -195,6 +206,11 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // recursive-CTE safety valve scales with the corpus: the digit
+      // walk emits ~|customer|·depth rows, which crosses the 1M
+      // default at the 10× corpus (a conf guard, not a plan hazard —
+      // the per-iteration frontier join stays keyed and bounded)
+      .config("spark.sql.cteRecursionRowLimit", (100000000L).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, target, copies)
