@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -38,9 +38,10 @@ import graft.table.VectorTable
   *  - streaming sink: `ds.writeStream.format("gvdb")...` — per-batch
   *    dedup insert with a checkpoint-scoped committed-batch watermark
   *    for exactly-once ([[GvdbSink]]);
-  *  - streaming sources: the insert feed ([[GvdbStreamSource]]) and,
-  *    with `readChangeFeed=true`, the snapshot CDC feed
-  *    ([[GvdbChangeFeedSource]] — inserts AND deletes).
+  *  - streaming sources (V2 `MicroBatchStream`s, see GvdbTableV2
+  *    .scala): the insert feed ([[GvdbMicroBatchStream]]) and, with
+  *    `readChangeFeed=true`, the snapshot CDC feed
+  *    ([[GvdbChangesMicroBatchStream]] — inserts AND deletes).
   *
   * Options: `path` (required), `dim` (embedding dimension; optional —
   * inferred from the existing table, else from the first written row),
@@ -52,7 +53,6 @@ class DefaultSource
     with RelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
-    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "gvdb"
@@ -61,11 +61,12 @@ class DefaultSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException("gvdb: 'path' option is required"))
 
-  // ---- DataSource V2 (batch read + SQL INSERT write — see GvdbTableV2
-  // .scala). Batch `spark.read`/temp views resolve through here; the
-  // V1 traits below stay live for the paths the engine still routes to
-  // V1: DataFrameWriter.save (all four SaveModes), and streaming
-  // source/sink (this table advertises no streaming capabilities). ----
+  // ---- DataSource V2 (batch + streaming read, SQL INSERT write —
+  // see GvdbTableV2.scala). spark.read/readStream/temp views resolve
+  // through here; the V1 traits below stay live for the two paths the
+  // engine still routes to V1: DataFrameWriter.save (all four
+  // SaveModes — the table advertises V1_BATCH_WRITE, not BATCH_WRITE)
+  // and the streaming SINK (no STREAMING_WRITE capability). ----
 
   /** The outer schema is fixed by contract (duckvdb.py:32) — nothing to
     * infer, so a missing table is not an error here (writes create). */
@@ -81,7 +82,9 @@ class DefaultSource
       throw new IllegalArgumentException("gvdb: 'path' option is required"))
     new GvdbTable(SparkSession.active, root,
       Option(opts.get("dim")).map(_.toInt),
-      Option(opts.get("versionAsOf")).map(_.toInt))
+      Option(opts.get("versionAsOf")).map(_.toInt),
+      changeFeed = Option(opts.get("readChangeFeed")).exists(_.toBoolean),
+      maxFilesPerTrigger = Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -136,28 +139,6 @@ class DefaultSource
       parameters.get("checkpointLocation"))
   }
 
-  private def isChangeFeed(parameters: Map[String, String]): Boolean =
-    parameters.get("readChangeFeed").exists(_.toBoolean)
-
-  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    if (isChangeFeed(parameters)) ("gvdb", GvdbChangeFeedSource.schema)
-    else ("gvdb", VectorSchema.schema)
-
-  /** `spark.readStream.format("gvdb").load(root)` — the warehouse as an
-    * insert feed ([[GvdbStreamSource]]). Option `maxFilesPerTrigger`
-    * bounds each micro-batch's file count (FileStreamSource's knob).
-    * Option `readChangeFeed=true` switches to the snapshot CDC feed
-    * ([[GvdbChangeFeedSource]]): inserts AND tombstone deletes, with
-    * snapshot versions as offsets. */
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    if (isChangeFeed(parameters))
-      new GvdbChangeFeedSource(sqlContext.sparkSession, rootOf(parameters))
-    else
-      new GvdbStreamSource(sqlContext.sparkSession, rootOf(parameters),
-        metadataPath, parameters.get("maxFilesPerTrigger").map(_.toInt))
 }
 
 /** The merge-on-read table as a DSv1 relation.
@@ -382,7 +363,7 @@ class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int],
   }
 }
 
-/** Streaming offset for [[GvdbStreamSource]]: the sorted list of data
+/** Streaming offset for [[GvdbMicroBatchStream]]: the sorted list of data
   * files visible in the table directory. File names ARE the progress
   * marker because the table is append-only between physical rewrites
   * (insert never rewrites a part file — the Lucene segment contract),
@@ -402,13 +383,6 @@ case class GvdbSourceOffset(files: Seq[String]) extends OffsetV1 {
 object GvdbSourceOffset {
   /** Any non-native offset (e.g. the checkpoint log's SerializedOffset
     * after a restart) is re-parsed from its JSON. */
-  def from(o: OffsetV1): GvdbSourceOffset = o match {
-    case g: GvdbSourceOffset => g
-    case other => parse(other.json)
-  }
-
-  /** Same, for the connector-level offsets the admission-control API
-    * hands over ([[GvdbStreamSource.latestOffset]]). */
   def fromAny(o: org.apache.spark.sql.connector.read.streaming.Offset): GvdbSourceOffset =
     o match {
       case g: GvdbSourceOffset => g
@@ -431,161 +405,4 @@ case class GvdbChangesOffset(version: Int) extends OffsetV1 {
   override val json: String = s"""{"version": $version}"""
 }
 
-object GvdbChangesOffset {
-  def from(o: OffsetV1): GvdbChangesOffset = o match {
-    case g: GvdbChangesOffset => g
-    case other =>
-      GvdbChangesOffset(""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(other.json)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalArgumentException(
-          s"gvdb change feed: unreadable offset ${other.json}")))
-  }
-}
 
-object GvdbChangeFeedSource {
-  import org.apache.spark.sql.types.{IntegerType, StructField}
-  /** (id, change ∈ {'added','deleted'}, version) — the id-keyed CDC
-    * contract of [[VectorTable.diffSnapshots]], stamped with the
-    * snapshot version that produced each row. */
-  val schema: StructType = StructType(Seq(
-    StructField("id", StringType, nullable = false),
-    StructField("change", StringType, nullable = false),
-    StructField("version", IntegerType, nullable = false)))
-}
-
-/** The warehouse as a streaming CHANGE FEED (Delta's `readChangeFeed`
-  * analogue): `spark.readStream.format("gvdb")
-  * .option("readChangeFeed", "true").load(root)` emits the per-version
-  * deltas of the table's manifest snapshots — inserts AND tombstone
-  * deletes, which the plain insert feed contractually omits. Offsets
-  * are SNAPSHOT VERSIONS ([[GvdbChangesOffset]]): progress is made
-  * when the writer records a snapshot ([[VectorTable.snapshot]] — the
-  * commit points of this table format), and each micro-batch is the
-  * union of one [[VectorTable.diffSnapshots]] per version step, so
-  * granularity survives even when several snapshots land between
-  * triggers. Version 1 diffs against the empty table (everything
-  * added). Same physical-rewrite caveat as every snapshot surface:
-  * vacuum/reindex expire snapshots and with them outstanding change
-  * offsets. */
-class GvdbChangeFeedSource(spark: SparkSession, root: String) extends Source {
-
-  private def table = new VectorTable(spark, root, 1)
-
-  override def schema: StructType = GvdbChangeFeedSource.schema
-
-  override def getOffset: Option[OffsetV1] =
-    table.snapshotVersions.lastOption.map(GvdbChangesOffset(_))
-
-  /** One diff per version step, tagged with the step's version. The
-    * per-step diffs are id-only anti-joins between pinned manifests —
-    * the payload is never read, so a step's cost is bounded by the
-    * id column of the two snapshots regardless of table width. */
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(GvdbChangesOffset.from(_).version).getOrElse(0)
-    val to = GvdbChangesOffset.from(end).version
-    val tbl = table
-    val steps = ((from + 1) to to).map { v =>
-      val diff =
-        if (v == 1) // first snapshot: diff against the empty table
-          tbl.asOf(1).select(col(VectorSchema.ID))
-            .withColumn("change", lit("added"))
-        else tbl.diffSnapshots(v - 1, v)
-      diff.withColumn("version", lit(v))
-    }
-    val batch =
-      if (steps.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else steps.reduce(_.unionByName(_))
-    org.apache.spark.sql.graft.BatchShim.asStream(
-      batch.select(col("id"), col("change"), col("version")))
-  }
-
-  override def stop(): Unit = ()
-}
-
-/** The warehouse as a streaming INSERT FEED:
-  * `spark.readStream.format("gvdb").load(root)` emits each inserted row
-  * exactly once, driven by the append-only data-file manifest
-  * ([[GvdbSourceOffset]]). Deletes are NOT streamed — tombstones hide
-  * rows from batch reads but never rewrite data files; consumers who
-  * need deletes read `gvdb_changes` between snapshots instead (the same
-  * split Delta makes between its CDF and plain streaming reads).
-  * Single-writer contract as everywhere in the table: a concurrent
-  * vacuum/reindex REWRITES files and would invalidate outstanding
-  * offsets, exactly like compaction under a FileStreamSource.
-  */
-class GvdbStreamSource(spark: SparkSession, root: String,
-    metadataPath: String = "", maxFilesPerTrigger: Option[Int] = None)
-    extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-
-  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
-
-  private val rootPath = new Path(root)
-  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  override def schema: StructType = VectorSchema.schema
-
-  /** AvailableNow bound: the listing snapshotted when the trigger
-    * starts — the run drains up to here (possibly over several capped
-    * batches) and stops, ignoring files that land mid-run. */
-  private var availableNowBound: Option[Set[String]] = None
-
-  private def listNow(): Seq[String] =
-    if (!fs.exists(rootPath)) Seq.empty
-    else fs.listStatus(rootPath).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
-
-  override def initialOffset(): ConnOffset = GvdbSourceOffset(Seq.empty)
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowBound = Some(listNow().toSet)
-
-  /** Admission-controlled progress: the engine hands over the CURRENT
-    * position (committed or initial — also correct across restarts, no
-    * source-side state needed) and the read limit; the next offset
-    * grows by at most `maxFilesPerTrigger` files in name order. */
-  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
-    // start is NULL on a fresh query's first call; null return = no data
-    val seen = Option(start).map(GvdbSourceOffset.fromAny(_).files.toSet).getOrElse(Set.empty[String])
-    val visible = availableNowBound match {
-      case Some(bound) => listNow().filter(bound)
-      case None => listNow()
-    }
-    val fresh = visible.filterNot(seen)
-    val take = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _: ReadAllAvailable => fresh
-      case _ => fresh
-    }
-    // sorted: offset equality must be insensitive to set-iteration
-    // order, or a restart comparing against the checkpoint log's
-    // re-parsed offset would see spurious "new data"
-    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq.sorted)
-  }
-
-  /** Legacy v1 path (engines that don't consult admission control):
-    * uncapped latest listing. */
-  override def getOffset: Option[OffsetV1] = {
-    val files = listNow()
-    if (files.isEmpty) None else Some(GvdbSourceOffset(files))
-  }
-
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val seen = start.map(GvdbSourceOffset.from(_).files.toSet).getOrElse(Set.empty)
-    val newFiles = GvdbSourceOffset.from(end).files.filterNot(seen)
-    val batch =
-      if (newFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
-        // pinned logical schema: an LSH-indexed table's files carry the
-        // extra bucket column, which must not leak into the stream
-        spark.read.schema(schema).parquet(newFiles: _*)
-    org.apache.spark.sql.graft.BatchShim.asStream(batch)
-  }
-
-  override def stop(): Unit = ()
-}

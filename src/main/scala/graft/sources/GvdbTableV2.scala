@@ -51,7 +51,9 @@ import graft.table.VectorTable
   * to [[VectorTable]].
   */
 class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
-    versionAsOf: Option[Int]) extends Table with SupportsRead with SupportsWrite {
+    versionAsOf: Option[Int], changeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   /** The table root, exposed for the ANN planner rewrite
     * ([[graft.plans.AnnRewriteRule]]): a bare scan of a LIVE gvdb table
@@ -59,18 +61,23 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     * version-pinned snapshot is not (the persisted index tracks the
     * live table, not the snapshot). */
   private[graft] def indexableRoot: Option[String] =
-    if (versionAsOf.isEmpty) Some(root) else None
+    if (versionAsOf.isEmpty && !changeFeed) Some(root) else None
 
   override def name(): String =
-    versionAsOf.fold(s"gvdb:$root")(v => s"gvdb:$root@v$v")
+    versionAsOf.fold(s"gvdb:$root")(v => s"gvdb:$root@v$v") +
+      (if (changeFeed) " (changes)" else "")
 
   /** The LOGICAL schema — internal sidecar columns (the persisted LSH
-    * bucket column) never leak through the format surface. */
-  override def schema(): StructType = VectorSchema.schema
+    * bucket column) never leak through the format surface. In change
+    * feed mode (`readChangeFeed=true`) the relation's rows are CDC
+    * events, not table rows. */
+  override def schema(): StructType =
+    if (changeFeed) GvdbChangeFeed.schema else VectorSchema.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       // writes shape/validate the incoming columns themselves
@@ -82,12 +89,13 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     if (!new VectorTable(spark, root, 1).exists)
       throw new AnalysisException(
         errorClass = "PATH_NOT_FOUND", messageParameters = Map("path" -> root))
-    new GvdbScanBuilder(spark, root, dimOpt, versionAsOf)
+    new GvdbScanBuilder(spark, root, dimOpt, versionAsOf, changeFeed, maxFilesPerTrigger)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"gvdb: cannot write to a versionAsOf=$versionAsOf snapshot (read-only history)")
+    require(!changeFeed, "gvdb: the change feed is read-only")
     new GvdbWriteBuilder(spark, root, dimOpt)
   }
 }
@@ -96,10 +104,12 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
   * translate (reported handled — the scan evaluates them), leaves the
   * rest (JSON-path probes, UDF predicates) to Spark above the scan. */
 class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
-    versionAsOf: Option[Int]) extends ScanBuilder
+    versionAsOf: Option[Int], changeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = VectorSchema.schema
+  private var required: StructType =
+    if (changeFeed) GvdbChangeFeed.schema else VectorSchema.schema
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -114,7 +124,8 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
     required = requiredSchema
 
   override def build(): Scan =
-    new GvdbBatchScan(spark, root, dimOpt, versionAsOf, required, pushed)
+    new GvdbBatchScan(spark, root, dimOpt, versionAsOf, required, pushed,
+      changeFeed, maxFilesPerTrigger)
 }
 
 /** The merge-on-read view as a V2 batch scan.
@@ -134,17 +145,34 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
   * partitions are planned.
   */
 class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
-    versionAsOf: Option[Int], required: StructType, pushed: Array[Filter])
+    versionAsOf: Option[Int], required: StructType, pushed: Array[Filter],
+    changeFeed: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"gvdb $root${versionAsOf.fold("")(v => s"@v$v")} " +
+    s"gvdb $root${versionAsOf.fold("")(v => s"@v$v")}${if (changeFeed) " changes" else ""} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "gvdb: readChangeFeed is a streaming option (spark.readStream); " +
+        "batch CDC reads go through gvdb_changes(path, v1, v2)")
+    this
+  }
+
+  /** Streaming read — the V2 half of the source's stream surface
+    * (the sink stays a V1 `Sink` by capability fallback): the insert
+    * feed by default, the snapshot change feed with
+    * `readChangeFeed=true`. Both reuse [[GvdbReaderFactory]]'s
+    * InternalRow passthrough; pruning/pushdown negotiated on this scan
+    * apply to each micro-batch's inner plan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    if (changeFeed) new GvdbChangesMicroBatchStream(spark, root, required, pushed)
+    else new GvdbMicroBatchStream(spark, root, required, pushed, maxFilesPerTrigger)
 
   // row-based passthrough; answered WITHOUT building the reader factory
   // so a plain .explain never plans (or runs broadcast jobs for) the
@@ -212,6 +240,274 @@ class GvdbReaderFactory(rdd: RDD[InternalRow]) extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+object GvdbChangeFeed {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+  /** (id, change ∈ {'added','deleted'}, version) — the id-keyed CDC
+    * contract of [[VectorTable.diffSnapshots]], stamped with the
+    * snapshot version that produced each row. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("change", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+}
+
+/** The warehouse as a streaming INSERT FEED (V2 `MicroBatchStream`):
+  * `spark.readStream.format("gvdb").load(root)` emits each inserted
+  * row exactly once, driven by the append-only data-file manifest
+  * ([[GvdbSourceOffset]] — file names ARE the progress marker because
+  * insert never rewrites a part file, the Lucene segment contract; set
+  * difference between offsets is exactly the inserted data). Deletes
+  * are NOT streamed — tombstones hide rows from batch reads but never
+  * rewrite data files; consumers who need deletes use the
+  * `readChangeFeed=true` stream or the `gvdb_changes` TVF (the same
+  * split Delta makes between CDF and plain streaming reads).
+  *
+  * Admission control: `maxFilesPerTrigger` bounds each micro-batch's
+  * file count ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]]),
+  * and Trigger.AvailableNow snapshots the listing at run start and
+  * drains exactly to it. Single-writer contract as everywhere in the
+  * table: a concurrent vacuum/reindex REWRITES files and would
+  * invalidate outstanding offsets, exactly like compaction under a
+  * FileStreamSource. Scale contract: one name per part file in the
+  * offset (~10⁴ at a sane file-size budget); past that a production
+  * source moves to a compacted seen-files log, same as
+  * FileStreamSource's metadata log. */
+class GvdbMicroBatchStream(spark: SparkSession, root: String,
+    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.hadoop.fs.Path
+
+  private val rootPath = new Path(root)
+  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** AvailableNow bound: the listing snapshotted when the trigger
+    * starts — the run drains up to here (possibly over several capped
+    * batches) and stops, ignoring files that land mid-run. */
+  private var availableNowBound: Option[Set[String]] = None
+
+  private def listNow(): Seq[String] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+
+  override def initialOffset(): ConnOffset = GvdbSourceOffset(Seq.empty)
+
+  override def deserializeOffset(json: String): ConnOffset = GvdbSourceOffset.parse(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(listNow().toSet)
+
+  /** Admission-controlled progress: the engine hands over the CURRENT
+    * position (committed or initial — also correct across restarts, no
+    * stream-side state needed) and the read limit; the next offset
+    * grows by at most `maxFilesPerTrigger` files in name order. */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val seen = Option(start).map(GvdbSourceOffset.fromAny(_).files.toSet).getOrElse(Set.empty[String])
+    val visible = availableNowBound match {
+      case Some(bound) => listNow().filter(bound)
+      case None => listNow()
+    }
+    val fresh = visible.filterNot(seen)
+    val take = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _: ReadAllAvailable => fresh
+      case _ => fresh
+    }
+    // sorted: offset equality must be insensitive to set-iteration
+    // order, or a restart comparing against the checkpoint log's
+    // re-parsed offset would see spurious "new data"
+    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq.sorted)
+  }
+
+  override def latestOffset(): ConnOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** The delta files' rows as one inner batch plan — pinned logical
+    * schema (an LSH-indexed table's files carry the internal bucket
+    * column, which must not leak into the stream), the negotiated
+    * pushed filters and pruning applied inside. A narrow plan by
+    * construction (scan → filter → project — the [[GvdbStreamLegs]]
+    * wrapping contract). */
+  override def planInputPartitions(start: ConnOffset, end: ConnOffset): Array[InputPartition] = {
+    val seen = GvdbSourceOffset.fromAny(start).files.toSet
+    val newFiles = GvdbSourceOffset.fromAny(end).files.filterNot(seen)
+    val legs =
+      if (newFiles.isEmpty) Seq.empty
+      else Seq(spark.read.schema(VectorSchema.schema).parquet(newFiles: _*))
+    val (parts, factory) = GvdbStreamLegs.plan(legs, required, pushed)
+    lastFactory = factory
+    parts
+  }
+
+  /** Stashed by [[planInputPartitions]]; the engine creates the reader
+    * factory for the same micro-batch immediately after planning it
+    * (single-threaded per query), so the handoff is race-free. */
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
+  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+
+  override def commit(end: ConnOffset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Shared micro-batch planning for the V2 streams: each leg (an inner
+  * batch DataFrame) gets the negotiated pushed filters and pruning
+  * applied and is planned to its own `InternalRow` RDD; the returned
+  * partitions carry (leg index, inner partition) and the factory
+  * routes each to its leg's iterator on the executor.
+  *
+  * Wrapping contract: every leg's plan must be NARROW — scans, maps,
+  * filters, projections and BROADCAST joins only. The inner partitions
+  * compute inside foreign tasks, where a shuffle (no map stage ran) or
+  * a multi-child RDD (`UnionRDD` re-derives child partition arrays,
+  * which are `@transient` on executors) cannot execute — which is why
+  * the change feed plans one leg per version step instead of a SQL
+  * UNION, and why its diffs are broadcast-(anti/semi)-joins keyed on
+  * the broadcast-small tombstone side, never a shuffled set
+  * difference. */
+private[sources] object GvdbStreamLegs {
+  def plan(legs: Seq[DataFrame], required: StructType, pushed: Array[Filter])
+      : (Array[InputPartition], PartitionReaderFactory) = {
+    val rdds = legs.map { leg =>
+      val filtered = pushed.foldLeft(leg) { (d, f) => d.where(GvdbFilters.toColumn(f).get) }
+      filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+        .queryExecution.toRdd
+    }.toArray
+    val parts = rdds.zipWithIndex.flatMap { case (rdd, i) =>
+      rdd.partitions.map(p =>
+        GvdbStreamInputPartition(i, p, rdd.preferredLocations(p).toArray))
+    }
+    (parts.toArray[InputPartition], new GvdbStreamReaderFactory(rdds))
+  }
+}
+
+/** One leg-tagged inner partition (locality resolved on the driver). */
+case class GvdbStreamInputPartition(legIndex: Int, split: Partition,
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+/** Executor-side router: same InternalRow passthrough as
+  * [[GvdbReaderFactory]], over the micro-batch's leg RDDs. */
+class GvdbStreamReaderFactory(rdds: Array[RDD[InternalRow]]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GvdbStreamInputPartition]
+    val it = rdds(gp.legIndex).iterator(gp.split, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The warehouse as a streaming CHANGE FEED (Delta's `readChangeFeed`
+  * analogue, V2 `MicroBatchStream`): emits the per-version deltas of
+  * the table's manifest snapshots — inserts AND tombstone deletes,
+  * which the plain insert feed contractually omits. Offsets are
+  * SNAPSHOT VERSIONS ([[GvdbChangesOffset]]): progress is made when
+  * the writer records a snapshot ([[VectorTable.snapshot]] — the
+  * commit points of this table format), and each micro-batch is the
+  * union of one [[VectorTable.diffSnapshots]] per version step, so
+  * granularity survives even when several snapshots land between
+  * triggers. Version 1 diffs against the empty table (everything
+  * added). The per-step diffs are id-only anti-joins between pinned
+  * manifests — the payload is never read, so a step's cost is bounded
+  * by the id column of the two snapshots regardless of table width.
+  * Same physical-rewrite caveat as every snapshot surface: vacuum and
+  * reindex expire snapshots and with them outstanding change offsets. */
+class GvdbChangesMicroBatchStream(spark: SparkSession, root: String,
+    required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset}
+  import org.apache.spark.sql.functions.lit
+
+  private def table = new VectorTable(spark, root, 1)
+
+  override def initialOffset(): ConnOffset = GvdbChangesOffset(0)
+
+  override def deserializeOffset(json: String): ConnOffset =
+    GvdbChangesOffset(""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"gvdb change feed: unreadable offset $json")))
+
+  override def latestOffset(): ConnOffset =
+    GvdbChangesOffset(table.snapshotVersions.lastOption.getOrElse(0))
+
+  /** One or two NARROW legs per version step (the [[GvdbStreamLegs]]
+    * wrapping contract rules out the textbook shuffled set-difference;
+    * these legs are equivalent because the table format is append-only
+    * between snapshots, inserts never resurrect tombstoned ids, and
+    * tombstone sets are broadcast-small by the delete-file argument):
+    *
+    *  - ADDED(v): the manifest's NEW data files (files(v) ∖ files(v−1))
+    *    anti-joined against broadcast(tombstones(v)) — new files carry
+    *    exactly the inserted ids (dedup insert never rewrites), and the
+    *    anti-join drops rows both inserted and deleted within the step;
+    *  - DELETED(v): the v−1 snapshot semi-joined against
+    *    broadcast(tombstones(v) ∖ tombstones(v−1)) — ids live at v−1
+    *    and tombstoned since.
+    *
+    * Costs: ADDED scans only the delta files; DELETED scans the v−1
+    * manifest once per step with a broadcast build side — the same IO
+    * class as the batch `gvdb_changes` TVF. */
+  override def planInputPartitions(start: ConnOffset, end: ConnOffset): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.broadcast
+    def ver(o: ConnOffset): Int = o match {
+      case g: GvdbChangesOffset => g.version
+      case other => deserializeOffset(other.json).asInstanceOf[GvdbChangesOffset].version
+    }
+    val (from, to) = (ver(start), ver(end))
+    val tbl = table
+    val legs = ((from + 1) to to).flatMap { v =>
+      val prevFiles = if (v == 1) Set.empty[String] else tbl.snapshotFiles(v - 1).toSet
+      val newFiles = tbl.snapshotFiles(v).filterNot(prevFiles)
+      val tombsCur = tbl.snapshotTombstones(v)
+      val added =
+        if (newFiles.isEmpty) None
+        else Some(
+          spark.read.schema(VectorSchema.schema).parquet(newFiles: _*)
+            .select(col(VectorSchema.ID))
+            .join(broadcast(tombsCur), Seq(VectorSchema.ID), "left_anti")
+            .withColumn("change", lit("added")).withColumn("version", lit(v)))
+      val deleted =
+        if (v == 1) None
+        else {
+          val deltaTombs = tombsCur.join(broadcast(tbl.snapshotTombstones(v - 1)),
+            Seq(VectorSchema.ID), "left_anti")
+          Some(tbl.asOf(v - 1).select(col(VectorSchema.ID))
+            .join(broadcast(deltaTombs), Seq(VectorSchema.ID), "left_semi")
+            .withColumn("change", lit("deleted")).withColumn("version", lit(v)))
+        }
+      added.toSeq ++ deleted.toSeq
+    }
+    val (parts, factory) = GvdbStreamLegs.plan(legs, required, pushed)
+    lastFactory = factory
+    parts
+  }
+
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
+  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+
+  override def commit(end: ConnOffset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** SQL write path (`INSERT INTO` a `USING gvdb` temp view or a

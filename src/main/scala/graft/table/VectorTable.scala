@@ -475,25 +475,45 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     version
   }
 
-  /** The table as of snapshot `version`: exactly the manifest's files,
-    * minus the tombstones recorded AT snapshot time. */
-  def asOf(version: Int): DataFrame = {
-    val vdir = new Path(snapsRoot, s"v$version")
-    val mPath = new Path(vdir, "manifest.json")
+  /** The manifest's data-file list for snapshot `version` (throws if
+    * the snapshot doesn't exist — vacuum/reindex expire snapshots). */
+  private[graft] def snapshotFiles(version: Int): Seq[String] = {
+    val mPath = new Path(new Path(snapsRoot, s"v$version"), "manifest.json")
     if (!fs.exists(mPath))
       throw new IllegalArgumentException(
         s"no snapshot v$version (vacuum/reindex expire snapshots); have: $snapshotVersions")
     val in = fs.open(mPath)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(txt).map(_.group(1))
+    // only the contents of the "files" array — a path containing a
+    // quoted token elsewhere in the doc can't corrupt the list
+    val body = """"files"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
       .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-      .filterNot(_ == "files")
+  }
+
+  /** The tombstone ids recorded AT snapshot time (empty frame if none
+    * were recorded — broadcast-small by the delete-file argument). */
+  private[graft] def snapshotTombstones(version: Int): DataFrame = {
+    val tombs = new Path(new Path(snapsRoot, s"v$version"), "tombstones")
+    if (!fs.exists(tombs))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(VectorSchema.ID,
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    else spark.read.parquet(tombs.toString).select(VectorSchema.ID)
+  }
+
+  /** The table as of snapshot `version`: exactly the manifest's files,
+    * minus the tombstones recorded AT snapshot time. */
+  def asOf(version: Int): DataFrame = {
+    val files = snapshotFiles(version)
     val schema = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
     val base =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files: _*)
-    val tombs = new Path(vdir, "tombstones")
+    val tombs = new Path(new Path(snapsRoot, s"v$version"), "tombstones")
     if (!fs.exists(tombs)) base
     else base.join(broadcast(spark.read.parquet(tombs.toString)),
       Seq(VectorSchema.ID), "left_anti")

@@ -31,13 +31,4 @@ object BatchShim {
       df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
   }
 
-  /** The inverse direction, for a DSv1 `Source.getBatch`: the returned
-    * frame must carry `isStreaming = true` (MicroBatchExecution asserts
-    * it), which no public constructor sets — the same rewrap
-    * FileStreamSource itself uses. Same `copy()` rationale as above. */
-  def asStream(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    spark.internalCreateDataFrame(
-      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = true)
-  }
 }
