@@ -469,6 +469,36 @@ class VectorDB(
 }
 
 object VectorDB {
+
+  /** Opens the facade over a CATALOG-registered gvdb table name
+    * (`"cat.ns.table"`): resolves through the session's catalog
+    * manager to the table's data root (managed directory or external
+    * LOCATION), so the host-language facade and the SQL surfaces
+    * operate on the SAME files — the reference's one-name-one-database
+    * contract (vdb.py:15-16) across both access styles. */
+  def forName(spark: SparkSession, qualifiedName: String,
+      embedderName: String = "hashing",
+      embedderParams: Map[String, String] = Map.empty,
+      dim: Int = 64): VectorDB = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(qualifiedName)
+    require(parts.length >= 2, s"expected catalog.[ns.]table, got '$qualifiedName'")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.tail.init.toArray, parts.last)
+    spark.sessionState.catalogManager.catalog(parts.head) match {
+      case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+        tc.loadTable(ident) match {
+          case g: graft.sources.GvdbTable =>
+            val root = g.dataRoot
+            val cut = root.lastIndexOf('/')
+            new VectorDB(spark, root.substring(cut + 1), root.substring(0, cut),
+              embedderName, embedderParams, dim)
+          case other => throw new IllegalArgumentException(
+            s"'$qualifiedName' is not a gvdb table (${other.getClass.getName})")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"'${parts.head}' is not a table catalog")
+    }
+  }
   /** Probe-widening cap factor c: an indexed probe widens to at most
     * c·k candidates under tombstone delete debt, then falls back to
     * the exact path ([[VectorDB.probeWidth]]).

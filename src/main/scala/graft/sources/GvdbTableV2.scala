@@ -60,6 +60,11 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     * is index-consultable like a bare parquet scan of the same root; a
     * version-pinned snapshot is not (the persisted index tracks the
     * live table, not the snapshot). */
+  /** The resolved data root — lets host-language surfaces
+    * ([[graft.VectorDB.forName]]) open the same files a catalog name
+    * points at. */
+  private[graft] def dataRoot: String = root
+
   private[graft] def indexableRoot: Option[String] =
     if (versionAsOf.isEmpty && !changeFeed) Some(root) else None
 

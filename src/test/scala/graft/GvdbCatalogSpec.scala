@@ -112,6 +112,25 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
                    (id string, metadata string, embedding array<double>) USING gvdb""")
   }
 
+  test("VectorDB.forName opens the facade over a catalog name (shared files with SQL)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.fac")
+    spark.sql("""CREATE TABLE vdbcat.fac.items
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    val db = graft.VectorDB.forName(spark, "vdbcat.fac.items", dim = 64)
+    import spark.implicits._
+    db.insertEmbedded(Seq(("""{"k":"a"}""")).toDF("metadata")
+      .select(col("metadata"),
+        typedlit(graft.embed.Embedders.forName("hashing", Map("dim" -> "64"))
+          .embed("hello world").toSeq).as("embedding")))
+    // the SQL surface sees the facade's insert through the catalog name
+    spark.sql("SELECT count(*) AS n FROM vdbcat.fac.items").head().getLong(0) shouldBe 1L
+    db.numRows shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      graft.VectorDB.forName(spark, "justonename")
+    spark.sql("DROP TABLE vdbcat.fac.items")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
