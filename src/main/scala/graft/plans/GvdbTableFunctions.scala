@@ -35,12 +35,12 @@ object GvdbTableFunctions {
     var rdr = active.read.format("gvdb")
     if (exprs.size == 2) // time travel: pin the manifest snapshot
       rdr = rdr.option("versionAsOf", intArg(exprs(1), "gvdb_scan", "versionAsOf"))
-    logical(rdr.load(stringArg(exprs.head, "gvdb_scan", "path")))
+    logical(rdr.load(rootArg(exprs.head, "gvdb_scan")))
   }
 
   def knnBuilder(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 3, s"gvdb_knn(path, qvec, k) takes 3 arguments, got ${exprs.size}")
-    val path = stringArg(exprs(0), "gvdb_knn", "path")
+    val path = rootArg(exprs(0), "gvdb_knn")
     val k = intArg(exprs(2), "gvdb_knn", "k")
     // the query vector stays an EXPRESSION (it may be any array-typed
     // SQL expression, not just a literal); the cast makes double
@@ -61,7 +61,7 @@ object GvdbTableFunctions {
   def changesBuilder(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 3,
       s"gvdb_changes(path, fromVersion, toVersion) takes 3 arguments, got ${exprs.size}")
-    val path = stringArg(exprs(0), "gvdb_changes", "path")
+    val path = rootArg(exprs(0), "gvdb_changes")
     val from = intArg(exprs(1), "gvdb_changes", "fromVersion")
     val to = intArg(exprs(2), "gvdb_changes", "toVersion")
     logical(new graft.table.VectorTable(active, path, 1).diffSnapshots(from, to))
@@ -82,6 +82,27 @@ object GvdbTableFunctions {
   private def active: SparkSession = SparkSession.active
 
   private def logical(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** The table argument: a filesystem path, or — when it carries no
+    * path separator and its first dot-part names a registered catalog
+    * — a catalog table name (`cat.ns.table`), resolved to the gvdb
+    * data root the name points at. Catalog users get the TVFs on the
+    * same names their DDL created (GvdbCatalogSpec). */
+  private def rootArg(e: Expression, fn: String): String = {
+    val raw = stringArg(e, fn, "path")
+    if (raw.contains("/") || raw.contains(java.io.File.separator)) raw
+    else {
+      val parts = raw.split("\\.").toSeq
+      if (parts.length < 2) raw
+      else scala.util.Try {
+        val cat = active.sessionState.catalogManager.catalog(parts.head)
+        cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last))
+          .asInstanceOf[graft.sources.GvdbTable].dataRoot
+      }.getOrElse(raw) // not a known catalog name: treat as a path
+    }
+  }
 
   private def stringArg(e: Expression, fn: String, name: String): String = {
     require(e.foldable, s"$fn: '$name' must be a literal string")

@@ -128,6 +128,10 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     db.numRows shouldBe 1L
     an[IllegalArgumentException] should be thrownBy
       graft.VectorDB.forName(spark, "justonename")
+    // the gvdb TVFs accept the catalog NAME in place of a path too
+    graft.plans.GvdbTableFunctions.register(spark)
+    spark.sql("SELECT count(*) AS n FROM gvdb_scan('vdbcat.fac.items')")
+      .head().getLong(0) shouldBe 1L
     spark.sql("DROP TABLE vdbcat.fac.items")
   }
 
