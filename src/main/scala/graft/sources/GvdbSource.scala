@@ -228,6 +228,9 @@ object GvdbFilters {
     case Not(child) => toColumn(child).map(!_)
     case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    // TRUNCATE TABLE arrives as a DELETE with AlwaysTrue
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
 }

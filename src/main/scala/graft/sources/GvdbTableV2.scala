@@ -53,7 +53,8 @@ import graft.table.VectorTable
 class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     versionAsOf: Option[Int], changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** The table root, exposed for the ANN planner rewrite
     * ([[graft.plans.AnnRewriteRule]]): a bare scan of a LIVE gvdb table
@@ -102,6 +103,29 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
       s"gvdb: cannot write to a versionAsOf=$versionAsOf snapshot (read-only history)")
     require(!changeFeed, "gvdb: the change feed is read-only")
     new GvdbWriteBuilder(spark, root, dimOpt)
+  }
+
+  // ---- SQL `DELETE FROM t WHERE ...` / `TRUNCATE TABLE t` — the
+  // merge-on-read tombstone delete ([[VectorTable.delete]]): matching
+  // ids are appended to the tombstone side table, reads anti-join them
+  // out, vacuum() makes them physical. O(matched ids), never a data
+  // rewrite. Accepted only when EVERY predicate translates to the
+  // source-filter algebra (the engine requires all-or-nothing for
+  // metadata deletes); JSON-path predicates go through the facade's
+  // delete(Column), which takes arbitrary expressions. ----
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && !changeFeed &&
+      filters.forall(f => GvdbFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty && !changeFeed,
+      "gvdb: DELETE targets the live table only")
+    val cond = filters.flatMap(GvdbFilters.toColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // TRUNCATE
+    new VectorTable(spark, root, dimOpt.getOrElse(1)).delete(cond)
+    ()
   }
 }
 

@@ -135,6 +135,28 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.fac.items")
   }
 
+  test("SQL DELETE FROM / TRUNCATE map onto the merge-on-read tombstone delete") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.del")
+    spark.sql("""CREATE TABLE vdbcat.del.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    import spark.implicits._
+    (0 until 30).map(i => (i.toString, "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO vdbcat.del.t SELECT * FROM del_src")
+    spark.sql("DELETE FROM vdbcat.del.t WHERE id LIKE '1%'") // 1, 10..19 → 11 rows
+    spark.sql("SELECT count(*) AS n FROM vdbcat.del.t").head().getLong(0) shouldBe 19L
+    // the delete is merge-on-read: data files untouched, tombstones appended
+    new java.io.File(s"$warehouse/del/t.tombstones").exists() shouldBe true
+    new VectorTable(spark, s"$warehouse/del/t", 1).tombstoneCount shouldBe 11L
+    // an untranslatable predicate (JSON path) is rejected, not wrong
+    an[Exception] should be thrownBy
+      spark.sql("DELETE FROM vdbcat.del.t WHERE get_json_object(metadata, '$.k') = 'v'")
+    spark.sql("TRUNCATE TABLE vdbcat.del.t")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.del.t").head().getLong(0) shouldBe 0L
+    spark.sql("DROP TABLE vdbcat.del.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
