@@ -1427,6 +1427,10 @@ object SparkEntry {
       s.sql(s"INSERT INTO $cat.prod.docs SELECT id, metadata, embedding FROM cat_delta2")
       new graft.table.VectorTable(s, s"$wh/prod/docs", 1)
         .delete(get_json_object(col("metadata"), "$.lang") === "de")
+      // SQL DELETE (SupportsDelete → the same merge-on-read tombstone
+      // path): a translatable id-prefix predicate through the catalog
+      // name — '69' and '690'..'699'
+      s.sql(s"DELETE FROM $cat.prod.docs WHERE id LIKE '69%'")
       val back = s.sql(s"""
         SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
                sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars
@@ -7913,11 +7917,13 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY distance, id LIMIT 10""".stripMargin,
-    // gvdb catalog plugin: [0,600) ∪ [300,700) dedups to [0,700),
-    // then the 'de' tombstone delete applies through the catalog name
+    // gvdb catalog plugin: [0,600) ∪ [300,700) dedups to [0,700), the
+    // 'de' facade delete and the SQL DELETE of the '69'-prefixed ids
+    // both apply through the catalog name
     "vdb_catalog" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 700 AND lang <> 'de'
+        |  AND NOT (CAST(doc_id AS VARCHAR) LIKE '69%')
         |GROUP BY lang""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
