@@ -499,4 +499,24 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "CartesianProduct"
     p should include("hashpartitioning(cw") // cum window keys per cohort
   }
+
+  test("gvdb reads are a V2 BatchScan: handled pushdown + pruning visible in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-gvdb").toString + "/t"
+    (0 until 50).map(i => (i.toString, "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+    val q = spark.read.format("gvdb").load(root)
+      .where(col("id") > "3").select("id")
+    val p = q.queryExecution.executedPlan.toString
+    // the format's scan is a DSv2 BatchScan leaf (codegen-capable, no
+    // external-Row conversion), its description reporting the HANDLED
+    // predicate (evaluated once, inside the scan) and the pruned schema
+    p should include("BatchScan")
+    p should include("GreaterThan(id,3)")
+    p should include regex "ReadSchema: struct<id:string[^>]*>"
+    p should not include "embedding:"
+    new graft.table.VectorTable(spark, root, 1).drop()
+  }
 }
