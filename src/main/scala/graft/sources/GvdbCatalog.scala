@@ -83,22 +83,32 @@ class GvdbCatalog extends TableCatalog with SupportsNamespaces {
       try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     }
 
+  /** A TABLE directory always contains at least one plain file
+    * (`VectorTable.create` writes an empty parquet with its _SUCCESS
+    * marker; rewrites leave part files); a NAMESPACE directory holds
+    * only subdirectories — the distinction that keeps nested
+    * namespaces out of table listings and vice versa. */
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(!_.isDirectory)
+
   private def exists(ident: Identifier): Boolean =
-    fs.exists(managedPath(ident)) || fs.exists(pointerPath(ident))
+    isTableDir(managedPath(ident)) || fs.exists(pointerPath(ident))
 
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace.toIndexedSeq)
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      // sidecars (tombstones, snapshots, index tiers, location
-      // pointers) are dot-suffixed siblings of their table dir; a
-      // plain undotted entry is either a table root or a namespace —
-      // namespaces are excluded by the VectorTable existence check
-      // being directory-based for both, so include only undotted dirs
-      .filter(n => !n.contains("."))
+    // sidecars (tombstones, snapshots, index tiers) are dot-suffixed
+    // siblings of their table dir and a nested NAMESPACE dir holds
+    // only subdirectories, so a table is an undotted TABLE DIR — plus
+    // every external table, listed by its `.location` pointer file
+    val entries = fs.listStatus(dir).toSeq.map(_.getPath)
+    val managed = entries
+      .filter(p => !p.getName.contains(".") && isTableDir(p)).map(_.getName)
+    val external = entries.filter(_.getName.endsWith(".location"))
+      .map(_.getName.stripSuffix(".location"))
+    (managed ++ external).distinct
       .map(n => Identifier.of(namespace, n))
       .toArray
   }

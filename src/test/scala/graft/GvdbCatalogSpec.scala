@@ -60,6 +60,9 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.ext")
     spark.sql(s"CREATE TABLE vdbcat.ext.adopted USING gvdb LOCATION '$external'")
     spark.sql("SELECT count(*) AS n FROM vdbcat.ext.adopted").head().getLong(0) shouldBe 7L
+    // external tables are listed by their pointer (no managed dir)
+    spark.sql("SHOW TABLES IN vdbcat.ext").collect()
+      .map(_.getString(1)) should contain("adopted")
     spark.sql("INSERT INTO vdbcat.ext.adopted VALUES ('x', '{}', array(9.0f))")
     spark.sql("DROP TABLE vdbcat.ext.adopted")
     // the external root survives the unlink, with the inserted row
@@ -172,5 +175,10 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP NAMESPACE vdbcat.life")
     spark.sql("SHOW NAMESPACES IN vdbcat").collect()
       .map(_.getString(0)) should not contain "life"
+    // a namespace directory is never mistaken for a table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.onlyns")
+    spark.sql("SHOW TABLES IN vdbcat").collect()
+      .map(_.getString(1)) should not contain "onlyns"
+    spark.catalog.tableExists("vdbcat.onlyns") shouldBe false
   }
 }
