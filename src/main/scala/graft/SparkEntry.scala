@@ -1157,15 +1157,16 @@ object SparkEntry {
     // ---- `gvdb` DataSource surface (sources/GvdbSource.scala): the
     // warehouse as a Spark FORMAT NAME — the reference's "open the db
     // file and query it" (duckvdb.py:17-45) recast as
-    // spark.read.format("gvdb"). Read path: the merge-on-read view
-    // (base minus tombstones) with column pruning and predicate
-    // pushdown INTO the engine's own scan — the id prefix below
-    // reaches buildScan as StringStartsWith (machine-asserted in
-    // GvdbSourceSpec); the lang predicate is NOT pushable (it's inside
-    // the metadata JSON) and runs above the scan, pinning the
-    // conservative unhandledFilters contract. Census: per-lang
-    // survivors of a tombstone delete, read through the format, so the
-    // oracle checks MoR semantics end to end through the DSv1 path. ----
+    // spark.read.format("gvdb"). Read path: DataSource V2 — the
+    // merge-on-read view (base minus tombstones) as a BatchScan with
+    // column pruning and HANDLED predicate pushdown (evaluated once,
+    // inside the scan's codegen) — the id prefix below reaches the
+    // scan as StringStartsWith (plan-asserted in GvdbSourceSpec /
+    // PlanShapeSpec); the lang predicate is NOT pushable (it's inside
+    // the metadata JSON) and runs in a Filter above the scan. Census:
+    // per-lang survivors of a tombstone delete, read through the
+    // format, so the oracle checks MoR semantics end to end through
+    // the V2 path. ----
     "vdb_source_read" -> ((s, dir) => {
       import s.implicits._
       val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-r").toString
