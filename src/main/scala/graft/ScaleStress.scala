@@ -258,6 +258,7 @@ object ScaleStress {
       else if (name == "widen_debt") widenDebt(spark, src, target, copies)
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else if (name == "gvdb_source") gvdbSource(spark, src, target, copies)
+      else if (name == "gvdb_stream") gvdbStream(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -519,6 +520,50 @@ object ScaleStress {
     val (l1, c1, p1) = runOnce(target, "sf1")
     println(f"[stress] ratio  gvdb_source           load=${l1 / l0}%5.2fx" +
       f" census=${c1 / c0}%5.2fx pruned=${p1 / p0}%5.2fx for ${copies}x data")
+  }
+
+  /** The V2 streaming insert feed at corpus scale: the documents
+    * corpus loads as a gvdb table, then drains through
+    * `readStream.format("gvdb")` with bounded admission
+    * (maxFilesPerTrigger) under Trigger.AvailableNow. The work per
+    * micro-batch is one narrow scan of the admitted files — throughput
+    * should track the corpus (rows/s roughly flat), with the
+    * per-trigger overhead amortized by admission sizing. */
+  private def gvdbStream(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    def runOnce(dir: String, tag: String): Double = {
+      val root = s"/tmp/graft-gvdb-streamstress-$tag/tbl"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("d"), format_string("%09d", $"doc_id")).as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        // (AQE coalesces the small write into few part files, so the
+        // drain lands in 1-2 batches here — the multi-batch admission
+        // mechanics are spec-pinned in GvdbSourceSpec; this leg
+        // measures drain THROUGHPUT at corpus scale)
+        .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val cp = java.nio.file.Files.createTempDirectory(s"graft-streamstress-cp").toString
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("gvdb")
+        .option("maxFilesPerTrigger", "8").load(root)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(b.count()); batches.incrementAndGet(); ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] gvdb_stream $tag%-7s ${n.get}%8d rows in ${batches.get}%3d batches," +
+        f" $secs%7.2f s (${n.get / secs}%.0f rows/s)")
+      new graft.table.VectorTable(spark, root, 1).drop()
+      secs
+    }
+    val s0 = runOnce(src, "sf0.1")
+    val s1 = runOnce(target, "sf1")
+    println(f"[stress] ratio  gvdb_stream           ${s1 / s0}%5.2fx for ${copies}x data")
   }
 
   private def vdbBulk(spark: SparkSession, dir: String): Unit = {
