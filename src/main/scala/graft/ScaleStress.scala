@@ -259,6 +259,7 @@ object ScaleStress {
       else if (name == "semantic_scaled") semanticScaled(spark, src, target, copies)
       else if (name == "gvdb_source") gvdbSource(spark, src, target, copies)
       else if (name == "gvdb_stream") gvdbStream(spark, src, target, copies)
+      else if (name == "gvdb_changes") gvdbChanges(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -564,6 +565,58 @@ object ScaleStress {
     val s0 = runOnce(src, "sf0.1")
     val s1 = runOnce(target, "sf1")
     println(f"[stress] ratio  gvdb_stream           ${s1 / s0}%5.2fx for ${copies}x data")
+  }
+
+  /** The change feed's broadcast-diff legs at corpus scale: corpus →
+    * snapshot v1 → drain (initial adds) → 10% insert + 1% delete →
+    * snapshot v2 → drain (v2 step: adds from the delta files only,
+    * deletes via the prior snapshot semi broadcast delta-tombstones).
+    * The v2 step's cost should track the DELTA plus one narrow pass
+    * over the v1 manifest — never an all-pairs or shuffled set
+    * difference. */
+  private def gvdbChanges(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    def runOnce(dir: String, tag: String): (Double, Double) = {
+      val root = s"/tmp/graft-gvdb-cdcstress-$tag/tbl"
+      val cp = java.nio.file.Files.createTempDirectory("graft-cdcstress-cp").toString
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def shaped(d: org.apache.spark.sql.DataFrame) =
+        d.select(concat(lit("d"), format_string("%012d", $"doc_id")).as("id"),
+          to_json(struct($"lang")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      shaped(docs.where($"doc_id" % 10 =!= 0))
+        .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(spark, root, 1)
+      tbl.snapshot() // v1
+      val counts = new java.util.concurrent.atomic.AtomicLong
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("gvdb").option("readChangeFeed", "true").load(root)
+          .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            counts.addAndGet(b.count()); ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tInitial = drain() // v1: initial adds
+      shaped(docs.where($"doc_id" % 10 === 0))
+        .write.format("gvdb").mode("append").save(root) // ~10% insert
+      tbl.delete(col("id").endsWith("01")) // ~1% delete, all live at v1
+      tbl.snapshot() // v2
+      val n0 = counts.get
+      val tStep = drain() // v2 step only
+      println(f"[stress] gvdb_changes $tag%-7s v1=${n0}%8d rows in $tInitial%6.2f s;" +
+        f" v2 step=${counts.get - n0}%8d rows in $tStep%6.2f s")
+      tbl.drop()
+      (tInitial, tStep)
+    }
+    val (i0, s0) = runOnce(src, "sf0.1")
+    val (i1, s1) = runOnce(target, "sf1")
+    println(f"[stress] ratio  gvdb_changes          initial=${i1 / i0}%5.2fx" +
+      f" step=${s1 / s0}%5.2fx for ${copies}x data")
   }
 
   private def vdbBulk(spark: SparkSession, dir: String): Unit = {
