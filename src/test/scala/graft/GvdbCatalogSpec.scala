@@ -160,6 +160,27 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.del.t")
   }
 
+  test("readStream.table over a catalog name: the V2 insert feed by table identity") {
+    init()
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.str")
+    spark.sql("""CREATE TABLE vdbcat.str.feed
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("INSERT INTO vdbcat.str.feed VALUES ('a','{}',array(1.0f)), ('b','{}',array(2.0f))")
+    val out = Files.createTempDirectory("graft-catstream-out").toString
+    val cp = Files.createTempDirectory("graft-catstream-cp").toString
+    val q = spark.readStream.table("vdbcat.str.feed")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).select("id").collect()
+      .map(_.getString(0)).sorted shouldBe Array("a", "b")
+    spark.sql("DROP TABLE vdbcat.str.feed")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
