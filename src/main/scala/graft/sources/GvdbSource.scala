@@ -80,12 +80,29 @@ class DefaultSource
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     val root = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("gvdb: 'path' option is required"))
+    // timestampAsOf resolves HERE to a pinned version (the last
+    // snapshot committed at or before the timestamp — Delta's rule),
+    // so everything downstream is the one versionAsOf code path
+    val versionAsOf = Option(opts.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(opts.get("timestampAsOf")).map { raw =>
+        val ts = parseTsMillis(raw)
+        new VectorTable(SparkSession.active, root, 1).versionAt(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"gvdb: no snapshot at or before timestampAsOf='$raw'"))
+      })
     new GvdbTable(SparkSession.active, root,
       Option(opts.get("dim")).map(_.toInt),
-      Option(opts.get("versionAsOf")).map(_.toInt),
+      versionAsOf,
       changeFeed = Option(opts.get("readChangeFeed")).exists(_.toBoolean),
       maxFilesPerTrigger = Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
   }
+
+  /** `timestampAsOf` accepts epoch millis or an ISO-ish timestamp
+    * (`2026-08-16 12:00:00[.SSS]` / `2026-08-16T12:00:00Z`). */
+  private def parseTsMillis(raw: String): Long =
+    if (raw.forall(_.isDigit)) raw.toLong
+    else scala.util.Try(java.time.Instant.parse(raw).toEpochMilli).getOrElse(
+      java.sql.Timestamp.valueOf(raw.replace('T', ' ')).getTime)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

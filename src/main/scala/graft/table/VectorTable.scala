@@ -470,10 +470,32 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     }
     val out = fs.create(new Path(vdir, "manifest.json"), true)
     val files = dataFiles.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    try out.write(s"""{"files": [${files.mkString(", ")}]}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"ts": ${System.currentTimeMillis()}, "files": [${files.mkString(", ")}]}"""
+        .getBytes("UTF-8"))
     finally out.close()
     version
   }
+
+  /** The snapshot's commit timestamp (epoch millis); None for
+    * manifests written before the stamp existed. */
+  private[graft] def snapshotTs(version: Int): Option[Long] = {
+    val mPath = new Path(new Path(snapsRoot, s"v$version"), "manifest.json")
+    if (!fs.exists(mPath)) None
+    else {
+      val in = fs.open(mPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
+
+  /** The LATEST snapshot committed at or before `tsMillis` — the
+    * `timestampAsOf` resolution rule (Delta's contract: a timestamp
+    * resolves to the last version whose commit time does not exceed
+    * it; unknown-timestamp manifests from before the stamp existed
+    * never match). */
+  def versionAt(tsMillis: Long): Option[Int] =
+    snapshotVersions.filter(v => snapshotTs(v).exists(_ <= tsMillis)).lastOption
 
   /** The manifest's data-file list for snapshot `version` (throws if
     * the snapshot doesn't exist — vacuum/reindex expire snapshots). */

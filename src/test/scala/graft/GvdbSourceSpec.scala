@@ -173,6 +173,16 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     graft.plans.GvdbTableFunctions.register(spark)
     spark.sql(s"SELECT count(*) AS n FROM gvdb_scan('$root', $v1)")
       .head().getLong(0) shouldBe 20L
+    // timestampAsOf resolves to the LAST snapshot at or before the
+    // given time (Delta's rule) — a timestamp after v1's commit but
+    // before any later snapshot pins v1
+    val midTs = System.currentTimeMillis()
+    tbl.snapshot() // v2 (post-insert, post-delete), committed after midTs
+    spark.read.format("gvdb").option("timestampAsOf", midTs.toString)
+      .load(root).count() shouldBe 20
+    an[IllegalArgumentException] should be thrownBy
+      spark.read.format("gvdb").option("timestampAsOf", "12")
+        .load(root).collect() // before every snapshot: no version
     // history is immutable: INSERT INTO a version-pinned view rejects
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvdb_tt USING gvdb " +
       s"OPTIONS (path '$root', dim '2', versionAsOf '$v1')")
