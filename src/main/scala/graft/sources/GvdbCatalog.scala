@@ -83,13 +83,17 @@ class GvdbCatalog extends TableCatalog with SupportsNamespaces {
       try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     }
 
-  /** A TABLE directory always contains at least one plain file
+  /** A TABLE directory always contains parquet write artifacts
     * (`VectorTable.create` writes an empty parquet with its _SUCCESS
     * marker; rewrites leave part files); a NAMESPACE directory holds
-    * only subdirectories — the distinction that keeps nested
-    * namespaces out of table listings and vice versa. */
+    * only subdirectories and its external tables' `.location` pointer
+    * FILES — so the test is for the parquet markers specifically, not
+    * "any plain file" (which would classify a namespace of external
+    * tables as itself a table). */
   private def isTableDir(p: Path): Boolean =
-    fs.exists(p) && fs.listStatus(p).exists(!_.isDirectory)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      !st.isDirectory &&
+        (st.getPath.getName == "_SUCCESS" || st.getPath.getName.startsWith("part-")))
 
   private def exists(ident: Identifier): Boolean =
     isTableDir(managedPath(ident)) || fs.exists(pointerPath(ident))
@@ -118,6 +122,32 @@ class GvdbCatalog extends TableCatalog with SupportsNamespaces {
     new GvdbTable(spark, tableRoot(ident), None, None)
   }
 
+  /** SQL time travel by version — `SELECT … FROM cat.ns.t VERSION AS OF
+    * v` resolves through this overload to the same pinned-manifest read
+    * as the `versionAsOf` option / `gvdb_scan(path, v)` TVF. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val v = scala.util.Try(version.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"gvdb time travel versions are integers, got '$version'"))
+    new GvdbTable(spark, tableRoot(ident), None, Some(v))
+  }
+
+  /** SQL time travel by timestamp — `TIMESTAMP AS OF ts` arrives as
+    * epoch MICROseconds (the TableCatalog contract) and resolves to the
+    * last snapshot committed at or before it (Delta's rule, via
+    * [[VectorTable.versionAt]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val root = tableRoot(ident)
+    val tsMillis = timestamp / 1000L
+    val v = new VectorTable(spark, root, 1).versionAt(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"gvdb: no snapshot of ${ident.name()} at or before timestamp " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)}"))
+    new GvdbTable(spark, root, None, Some(v))
+  }
+
   /** Accepts an empty schema (`CREATE TABLE t USING gvdb LOCATION …`)
     * or the contract schema; anything else is rejected — the outer
     * schema of a vector table is fixed (duckvdb.py:32, SURVEY §1.3). */
@@ -142,11 +172,14 @@ class GvdbCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(catalogName +: ident.namespace().toIndexedSeq)
     Option(properties.get(TableCatalog.PROP_LOCATION)) match {
       case Some(loc) =>
-        // external table: record the pointer; create the root only if
-        // absent (pointing at an existing gvdb table adopts it)
+        // external table: validate/create the root FIRST, record the
+        // pointer LAST — an unwritable/invalid LOCATION must fail
+        // before the pointer exists, or the catalog is left with a
+        // phantom entry whose scans fail. Creating the root only if
+        // absent means pointing at an existing gvdb table adopts it.
+        new VectorTable(spark, loc, 1).create()
         val out = fs.create(pointerPath(ident), false)
         try out.write(loc.getBytes("UTF-8")) finally out.close()
-        new VectorTable(spark, loc, 1).create()
       case None =>
         new VectorTable(spark, managedPath(ident).toString, 1).create()
     }

@@ -148,12 +148,20 @@ class DefaultSource
     // the batch watermark is scoped by the query's checkpoint location
     // (batch ids are only meaningful within one checkpoint lineage — a
     // NEW query against a reused root restarts at batch 0 and must not
-    // see another query's committed id); with no explicit checkpoint,
-    // the sink keeps no watermark and the row-level id anti-join is
-    // the (still exactly-once-effective) dedup layer
+    // see another query's committed id). A query relying on the
+    // SESSION default checkpoint conf still has a durable lineage when
+    // it is named (the engine resolves <default>/<queryName>), so the
+    // watermark falls back to that; only a query with neither — whose
+    // checkpoint is an unresumable temp dir — runs watermark-free on
+    // the row-level id anti-join alone.
+    val cpScope = parameters.get("checkpointLocation").orElse(
+      for {
+        base <- sqlContext.sparkSession.conf
+          .getOption("spark.sql.streaming.checkpointLocation")
+        name <- parameters.get("queryName")
+      } yield new Path(base, name).toString)
     new GvdbSink(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("dim").map(_.toInt),
-      parameters.get("checkpointLocation"))
+      parameters.get("dim").map(_.toInt), cpScope)
   }
 
 }
@@ -278,17 +286,25 @@ object GvdbWrite {
   /** Columns are matched by NAME (any order, extras dropped) and cast
     * to the contract types — `array<double>` embeddings from plain SQL
     * land as `array<float>`, matching the reference's cast-at-insert
-    * (duckvdb.py:104). A frame that doesn't carry the contract names
-    * but has exactly the contract arity is matched by POSITION — the
-    * SQL `INSERT INTO t VALUES (...)` shape, whose query columns are
-    * synthetic (`col1`...) because ACCEPT_ANY_SCHEMA skips the
-    * analyzer's output renaming. */
+    * (duckvdb.py:104). POSITIONAL matching is a narrow carve-out for
+    * the SQL `INSERT INTO t VALUES (...)` shape, whose query columns
+    * are synthetic (`col1`...) because ACCEPT_ANY_SCHEMA skips the
+    * analyzer's output renaming: it fires only at contract arity when
+    * the names are all synthetic `colN` (or none of the contract names
+    * appear at all). A frame carrying SOME contract names but not all
+    * is always an error — silently crossing e.g. a reordered
+    * `(embedding, id, meta)` frame by position would corrupt the
+    * table, since the `array<float>` → `string` casts succeed. */
   def shape(raw: DataFrame): DataFrame = {
     val need = VectorSchema.schema.fieldNames
     val missing = need.filterNot(raw.columns.contains)
-    require(missing.isEmpty || raw.columns.length == need.length,
+    val positionalOk = raw.columns.length == need.length &&
+      (raw.columns.forall(_.matches("(?i)col\\d+")) ||
+        need.forall(n => !raw.columns.contains(n)))
+    require(missing.isEmpty || positionalOk,
       s"gvdb write requires columns ${need.mkString(", ")} (or exactly " +
-        s"${need.length} positional columns); missing: ${missing.mkString(", ")}")
+        s"${need.length} positional columns carrying none of those names); " +
+        s"missing: ${missing.mkString(", ")}")
     val data = if (missing.isEmpty) raw else raw.toDF(need.toIndexedSeq: _*)
     data.select(
       col(VectorSchema.ID).cast(StringType).as(VectorSchema.ID),

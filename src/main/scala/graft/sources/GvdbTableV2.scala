@@ -18,10 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.VectorSchema
 import graft.table.VectorTable
 
-/** DataSource V2 surface of the `gvdb` format (the batch half; streaming
-  * read/write stay on the V1 `Source`/`Sink` in [[DefaultSource]] — the
-  * engine falls back to them because this table deliberately does not
-  * advertise `MICRO_BATCH_READ`/`STREAMING_WRITE`).
+/** DataSource V2 surface of the `gvdb` format: batch read/write,
+  * streaming read (`MICRO_BATCH_READ` → the V2 `MicroBatchStream`s
+  * below). Streaming WRITE currently falls back to the V1 `Sink` in
+  * [[DefaultSource]] (no `STREAMING_WRITE` capability yet).
   *
   * Why V2 for batch: the V1 `PrunedFilteredScan.buildScan → .rdd` path
   * converted every row to external types (`Row` with Scala strings and

@@ -58,6 +58,12 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(hadoopPath, true)
     fs.rename(tmp, hadoopPath)
     fs.delete(snapsRoot, true) // rewrite: snapshots expire (see snapshot())
+    // the rewrite materialized the MoR view (df applies tombstones), so
+    // the deletes are now physical — the tombstone table must fold with
+    // them, exactly as in vacuum(), or the raw-minus-tombstones row
+    // arithmetic (scan statistics, COUNT(*) pushdown) double-subtracts
+    fs.delete(tombPath, true)
+    tombCountCache = None
     val out = fs.create(metaPath, true)
     try out.write(s"""{"tables": $tables, "bits": $bits, "seed": $seed}""".getBytes("UTF-8"))
     finally out.close()
@@ -456,6 +462,13 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * snapshots at zero copy cost) plus a copy of the current tombstone
     * ids (small by the delete-file argument). Returns the version id.
     *
+    * Manifests store file NAMES relative to the table root (data files
+    * are direct children), resolved against the CURRENT root at read
+    * time ([[snapshotFiles]]) — so every snapshot surface (asOf,
+    * timestampAsOf, the change feed, CDC TVF) survives a table move or
+    * catalog RENAME, which relocates the `.snapshots` sidecar along
+    * with the data.
+    *
     * Retention contract, same shape as Delta/Iceberg expiry: [[vacuum]]
     * and [[buildAnnIndex]] REWRITE data files, so both invalidate all
     * existing snapshots (retention zero) — time travel spans inserts
@@ -469,7 +482,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         .write.mode("overwrite").parquet(new Path(vdir, "tombstones").toString)
     }
     val out = fs.create(new Path(vdir, "manifest.json"), true)
-    val files = dataFiles.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val files = dataFiles.map(f => new Path(f).getName)
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     try out.write(
       s"""{"ts": ${System.currentTimeMillis()}, "files": [${files.mkString(", ")}]}"""
         .getBytes("UTF-8"))
@@ -497,8 +511,12 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def versionAt(tsMillis: Long): Option[Int] =
     snapshotVersions.filter(v => snapshotTs(v).exists(_ <= tsMillis)).lastOption
 
-  /** The manifest's data-file list for snapshot `version` (throws if
-    * the snapshot doesn't exist — vacuum/reindex expire snapshots). */
+  /** The manifest's data-file list for snapshot `version`, resolved
+    * against the CURRENT table root (manifests store bare file names —
+    * see [[snapshot]] — so the list stays valid after a rename/move;
+    * absolute entries from pre-relative manifests pass through
+    * unchanged). Throws if the snapshot doesn't exist — vacuum/reindex
+    * expire snapshots. */
   private[graft] def snapshotFiles(version: Int): Seq[String] = {
     val mPath = new Path(new Path(snapsRoot, s"v$version"), "manifest.json")
     if (!fs.exists(mPath))
@@ -511,7 +529,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     val body = """"files"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
     "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
-      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(f => if (f.contains("/")) f else new Path(hadoopPath, f).toString)
+      .toSeq
   }
 
   /** The tombstone ids recorded AT snapshot time (empty frame if none

@@ -181,6 +181,95 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.str.feed")
   }
 
+  test("SQL time travel through the catalog: VERSION AS OF / TIMESTAMP AS OF") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.tt")
+    spark.sql("""CREATE TABLE vdbcat.tt.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("INSERT INTO vdbcat.tt.t VALUES ('a','{}',array(1.0f)), ('b','{}',array(2.0f))")
+    val tbl = new VectorTable(spark, s"$warehouse/tt/t", 1)
+    val v1 = tbl.snapshot()
+    Thread.sleep(5)
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO vdbcat.tt.t VALUES ('c','{}',array(3.0f))")
+    spark.sql("DELETE FROM vdbcat.tt.t WHERE id = 'a'")
+    tbl.snapshot() // v2
+    spark.sql("SELECT count(*) AS n FROM vdbcat.tt.t").head().getLong(0) shouldBe 2L
+    // VERSION AS OF pins the v1 manifest: immune to the later insert AND delete
+    spark.sql(s"SELECT id FROM vdbcat.tt.t VERSION AS OF $v1").collect()
+      .map(_.getString(0)).sorted shouldBe Array("a", "b")
+    // TIMESTAMP AS OF resolves to the last snapshot at or before it (v1)
+    val iso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(midTs))
+    spark.sql(s"SELECT count(*) AS n FROM vdbcat.tt.t TIMESTAMP AS OF '$iso'")
+      .head().getLong(0) shouldBe 2L
+    spark.sql(s"SELECT id FROM vdbcat.tt.t TIMESTAMP AS OF '$iso'").collect()
+      .map(_.getString(0)) should contain("a")
+    // before every snapshot: no version resolves
+    an[Exception] should be thrownBy
+      spark.sql("SELECT * FROM vdbcat.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    spark.sql("DROP TABLE vdbcat.tt.t")
+  }
+
+  test("rename keeps time travel alive: manifests resolve against the new root") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.mv")
+    spark.sql("""CREATE TABLE vdbcat.mv.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("INSERT INTO vdbcat.mv.t VALUES ('a','{}',array(1.0f)), ('b','{}',array(2.0f))")
+    val v1 = new VectorTable(spark, s"$warehouse/mv/t", 1).snapshot()
+    spark.sql("INSERT INTO vdbcat.mv.t VALUES ('c','{}',array(3.0f))")
+    spark.sql("DELETE FROM vdbcat.mv.t WHERE id = 'b'")
+    val v2 = new VectorTable(spark, s"$warehouse/mv/t", 1).snapshot()
+    spark.sql("ALTER TABLE vdbcat.mv.t RENAME TO vdbcat.mv.t2")
+    // every snapshot surface works through the RENAMED root: asOf,
+    // VERSION AS OF by catalog name, and the CDC diff
+    new VectorTable(spark, s"$warehouse/mv/t2", 1).asOf(v1)
+      .select("id").collect().map(_.getString(0)).sorted shouldBe Array("a", "b")
+    spark.sql(s"SELECT id FROM vdbcat.mv.t2 VERSION AS OF $v1").collect()
+      .map(_.getString(0)).sorted shouldBe Array("a", "b")
+    graft.plans.GvdbTableFunctions.register(spark)
+    val changes = spark.sql(
+        s"SELECT id, change FROM gvdb_changes('$warehouse/mv/t2', $v1, $v2)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    changes shouldBe Set(("c", "added"), ("b", "deleted"))
+    spark.sql("DROP TABLE vdbcat.mv.t2")
+  }
+
+  test("a namespace holding only external tables is a namespace, not a table") {
+    init()
+    import spark.implicits._
+    val external = Files.createTempDirectory("graft-catalog-extns").toString + "/tbl"
+    (0 until 3).map(i => (i.toString, "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "1").mode("overwrite").save(external)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.extonly")
+    spark.sql(s"CREATE TABLE vdbcat.extonly.ptr USING gvdb LOCATION '$external'")
+    // the namespace dir now holds only a .location pointer FILE — it
+    // must still list as a namespace, never as a table of its parent
+    spark.sql("SHOW TABLES IN vdbcat").collect()
+      .map(_.getString(1)) should not contain "extonly"
+    spark.catalog.tableExists("vdbcat.extonly") shouldBe false
+    spark.sql("SHOW TABLES IN vdbcat.extonly").collect()
+      .map(_.getString(1)) should contain("ptr")
+    spark.sql("DROP TABLE vdbcat.extonly.ptr")
+    new VectorTable(spark, external, 1).drop()
+  }
+
+  test("a failing external CREATE leaves no phantom pointer") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.phantom")
+    // LOCATION under a plain FILE: the root create fails before the
+    // pointer is written, so the table must not exist afterwards
+    val blocker = Files.createTempFile("graft-catalog-blocker", ".dat")
+    an[Exception] should be thrownBy
+      spark.sql(s"CREATE TABLE vdbcat.phantom.bad USING gvdb LOCATION '$blocker/sub/tbl'")
+    spark.catalog.tableExists("vdbcat.phantom.bad") shouldBe false
+    spark.sql("SHOW TABLES IN vdbcat.phantom").collect()
+      .map(_.getString(1)) should not contain "bad"
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")

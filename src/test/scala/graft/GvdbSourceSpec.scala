@@ -331,6 +331,28 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 4).drop()
   }
 
+  test("write shaping: positional matching is the VALUES carve-out, never a partial-name cross") {
+    import spark.implicits._
+    import graft.sources.GvdbWrite
+    // synthetic colN names (the INSERT VALUES shape): positional, accepted
+    GvdbWrite.shape(Seq(("a", "{}", Seq(1f)))
+        .toDF("col1", "col2", "col3"))
+      .columns.toSeq shouldBe Seq("id", "metadata", "embedding")
+    // no contract name at all, contract arity: positional, accepted
+    GvdbWrite.shape(Seq(("a", "{}", Seq(1f)))
+        .toDF("key", "payload", "vector"))
+      .columns.toSeq shouldBe Seq("id", "metadata", "embedding")
+    // SOME contract names present in the wrong slots: must throw (the
+    // array<float> → string casts would otherwise silently cross them)
+    an[IllegalArgumentException] should be thrownBy
+      GvdbWrite.shape(Seq((Seq(1f), "a", "{}"))
+        .toDF("embedding", "id", "meta"))
+    // a partially-named frame at contract arity must throw, not guess
+    an[IllegalArgumentException] should be thrownBy
+      GvdbWrite.shape(Seq(("a", "{}", Seq(1f)))
+        .toDF("id", "payload", "vector"))
+  }
+
   test("reading a missing path fails fast") {
     an[AnalysisException] should be thrownBy
       spark.read.format("gvdb").load("/tmp/graft-gvdb-definitely-missing").collect()
