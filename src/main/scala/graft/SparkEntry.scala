@@ -1442,6 +1442,84 @@ object SparkEntry {
       s.catalog.dropTempView("cat_delta1"); s.catalog.dropTempView("cat_delta2")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
+    // ---- SQL time travel through the CATALOG: `VERSION AS OF` /
+    // `TIMESTAMP AS OF` on a catalog NAME resolve through
+    // GvdbCatalog.loadTable(ident, version/timestamp) to the same
+    // pinned-manifest read as the versionAsOf option — the v1 census
+    // is immune to the later insert AND delete, and the timestamp
+    // resolves to the last snapshot at or before it (Delta's rule).
+    // Same zero-copy manifest machinery; the timestamp arrives as
+    // epoch micros per the TableCatalog contract. ----
+    "vdb_catalog_timetravel" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-tt").toString
+      val cat = "gctt" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.tt")
+      s.sql(s"CREATE TABLE $cat.tt.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = s.read.parquet(t(dir, "documents"))
+      def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      slice(0, 300).createOrReplaceTempView("cat_tt_d1")
+      s.sql(s"INSERT INTO $cat.tt.docs SELECT * FROM cat_tt_d1")
+      val tbl = new graft.table.VectorTable(s, s"$wh/tt/docs", 1)
+      val v1 = tbl.snapshot()
+      Thread.sleep(5)
+      val midTs = System.currentTimeMillis()
+      Thread.sleep(5)
+      slice(300, 400).createOrReplaceTempView("cat_tt_d2")
+      s.sql(s"INSERT INTO $cat.tt.docs SELECT * FROM cat_tt_d2")
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      tbl.snapshot() // v2
+      // format midTs in the SESSION time zone — TIMESTAMP AS OF parses
+      // its literal there
+      val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+      val iso = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(zone)
+        .format(java.time.Instant.ofEpochMilli(midTs))
+      def census(suffix: String, ver: String) = s.sql(
+        s"""SELECT '$ver' AS ver, count(*) AS cnt,
+           |  sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars
+           |FROM $cat.tt.docs $suffix""".stripMargin)
+      val back = census(s"VERSION AS OF $v1", "v1")
+        .unionByName(census(s"TIMESTAMP AS OF '$iso'", "ts"))
+        .unionByName(census("", "live"))
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.tt.docs")
+      s.sql(s"DROP NAMESPACE $cat.tt")
+      s.catalog.dropTempView("cat_tt_d1"); s.catalog.dropTempView("cat_tt_d2")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
+    // ---- COUNT(*) aggregate pushdown: a bare ungrouped count over
+    // the format is answered from parquet FOOTERS minus the tombstone
+    // count (GvdbFooters) — zero rows scanned, complete pushdown. The
+    // entry gates the plan shape itself (PushedAggregates must be in
+    // the scan description) so a silent fallback to a full scan fails
+    // the oracle run, not just a unit test. At 100 TB this is the
+    // difference between a metadata read and a table scan. ----
+    "vdb_source_count" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-gvdb-cnt").toString
+      val root = s"$wh/docs"
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      val tbl = new graft.table.VectorTable(s, root, 1)
+      tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      val q = s.read.format("gvdb").load(root).groupBy().count()
+      require(q.queryExecution.executedPlan.toString
+          .contains("PushedAggregates: [COUNT(*)]"),
+        "gvdb COUNT(*) must push to the scan (footer + tombstone arithmetic)")
+      val n = q.head().getLong(0)
+      tbl.drop()
+      Seq(n).toDF("cnt")
+    }),
     // ---- manifest snapshots / time travel: snapshot = the data-file
     // list (append-only under insert — zero copy) + the tombstone ids
     // at snapshot time. Reading v1 after later inserts AND deletes
@@ -7862,6 +7940,9 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(doc_id AS VARCHAR) LIKE '1%' AND lang <> 'de'
         |GROUP BY lang""".stripMargin,
+    // pushed COUNT(*): footers minus tombstones must equal the live census
+    "vdb_source_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents WHERE lang <> 'de'",
     // gvdb write surfaces: overwrite + redundant append (dedup no-op)
     // of doc_id<500, then SQL INSERT INTO of [500,600) via the view.
     "vdb_source_write" ->
@@ -7926,6 +8007,17 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 700 AND lang <> 'de'
         |  AND NOT (CAST(doc_id AS VARCHAR) LIKE '69%')
         |GROUP BY lang""".stripMargin,
+    // catalog time travel: v1/ts pin the first 300 docs (pre-insert,
+    // pre-delete); live = docs < 400 minus 'de'
+    "vdb_catalog_timetravel" ->
+      """SELECT 'v1' AS ver, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 'ts', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 'live', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id < 400 AND lang <> 'de'""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
       """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,

@@ -129,17 +129,57 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
   }
 }
 
+/** Driver-side parquet metadata reads for the gvdb scan: row counts
+  * straight from the data files' footers — no Spark job, one footer
+  * read per part file. The raw-minus-tombstones arithmetic is exact
+  * because both sides carry each id at most once: data ids are unique
+  * (the insert path's dedup anti-join — the table's core invariant),
+  * and tombstone batches are disjoint by construction
+  * ([[VectorTable.delete]] selects from the LIVE view, so an already-
+  * tombstoned id can never re-match a later delete). */
+private[sources] object GvdbFooters {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  /** Summed footer row counts of the parquet files under `dir`
+    * (0 for a missing directory). */
+  def rowCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = p.getFileSystem(conf)
+    if (!hfs.exists(p)) 0L
+    else hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Live rows of the table at `root`: data-file footers minus
+    * tombstone-file footers. */
+  def liveRowCount(spark: SparkSession, root: String): Long =
+    math.max(0L, rowCount(spark, root) - rowCount(spark, root + ".tombstones"))
+}
+
 /** Pushdown negotiation: accepts every filter [[GvdbFilters]] can
   * translate (reported handled — the scan evaluates them), leaves the
-  * rest (JSON-path probes, UDF predicates) to Spark above the scan. */
+  * rest (JSON-path probes, UDF predicates) to Spark above the scan.
+  * A bare ungrouped `COUNT(*)` over the LIVE table is answered from
+  * parquet footers + the tombstone count ([[GvdbFooters]]) without
+  * scanning a single row — the complete-pushdown contract. Pushed
+  * filters, grouping, time travel and the change feed all abstain
+  * (the footer arithmetic wouldn't reflect them). */
 class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
     versionAsOf: Option[Int], changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: StructType =
     if (changeFeed) GvdbChangeFeed.schema else VectorSchema.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f => GvdbFilters.toColumn(f).isDefined)
@@ -149,12 +189,27 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  private def countStarAnswerable(agg: Aggregation): Boolean =
+    !changeFeed && versionAsOf.isEmpty && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarAnswerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (countStarAnswerable(agg)) { countStarPushed = true; true } else false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after a complete aggregate pushdown the "columns" are the agg
+    // outputs, not table columns — the count scan owns its schema
+    if (!countStarPushed) required = requiredSchema
 
   override def build(): Scan =
     new GvdbBatchScan(spark, root, dimOpt, versionAsOf, required, pushed,
-      changeFeed, maxFilesPerTrigger)
+      changeFeed, maxFilesPerTrigger, countStarPushed)
 }
 
 /** The merge-on-read view as a V2 batch scan.
@@ -175,15 +230,22 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
   */
 class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
     versionAsOf: Option[Int], required: StructType, pushed: Array[Filter],
-    changeFeed: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
+    changeFeed: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
+    countStarPushed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  private val countSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def readSchema(): StructType =
+    if (countStarPushed) countSchema else required
 
   override def description(): String =
     s"gvdb $root${versionAsOf.fold("")(v => s"@v$v")}${if (changeFeed) " changes" else ""} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      (if (countStarPushed) "PushedAggregates: [COUNT(*)], " else "") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   override def toBatch: Batch = {
     require(!changeFeed,
@@ -209,15 +271,25 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     Scan.ColumnarSupportMode.UNSUPPORTED
 
-  /** The inner MoR plan's RDD — built once, lazily, at execution time. */
+  /** The inner MoR plan's RDD — built once, lazily, at execution time.
+    * A pushed COUNT(*) short-circuits to ONE metadata-derived row
+    * ([[GvdbFooters.liveRowCount]] — footers minus tombstones, no data
+    * scan, no job beyond the single-row local plan). */
   @transient private lazy val innerRdd: RDD[InternalRow] = {
-    val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
-    val view = versionAsOf.map(table.asOf).getOrElse(table.df)
-    val base = view.select(VectorSchema.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val filtered = pushed.foldLeft(base) { (d, f) => d.where(GvdbFilters.toColumn(f).get) }
-    // empty required set (count(*) plans) is a valid zero-column Project
-    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
-      .queryExecution.toRdd
+    if (countStarPushed) {
+      spark.range(0L, 1L, 1L, 1)
+        .select(org.apache.spark.sql.functions
+          .lit(GvdbFooters.liveRowCount(spark, root)).as("count(*)"))
+        .queryExecution.toRdd
+    } else {
+      val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
+      val view = versionAsOf.map(table.asOf).getOrElse(table.df)
+      val base = view.select(VectorSchema.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val filtered = pushed.foldLeft(base) { (d, f) => d.where(GvdbFilters.toColumn(f).get) }
+      // empty required set (zero-column plans) is a valid Project
+      filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+        .queryExecution.toRdd
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -227,11 +299,14 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
   override def createReaderFactory(): PartitionReaderFactory =
     new GvdbReaderFactory(innerRdd)
 
-  /** Real size statistics (summed part-file lengths) instead of the
-    * "never broadcast" default — lets Catalyst broadcast a small
-    * warehouse in the dim-enrichment join shape. One FS listing at
-    * plan time; tombstones only shrink the live set, so this is a safe
-    * over-estimate. */
+  /** Real statistics instead of the "never broadcast" default — lets
+    * Catalyst broadcast a small warehouse in the dim-enrichment join
+    * shape, and gives join-side ESTIMATION a real row count instead of
+    * the bytes heuristic. sizeInBytes is one FS listing; numRows is
+    * the footer arithmetic of [[GvdbFooters.liveRowCount]] (driver
+    * metadata reads, no job). Both computed at plan time for the LIVE
+    * table; a version-pinned scan reports bytes only (its manifest's
+    * tombstone count would need a job). */
   override def estimateStatistics(): Statistics = new Statistics {
     override val sizeInBytes: OptionalLong = {
       val p = new org.apache.hadoop.fs.Path(root)
@@ -240,7 +315,10 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
       else OptionalLong.of(
         hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum)
     }
-    override val numRows: OptionalLong = OptionalLong.empty()
+    override val numRows: OptionalLong =
+      if (versionAsOf.isEmpty && !changeFeed)
+        OptionalLong.of(GvdbFooters.liveRowCount(spark, root))
+      else OptionalLong.empty()
   }
 }
 

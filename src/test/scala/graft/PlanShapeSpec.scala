@@ -519,4 +519,36 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     p should not include "embedding:"
     new graft.table.VectorTable(spark, root, 1).drop()
   }
+
+  test("gvdb COUNT(*) is answered from footers + tombstones, never a data scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-cnt").toString + "/t"
+    (0 until 60).map(i => (i.toString, "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+      .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+    val tbl = new graft.table.VectorTable(spark, root, 1)
+    tbl.delete(col("id").startsWith("1")) // 1, 10..19 → 11 tombstones
+    val q = spark.read.format("gvdb").load(root).groupBy().count()
+    val p = q.queryExecution.executedPlan.toString
+    // complete aggregate pushdown: the scan itself reports the pushed
+    // COUNT(*) and reads NO table columns — the answer is parquet
+    // footer row counts minus the tombstone count, zero rows scanned
+    p should include("PushedAggregates: [COUNT(*)]")
+    p should not include regex("ReadSchema: struct<id")
+    q.head().getLong(0) shouldBe 49L
+    // a FILTERED count must abstain (footers can't see predicates) and
+    // still be correct through the ordinary pushdown path
+    val filtered = spark.read.format("gvdb").load(root)
+      .where(col("id") > "3").groupBy().count()
+    filtered.queryExecution.executedPlan
+      .toString should not include "PushedAggregates"
+    filtered.head().getLong(0) shouldBe
+      (0 until 60).count(i => i.toString > "3" && !i.toString.startsWith("1")).toLong
+    // a version-pinned scan abstains too
+    val v = tbl.snapshot()
+    spark.read.format("gvdb").option("versionAsOf", v.toString).load(root)
+      .groupBy().count().head().getLong(0) shouldBe 49L
+    tbl.drop()
+  }
 }
