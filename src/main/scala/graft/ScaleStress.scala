@@ -205,6 +205,7 @@ object ScaleStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // recursive-CTE safety valve scales with the corpus: the digit
       // walk emits ~|customer|·depth rows, which crosses the 1M
@@ -260,6 +261,8 @@ object ScaleStress {
       else if (name == "gvdb_source") gvdbSource(spark, src, target, copies)
       else if (name == "gvdb_stream") gvdbStream(spark, src, target, copies)
       else if (name == "gvdb_changes") gvdbChanges(spark, src, target, copies)
+      else if (name == "gvdb_manyfiles") gvdbManyFiles(spark)
+      else if (name == "tier_recall_384") tierRecall384(spark, src)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -565,6 +568,116 @@ object ScaleStress {
     val s0 = runOnce(src, "sf0.1")
     val s1 = runOnce(target, "sf1")
     println(f"[stress] ratio  gvdb_stream           ${s1 / s0}%5.2fx for ${copies}x data")
+  }
+
+  /** Recall of the three persisted index tiers at PRODUCTION
+    * dimensionality: the registry's recall gates are measured on the
+    * 64-dim embeddings fixture, but production embedding models emit
+    * 384–3072 dims (the reference defaults to 384/768/3072 families)
+    * and PQ/BQ recall geometry changes with dimension. This leg
+    * re-measures recall@10 for all three tiers over the sf0.1
+    * documents corpus embedded at 384 dims (the `vdb_embed_knn_384`
+    * family's hashing embedder) against the exact brute-force route,
+    * with per-tier build times. Results → BENCHNOTES round 11. */
+  private def tierRecall384(spark: SparkSession, src: String): Unit = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-recall384").toString
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(to_json(struct($"doc_id", $"lang")).as("metadata"), $"text")
+    val emb = graft.embed.EmbedOps
+      .withEmbedding(docs, "text", "hashing", Map("dim" -> "384")).drop("text")
+    val db = new graft.VectorDB(spark, "items", wh, "hashing",
+      Map("dim" -> "384"), dim = 384)
+    db.insertEmbedded(emb)
+    val n = db.numRows
+    val panel = spark.read.parquet(s"$src/documents.parquet")
+      .where($"doc_id" < 8).select($"text").collect()
+      .map(r => db.embedder.embed(r.getString(0)))
+    for (tier <- Seq("hnsw", "ivfpq", "bq")) {
+      val t0 = System.nanoTime()
+      tier match {
+        case "hnsw" => db.table.buildHnswIndex()
+        case "ivfpq" => db.table.buildIvfPqIndex()
+        case _ => db.table.buildBqIndex()
+      }
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val recalls = panel.map { qv =>
+        val approx = db.queryByVector(qv, k = 10).collect().map(_.id).toSet
+        val exact = db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet
+        (exact intersect approx).size.toDouble / exact.size
+      }
+      println(f"[stress] tier_recall_384 $tier%-6s rows=$n" +
+        f" recall@10 mean=${recalls.sum / recalls.length}%.3f" +
+        f" min=${recalls.min}%.3f build=$tBuild%6.1f s")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    ()
+  }
+
+  /** The streaming source's OFFSET/LOG mechanics at 100 TB file
+    * counts: a table with ≥10⁴ part files (one real part file cloned —
+    * the leg stresses file-tracking, not row throughput) drains under
+    * bounded admission, and we measure (a) the engine-checkpointed
+    * offset size, which must stay O(1) bytes — the seen-files log
+    * design; the retired files-in-offset design wrote ~60 B × files
+    * PER BATCH — and (b) per-batch wall, which must stay flat as the
+    * file count grows 5× (the only O(total-files) costs are the
+    * per-trigger listing and the one-time log replay at restart,
+    * measured separately as the resume leg). */
+  private def gvdbManyFiles(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def runOnce(nFiles: Int, mfpt: Int): Unit = {
+      val base = s"/tmp/graft-gvdb-manyfiles-$nFiles"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val root = s"$base/tbl"
+      (0 until 100).map(i => (f"r$i%04d", "{}", Seq(i.toFloat)))
+        .toDF("id", "metadata", "embedding").coalesce(1)
+        .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+      // the largest part file is the 100-row data file (the table dir
+      // also holds create()'s empty-parquet part, which would clone
+      // into an all-empty corpus)
+      val seed = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("part-")).maxBy(_.length).toPath
+      (1 until nFiles).foreach { i =>
+        java.nio.file.Files.copy(seed,
+          seed.resolveSibling(f"part-clone-$i%06d.parquet"))
+      }
+      val cp = java.nio.file.Files.createTempDirectory(s"graft-manyfiles-cp").toString
+      val rows = new java.util.concurrent.atomic.AtomicLong
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("gvdb")
+          .option("maxFilesPerTrigger", mfpt.toString).load(root)
+          .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            rows.addAndGet(b.count()); batches.incrementAndGet(); ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val secs = drain()
+      val offsetBytes = new java.io.File(s"$cp/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.length).max
+      val logEntries = new java.io.File(s"$cp/sources/0/gvdb_seen_files")
+        .listFiles().count(_.getName.forall(_.isDigit))
+      // restart with a small delta: pays the one-time log replay
+      // (seen-set rebuild) plus one admitted batch
+      (0 until 10).foreach { i =>
+        java.nio.file.Files.copy(seed,
+          seed.resolveSibling(f"part-delta-$i%06d.parquet"))
+      }
+      val resumeSecs = drain()
+      println(f"[stress] gvdb_manyfiles n=$nFiles%6d drained ${rows.get}%8d rows" +
+        f" in ${batches.get}%3d batches, $secs%7.2f s" +
+        f" (${secs / math.max(1, batches.get - 1)}%.3f s/batch," +
+        f" offset=$offsetBytes%3d B, $logEntries entries, resume=$resumeSecs%6.2f s)")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+    }
+    runOnce(2000, 400)
+    runOnce(10000, 400)
   }
 
   /** The change feed's broadcast-diff legs at corpus scale: corpus →

@@ -1253,8 +1253,9 @@ object SparkEntry {
       s.createDataFrame(s.sparkContext.parallelize(got, 1), out.schema)
     }),
     // ---- gvdb STREAMING SOURCE: readStream.format("gvdb") turns the
-    // warehouse into an insert feed (offsets = the append-only
-    // data-file manifest, GvdbSourceOffset). Phase 1 drains the
+    // warehouse into an insert feed (progress = the append-only
+    // data-file manifest, tracked in a seen-files metadata log whose
+    // O(1) index is the offset — GvdbLogOffset). Phase 1 drains the
     // initial load; an insert lands between the runs and phase 2 —
     // resuming from the SAME checkpoint, so the offset round-trips
     // the offset log — must deliver ONLY the delta. Deletes are
@@ -1440,6 +1441,50 @@ object SparkEntry {
       s.sql(s"DROP TABLE $cat.prod.docs")
       s.sql(s"DROP NAMESPACE $cat.prod")
       s.catalog.dropTempView("cat_delta1"); s.catalog.dropTempView("cat_delta2")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
+    // ---- MERGE INTO through the catalog: the CDC-apply-by-SQL shape
+    // (GvdbMergeRule → tombstone-delete + dedup-insert). The changes
+    // batch spans matched deletes (doc_id%10==0), matched updates
+    // (payload shifted by +1000 chars) and unmatched inserts, plus
+    // no-op delete rows for absent ids; the post-merge census must
+    // hash-match DuckDB applying the same delta relationally. ----
+    "vdb_catalog_merge" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-mrg").toString
+      val cat = "gcmg" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.m")
+      s.sql(s"CREATE TABLE $cat.m.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.where($"doc_id" < 500)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("cat_mrg_base")
+      s.sql(s"INSERT INTO $cat.m.docs SELECT * FROM cat_mrg_base")
+      docs.where($"doc_id" >= 300 && $"doc_id" < 700)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", ($"n_chars" + 1000).as("n_chars"))).as("metadata"),
+          array(($"n_chars" + 1000).cast("float")).as("embedding"),
+          when($"doc_id" % 10 === 0, "d").otherwise("x").as("op"))
+        .createOrReplaceTempView("cat_mrg_changes")
+      s.sql(s"""
+        MERGE INTO $cat.m.docs AS t USING cat_mrg_changes AS c ON t.id = c.id
+        WHEN MATCHED AND c.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding
+        WHEN NOT MATCHED AND c.op <> 'd' THEN
+          INSERT (id, metadata, embedding) VALUES (c.id, c.metadata, c.embedding)""")
+      val back = s.sql(s"""
+        SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
+               sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars
+        FROM $cat.m.docs GROUP BY 1""")
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.m.docs")
+      s.sql(s"DROP NAMESPACE $cat.m")
+      s.catalog.dropTempView("cat_mrg_base"); s.catalog.dropTempView("cat_mrg_changes")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
     // ---- SQL time travel through the CATALOG: `VERSION AS OF` /
@@ -3260,9 +3305,10 @@ object SparkEntry {
     "stream_idempotent_sink" -> ((s, dir) =>
       EventStream.runIdempotentSinkAvailableNow(s, dir)),
     // ---- streaming ingest through the `gvdb` format: writeStream →
-    // GvdbSink (per-batch dedup insert + committed-batch watermark),
-    // census read back through spark.read.format("gvdb") — the full
-    // DataSource round trip under the exactly-once contract. ----
+    // V2 STREAMING_WRITE (GvdbStreamingWrite: staged epochs + dedup
+    // insert at commit + per-query epoch ledger), census read back
+    // through spark.read.format("gvdb") — the full DataSource round
+    // trip under the exactly-once contract. ----
     "stream_sink_gvdb" -> ((s, dir) =>
       EventStream.runGvdbSinkAvailableNow(s, dir)),
     // ---- streaming: stream-stream interval join (view→purchase ≤ 1h) ----
@@ -8007,6 +8053,17 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 700 AND lang <> 'de'
         |  AND NOT (CAST(doc_id AS VARCHAR) LIKE '69%')
         |GROUP BY lang""".stripMargin,
+    // catalog MERGE: survivors = untouched [0,300) at original chars,
+    // plus updated/inserted [300,700) at chars+1000 minus the %10==0
+    // deletes (which also never insert)
+    "vdb_catalog_merge" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars AS chars FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT lang, n_chars + 1000 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
+        |) GROUP BY lang""".stripMargin,
     // catalog time travel: v1/ts pin the first 300 docs (pre-insert,
     // pre-delete); live = docs < 400 minus 'de'
     "vdb_catalog_timetravel" ->

@@ -19,6 +19,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (epoch nanos),
       // graft.Tables.events() converts back to a timestamp column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -84,6 +84,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("gvdb_changes"),
       info("gvdb_changes", "gvdb_changes(path, from, to) - (id, change) CDC between snapshots"),
       GvdbTableFunctions.changesBuilder _))
+    // MERGE INTO over gvdb tables: claim the resolved MergeIntoTable
+    // before CheckAnalysis rejects it (Spark's own rewrite skips
+    // non-SupportsRowLevelOperations targets), lowering it onto the
+    // tombstone-delete / dedup-insert machinery
+    ext.injectResolutionRule(session => new GvdbMergeRule(session))
     ext.injectOptimizerRule(session => new AnnRewriteRule(session))
   }
 

@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+import graft.core.VectorSchema
+import graft.sources.{GvdbTable, GvdbWrite}
+import graft.table.VectorTable
+
+/** SQL `MERGE INTO` for gvdb tables — the CDC-apply-by-SQL surface
+  * (`MERGE INTO cat.ns.t USING changes ON t.id = c.id WHEN MATCHED
+  * ...`), via an analyzer rewrite to the engine's existing
+  * tombstone-delete + dedup-insert machinery (the `vdb_upsert`
+  * semantics) instead of Spark's `SupportsRowLevelOperations` plumbing:
+  * the table has exactly one "group" (no partition transforms), so the
+  * group-based rewrite would degenerate to the same whole-table
+  * copy-on-write this command performs directly, with three extra
+  * moving parts.
+  *
+  * The rule runs in the analyzer's extended-resolution slot. Because
+  * the table advertises `ACCEPT_ANY_SCHEMA`, Spark deliberately leaves
+  * the whole merge UNRESOLVED for the connector (`skipSchemaResolution`
+  * — the contract Delta uses to do its own merge preprocessing), and
+  * `CheckAnalysis` would then reject it; this rule claims the
+  * [[MergeIntoTable]] once its two child relations are resolved and
+  * replaces it with [[GvdbMergeCommand]], deferring EXPRESSION
+  * resolution (condition, action conditions, assignment values) to the
+  * Dataset operations inside the command — each is wrapped as a
+  * `Column` over the target-source join, where the ordinary analyzer
+  * resolves it with the t/c alias qualifiers intact. The spec rides in
+  * [[GvdbMergeSpec]], a plain holder rather than command fields, so
+  * the command node itself carries no (unresolved) expressions.
+  * `WHEN NOT MATCHED BY SOURCE` is supported; `UPDATE/INSERT *` star
+  * actions are expanded by target-column name here (Spark only expands
+  * them for row-level-operation tables).
+  */
+class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case MergeIntoTable(target, source, cond,
+        matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        if target.resolved && source.resolved && gvdbRoot(target).isDefined =>
+      require(!withSchemaEvolution,
+        "gvdb tables have a fixed schema; MERGE ... WITH SCHEMA EVOLUTION is not supported")
+      GvdbMergeCommand(gvdbRoot(target).get, target, source,
+        GvdbMergeSpec(cond,
+          expandStars(matched, target, source),
+          expandStars(notMatched, target, source),
+          expandStars(notMatchedBySource, target, source)))
+  }
+
+  /** The live table root, when the merge target is a writable gvdb
+    * relation (a version-pinned snapshot or change feed has no
+    * indexableRoot and falls through to Spark's own rejection). */
+  private def gvdbRoot(plan: LogicalPlan): Option[String] = plan match {
+    case s: SubqueryAlias => gvdbRoot(s.child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GvdbTable if t.indexableRoot.isDefined => Some(t.dataRoot)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** `UPDATE SET *` / `INSERT *` → explicit per-column assignments,
+    * target column ← source column of the same name (Spark's own
+    * star-expansion contract for merges). */
+  private def expandStars(actions: Seq[MergeAction],
+      target: LogicalPlan, source: LogicalPlan): Seq[MergeAction] = {
+    def byName(ta: Attribute): Expression =
+      source.output.find(_.name.equalsIgnoreCase(ta.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE ... *: source has no column '${ta.name}' to match the target's"))
+    actions.map {
+      case UpdateStarAction(c) =>
+        UpdateAction(c, target.output.map(ta => Assignment(ta, byName(ta))), fromStar = true)
+      case InsertStarAction(c) =>
+        InsertAction(c, target.output.map(ta => Assignment(ta, byName(ta))))
+      case other => other
+    }
+  }
+}
+
+/** The executed merge. Row classification is one full-outer join of
+  * target and source on the merge condition, with presence flags and a
+  * first-matching-action CASE — exactly the `MergeRows` semantics,
+  * expressed as plain DataFrame operators:
+  *
+  *  - DELETES-ONLY merges (every action a DELETE) stay merge-on-read:
+  *    the matched target ids are tombstoned ([[VectorTable.deleteIds]],
+  *    O(matched), no data rewrite) — the cheap CDC-retraction shape;
+  *  - merges carrying UPDATE/INSERT actions are copy-on-write: the
+  *    merged result is staged to a scratch parquet (the target must be
+  *    fully read before it is replaced) and re-inserted with
+  *    overwrite, and any persisted index tier is rebuilt over the
+  *    result — the same proportional-cost contract as [[VectorTable
+  *    .vacuum]]. Scale note: this rewrites the ONE group the format
+  *    has; a partitioned format would restrict the rewrite to matched
+  *    groups, which is precisely Spark's group-based row-level
+  *    operation — the semantics here are identical at table scope.
+  */
+/** Plain (non-Expression) holder for the merge spec: keeps the
+  * possibly-still-unresolved expressions out of the command's
+  * TreeNode-scanned product members, so `CheckAnalysis` sees a
+  * resolved leaf command. */
+case class GvdbMergeSpec(cond: Expression, matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction], notMatchedBySourceActions: Seq[MergeAction])
+
+case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
+    sourcePlan: LogicalPlan, spec: GvdbMergeSpec)
+    extends LeafRunnableCommand {
+
+  private def matchedActions = spec.matchedActions
+  private def notMatchedActions = spec.notMatchedActions
+  private def notMatchedBySourceActions = spec.notMatchedBySourceActions
+
+  private val T = "__gvdb_t_present"
+  private val S = "__gvdb_s_present"
+  private val ACT = "__gvdb_action"
+  private val Copy = 0
+  private val Discard = -1
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val targetFields = targetPlan.output
+    val joined = GraftBridge.ofRows(spark, targetPlan).withColumn(T, lit(1))
+      .join(GraftBridge.ofRows(spark, sourcePlan).withColumn(S, lit(1)),
+        GraftBridge.column(spec.cond), "full_outer")
+
+    // first matching action per row, encoded as a code column:
+    // 100+i/200+i/300+i for matched/not-matched/not-matched-by-source
+    // action i, 0 = copy the target row, -1 = discard
+    def firstAction(actions: Seq[MergeAction], offset: Int, default: Int): Column =
+      actions.zipWithIndex.foldRight(lit(default): Column) { case ((a, i), acc) =>
+        when(a.condition.map(GraftBridge.column).getOrElse(lit(true)), lit(offset + i))
+          .otherwise(acc)
+      }
+    val act =
+      when(col(T).isNotNull && col(S).isNotNull, firstAction(matchedActions, 100, Copy))
+        .when(col(T).isNull, firstAction(notMatchedActions, 200, Discard))
+        .otherwise(firstAction(notMatchedBySourceActions, 300, Copy))
+    val dropCodes: Seq[Int] = Discard +:
+      (matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => 100 + i } ++
+        notMatchedBySourceActions.zipWithIndex.collect { case (_: DeleteAction, i) => 300 + i })
+
+    val classified = joined.withColumn(ACT, act)
+
+    val hasUpdateOrInsert = (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions)
+      .exists { case _: DeleteAction => false; case _ => true }
+
+    if (!hasUpdateOrInsert) {
+      // pure retraction: tombstone the matched ids, merge-on-read
+      val idField = targetFields.find(_.name == VectorSchema.ID).get
+      new VectorTable(spark, root, 1).deleteIds(
+        classified.where(col(ACT).isin(dropCodes.filter(_ > 0).map(Int.box): _*))
+          .select(GraftBridge.column(idField).as(VectorSchema.ID)))
+      return Seq.empty
+    }
+
+    // assignment for `field` under action `code`; an unassigned column
+    // keeps its target value (partial UPDATE) — which is NULL on a
+    // source-only row, the right INSERT default
+    def keyName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.last
+      case other => other.sql
+    }
+    def assignCol(assigns: Seq[Assignment], field: Attribute): Column =
+      assigns.collectFirst {
+        case Assignment(k, v) if keyName(k).equalsIgnoreCase(field.name) =>
+          GraftBridge.column(v)
+      }.getOrElse(GraftBridge.column(field))
+    def valueFor(field: Attribute): Column = {
+      val branches: Seq[(Int, Column)] =
+        matchedActions.zipWithIndex.collect {
+          case (UpdateAction(_, as, _), i) => (100 + i, assignCol(as, field)) } ++
+        notMatchedActions.zipWithIndex.collect {
+          case (InsertAction(_, as), i) => (200 + i, assignCol(as, field)) } ++
+        notMatchedBySourceActions.zipWithIndex.collect {
+          case (UpdateAction(_, as, _), i) => (300 + i, assignCol(as, field)) }
+      // cast target keeps containsNull=true: Catalyst refuses a cast
+      // that NARROWS element nullability, and the insert path's shape()
+      // re-asserts the pinned schema anyway
+      val castType = field.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+        case dt => dt
+      }
+      branches.foldLeft(GraftBridge.column(field)) { case (acc, (code, v)) =>
+        when(col(ACT) === code, v).otherwise(acc)
+      }.cast(castType).as(field.name)
+    }
+
+    val result = classified
+      .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
+      .select(targetFields.map(valueFor).toIndexedSeq: _*)
+
+    // stage before overwrite: the result plan READS the target, which
+    // the overwrite is about to delete
+    val scratch = java.nio.file.Files.createTempDirectory("gvdb-merge").toString + "/staged"
+    try {
+      result.write.parquet(scratch)
+      val table = new VectorTable(spark, root, 1)
+      val (hnsw, ivfpq, bq) = (table.hnswIndexMeta, table.ivfPqIndexMeta, table.bqIndexMeta)
+      GvdbWrite.insert(spark, root, spark.read.parquet(scratch), overwrite = true, None)
+      // the index-follows-table contract (same as vacuum): rebuild the
+      // active tier over the merged rows
+      hnsw.foreach(m => table.buildHnswIndex(m.m, m.efConstruction))
+      ivfpq.foreach(m => table.buildIvfPqIndex(m.nCells, m.m, m.pqK, m.nProbe, m.shortlistFactor))
+      bq.foreach(m => table.buildBqIndex(m.coarseFactor, m.fineFactor))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(scratch).getParentFile)
+      ()
+    }
+    Seq.empty
+  }
+}

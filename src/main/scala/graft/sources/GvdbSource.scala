@@ -4,11 +4,9 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ArrayType, FloatType, StringType, StructType}
 
 import graft.core.VectorSchema
@@ -35,9 +33,10 @@ import graft.table.VectorTable
   *    plus `INSERT INTO v ...` (`AppendData` → [[V1Write]] → the same
   *    dedup insert), and full catalog DDL via
   *    [[graft.sources.GvdbCatalog]];
-  *  - streaming sink: `ds.writeStream.format("gvdb")...` — per-batch
-  *    dedup insert with a checkpoint-scoped committed-batch watermark
-  *    for exactly-once ([[GvdbSink]]);
+  *  - streaming sink: `ds.writeStream.format("gvdb")...` /
+  *    `.toTable("cat.ns.t")` — V2 `STREAMING_WRITE`
+  *    ([[GvdbStreamingWrite]]): staged epochs + per-query commit
+  *    ledger for exactly-once over the dedup insert;
   *  - streaming sources (V2 `MicroBatchStream`s, see GvdbTableV2
   *    .scala): the insert feed ([[GvdbMicroBatchStream]]) and, with
   *    `readChangeFeed=true`, the snapshot CDC feed
@@ -52,7 +51,6 @@ class DefaultSource
     extends org.apache.spark.sql.connector.catalog.TableProvider
     with RelationProvider
     with CreatableRelationProvider
-    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "gvdb"
@@ -61,12 +59,12 @@ class DefaultSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException("gvdb: 'path' option is required"))
 
-  // ---- DataSource V2 (batch + streaming read, SQL INSERT write —
-  // see GvdbTableV2.scala). spark.read/readStream/temp views resolve
-  // through here; the V1 traits below stay live for the two paths the
+  // ---- DataSource V2 (batch + streaming read, SQL INSERT write,
+  // streaming write — see GvdbTableV2.scala / GvdbStreamingWrite
+  // .scala). spark.read/readStream/writeStream/temp views resolve
+  // through here; the V1 traits below stay live for the one path the
   // engine still routes to V1: DataFrameWriter.save (all four
-  // SaveModes — the table advertises V1_BATCH_WRITE, not BATCH_WRITE)
-  // and the streaming SINK (no STREAMING_WRITE capability). ----
+  // SaveModes — the table advertises V1_BATCH_WRITE, not BATCH_WRITE). ----
 
   /** The outer schema is fixed by contract (duckvdb.py:32) — nothing to
     * infer, so a missing table is not an error here (writes create). */
@@ -135,33 +133,6 @@ class DefaultSource
         GvdbWrite.insert(spark, root, data, overwrite = false, dimOpt)
     }
     new GvdbRelation(sqlContext, root, dimOpt)
-  }
-
-  /** `ds.writeStream.format("gvdb")` — append-only micro-batch inserts.
-    * Complete/Update modes are rejected: the table's insert path is
-    * first-wins by id (duckvdb.py:56-61), which is Append semantics —
-    * accepting Update here would silently drop updates. */
-  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
-      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append,
-      s"gvdb sink supports Append output mode only, got $outputMode")
-    // the batch watermark is scoped by the query's checkpoint location
-    // (batch ids are only meaningful within one checkpoint lineage — a
-    // NEW query against a reused root restarts at batch 0 and must not
-    // see another query's committed id). A query relying on the
-    // SESSION default checkpoint conf still has a durable lineage when
-    // it is named (the engine resolves <default>/<queryName>), so the
-    // watermark falls back to that; only a query with neither — whose
-    // checkpoint is an unresumable temp dir — runs watermark-free on
-    // the row-level id anti-join alone.
-    val cpScope = parameters.get("checkpointLocation").orElse(
-      for {
-        base <- sqlContext.sparkSession.conf
-          .getOption("spark.sql.streaming.checkpointLocation")
-        name <- parameters.get("queryName")
-      } yield new Path(base, name).toString)
-    new GvdbSink(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("dim").map(_.toInt), cpScope)
   }
 
 }
@@ -331,109 +302,56 @@ object GvdbWrite {
   }
 }
 
-/** Micro-batch sink over the dedup insert, with exactly-once delivery:
-  *
-  *  - batch-level: the last committed batch id is persisted beside the
-  *    table, SCOPED BY THE QUERY'S CHECKPOINT LINEAGE
-  *    (`<root>.sink_commits/<hash(checkpointLocation)>` — the Delta
-  *    DSv1 sink's (appId, version) txn pattern): batch ids restart at
-  *    0 for every new checkpoint, so an unscoped watermark would make
-  *    a fresh query against a reused root silently skip its first
-  *    batches. A replayed batch within the same lineage (restart
-  *    between insert and commit, or an at-least-once source) is
-  *    skipped without running a job. Queries with no explicit
-  *    checkpoint location keep no watermark at all.
-  *  - row-level backstop: even without the watermark, the insert's
-  *    id anti-join makes redelivery a no-op (the same two-layer recipe
-  *    as `stream_idempotent_sink` / the reference's ON CONFLICT).
-  *
-  * The commit record is written to a temp file and renamed over the
-  * final name, and an unreadable/unparseable record degrades to "no
-  * watermark" (anti-join backstop) instead of wedging the query.
-  * [[graft.table.VectorTable.drop]] removes the commit directory with
-  * the table, so a dropped-and-recreated root never sees stale ids.
-  *
-  * The incoming micro-batch DataFrame is re-wrapped through
-  * [[org.apache.spark.sql.graft.BatchShim]] — distributed, not a
-  * driver `collect()`.
-  */
-class GvdbSink(spark: SparkSession, root: String, dimOpt: Option[Int],
-    checkpointLocation: Option[String] = None) extends Sink {
-
-  private val commitPath: Option[Path] = checkpointLocation.map { cp =>
-    // content-addressed scope: stable across restarts of the same
-    // query (same checkpoint), distinct across different queries
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(cp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new Path(root + ".sink_commits", digest)
-  }
-  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Memoized across batches; resolved on the first non-empty one. */
-  private var dimMemo: Option[Int] = dimOpt
-
-  private[graft] def committedBatchId: Long = commitPath match {
-    case Some(p) if fs.exists(p) =>
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      // a torn/empty record (crash mid-write on a non-atomic FS) falls
-      // back to the row-level anti-join, never a parse error
-      scala.util.Try(txt.trim.toLong).getOrElse(-1L)
-    case _ => -1L
-  }
-
-  private def commit(batchId: Long): Unit = commitPath.foreach { p =>
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false) // rename won't replace; a crash here = no record
-    fs.rename(tmp, p)
-  }
-
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (batchId <= committedBatchId) return // replay: already applied
-    val batch = org.apache.spark.sql.graft.BatchShim.asBatch(data)
-    if (dimMemo.isEmpty) dimMemo = GvdbWrite.resolveDim(spark, root, GvdbWrite.shape(batch), None)
-    GvdbWrite.insert(spark, root, batch, overwrite = false, dimMemo)
-    commit(batchId)
-  }
+/** Streaming offset of [[GvdbMicroBatchStream]]: an INDEX into the
+  * source's persisted seen-files metadata log (FileStreamSource's
+  * design) — "all files recorded in log entries 1..index". The offset
+  * the engine checkpoints every micro-batch is therefore O(1) bytes
+  * regardless of table file count; the file names themselves live in
+  * the per-batch log entries beside the checkpoint, written once each
+  * when admitted. */
+case class GvdbLogOffset(index: Int) extends OffsetV1 {
+  override val json: String = s"""{"log": $index}"""
 }
 
-/** Streaming offset for [[GvdbMicroBatchStream]]: the sorted list of data
-  * files visible in the table directory. File names ARE the progress
-  * marker because the table is append-only between physical rewrites
-  * (insert never rewrites a part file — the Lucene segment contract),
-  * so set difference between two offsets is exactly the inserted data.
-  * The JSON round-trips through the checkpoint's offset log, which is
-  * what makes a restarted query resume at the right file set. Scale
-  * contract: the offset carries one name per part file (~10⁴ names at
-  * a sane file size budget); a production-hardened source would move
-  * to a compacted seen-files log past that, same as FileStreamSource's
-  * metadata log. */
+/** LEGACY streaming offset (pre-log checkpoints): the full sorted list
+  * of data files seen so far, serialized into every offset. Kept only
+  * so a checkpoint written by the old source restarts cleanly — the
+  * stream folds a legacy offset's files into its seen set and records
+  * all progress FROM then on as [[GvdbLogOffset]] log entries. */
 case class GvdbSourceOffset(files: Seq[String]) extends OffsetV1 {
-  override val json: String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("{\"files\": [", ", ", "]}")
+  override val json: String = GvdbSourceOffset.filesJson(files)
 }
 
 object GvdbSourceOffset {
+
+  /** The shared files-list JSON shape — used by the legacy offset and
+    * by the seen-files LOG ENTRIES (one entry per admitted batch). */
+  private[sources] def filesJson(files: Seq[String]): String =
+    graft.core.JsonFileList.render(files)
+
   /** Any non-native offset (e.g. the checkpoint log's SerializedOffset
-    * after a restart) is re-parsed from its JSON. */
-  def fromAny(o: org.apache.spark.sql.connector.read.streaming.Offset): GvdbSourceOffset =
+    * after a restart) is re-parsed from its JSON: `{"log": N}` → the
+    * log-index offset, a `"files"` list → the legacy offset. */
+  def fromAny(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
     o match {
+      case g: GvdbLogOffset => g
       case g: GvdbSourceOffset => g
       case other => parse(other.json)
     }
 
-  /** Parses only the CONTENTS of the `"files"` JSON array — a file
-    * whose path happens to contain a quoted token elsewhere in the
-    * document (or is literally named "files") can't corrupt the set. */
-  private[sources] def parse(json: String): GvdbSourceOffset = {
-    val body = """"files"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    GvdbSourceOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
-      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
-  }
+  private[sources] def parse(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    """"log"\s*:\s*(\d+)""".r.findFirstMatchIn(json) match {
+      case Some(m) => GvdbLogOffset(m.group(1).toInt)
+      case None => GvdbSourceOffset(parseFiles(json))
+    }
+
+  /** Parses only the CONTENTS of the `"files"` JSON array
+    * ([[graft.core.JsonFileList]] — a linear scan, never a
+    * backtracking regex: log entries reach 10⁴+ names). */
+  private[sources] def parseFiles(json: String): Seq[String] =
+    graft.core.JsonFileList.parse(json)
 }
 
 /** Offset of the change feed: the latest consumed snapshot version. */

@@ -20,8 +20,9 @@ import graft.table.VectorTable
 
 /** DataSource V2 surface of the `gvdb` format: batch read/write,
   * streaming read (`MICRO_BATCH_READ` → the V2 `MicroBatchStream`s
-  * below). Streaming WRITE currently falls back to the V1 `Sink` in
-  * [[DefaultSource]] (no `STREAMING_WRITE` capability yet).
+  * below) and streaming write (`STREAMING_WRITE` →
+  * [[GvdbStreamingWrite]]'s epoch-commit staging design — which also
+  * makes `writeStream.toTable("cat.ns.t")` work by catalog name).
   *
   * Why V2 for batch: the V1 `PrunedFilteredScan.buildScan → .rdd` path
   * converted every row to external types (`Row` with Scala strings and
@@ -85,6 +86,7 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       // writes shape/validate the incoming columns themselves
       // (GvdbWrite.shape: match by name, cast to contract types), so
@@ -102,7 +104,7 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     require(versionAsOf.isEmpty,
       s"gvdb: cannot write to a versionAsOf=$versionAsOf snapshot (read-only history)")
     require(!changeFeed, "gvdb: the change feed is read-only")
-    new GvdbWriteBuilder(spark, root, dimOpt)
+    new GvdbWriteBuilder(spark, root, dimOpt, info)
   }
 
   // ---- SQL `DELETE FROM t WHERE ...` / `TRUNCATE TABLE t` — the
@@ -141,6 +143,16 @@ private[sources] object GvdbFooters {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
 
+  /** Footer row counts memoized per (path, length, mtime) — data files
+    * are immutable once written (rewrites produce new names under new
+    * mtimes), so each footer is opened at most ONCE per JVM and every
+    * later statistics call costs only the directory listing. Without
+    * this, plan-time stats over a 10⁴⁺-file table re-open every
+    * footer per query (and per MICRO-BATCH under foreachBatch's stats
+    * rewrite). Entries are ~100 bytes; even 10⁶ files is a few MB. */
+  private val footerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]
+
   /** Summed footer row counts of the parquet files under `dir`
     * (0 for a missing directory). */
   def rowCount(spark: SparkSession, dir: String): Long = {
@@ -149,8 +161,12 @@ private[sources] object GvdbFooters {
     val hfs = p.getFileSystem(conf)
     if (!hfs.exists(p)) 0L
     else hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map { st =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-      try r.getRecordCount finally r.close()
+      footerMemo.computeIfAbsent(
+        (st.getPath.toString, st.getLen, st.getModificationTime),
+        _ => {
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+        }).longValue()
     }.sum
   }
 
@@ -261,9 +277,18 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
     * InternalRow passthrough; pruning/pushdown negotiated on this scan
     * apply to each micro-batch's inner plan. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    streamingUse = true
     if (changeFeed) new GvdbChangesMicroBatchStream(spark, root, required, pushed)
-    else new GvdbMicroBatchStream(spark, root, required, pushed, maxFilesPerTrigger)
+    else new GvdbMicroBatchStream(spark, root, required, pushed, maxFilesPerTrigger,
+      checkpointLocation)
+  }
+
+  /** Set once the scan is claimed for a streaming read: micro-batch
+    * stats must not claim the whole table's row count (the engine
+    * re-evaluates stats per batch — a full-table numRows would both
+    * mislead per-batch planning and re-list the table every trigger). */
+  @volatile private var streamingUse = false
 
   // row-based passthrough; answered WITHOUT building the reader factory
   // so a plain .explain never plans (or runs broadcast jobs for) the
@@ -316,7 +341,7 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
         hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum)
     }
     override val numRows: OptionalLong =
-      if (versionAsOf.isEmpty && !changeFeed)
+      if (versionAsOf.isEmpty && !changeFeed && !streamingUse)
         OptionalLong.of(GvdbFooters.liveRowCount(spark, root))
       else OptionalLong.empty()
   }
@@ -363,13 +388,25 @@ object GvdbChangeFeed {
 /** The warehouse as a streaming INSERT FEED (V2 `MicroBatchStream`):
   * `spark.readStream.format("gvdb").load(root)` emits each inserted
   * row exactly once, driven by the append-only data-file manifest
-  * ([[GvdbSourceOffset]] — file names ARE the progress marker because
-  * insert never rewrites a part file, the Lucene segment contract; set
-  * difference between offsets is exactly the inserted data). Deletes
-  * are NOT streamed — tombstones hide rows from batch reads but never
-  * rewrite data files; consumers who need deletes use the
-  * `readChangeFeed=true` stream or the `gvdb_changes` TVF (the same
-  * split Delta makes between CDF and plain streaming reads).
+  * (file names ARE the progress marker because insert never rewrites a
+  * part file, the Lucene segment contract). Deletes are NOT streamed —
+  * tombstones hide rows from batch reads but never rewrite data files;
+  * consumers who need deletes use the `readChangeFeed=true` stream or
+  * the `gvdb_changes` TVF (the same split Delta makes between CDF and
+  * plain streaming reads).
+  *
+  * Progress tracking is a persisted SEEN-FILES METADATA LOG
+  * (FileStreamSource's design) under the query's checkpoint location:
+  * each admitted batch appends ONE numbered entry holding exactly the
+  * file names it admitted, and the offset the engine checkpoints every
+  * micro-batch is just the log index ([[GvdbLogOffset]] — O(1) bytes).
+  * Per-batch cost is therefore one directory listing plus one entry
+  * write proportional to the NEW files; a restart replays the log once
+  * to rebuild the seen set. At 100 TB file counts (10⁵–10⁶ part
+  * files) offsets and commits stay constant-size where the old
+  * files-list-in-offset design wrote multi-MB JSON per batch. A
+  * pre-log checkpoint's [[GvdbSourceOffset]] restarts cleanly: its
+  * files fold into the seen set and progress from then on is logged.
   *
   * Admission control: `maxFilesPerTrigger` bounds each micro-batch's
   * file count ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]]),
@@ -377,12 +414,10 @@ object GvdbChangeFeed {
   * drains exactly to it. Single-writer contract as everywhere in the
   * table: a concurrent vacuum/reindex REWRITES files and would
   * invalidate outstanding offsets, exactly like compaction under a
-  * FileStreamSource. Scale contract: one name per part file in the
-  * offset (~10⁴ at a sane file-size budget); past that a production
-  * source moves to a compacted seen-files log, same as
-  * FileStreamSource's metadata log. */
+  * FileStreamSource. */
 class GvdbMicroBatchStream(spark: SparkSession, root: String,
-    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Option[Int])
+    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
+    checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -392,6 +427,54 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
 
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- the seen-files metadata log ----
+
+  private val logDir = new Path(checkpointLocation, "gvdb_seen_files")
+  private def logFs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** In-memory mirror of the log, rebuilt ONCE per stream instance (a
+    * restart reads each entry exactly once — O(total files) at open,
+    * never per batch). Legacy offsets' files join it on first sight. */
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private var maxLogIndex: Int = 0
+  locally {
+    if (logFs.exists(logDir)) {
+      val indices = logFs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
+      indices.foreach(i => seen ++= readEntry(i))
+      maxLogIndex = indices.lastOption.getOrElse(0)
+    }
+  }
+
+  private def readEntry(i: Int): Seq[String] = {
+    val in = logFs.open(new Path(logDir, i.toString))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    GvdbSourceOffset.parseFiles(txt)
+  }
+
+  /** Atomic write (tmp + rename): an entry either exists complete or
+    * not at all. Overwrites are legal ONLY for an index the engine
+    * never committed (a crash between our log write and the engine's
+    * offset commit — the re-admission supersedes the orphan). */
+  private def writeEntry(i: Int, files: Seq[String]): Unit = {
+    logFs.mkdirs(logDir)
+    val p = new Path(logDir, i.toString)
+    val tmp = new Path(logDir, i.toString + ".tmp")
+    val out = logFs.create(tmp, true)
+    try out.write(GvdbSourceOffset.filesJson(files).getBytes("UTF-8")) finally out.close()
+    logFs.delete(p, false)
+    logFs.rename(tmp, p)
+    ()
+  }
+
+  /** The log position of an engine-supplied offset; a LEGACY files
+    * offset folds its list into the seen set and reads as position 0
+    * (all of its files predate entry 1 by construction). */
+  private def position(o: ConnOffset): Int = GvdbSourceOffset.fromAny(o) match {
+    case GvdbLogOffset(i) => i
+    case GvdbSourceOffset(files) => seen ++= files; 0
+  }
 
   /** AvailableNow bound: the listing snapshotted when the trigger
     * starts — the run drains up to here (possibly over several capped
@@ -403,7 +486,7 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
     else fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).map(_.toString).sorted
 
-  override def initialOffset(): ConnOffset = GvdbSourceOffset(Seq.empty)
+  override def initialOffset(): ConnOffset = GvdbLogOffset(0)
 
   override def deserializeOffset(json: String): ConnOffset = GvdbSourceOffset.parse(json)
 
@@ -414,11 +497,15 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
     availableNowBound = Some(listNow().toSet)
 
   /** Admission-controlled progress: the engine hands over the CURRENT
-    * position (committed or initial — also correct across restarts, no
-    * stream-side state needed) and the read limit; the next offset
-    * grows by at most `maxFilesPerTrigger` files in name order. */
+    * position (committed or initial) and the read limit; a fresh batch
+    * is admitted by writing ONE new log entry with its files (at most
+    * `maxFilesPerTrigger`, in name order) and advancing the index. A
+    * pending entry beyond `start` — written by a run that crashed
+    * before the engine committed its offset — is re-offered as-is
+    * first, so no admitted file is ever lost or re-listed. */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
-    val seen = Option(start).map(GvdbSourceOffset.fromAny(_).files.toSet).getOrElse(Set.empty[String])
+    val startIdx = Option(start).map(position).getOrElse(0)
+    if (maxLogIndex > startIdx) return GvdbLogOffset(maxLogIndex)
     val visible = availableNowBound match {
       case Some(bound) => listNow().filter(bound)
       case None => listNow()
@@ -429,10 +516,13 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
       case _: ReadAllAvailable => fresh
       case _ => fresh
     }
-    // sorted: offset equality must be insensitive to set-iteration
-    // order, or a restart comparing against the checkpoint log's
-    // re-parsed offset would see spurious "new data"
-    if (take.isEmpty) start else GvdbSourceOffset((seen ++ take).toSeq.sorted)
+    if (take.isEmpty) start
+    else {
+      maxLogIndex += 1
+      writeEntry(maxLogIndex, take)
+      seen ++= take
+      GvdbLogOffset(maxLogIndex)
+    }
   }
 
   override def latestOffset(): ConnOffset =
@@ -444,10 +534,19 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
     * column, which must not leak into the stream), the negotiated
     * pushed filters and pruning applied inside. A narrow plan by
     * construction (scan → filter → project — the [[GvdbStreamLegs]]
-    * wrapping contract). */
+    * wrapping contract). The batch's files come from the LOG entries
+    * in (start, end], NOT a fresh listing — a replayed batch reads
+    * exactly what was admitted, whatever landed since. */
   override def planInputPartitions(start: ConnOffset, end: ConnOffset): Array[InputPartition] = {
-    val seen = GvdbSourceOffset.fromAny(start).files.toSet
-    val newFiles = GvdbSourceOffset.fromAny(end).files.filterNot(seen)
+    val newFiles = (GvdbSourceOffset.fromAny(start), GvdbSourceOffset.fromAny(end)) match {
+      case (s: GvdbSourceOffset, e: GvdbSourceOffset) =>
+        // legacy replay: both ends predate the log
+        e.files.filterNot(s.files.toSet)
+      case (s, e) =>
+        val from = position(s)
+        val to = position(e)
+        ((from + 1) to to).flatMap(readEntry)
+    }
     val legs =
       if (newFiles.isEmpty) Seq.empty
       else Seq(spark.read.schema(VectorSchema.schema).parquet(newFiles: _*))
@@ -617,13 +716,16 @@ class GvdbChangesMicroBatchStream(spark: SparkSession, root: String,
   override def stop(): Unit = ()
 }
 
-/** SQL write path (`INSERT INTO` a `USING gvdb` temp view or a
-  * gvdb-catalog table): `AppendData` → [[V1Write]] → the dedup insert,
-  * `OverwriteByExpression(true)` (SaveMode.Overwrite / INSERT
-  * OVERWRITE) → truncate-and-insert — the same two shapes as the V1
-  * batch writer, so every write surface keeps the reference's
-  * ON-CONFLICT-DO-NOTHING contract (duckvdb.py:56-61). */
-class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int])
+/** The write path behind every V2 surface: batch `INSERT INTO` (a
+  * `USING gvdb` temp view or a gvdb-catalog table) routes `AppendData`
+  * → [[V1Write]] → the dedup insert, `OverwriteByExpression(true)`
+  * (SaveMode.Overwrite / INSERT OVERWRITE) → truncate-and-insert; the
+  * STREAMING half of the same builder yields [[GvdbStreamingWrite]]
+  * (epoch-commit staging over the same insert). Every write surface
+  * keeps the reference's ON-CONFLICT-DO-NOTHING contract
+  * (duckvdb.py:56-61). */
+class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
+    info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -636,5 +738,8 @@ class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int])
         override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
           GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
       }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GvdbStreamingWrite(spark, root, dimOpt, overwrite,
+        info.queryId(), info.schema())
   }
 }

@@ -514,15 +514,16 @@ object EventStream {
   }
 
   /** Streaming ingest through the `gvdb` FORMAT — the sink half of the
-    * DataSource surface (graft.sources.GvdbSink): events stream in as
-    * (id, metadata-JSON, embedding) rows via
-    * `writeStream.format("gvdb")`, each micro-batch lands through the
-    * table's dedup insert, and delivery is exactly-once by the
-    * committed-batch watermark + id anti-join backstop (the same
-    * two-layer recipe `stream_idempotent_sink` proves for a raw
-    * parquet sink, here packaged as a reusable Sink). The census reads
-    * BACK through `spark.read.format("gvdb")`, so the oracle pins the
-    * full round trip: stream → sink → MoR read. */
+    * DataSource surface (graft.sources.GvdbStreamingWrite, V2
+    * STREAMING_WRITE): events stream in as (id, metadata-JSON,
+    * embedding) rows via `writeStream.format("gvdb")`, each epoch
+    * stages distributed then lands through the table's dedup insert
+    * at commit, and delivery is exactly-once by the per-query epoch
+    * ledger + id anti-join backstop (the same two-layer recipe
+    * `stream_idempotent_sink` proves for a raw parquet sink, here
+    * packaged behind the format). The census reads BACK through
+    * `spark.read.format("gvdb")`, so the oracle pins the full round
+    * trip: stream → sink → MoR read. */
   def runGvdbSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-gvdb-sink").toString

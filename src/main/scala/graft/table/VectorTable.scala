@@ -340,9 +340,11 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
-    // streaming-sink watermarks die with the table: a recreated root
-    // must not inherit committed batch ids (GvdbSink scoping contract)
+    // streaming-sink epoch ledgers and staged files die with the
+    // table: a recreated root must not inherit committed epoch ids
+    // (the GvdbStreamingWrite per-query scoping contract)
     fs.delete(new Path(root + ".sink_commits"), true)
+    fs.delete(new Path(root + ".staging"), true)
     dropHnswIndex()
     dropIvfPqIndex()
     dropBqIndex()
@@ -401,6 +403,21 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       val t = tombstoneCount
       if (t > 0L && t.toDouble / (numRows + t) >= threshold) vacuum()
     }
+    this
+  }
+
+  /** Merge-on-read delete BY ID SET (the `MERGE ... WHEN MATCHED THEN
+    * DELETE` shape): the live rows semi-joined against `ids` land in
+    * the tombstone side table. Same contract and cost class as
+    * [[delete]] — O(matched ids), never a data rewrite — and the same
+    * disjointness invariant holds (the semi-join draws from the LIVE
+    * view, so an already-tombstoned id can never re-enter). */
+  def deleteIds(ids: DataFrame): this.type = {
+    df.join(broadcast(ids.select(col(ids.columns.head).cast("string")
+        .as(VectorSchema.ID))), Seq(VectorSchema.ID), "left_semi")
+      .select(VectorSchema.ID)
+      .write.mode("append").parquet(tombPath.toString)
+    tombCountCache = None
     this
   }
 
@@ -482,10 +499,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         .write.mode("overwrite").parquet(new Path(vdir, "tombstones").toString)
     }
     val out = fs.create(new Path(vdir, "manifest.json"), true)
-    val files = dataFiles.map(f => new Path(f).getName)
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val files = graft.core.JsonFileList.render(dataFiles.map(f => new Path(f).getName))
     try out.write(
-      s"""{"ts": ${System.currentTimeMillis()}, "files": [${files.mkString(", ")}]}"""
+      s"""{"ts": ${System.currentTimeMillis()}, ${files.stripPrefix("{")}"""
         .getBytes("UTF-8"))
     finally out.close()
     version
@@ -524,14 +540,10 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         s"no snapshot v$version (vacuum/reindex expire snapshots); have: $snapshotVersions")
     val in = fs.open(mPath)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    // only the contents of the "files" array — a path containing a
-    // quoted token elsewhere in the doc can't corrupt the list
-    val body = """"files"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
-      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1))
-      .map(s => s.replace("\\\"", "\"").replace("\\\\", "\\"))
+    // only the contents of the "files" array, via the linear-scan
+    // parser (a backtracking regex overflows at 10⁴+ names)
+    graft.core.JsonFileList.parse(txt)
       .map(f => if (f.contains("/")) f else new Path(hadoopPath, f).toString)
-      .toSeq
   }
 
   /** The tombstone ids recorded AT snapshot time (empty frame if none

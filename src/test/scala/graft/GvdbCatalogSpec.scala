@@ -181,6 +181,42 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.str.feed")
   }
 
+  test("writeStream.toTable over a catalog name: V2 STREAMING_WRITE by table identity") {
+    init()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.strw")
+    spark.sql("""CREATE TABLE vdbcat.strw.sink
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    val cp = Files.createTempDirectory("graft-catstreamw-cp").toString
+    val src = MemoryStream[(String, String, Seq[Float])]
+    def start() = src.toDF().toDF("id", "metadata", "embedding")
+      .writeStream.option("checkpointLocation", cp).toTable("vdbcat.strw.sink")
+    val q = start()
+    src.addData(("a", "{}", Seq(1f)), ("b", "{}", Seq(2f)))
+    q.processAllAvailable()
+    q.stop()
+    spark.sql("SELECT count(*) AS n FROM vdbcat.strw.sink").head().getLong(0) shouldBe 2L
+    // restart from the SAME checkpoint: the epoch ledger is scoped by
+    // the (checkpoint-stable) query id, so exactly one ledger file
+    // exists and the overlap dedups
+    val q2 = start()
+    src.addData(("b", "{}", Seq(2f)), ("c", "{}", Seq(3f)))
+    q2.processAllAvailable()
+    q2.stop()
+    spark.sql("SELECT id FROM vdbcat.strw.sink ORDER BY id").collect()
+      .map(_.getString(0)) shouldBe Array("a", "b", "c")
+    new java.io.File(s"$warehouse/strw/sink.sink_commits")
+      .listFiles().count(f => !f.getName.startsWith(".") &&
+        !f.getName.endsWith(".tmp")) shouldBe 1
+    // no staged leftovers after commits
+    val staging = new java.io.File(s"$warehouse/strw/sink.staging")
+    (!staging.exists() ||
+      staging.listFiles().forall(_.listFiles().isEmpty)) shouldBe true
+    spark.sql("DROP TABLE vdbcat.strw.sink")
+  }
+
   test("SQL time travel through the catalog: VERSION AS OF / TIMESTAMP AS OF") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.tt")
@@ -268,6 +304,55 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.catalog.tableExists("vdbcat.phantom.bad") shouldBe false
     spark.sql("SHOW TABLES IN vdbcat.phantom").collect()
       .map(_.getString(1)) should not contain "bad"
+  }
+
+  test("MERGE INTO: CDC apply by SQL — update/delete/insert, star actions, MoR deletes") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.mrg")
+    spark.sql("""CREATE TABLE vdbcat.mrg.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("""INSERT INTO vdbcat.mrg.t VALUES
+      ('a','{"v":1}',array(1.0f)), ('b','{"v":1}',array(2.0f)), ('c','{"v":1}',array(3.0f))""")
+    Seq(("a", """{"v":2}""", Seq(10f), "u"), ("b", """{"v":2}""", Seq(0f), "d"),
+        ("d", """{"v":2}""", Seq(4f), "i"), ("e", """{"v":2}""", Seq(0f), "d"))
+      .toDF("id", "metadata", "embedding", "op").createOrReplaceTempView("mrg_changes")
+    // the full CDC-apply shape: conditional matched delete + update,
+    // conditional insert, and a NOT MATCHED BY SOURCE retraction
+    spark.sql("""
+      MERGE INTO vdbcat.mrg.t AS t USING mrg_changes AS c ON t.id = c.id
+      WHEN MATCHED AND c.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding
+      WHEN NOT MATCHED AND c.op <> 'd' THEN
+        INSERT (id, metadata, embedding) VALUES (c.id, c.metadata, c.embedding)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 'c' THEN DELETE""")
+    val after = spark.sql("SELECT id, metadata FROM vdbcat.mrg.t ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // a updated, b deleted, c retracted by the BY SOURCE clause,
+    // d inserted, e's delete matched nothing
+    after shouldBe Array(("a", """{"v":2}"""), ("d", """{"v":2}"""))
+    spark.sql("SELECT embedding[0] AS e0 FROM vdbcat.mrg.t WHERE id='a'")
+      .head().getFloat(0) shouldBe 10f
+    // star actions: UPDATE SET * / INSERT * expand by target-column name
+    Seq(("d", """{"v":3}""", Seq(9f), "u"), ("f", """{"v":3}""", Seq(5f), "i"))
+      .toDF("id", "metadata", "embedding", "op").createOrReplaceTempView("mrg_star")
+    spark.sql("""
+      MERGE INTO vdbcat.mrg.t t USING mrg_star c ON t.id = c.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("SELECT id, get_json_object(metadata,'$.v') AS v FROM vdbcat.mrg.t ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", "2"), ("d", "3"), ("f", "3"))
+    // a DELETES-ONLY merge stays merge-on-read: tombstones appear, no rewrite
+    spark.sql("""
+      MERGE INTO vdbcat.mrg.t t USING mrg_star c ON t.id = c.id
+      WHEN MATCHED AND c.op = 'u' THEN DELETE""")
+    spark.sql("SELECT id FROM vdbcat.mrg.t ORDER BY id").collect()
+      .map(_.getString(0)) shouldBe Array("a", "f")
+    new java.io.File(s"$warehouse/mrg/t.tombstones").exists() shouldBe true
+    new VectorTable(spark, s"$warehouse/mrg/t", 1).tombstoneCount shouldBe 1L
+    spark.catalog.dropTempView("mrg_changes"); spark.catalog.dropTempView("mrg_star")
+    spark.sql("DROP TABLE vdbcat.mrg.t")
   }
 
   test("namespace lifecycle and rename carry sidecars") {

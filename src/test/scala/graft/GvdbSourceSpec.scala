@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.StringStartsWith
 import org.scalatest.matchers.should.Matchers
 
-import graft.sources.GvdbSink
+
 import graft.table.VectorTable
 
 /** The `gvdb` DataSource surface (sources/GvdbSource.scala): the vector
@@ -113,26 +113,42 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
-  test("streaming sink: exactly-once across batch replays, dedup across batches") {
+  test("V2 streaming write: exactly-once across epoch replays, dedup across epochs") {
+    import graft.sources.{GvdbStagedFile, GvdbStreamingWrite}
     val root = freshRoot("sink")
-    val sink = new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-a"))
-    sink.addBatch(0, rows(0 until 10))
-    sink.addBatch(0, rows(0 until 10)) // replayed batch id: skipped
-    sink.addBatch(1, rows(5 until 15)) // overlap 5..9: deduped by id
+    rows(0 until 0).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root) // create empty table
+    val schema = rows(0 until 1).schema
+    // stage an epoch's rows the way a task writer would (JSON lines),
+    // then drive commit() directly to pin the ledger semantics
+    def stage(tag: String, ids: Range): GvdbStagedFile = {
+      val f = java.nio.file.Files.createTempFile(s"gvdb-stage-$tag", ".json")
+      val body = ids.map(i =>
+        s"""{"id":"$i","metadata":"{}","embedding":[$i.0,${i * 2}.0]}""").mkString("\n")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      GvdbStagedFile(f.toString, ids.size.toLong)
+    }
+    val w = new GvdbStreamingWrite(spark, root, Some(2),
+      truncate = false, queryId = "query-a", schema = schema)
+    w.commit(0, Array(stage("a0", 0 until 10)))
+    w.commit(0, Array(stage("a0r", 0 until 10))) // replayed epoch id: skipped
+    spark.read.format("gvdb").load(root).count() shouldBe 10
+    w.commit(1, Array(stage("a1", 5 until 15))) // overlap 5..9: deduped by id
     spark.read.format("gvdb").load(root).count() shouldBe 15
-    sink.committedBatchId shouldBe 1L
-    // the watermark is scoped by checkpoint lineage: a NEW query (fresh
-    // checkpoint, batch ids restarting at 0) against the same root must
-    // not see this query's committed id — its batch 0 still runs (and
-    // the id anti-join, not the watermark, dedups the overlap)
-    val fresh = new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-b"))
-    fresh.committedBatchId shouldBe -1L
-    fresh.addBatch(0, rows(10 until 20)) // 10..14 present → deduped
+    w.committedEpoch shouldBe 1L
+    // the ledger is scoped per QUERY id: a new query against the same
+    // root restarts at epoch 0 and must not see query-a's watermark —
+    // its epoch 0 still applies (the id anti-join dedups the overlap)
+    val fresh = new GvdbStreamingWrite(spark, root, Some(2),
+      truncate = false, queryId = "query-b", schema = schema)
+    fresh.committedEpoch shouldBe -1L
+    fresh.commit(0, Array(stage("b0", 10 until 20))) // 10..14 present → deduped
     spark.read.format("gvdb").load(root).count() shouldBe 20
-    // dropping the table drops the watermarks with it
+    // dropping the table drops the ledgers with it
     new VectorTable(spark, root, 2).drop()
-    new GvdbSink(spark, root, Some(2), Some("/cp/sink-spec-a"))
-      .committedBatchId shouldBe -1L
+    new GvdbStreamingWrite(spark, root, Some(2),
+      truncate = false, queryId = "query-a", schema = schema)
+      .committedEpoch shouldBe -1L
   }
 
   test("writeStream.format('gvdb') end to end over MemoryStream") {
@@ -329,6 +345,58 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     back.select(org.apache.spark.sql.functions.size(col("embedding")))
       .head().getInt(0) shouldBe 4
     new VectorTable(spark, root, 4).drop()
+  }
+
+  test("streaming-source offsets are O(1) log indices backed by a seen-files log") {
+    import graft.sources.{GvdbLogOffset, GvdbSourceOffset}
+    val root = freshRoot("logoff")
+    val cp = Files.createTempDirectory("graft-gvdbspec-logoffcp").toString
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    rows(10 until 20).write.format("gvdb").mode(SaveMode.Append).save(root)
+    def drain(): Unit = {
+      val q = spark.readStream.format("gvdb").load(root)
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // the engine's checkpointed offset is the log INDEX — constant
+    // size regardless of how many files the table accumulates
+    val offsetsDir = new java.io.File(s"$cp/offsets")
+    val latest = offsetsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    val offsetLine = scala.io.Source.fromFile(latest).getLines().toSeq.last
+    offsetLine should include("\"log\"")
+    offsetLine.length should be < 32
+    // the admitted file names live in the log entries beside the checkpoint
+    val logDir = new java.io.File(s"$cp/sources/0/gvdb_seen_files")
+    logDir.exists() shouldBe true
+    logDir.listFiles().count(_.getName.forall(_.isDigit)) should be >= 1
+    // a restart resumes from the log: only the delta is delivered
+    rows(20 until 25).write.format("gvdb").mode(SaveMode.Append).save(root)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("gvdb").load(root)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        got.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    got.get() shouldBe 5L
+    // a LEGACY files-list offset (pre-log checkpoint) deserializes and
+    // replans: the log-backed stream treats its files as already seen
+    val scanB = spark.read.format("gvdb").load(root) // force table init
+    scanB.count() shouldBe 25
+    def parse(j: String) = GvdbSourceOffset.fromAny(
+      new org.apache.spark.sql.connector.read.streaming.Offset {
+        override def json: String = j
+      })
+    parse("""{"log": 7}""") shouldBe GvdbLogOffset(7)
+    parse("""{"files": ["/a/part-1", "/a/part-2"]}""") shouldBe
+      GvdbSourceOffset(Seq("/a/part-1", "/a/part-2"))
+    new VectorTable(spark, root, 2).drop()
   }
 
   test("write shaping: positional matching is the VALUES carve-out, never a partial-name cross") {
