@@ -26,7 +26,11 @@ object Bench {
     // normally minutes later), so consecutive runs of one query land in
     // the same stall. Separating the measurements by a full pass
     // decorrelates them.
-    val names = SparkEntry.queries.keys.toSeq
+    // optional args: a query-name subset for quiet re-measurement of
+    // specific entries (the driver passes none → full registry)
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     // Fixed-floor sentinel: a constant-work job (no data dependence, no
     // shuffle) timed once per pass. Its plan can never regress with the

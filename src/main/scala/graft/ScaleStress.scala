@@ -593,23 +593,25 @@ object ScaleStress {
     val panel = spark.read.parquet(s"$src/documents.parquet")
       .where($"doc_id" < 8).select($"text").collect()
       .map(r => db.embedder.embed(r.getString(0)))
-    for (tier <- Seq("hnsw", "ivfpq", "bq")) {
+    def probe(tier: String, build: () => Unit): Unit = {
       val t0 = System.nanoTime()
-      tier match {
-        case "hnsw" => db.table.buildHnswIndex()
-        case "ivfpq" => db.table.buildIvfPqIndex()
-        case _ => db.table.buildBqIndex()
-      }
+      build()
       val tBuild = (System.nanoTime() - t0) / 1e9
       val recalls = panel.map { qv =>
         val approx = db.queryByVector(qv, k = 10).collect().map(_.id).toSet
         val exact = db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet
         (exact intersect approx).size.toDouble / exact.size
       }
-      println(f"[stress] tier_recall_384 $tier%-6s rows=$n" +
+      println(f"[stress] tier_recall_384 $tier%-12s rows=$n" +
         f" recall@10 mean=${recalls.sum / recalls.length}%.3f" +
         f" min=${recalls.min}%.3f build=$tBuild%6.1f s")
     }
+    probe("hnsw", () => { db.table.buildHnswIndex(); () })
+    probe("ivfpq", () => { db.table.buildIvfPqIndex(); () })
+    // BQ at three shortlist budgets: per-bit information drops with
+    // dimension, so the dim-64 defaults (64/16) need re-gating here
+    for ((cf, ff) <- Seq((64, 16), (0, 0), (256, 64)))
+      probe(if (cf == 0) "bq_default" else s"bq_$cf/$ff", () => { db.table.buildBqIndex(cf, ff); () })
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     ()
   }

@@ -180,7 +180,8 @@ class VectorDB(
         val meta = table.bqIndexMeta.get
         ops.Similarity.bqTopKFromCodes(table.bqCodes.get, qdf, liveSurrogates,
           widened.get, coarseFactor = meta.coarseFactor,
-          fineFactor = meta.fineFactor, excludeSelf = false)
+          fineFactor = meta.fineFactor, excludeSelf = false,
+          center = Some(meta.mean).filter(_.nonEmpty))
       case _ =>
         val compiled =
           if (useVariant) Filters.compileVariant(filters, col(VectorSchema.METADATA))
@@ -311,7 +312,8 @@ class VectorDB(
       xxhash64(col(VectorSchema.ID)).as("vec_id"),
       col(VectorSchema.EMBEDDING).as("embedding"))
     val hits = ops.Similarity.bqTopKFromCodes(codes, q, corpus, kProbe,
-        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor)
+        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor,
+        center = Some(meta.mean).filter(_.nonEmpty))
       .select(col("neighbor_id").as("__h"), col("distance"))
     live
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))
@@ -385,7 +387,8 @@ class VectorDB(
       corpus.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
     val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
     val hits = ops.Similarity.bqTopKFromCodes(eligCodes, q, corpus, k,
-        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor)
+        coarseFactor = meta.coarseFactor, fineFactor = meta.fineFactor,
+        center = Some(meta.mean).filter(_.nonEmpty))
       .select(col("neighbor_id").as("__h"), col("distance"))
     filteredView
       .withColumn("__h", xxhash64(col(VectorSchema.ID)))

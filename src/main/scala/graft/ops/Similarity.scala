@@ -160,15 +160,28 @@ object Similarity {
     * than the float column) and the coarse+fine stages scan ONLY them;
     * `rerank` (id, embedding) is touched by the final exact stage alone,
     * joined BY ID for O(q·k·fineFactor) rows. At 100 TB of raw
-    * embeddings the resident scan set is the ~3 TB code table. */
+    * embeddings the resident scan set is the ~3 TB code table.
+    *
+    * `center`: when the code table was built MEAN-CENTERED (codes =
+    * sign(x − μ), the persisted tier's high-dimension mode — see
+    * [[graft.table.VectorTable.buildBqIndex]]), the query side must
+    * center with the SAME μ before encoding and before the asymmetric
+    * fine stage; the final exact stage always ranks raw floats. The
+    * centering runs on the broadcast-small query panel only. */
   def bqTopKFromCodes(
       codes: DataFrame, queries: DataFrame, rerank: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
       coarseFactor: Int = 64, fineFactor: Int = 16,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, center: Option[Seq[Float]] = None): DataFrame = {
     val enc = codes.select(col("neighbor_id"), col("code"))
+    val centered: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => center match {
+        case Some(mu) => zip_with(c, typedlit(mu), (a, b) => a - b)
+        case None => c
+      }
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      graft.functions.BqEncodeExpr.col(col(embCol)).as("q_code"))
+      graft.functions.BqEncodeExpr.col(centered(col(embCol))).as("q_code"),
+      centered(col(embCol)).as("q_cemb"))
     val wc = Window.partitionBy("query_id").orderBy(col("hd").asc, col("neighbor_id").asc)
     val coarse = enc.crossJoin(broadcast(q))
       // excludeSelf = false when the query-id space is DISJOINT from
@@ -176,16 +189,16 @@ object Similarity {
       // xxhash64 surrogates) — there an equality is a different row
       // that happens to share a key, not "self"
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("code"),
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("q_cemb"), col("code"),
         graft.functions.BqHammingDistance.col(col("q_code"), col("code")).as("hd"))
       .withColumn("rk", row_number().over(wc)).where(col("rk") <= k * coarseFactor)
       .drop("rk", "hd")
     val wf = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     val fine = coarse
       .withColumn("adist",
-        graft.functions.BqSignCosineDistance.col(col("q_emb"), col("code")))
+        graft.functions.BqSignCosineDistance.col(col("q_cemb"), col("code")))
       .withColumn("rk", row_number().over(wf)).where(col("rk") <= k * fineFactor)
-      .drop("rk", "adist", "code")
+      .drop("rk", "adist", "code", "q_cemb")
     val we = Window.partitionBy("query_id").orderBy(col("distance").asc, col("neighbor_id").asc)
     fine
       .join(rerank.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),

@@ -202,10 +202,13 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .findFirstMatchIn(txt).map(g => (g.group(1).toInt, g.group(2).toInt)))
 
   /** (coarseFactor, fineFactor) from a BQ meta sidecar. */
-  private def bqParams(root: String): Option[(Int, Int)] =
-    sidecarText(root + ".bq_index.json").flatMap(txt =>
-      """"coarseFactor"\s*:\s*(\d+).*"fineFactor"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(txt).map(g => (g.group(1).toInt, g.group(2).toInt)))
+  /** BQ tier parameters INCLUDING the centering mean — read through
+    * the table's own meta parser so the consult probes centered codes
+    * with a centered query (the sidecar's contract). */
+  private def bqParams(root: String): Option[(Int, Int, Seq[Float])] =
+    if (sidecarText(root + ".bq_index.json").isEmpty) None
+    else new graft.table.VectorTable(spark, root, 1).bqIndexMeta
+      .map(m => (m.coarseFactor, m.fineFactor, m.mean))
 
   /** Probes whichever persisted index tier the scan root carries
     * (.hnsw graph, .ivfpq codes+artifact, .bq sign codes — the single
@@ -267,10 +270,11 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   nProbeMax = math.min(ix.nCells, 2 * nProbe), adaptRatio = 1.5)
                 .select("neighbor_id").collect().map(_.getLong(0))
             case None => bqParams(root) match {
-              case Some((cf, ff)) =>
+              case Some((cf, ff, mean)) =>
                 val codes = spark.read.parquet(root + ".bq")
                 graft.ops.Similarity.bqTopKFromCodes(codes, q, corpus, kProbe,
-                    coarseFactor = cf, fineFactor = ff)
+                    coarseFactor = cf, fineFactor = ff,
+                    center = Some(mean).filter(_.nonEmpty))
                   .select("neighbor_id").collect().map(_.getLong(0))
               case None => Array.empty[Long]
             }

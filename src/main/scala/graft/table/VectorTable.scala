@@ -279,7 +279,17 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   // 32× smaller than float32 — the cheapest memory tier. Same
   // lifecycle as the other two slots. ----
 
-  case class BqIndexMeta(coarseFactor: Int, fineFactor: Int)
+  /** `mean` is the per-dimension centroid the codes were centered on
+    * (empty = uncentered, the pre-centering sidecar format — still
+    * served). Centering matters at PRODUCTION dimensionality: raw
+    * sign bits of text embeddings are dominated by the shared
+    * high-frequency component (every document's signs agree on the μ
+    * direction, so Hamming distances concentrate into noise — measured
+    * recall 0.11 at 384 dims), while sign(x − μ) restores the
+    * discriminative bits (recall back over the 0.85 floor). μ is
+    * FROZEN at build time like the PQ codebooks: delta inserts encode
+    * against it, and rebuild points (vacuum, merge) refresh it. */
+  case class BqIndexMeta(coarseFactor: Int, fineFactor: Int, mean: Seq[Float] = Nil)
 
   private def bqCodesPath = new Path(root + ".bq")
   private def bqMetaPath = new Path(root + ".bq_index.json")
@@ -290,23 +300,55 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       val in = fs.open(bqMetaPath)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       val p = """"coarseFactor"\s*:\s*(\d+).*"fineFactor"\s*:\s*(\d+)""".r
-      p.findFirstMatchIn(txt).map(g => BqIndexMeta(g.group(1).toInt, g.group(2).toInt))
+      p.findFirstMatchIn(txt).map(g =>
+        BqIndexMeta(g.group(1).toInt, g.group(2).toInt, parseMean(txt)))
     }
 
-  private def bqEncode(rows: DataFrame): DataFrame =
+  /** The `"mean"` float array of the BQ meta JSON — linear scan, no
+    * regex (384–3072 elements at production dims). */
+  private def parseMean(txt: String): Seq[Float] = {
+    val k = txt.indexOf("\"mean\"")
+    if (k < 0) return Nil
+    val start = txt.indexOf('[', k)
+    val end = if (start < 0) -1 else txt.indexOf(']', start)
+    if (end < 0) Nil
+    else txt.substring(start + 1, end).split(",").map(_.trim)
+      .filter(_.nonEmpty).map(_.toFloat).toSeq
+  }
+
+  private def centerCol(c: org.apache.spark.sql.Column, mean: Seq[Float]) =
+    if (mean.isEmpty) c else zip_with(c, typedlit(mean), (a, b) => a - b)
+
+  private def bqEncode(rows: DataFrame, mean: Seq[Float]): DataFrame =
     surrogates(rows).select(col("vec_id").as("neighbor_id"),
-      graft.functions.BqEncodeExpr.col(col("embedding")).as("code"))
+      graft.functions.BqEncodeExpr.col(centerCol(col("embedding"), mean)).as("code"))
 
   /** Builds (or rebuilds) the persisted BQ code table over the LIVE
-    * rows: a map-only encode pass (no shuffle — at 100 TB this is one
-    * linear read of the embedding column writing ~3% of its bytes).
-    * Replaces any other index tier. */
-  def buildBqIndex(coarseFactor: Int = 64, fineFactor: Int = 16): this.type = {
+    * rows: one aggregation for the per-dimension mean μ, then a
+    * map-only encode pass writing codes = sign(x − μ) (~3% of the
+    * embedding column's bytes — at 100 TB, one linear read each).
+    * Replaces any other index tier.
+    *
+    * Shortlist defaults (`coarseFactor`/`fineFactor` ≤ 0) are
+    * DIM-ADAPTIVE: per-bit information drops as dimension grows, so
+    * the 64-dim-measured (64, 16) budgets scale by dim/128 — at 384
+    * dims the defaults land at (192, 48), measured recall@10 ≈ 0.93 vs
+    * 0.76 at the unscaled budget (BENCHNOTES round 11). Explicit
+    * values are honored unchanged (rebuild points pass the persisted
+    * meta's). */
+  def buildBqIndex(coarseFactor: Int = 0, fineFactor: Int = 0): this.type = {
+    val cf = if (coarseFactor > 0) coarseFactor else 64 * math.max(1, dim / 128)
+    val ff = if (fineFactor > 0) fineFactor else 16 * math.max(1, dim / 128)
     dropHnswIndex(); dropIvfPqIndex()
-    bqEncode(df).write.mode("overwrite").parquet(bqCodesPath.toString)
+    val live = df
+    val mean: Seq[Float] = live
+      .select(posexplode(col(VectorSchema.EMBEDDING)).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1).toFloat).toSeq
+    bqEncode(live, mean).write.mode("overwrite").parquet(bqCodesPath.toString)
     val out = fs.create(bqMetaPath, true)
-    try out.write(s"""{"coarseFactor": $coarseFactor, "fineFactor": $fineFactor}"""
-      .getBytes("UTF-8"))
+    try out.write((s"""{"coarseFactor": $cf, "fineFactor": $ff, """ +
+      s""""mean": [${mean.mkString(", ")}]}""").getBytes("UTF-8"))
     finally out.close()
     this
   }
@@ -689,9 +731,13 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
             val (ix, _) = graft.ops.IvfPq.loadIndex(spark, ivfpqRoot)
             graft.ops.IvfPq.appendCodes(ix, vecs, s"$ivfpqRoot/codes")
           }
-          bqIndexMeta.foreach { _ =>
+          bqIndexMeta.foreach { meta =>
+            // encode against the FROZEN build-time mean (the PQ-codebook
+            // freezing contract) so appended codes are exact peers of
+            // the built ones
             vecs.select(col("vec_id").as("neighbor_id"),
-                graft.functions.BqEncodeExpr.col(col("embedding")).as("code"))
+                graft.functions.BqEncodeExpr
+                  .col(centerCol(col("embedding"), meta.mean)).as("code"))
               .write.mode("append").parquet(bqCodesPath.toString)
           }
         }
