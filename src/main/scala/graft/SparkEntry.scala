@@ -1487,6 +1487,48 @@ object SparkEntry {
       s.catalog.dropTempView("cat_mrg_base"); s.catalog.dropTempView("cat_mrg_changes")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
+    // ---- SQL UPDATE + untranslatable DELETE through the catalog:
+    // UPDATE lowers to the copy-on-write rewrite (GvdbUpdateCommand);
+    // the JSON-path DELETE can't translate to the source-filter
+    // algebra, so it lowers to the Column-evaluated TOMBSTONE delete
+    // (GvdbDeleteCommand — still merge-on-read). Census after both
+    // must match DuckDB applying the same mutations relationally. ----
+    "vdb_catalog_update" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-upd").toString
+      val cat = "gcup" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.u")
+      s.sql(s"CREATE TABLE $cat.u.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      s.read.parquet(t(dir, "documents")).where($"doc_id" < 500)
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("cat_upd_base")
+      s.sql(s"INSERT INTO $cat.u.docs SELECT * FROM cat_upd_base")
+      // UPDATE: French docs get their char count shifted by +1000 (a
+      // JSON rewrite — partial assignment, embedding untouched)
+      s.sql(s"""
+        UPDATE $cat.u.docs
+        SET metadata = to_json(named_struct(
+          'lang', get_json_object(metadata, '$$.lang'),
+          'n_chars', cast(get_json_object(metadata, '$$.n_chars') AS bigint) + 1000))
+        WHERE get_json_object(metadata, '$$.lang') = 'fr'""")
+      // DELETE with a JSON-path predicate: tombstones, not a rewrite
+      s.sql(s"DELETE FROM $cat.u.docs WHERE get_json_object(metadata, '$$.lang') = 'de'")
+      val back = s.sql(s"""
+        SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
+               sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars,
+               CAST(sum(embedding[0]) AS bigint) AS sum_emb
+        FROM $cat.u.docs GROUP BY 1""")
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.u.docs")
+      s.sql(s"DROP NAMESPACE $cat.u")
+      s.catalog.dropTempView("cat_upd_base")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
     // ---- SQL time travel through the CATALOG: `VERSION AS OF` /
     // `TIMESTAMP AS OF` on a catalog NAME resolve through
     // GvdbCatalog.loadTable(ident, version/timestamp) to the same
@@ -8064,6 +8106,15 @@ object SparkEntry {
         |  SELECT lang, n_chars + 1000 FROM documents
         |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
         |) GROUP BY lang""".stripMargin,
+    // catalog UPDATE/DELETE: fr docs carry +1000 chars (embedding
+    // keeps the ORIGINAL n_chars — the partial-assignment proof), de
+    // docs are gone
+    "vdb_catalog_update" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 1000 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_emb
+        |FROM documents WHERE doc_id < 500 AND lang <> 'de'
+        |GROUP BY lang""".stripMargin,
     // catalog time travel: v1/ts pin the first 300 docs (pre-insert,
     // pre-delete); live = docs < 400 minus 'de'
     "vdb_catalog_timetravel" ->

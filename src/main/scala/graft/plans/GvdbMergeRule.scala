@@ -40,7 +40,8 @@ import graft.table.VectorTable
   * actions are expanded by target-column name here (Spark only expands
   * them for row-level-operation tables).
   */
-class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case MergeIntoTable(target, source, cond,
@@ -53,7 +54,29 @@ class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           expandStars(matched, target, source),
           expandStars(notMatched, target, source),
           expandStars(notMatchedBySource, target, source)))
+
+    // SQL UPDATE — same deferred-resolution lowering as the merge
+    case UpdateTable(target, assignments, condition)
+        if target.resolved && gvdbRoot(target).isDefined =>
+      GvdbUpdateCommand(gvdbRoot(target).get, target,
+        GvdbUpdateSpec(assignments, condition))
+
+    // SQL DELETE whose predicate the source-filter algebra can't
+    // express: SupportsDelete's metadata path would reject it, so
+    // lower to the Column-evaluated tombstone delete instead.
+    // Translatable predicates are left alone — the engine's
+    // canDeleteWhere/deleteWhere path answers them from metadata.
+    case DeleteFromTable(target, condition)
+        if target.resolved && condition.resolved && gvdbRoot(target).isDefined &&
+          !fullyTranslatable(condition) =>
+      GvdbDeleteCommand(gvdbRoot(target).get, target, GvdbDeleteSpec(condition))
   }
+
+  /** True when every conjunct of `cond` translates to a
+    * `sources.Filter` — the SupportsDelete acceptance test, asked the
+    * same way the engine asks it. */
+  private def fullyTranslatable(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).forall(e => GraftBridge.translateFilter(e).isDefined)
 
   /** The live table root, when the merge target is a writable gvdb
     * relation (a version-pinned snapshot or change feed has no
@@ -111,6 +134,57 @@ class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GvdbMergeSpec(cond: Expression, matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction], notMatchedBySourceActions: Seq[MergeAction])
 
+/** Shared evaluation pieces of the SQL row-level commands (MERGE /
+  * UPDATE / DELETE over gvdb tables). */
+private[plans] object GvdbRowLevel {
+
+  def keyName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.last
+    case other => other.sql
+  }
+
+  /** The assignment value for `field` (target value when unassigned —
+    * the partial-UPDATE default). */
+  def assignCol(assigns: Seq[Assignment], field: Attribute): Column =
+    assigns.collectFirst {
+      case Assignment(k, v) if keyName(k).equalsIgnoreCase(field.name) =>
+        GraftBridge.column(v)
+    }.getOrElse(GraftBridge.column(field))
+
+  /** Cast target with containsNull KEPT true: Catalyst refuses a cast
+    * that narrows element nullability, and the insert path's shape()
+    * re-asserts the pinned schema anyway. */
+  def relaxedType(field: Attribute): org.apache.spark.sql.types.DataType =
+    field.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+      case dt => dt
+    }
+
+  /** The copy-on-write tail every mutating rewrite shares: stage the
+    * result to a scratch parquet (the result plan READS the target the
+    * overwrite is about to delete), re-insert with overwrite, rebuild
+    * whichever index tier was active (the vacuum contract). */
+  def copyOnWrite(spark: SparkSession, root: String,
+      result: org.apache.spark.sql.DataFrame): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory("gvdb-rowlevel").toString + "/staged"
+    try {
+      result.write.parquet(scratch)
+      val table = new VectorTable(spark, root, 1)
+      val (hnsw, ivfpq, bq) = (table.hnswIndexMeta, table.ivfPqIndexMeta, table.bqIndexMeta)
+      GvdbWrite.insert(spark, root, spark.read.parquet(scratch), overwrite = true, None)
+      hnsw.foreach(m => table.buildHnswIndex(m.m, m.efConstruction))
+      ivfpq.foreach(m => table.buildIvfPqIndex(m.nCells, m.m, m.pqK, m.nProbe, m.shortlistFactor))
+      bq.foreach(m => table.buildBqIndex(m.coarseFactor, m.fineFactor))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(scratch).getParentFile)
+      ()
+    }
+  }
+}
+
 case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     sourcePlan: LogicalPlan, spec: GvdbMergeSpec)
     extends LeafRunnableCommand {
@@ -164,59 +238,70 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     // assignment for `field` under action `code`; an unassigned column
     // keeps its target value (partial UPDATE) — which is NULL on a
     // source-only row, the right INSERT default
-    def keyName(e: Expression): String = e match {
-      case a: AttributeReference => a.name
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.last
-      case other => other.sql
-    }
-    def assignCol(assigns: Seq[Assignment], field: Attribute): Column =
-      assigns.collectFirst {
-        case Assignment(k, v) if keyName(k).equalsIgnoreCase(field.name) =>
-          GraftBridge.column(v)
-      }.getOrElse(GraftBridge.column(field))
     def valueFor(field: Attribute): Column = {
       val branches: Seq[(Int, Column)] =
         matchedActions.zipWithIndex.collect {
-          case (UpdateAction(_, as, _), i) => (100 + i, assignCol(as, field)) } ++
+          case (UpdateAction(_, as, _), i) => (100 + i, GvdbRowLevel.assignCol(as, field)) } ++
         notMatchedActions.zipWithIndex.collect {
-          case (InsertAction(_, as), i) => (200 + i, assignCol(as, field)) } ++
+          case (InsertAction(_, as), i) => (200 + i, GvdbRowLevel.assignCol(as, field)) } ++
         notMatchedBySourceActions.zipWithIndex.collect {
-          case (UpdateAction(_, as, _), i) => (300 + i, assignCol(as, field)) }
-      // cast target keeps containsNull=true: Catalyst refuses a cast
-      // that NARROWS element nullability, and the insert path's shape()
-      // re-asserts the pinned schema anyway
-      val castType = field.dataType match {
-        case org.apache.spark.sql.types.ArrayType(et, _) =>
-          org.apache.spark.sql.types.ArrayType(et, containsNull = true)
-        case dt => dt
-      }
+          case (UpdateAction(_, as, _), i) => (300 + i, GvdbRowLevel.assignCol(as, field)) }
       branches.foldLeft(GraftBridge.column(field)) { case (acc, (code, v)) =>
         when(col(ACT) === code, v).otherwise(acc)
-      }.cast(castType).as(field.name)
+      }.cast(GvdbRowLevel.relaxedType(field)).as(field.name)
     }
 
     val result = classified
       .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
       .select(targetFields.map(valueFor).toIndexedSeq: _*)
+    GvdbRowLevel.copyOnWrite(spark, root, result)
+    Seq.empty
+  }
+}
 
-    // stage before overwrite: the result plan READS the target, which
-    // the overwrite is about to delete
-    val scratch = java.nio.file.Files.createTempDirectory("gvdb-merge").toString + "/staged"
-    try {
-      result.write.parquet(scratch)
-      val table = new VectorTable(spark, root, 1)
-      val (hnsw, ivfpq, bq) = (table.hnswIndexMeta, table.ivfPqIndexMeta, table.bqIndexMeta)
-      GvdbWrite.insert(spark, root, spark.read.parquet(scratch), overwrite = true, None)
-      // the index-follows-table contract (same as vacuum): rebuild the
-      // active tier over the merged rows
-      hnsw.foreach(m => table.buildHnswIndex(m.m, m.efConstruction))
-      ivfpq.foreach(m => table.buildIvfPqIndex(m.nCells, m.m, m.pqK, m.nProbe, m.shortlistFactor))
-      bq.foreach(m => table.buildBqIndex(m.coarseFactor, m.fineFactor))
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(scratch).getParentFile)
-      ()
+/** Plain holder for the UPDATE spec (see [[GvdbMergeSpec]]). */
+case class GvdbUpdateSpec(assignments: Seq[Assignment], condition: Option[Expression])
+
+/** SQL `UPDATE cat.ns.t SET ... WHERE ...` — copy-on-write: rows
+  * matching the condition take their assignments, everything else
+  * copies, and the table is replaced with index rebuild (the same
+  * vacuum-class cost contract as a MERGE carrying updates). */
+case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
+    spec: GvdbUpdateSpec) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftBridge.ofRows(spark, targetPlan)
+    val condCol = spec.condition.map(GraftBridge.column).getOrElse(lit(true))
+    val fields = targetPlan.output.map { f =>
+      when(condCol, GvdbRowLevel.assignCol(spec.assignments, f))
+        .otherwise(GraftBridge.column(f))
+        .cast(GvdbRowLevel.relaxedType(f)).as(f.name)
     }
+    GvdbRowLevel.copyOnWrite(spark, root, t.select(fields.toIndexedSeq: _*))
+    Seq.empty
+  }
+}
+
+/** Plain holder for the DELETE spec (see [[GvdbMergeSpec]]). */
+case class GvdbDeleteSpec(condition: Expression)
+
+/** SQL `DELETE FROM cat.ns.t WHERE <untranslatable predicate>` — the
+  * fallback behind `SupportsDelete`: predicates the source-filter
+  * algebra can't express (JSON-path probes, function calls) evaluate
+  * over the MoR view and the matching ids are TOMBSTONED
+  * ([[VectorTable.deleteIds]] — still merge-on-read, O(matched), never
+  * a rewrite; the facade's `delete(Column)` shape, now reachable from
+  * SQL). Translatable predicates never get here — the metadata delete
+  * path handles them without reading data rows. */
+case class GvdbDeleteCommand(root: String, targetPlan: LogicalPlan,
+    spec: GvdbDeleteSpec) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idField = targetPlan.output.find(_.name == VectorSchema.ID).get
+    val ids = GraftBridge.ofRows(spark, targetPlan)
+      .where(GraftBridge.column(spec.condition))
+      .select(GraftBridge.column(idField).as(VectorSchema.ID))
+    new VectorTable(spark, root, 1).deleteIds(ids)
     Seq.empty
   }
 }

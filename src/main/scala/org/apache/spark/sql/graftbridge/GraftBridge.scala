@@ -19,6 +19,11 @@ object GraftBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** The engine's own Catalyst→`sources.Filter` translation — the
+    * SupportsDelete acceptance test, asked the way the engine asks. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
   val floatArrayType: AbstractDataType = ArrayType(FloatType)
   val doubleArrayType: AbstractDataType = ArrayType(DoubleType)
   type AbstractDT = AbstractDataType

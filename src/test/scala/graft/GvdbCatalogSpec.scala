@@ -152,9 +152,13 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     // the delete is merge-on-read: data files untouched, tombstones appended
     new java.io.File(s"$warehouse/del/t.tombstones").exists() shouldBe true
     new VectorTable(spark, s"$warehouse/del/t", 1).tombstoneCount shouldBe 11L
-    // an untranslatable predicate (JSON path) is rejected, not wrong
-    an[Exception] should be thrownBy
-      spark.sql("DELETE FROM vdbcat.del.t WHERE get_json_object(metadata, '$.k') = 'v'")
+    // an UNTRANSLATABLE predicate (JSON path) lowers to the
+    // Column-evaluated tombstone delete (GvdbDeleteCommand) — still
+    // merge-on-read, not an error and not a rewrite
+    spark.sql("INSERT INTO vdbcat.del.t VALUES ('x1','{\"k\":\"v\"}',array(9.0f))")
+    spark.sql("DELETE FROM vdbcat.del.t WHERE get_json_object(metadata, '$.k') = 'v'")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.del.t").head().getLong(0) shouldBe 19L
+    new VectorTable(spark, s"$warehouse/del/t", 1).tombstoneCount shouldBe 12L
     spark.sql("TRUNCATE TABLE vdbcat.del.t")
     spark.sql("SELECT count(*) AS n FROM vdbcat.del.t").head().getLong(0) shouldBe 0L
     spark.sql("DROP TABLE vdbcat.del.t")
@@ -353,6 +357,29 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     new VectorTable(spark, s"$warehouse/mrg/t", 1).tombstoneCount shouldBe 1L
     spark.catalog.dropTempView("mrg_changes"); spark.catalog.dropTempView("mrg_star")
     spark.sql("DROP TABLE vdbcat.mrg.t")
+  }
+
+  test("SQL UPDATE: copy-on-write assignments by catalog name") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.upd")
+    spark.sql("""CREATE TABLE vdbcat.upd.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("""INSERT INTO vdbcat.upd.t VALUES
+      ('a','{"v":1}',array(1.0f)), ('b','{"v":1}',array(2.0f)), ('c','{"v":9}',array(3.0f))""")
+    // partial assignment + arbitrary (untranslatable) predicate
+    spark.sql("""UPDATE vdbcat.upd.t SET metadata = '{"v":2}'
+                 WHERE get_json_object(metadata, '$.v') = '1'""")
+    spark.sql("SELECT id, metadata FROM vdbcat.upd.t ORDER BY id").collect()
+      .map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", """{"v":2}"""), ("b", """{"v":2}"""), ("c", """{"v":9}"""))
+    // unassigned columns keep their values
+    spark.sql("SELECT embedding[0] AS e0 FROM vdbcat.upd.t WHERE id='b'")
+      .head().getFloat(0) shouldBe 2f
+    // unconditional UPDATE touches every row
+    spark.sql("UPDATE vdbcat.upd.t SET embedding = array(0.5f)")
+    spark.sql("SELECT sum(embedding[0]) AS s FROM vdbcat.upd.t")
+      .head().getDouble(0) shouldBe 1.5 +- 1e-6
+    spark.sql("DROP TABLE vdbcat.upd.t")
   }
 
   test("namespace lifecycle and rename carry sidecars") {
