@@ -153,6 +153,15 @@ private[sources] object GvdbFooters {
   private val footerMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]
 
+  private def footerRows(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    footerMemo.computeIfAbsent(
+      (st.getPath.toString, st.getLen, st.getModificationTime),
+      _ => {
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+      }).longValue()
+
   /** Summed footer row counts of the parquet files under `dir`
     * (0 for a missing directory). */
   def rowCount(spark: SparkSession, dir: String): Long = {
@@ -160,13 +169,17 @@ private[sources] object GvdbFooters {
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = p.getFileSystem(conf)
     if (!hfs.exists(p)) 0L
-    else hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map { st =>
-      footerMemo.computeIfAbsent(
-        (st.getPath.toString, st.getLen, st.getModificationTime),
-        _ => {
-          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-          try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
-        }).longValue()
+    else hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(footerRows(_, conf)).sum
+  }
+
+  /** Summed footer row counts of an explicit file list (a snapshot
+    * manifest's). */
+  def rowCountOfFiles(spark: SparkSession, files: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      footerRows(p.getFileSystem(conf).getFileStatus(p), conf)
     }.sum
   }
 
@@ -174,16 +187,27 @@ private[sources] object GvdbFooters {
     * tombstone-file footers. */
   def liveRowCount(spark: SparkSession, root: String): Long =
     math.max(0L, rowCount(spark, root) - rowCount(spark, root + ".tombstones"))
+
+  /** Rows of snapshot `version` at `root`: the manifest's file footers
+    * minus the snapshot's recorded tombstones — the same
+    * disjoint-batches/unique-ids arithmetic as the live count, pinned
+    * to the manifest. */
+  def snapshotRowCount(spark: SparkSession, root: String, version: Int): Long = {
+    val table = new graft.table.VectorTable(spark, root, 1)
+    math.max(0L, rowCountOfFiles(spark, table.snapshotFiles(version)) -
+      rowCount(spark, root + s".snapshots/v$version/tombstones"))
+  }
 }
 
 /** Pushdown negotiation: accepts every filter [[GvdbFilters]] can
   * translate (reported handled — the scan evaluates them), leaves the
   * rest (JSON-path probes, UDF predicates) to Spark above the scan.
-  * A bare ungrouped `COUNT(*)` over the LIVE table is answered from
-  * parquet footers + the tombstone count ([[GvdbFooters]]) without
-  * scanning a single row — the complete-pushdown contract. Pushed
-  * filters, grouping, time travel and the change feed all abstain
-  * (the footer arithmetic wouldn't reflect them). */
+  * A bare ungrouped `COUNT(*)` — over the live table OR a
+  * version-pinned snapshot — is answered from parquet footers + the
+  * (live or snapshot-recorded) tombstone count ([[GvdbFooters]])
+  * without scanning a single row: the complete-pushdown contract.
+  * Pushed filters, grouping and the change feed abstain (the footer
+  * arithmetic wouldn't reflect them). */
 class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
     versionAsOf: Option[Int], changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
@@ -206,7 +230,7 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
 
   private def countStarAnswerable(agg: Aggregation): Boolean =
-    !changeFeed && versionAsOf.isEmpty && pushed.isEmpty &&
+    !changeFeed && pushed.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[CountStar]
@@ -298,13 +322,17 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
 
   /** The inner MoR plan's RDD — built once, lazily, at execution time.
     * A pushed COUNT(*) short-circuits to ONE metadata-derived row
-    * ([[GvdbFooters.liveRowCount]] — footers minus tombstones, no data
-    * scan, no job beyond the single-row local plan). */
+    * ([[GvdbFooters]] — footers minus tombstones, live or pinned to a
+    * snapshot manifest; no data scan, no job beyond the single-row
+    * local plan). */
   @transient private lazy val innerRdd: RDD[InternalRow] = {
     if (countStarPushed) {
+      val n = versionAsOf match {
+        case Some(v) => GvdbFooters.snapshotRowCount(spark, root, v)
+        case None => GvdbFooters.liveRowCount(spark, root)
+      }
       spark.range(0L, 1L, 1L, 1)
-        .select(org.apache.spark.sql.functions
-          .lit(GvdbFooters.liveRowCount(spark, root)).as("count(*)"))
+        .select(org.apache.spark.sql.functions.lit(n).as("count(*)"))
         .queryExecution.toRdd
     } else {
       val table = new VectorTable(spark, root, dimOpt.getOrElse(1))

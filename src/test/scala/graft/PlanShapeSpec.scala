@@ -545,10 +545,18 @@ class PlanShapeSpec extends SparkSpec with Matchers {
       .toString should not include "PushedAggregates"
     filtered.head().getLong(0) shouldBe
       (0 until 60).count(i => i.toString > "3" && !i.toString.startsWith("1")).toLong
-    // a version-pinned scan abstains too
+    // a version-pinned count pushes too: the manifest's footers minus
+    // the snapshot-recorded tombstones — and stays pinned (immune to
+    // the later delete)
     val v = tbl.snapshot()
-    spark.read.format("gvdb").option("versionAsOf", v.toString).load(root)
-      .groupBy().count().head().getLong(0) shouldBe 49L
+    tbl.delete(col("id") === "42")
+    val pinned = spark.read.format("gvdb").option("versionAsOf", v.toString)
+      .load(root).groupBy().count()
+    pinned.queryExecution.executedPlan
+      .toString should include("PushedAggregates: [COUNT(*)]")
+    pinned.head().getLong(0) shouldBe 49L
+    spark.read.format("gvdb").load(root).groupBy().count()
+      .head().getLong(0) shouldBe 48L
     tbl.drop()
   }
 }
