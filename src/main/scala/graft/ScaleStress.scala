@@ -263,6 +263,7 @@ object ScaleStress {
       else if (name == "gvdb_changes") gvdbChanges(spark, src, target, copies)
       else if (name == "gvdb_manyfiles") gvdbManyFiles(spark)
       else if (name == "tier_recall_384") tierRecall384(spark, src)
+      else if (name == "gvdb_merge") gvdbMerge(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -568,6 +569,65 @@ object ScaleStress {
     val s0 = runOnce(src, "sf0.1")
     val s1 = runOnce(target, "sf1")
     println(f"[stress] ratio  gvdb_stream           ${s1 / s0}%5.2fx for ${copies}x data")
+  }
+
+  /** SQL MERGE at corpus scale — the two cost classes measured
+    * separately: a CDC batch carrying updates/inserts is COPY-ON-WRITE
+    * (one table rewrite, cost ∝ table size — the vacuum contract), a
+    * deletes-only batch stays MERGE-ON-READ (tombstones, cost ∝
+    * matched ids + one read of the MoR view). The ratio rows document
+    * that the CoW leg scales with the corpus while the MoR leg stays
+    * near-flat — exactly the split a 100 TB CDC pipeline relies on. */
+  private def gvdbMerge(spark: SparkSession, src: String, target: String, copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    def runOnce(dir: String, tag: String): (Double, Double) = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-mergestress-$tag").toString
+      val cat = "gms" + java.lang.Long.toHexString(System.nanoTime())
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE $cat.s")
+      spark.sql(s"CREATE TABLE $cat.s.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select(concat(lit("d"), format_string("%09d", $"doc_id")).as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("ms_base")
+      spark.sql(s"INSERT INTO $cat.s.docs SELECT * FROM ms_base")
+      // CDC batch: ~10% updates + ~5% inserts (CoW leg)
+      docs.where($"doc_id" % 10 === 0)
+        .select(concat(lit("d"), format_string("%09d", $"doc_id")).as("id"),
+          to_json(struct($"lang", ($"n_chars" + 1).as("n_chars"))).as("metadata"),
+          array(($"n_chars" + 1).cast("float")).as("embedding"))
+        .unionByName(docs.where($"doc_id" % 20 === 1)
+          .select(concat(lit("n"), format_string("%09d", $"doc_id")).as("id"),
+            to_json(struct($"lang", $"n_chars")).as("metadata"),
+            array($"n_chars".cast("float")).as("embedding")))
+        .createOrReplaceTempView("ms_changes")
+      val t0 = System.nanoTime()
+      spark.sql(s"""MERGE INTO $cat.s.docs t USING ms_changes c ON t.id = c.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val tCow = (System.nanoTime() - t0) / 1e9
+      // deletes-only batch: ~1% retractions (MoR leg)
+      docs.where($"doc_id" % 100 === 3)
+        .select(concat(lit("d"), format_string("%09d", $"doc_id")).as("id"))
+        .createOrReplaceTempView("ms_dels")
+      val t1 = System.nanoTime()
+      spark.sql(s"""MERGE INTO $cat.s.docs t USING ms_dels c ON t.id = c.id
+        WHEN MATCHED THEN DELETE""")
+      val tMor = (System.nanoTime() - t1) / 1e9
+      val live = spark.sql(s"SELECT count(*) AS n FROM $cat.s.docs").head().getLong(0)
+      println(f"[stress] gvdb_merge $tag%-7s cow=$tCow%7.2f s  mor_delete=$tMor%6.2f s (live=$live)")
+      spark.sql(s"DROP TABLE $cat.s.docs"); spark.sql(s"DROP NAMESPACE $cat.s")
+      Seq("ms_base", "ms_changes", "ms_dels").foreach(spark.catalog.dropTempView)
+      graft.core.PlanCache.release(spark)
+      (tCow, tMor)
+    }
+    val (c0, m0) = runOnce(src, "sf0.1")
+    val (c1, m1) = runOnce(target, "sf1")
+    println(f"[stress] ratio  gvdb_merge            cow=${c1 / c0}%5.2fx mor=${m1 / m0}%5.2fx for ${copies}x data")
   }
 
   /** Recall of the three persisted index tiers at PRODUCTION
