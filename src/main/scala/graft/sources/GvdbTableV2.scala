@@ -429,9 +429,13 @@ object GvdbChangeFeed {
   * file names it admitted, and the offset the engine checkpoints every
   * micro-batch is just the log index ([[GvdbLogOffset]] — O(1) bytes).
   * Per-batch cost is therefore one directory listing plus one entry
-  * write proportional to the NEW files; a restart replays the log once
-  * to rebuild the seen set. At 100 TB file counts (10⁵–10⁶ part
-  * files) offsets and commits stay constant-size where the old
+  * write proportional to the NEW files; a restart rebuilds the seen
+  * set from the newest COMPACT file plus the delta tail (every C-th
+  * entry also writes the cumulative set — FileStreamSource's
+  * compaction, `spark.graft.source.logCompactInterval`, default 10),
+  * so restart IO is bounded by ~(1 + 1/C)× the file count however
+  * many batches the query has run. At 100 TB file counts (10⁵–10⁶
+  * part files) offsets and commits stay constant-size where the old
   * files-list-in-offset design wrote multi-MB JSON per batch. A
   * pre-log checkpoint's [[GvdbSourceOffset]] restarts cleanly: its
   * files fold into the seen set and progress from then on is logged.
@@ -461,40 +465,62 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
   private val logDir = new Path(checkpointLocation, "gvdb_seen_files")
   private def logFs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** In-memory mirror of the log, rebuilt ONCE per stream instance (a
-    * restart reads each entry exactly once — O(total files) at open,
-    * never per batch). Legacy offsets' files join it on first sight. */
+  /** Every `CompactInterval`-th entry also writes `<i>.compact` — the
+    * CUMULATIVE seen set as of entry i (FileStreamSource's compaction
+    * design) — so a restart reads one compact file plus the delta tail
+    * instead of every entry since the query began: restart IO is
+    * bounded by ~(1 + 1/C) of the file count regardless of batch
+    * count, and the write amplification is one O(total) file per C
+    * batches (amortized O(total/C) per batch). Per-batch DELTA entries
+    * are always written — replayed batches read exactly their own
+    * entry regardless of compaction. */
+  private val CompactInterval = spark.conf
+    .get("spark.graft.source.logCompactInterval", "10").toInt
+
+  /** In-memory mirror of the log, rebuilt ONCE per stream instance
+    * from the newest compact file + the delta entries after it.
+    * Legacy offsets' files join it on first sight. */
   private val seen = scala.collection.mutable.HashSet.empty[String]
   private var maxLogIndex: Int = 0
   locally {
     if (logFs.exists(logDir)) {
-      val indices = logFs.listStatus(logDir).toSeq.map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
-      indices.foreach(i => seen ++= readEntry(i))
+      val names = logFs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val indices = names.filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
+      val compacts = names.filter(_.endsWith(".compact"))
+        .map(_.stripSuffix(".compact")).filter(_.forall(_.isDigit)).map(_.toInt)
+      // only a compact at or below the highest DELTA entry is usable
+      // (a torn run could leave a compact without its delta twin)
+      val base = compacts.filter(c => indices.contains(c)).sorted.lastOption.getOrElse(0)
+      if (base > 0) seen ++= readFile(new Path(logDir, s"$base.compact"))
+      indices.filter(_ > base).foreach(i => seen ++= readEntry(i))
       maxLogIndex = indices.lastOption.getOrElse(0)
     }
   }
 
-  private def readEntry(i: Int): Seq[String] = {
-    val in = logFs.open(new Path(logDir, i.toString))
+  private def readFile(p: Path): Seq[String] = {
+    val in = logFs.open(p)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     GvdbSourceOffset.parseFiles(txt)
   }
 
-  /** Atomic write (tmp + rename): an entry either exists complete or
-    * not at all. Overwrites are legal ONLY for an index the engine
-    * never committed (a crash between our log write and the engine's
-    * offset commit — the re-admission supersedes the orphan). */
-  private def writeEntry(i: Int, files: Seq[String]): Unit = {
+  private def readEntry(i: Int): Seq[String] = readFile(new Path(logDir, i.toString))
+
+  /** Atomic write (tmp + rename): a file either exists complete or not
+    * at all. Overwrites are legal ONLY for an index the engine never
+    * committed (a crash between our log write and the engine's offset
+    * commit — the re-admission supersedes the orphan). */
+  private def writeFile(p: Path, files: Iterable[String]): Unit = {
     logFs.mkdirs(logDir)
-    val p = new Path(logDir, i.toString)
-    val tmp = new Path(logDir, i.toString + ".tmp")
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = logFs.create(tmp, true)
-    try out.write(GvdbSourceOffset.filesJson(files).getBytes("UTF-8")) finally out.close()
+    try out.write(GvdbSourceOffset.filesJson(files.toSeq).getBytes("UTF-8")) finally out.close()
     logFs.delete(p, false)
     logFs.rename(tmp, p)
     ()
   }
+
+  private def writeEntry(i: Int, files: Seq[String]): Unit =
+    writeFile(new Path(logDir, i.toString), files)
 
   /** The log position of an engine-supplied offset; a LEGACY files
     * offset folds its list into the seen set and reads as position 0
@@ -549,6 +575,8 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
       maxLogIndex += 1
       writeEntry(maxLogIndex, take)
       seen ++= take
+      if (maxLogIndex % CompactInterval == 0)
+        writeFile(new Path(logDir, s"$maxLogIndex.compact"), seen)
       GvdbLogOffset(maxLogIndex)
     }
   }

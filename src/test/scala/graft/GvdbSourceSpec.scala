@@ -396,6 +396,32 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     parse("""{"log": 7}""") shouldBe GvdbLogOffset(7)
     parse("""{"files": ["/a/part-1", "/a/part-2"]}""") shouldBe
       GvdbSourceOffset(Seq("/a/part-1", "/a/part-2"))
+    // compaction: every C-th entry also writes the cumulative set, so
+    // a restart reads one compact + the delta tail, not every entry
+    spark.conf.set("spark.graft.source.logCompactInterval", "2")
+    try {
+      (25 until 29).foreach(i =>
+        rows(i until i + 1).write.format("gvdb").mode(SaveMode.Append).save(root))
+      val q3 = spark.readStream.format("gvdb")
+        .option("maxFilesPerTrigger", "1").load(root)
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+      logDir.listFiles().count(_.getName.endsWith(".compact")) should be >= 1
+      // a fresh restart (new stream instance, compact-seeded seen set)
+      // still sees exactly the new delta
+      rows(29 until 30).write.format("gvdb").mode(SaveMode.Append).save(root)
+      val got3 = new java.util.concurrent.atomic.AtomicLong
+      val q4 = spark.readStream.format("gvdb").load(root)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          got3.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q4.awaitTermination()
+      got3.get() shouldBe 1L
+    } finally spark.conf.unset("spark.graft.source.logCompactInterval")
     new VectorTable(spark, root, 2).drop()
   }
 
