@@ -239,4 +239,25 @@ class EdgeCaseSpec extends SparkSpec with Matchers {
     graft.ops.MlAnn.ivfProbeFiltered(idx, emb.where($"vec_id" < 2), k = 3,
       nProbe = 2, pred = $"label" === 99).collect() shouldBe empty
   }
+
+  test("JsonFileList round-trips hostile file names at log-entry scale") {
+    import graft.core.JsonFileList
+    // quotes, backslashes, unicode, a name containing the "files" key,
+    // and a bracket — everything that could confuse a naive parser
+    val hostile = Seq(
+      """/a/part-quote"inside.parquet""",
+      """/a/part-back\slash.parquet""",
+      "/a/part-ünicøde-日本.parquet",
+      """/a/part-"files": ["x"].parquet""",
+      "/a/part-bracket].parquet")
+    JsonFileList.parse(JsonFileList.render(hostile)) shouldBe hostile.sorted
+    // linear scan survives the file counts a 100 TB table reaches —
+    // the retired backtracking regex stack-overflowed near 10^3 names
+    val big = (0 until 50000).map(i => f"/warehouse/tbl/part-$i%06d-abc.snappy.parquet")
+    JsonFileList.parse(JsonFileList.render(big)) should have size 50000
+    // only the CONTENTS of the files array are read
+    JsonFileList.parse("""{"ts": 123, "files": ["/a/p1", "/a/p2"], "other": ["zzz"]}""") shouldBe
+      Seq("/a/p1", "/a/p2")
+    JsonFileList.parse("""{"nofiles": ["/a/p1"]}""") shouldBe Seq.empty
+  }
 }
