@@ -453,10 +453,14 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * the tombstone side table. Same contract and cost class as
     * [[delete]] — O(matched ids), never a data rewrite — and the same
     * disjointness invariant holds (the semi-join draws from the LIVE
-    * view, so an already-tombstoned id can never re-enter). */
+    * view, so an already-tombstoned id can never re-enter). The join
+    * strategy is left to Catalyst: a typical retraction batch
+    * broadcasts, an unusually large one may legitimately shuffle —
+    * forcing a broadcast here would OOM the driver on exactly the
+    * batches that matter at scale. */
   def deleteIds(ids: DataFrame): this.type = {
-    df.join(broadcast(ids.select(col(ids.columns.head).cast("string")
-        .as(VectorSchema.ID))), Seq(VectorSchema.ID), "left_semi")
+    df.join(ids.select(col(ids.columns.head).cast("string")
+        .as(VectorSchema.ID)), Seq(VectorSchema.ID), "left_semi")
       .select(VectorSchema.ID)
       .write.mode("append").parquet(tombPath.toString)
     tombCountCache = None
