@@ -171,9 +171,13 @@ private[plans] object GvdbRowLevel {
     val scratch = java.nio.file.Files.createTempDirectory("gvdb-rowlevel").toString + "/staged"
     try {
       result.write.parquet(scratch)
+      // the builders resolve the embedding dimension from DATA
+      // (VectorTable.actualDim), so the dummy-dim handle is safe here
       val table = new VectorTable(spark, root, 1)
-      val (hnsw, ivfpq, bq) = (table.hnswIndexMeta, table.ivfPqIndexMeta, table.bqIndexMeta)
+      val (ann, hnsw, ivfpq, bq) =
+        (table.annIndexMeta, table.hnswIndexMeta, table.ivfPqIndexMeta, table.bqIndexMeta)
       GvdbWrite.insert(spark, root, spark.read.parquet(scratch), overwrite = true, None)
+      ann.foreach(m => table.buildAnnIndex(m.tables, m.bits, m.seed))
       hnsw.foreach(m => table.buildHnswIndex(m.m, m.efConstruction))
       ivfpq.foreach(m => table.buildIvfPqIndex(m.nCells, m.m, m.pqK, m.nProbe, m.shortlistFactor))
       bq.foreach(m => table.buildBqIndex(m.coarseFactor, m.fineFactor))

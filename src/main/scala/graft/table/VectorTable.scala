@@ -41,6 +41,17 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       m.findFirstMatchIn(txt).map(g => AnnIndexMeta(g.group(1).toInt, g.group(2).toInt, g.group(3).toLong))
     }
 
+  /** The dimension the index builders hash/quantize against: resolved
+    * from the DATA (one bounded head(1) action per build) rather than
+    * trusted from the constructor — several SQL surfaces open tables
+    * with a dummy dim (catalog loads, the row-level commands' rebuild
+    * tails), and a quantizer built against the wrong dimension is
+    * silently garbage. Falls back to the constructor dim on an empty
+    * table. */
+  private def actualDim: Int =
+    df.select(size(col(VectorSchema.EMBEDDING)).as("d")).head(1).headOption
+      .map(_.getInt(0)).getOrElse(dim)
+
   /** Builds (or rebuilds) the persisted LSH index: one pass over the
     * table computing the bucket-id column, rewritten in place. This is
     * the reference's CREATE-INDEX-on-bulk-load (duckvdb.py:37-45) as a
@@ -52,7 +63,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * parameters so `AnnRewriteRule` probes with the same family. */
   def buildAnnIndex(tables: Int = 8, bits: Int = 12, seed: Long = 42L): this.type = {
     val indexed = df.withColumn(VectorSchema.ANN_BUCKETS,
-      graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), dim, tables, bits, seed))
+      graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), actualDim, tables, bits, seed))
     val tmp = new Path(root + "__indexing")
     indexed.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(hadoopPath, true)
@@ -254,7 +265,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       nProbe: Int = 8, shortlistFactor: Int = 16): this.type = {
     dropHnswIndex(); dropBqIndex()
     fs.delete(new Path(ivfpqRoot), true)
-    val (ix, codes) = graft.ops.IvfPq.build(surrogates(df), dim, nCells, m, pqK)
+    val (ix, codes) = graft.ops.IvfPq.build(surrogates(df), actualDim, nCells, m, pqK)
     graft.ops.IvfPq.persistIndex(ix, codes, ivfpqRoot)
     val out = fs.create(ivfpqMetaPath, true)
     try out.write((s"""{"nCells": $nCells, "m": $m, "pqK": $pqK, """ +
@@ -337,8 +348,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * values are honored unchanged (rebuild points pass the persisted
     * meta's). */
   def buildBqIndex(coarseFactor: Int = 0, fineFactor: Int = 0): this.type = {
-    val cf = if (coarseFactor > 0) coarseFactor else 64 * math.max(1, dim / 128)
-    val ff = if (fineFactor > 0) fineFactor else 16 * math.max(1, dim / 128)
+    lazy val d = actualDim
+    val cf = if (coarseFactor > 0) coarseFactor else 64 * math.max(1, d / 128)
+    val ff = if (fineFactor > 0) fineFactor else 16 * math.max(1, d / 128)
     dropHnswIndex(); dropIvfPqIndex()
     val live = df
     val mean: Seq[Float] = live

@@ -382,6 +382,35 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.upd.t")
   }
 
+  test("row-level CoW rebuilds the active index tier at the DATA's dimension") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.idx")
+    spark.sql("""CREATE TABLE vdbcat.idx.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    (0 until 40).map(i => (f"r$i%03d", "{}",
+        Seq(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("idx_rows")
+    spark.sql("INSERT INTO vdbcat.idx.t SELECT * FROM idx_rows")
+    new VectorTable(spark, s"$warehouse/idx/t", 4)
+      .buildIvfPqIndex(nCells = 4, m = 2, pqK = 16)
+    // a CoW merge through the SQL surface (the command opens the table
+    // with a dummy dim — the rebuild must resolve dim 4 from the data)
+    spark.sql("""MERGE INTO vdbcat.idx.t t
+      USING (SELECT 'r000' AS id, '{"u":1}' AS metadata,
+             array(9.0f, 9.0f, 9.0f, 9.0f) AS embedding) c ON t.id = c.id
+      WHEN MATCHED THEN UPDATE SET *""")
+    val vt = new VectorTable(spark, s"$warehouse/idx/t", 4)
+    vt.ivfPqIndexMeta.isDefined shouldBe true
+    val db = new graft.VectorDB(spark, "t", s"$warehouse/idx", "hashing",
+      Map("dim" -> "4"), dim = 4)
+    val q = Array(5f, 2f, 1f, 1f)
+    val approx = db.queryByVector(q, k = 5).collect().map(_.id).toSet
+    val exact = db.queryByVector(q, k = 5, useIndex = false).collect().map(_.id).toSet
+    (exact intersect approx).size should be >= 4
+    spark.sql("DROP TABLE vdbcat.idx.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
