@@ -379,6 +379,19 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("UPDATE vdbcat.upd.t SET embedding = array(0.5f)")
     spark.sql("SELECT sum(embedding[0]) AS s FROM vdbcat.upd.t")
       .head().getDouble(0) shouldBe 1.5 +- 1e-6
+    // SUBQUERY predicates resolve through the lowered commands too
+    // (the deferred Column evaluation re-plans them like any Dataset)
+    import spark.implicits._
+    Seq("a").toDF("kid").createOrReplaceTempView("upd_kill")
+    spark.sql("UPDATE vdbcat.upd.t SET metadata = '{\"sub\":1}' " +
+      "WHERE id IN (SELECT kid FROM upd_kill)")
+    spark.sql("SELECT metadata FROM vdbcat.upd.t WHERE id = 'a'")
+      .head().getString(0) shouldBe """{"sub":1}"""
+    spark.sql("DELETE FROM vdbcat.upd.t " +
+      "WHERE get_json_object(metadata, '$.sub') = '1' AND id IN (SELECT kid FROM upd_kill)")
+    spark.sql("SELECT id FROM vdbcat.upd.t ORDER BY id").collect()
+      .map(_.getString(0)) shouldBe Array("b", "c")
+    spark.catalog.dropTempView("upd_kill")
     spark.sql("DROP TABLE vdbcat.upd.t")
   }
 
