@@ -424,6 +424,23 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.idx.t")
   }
 
+  test("CTAS / REPLACE TABLE AS SELECT create through the dedup insert") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.ctas")
+    // duplicate id in the source: the CTAS write IS the dedup insert
+    Seq(("a", "{}", Seq(1f)), ("b", "{}", Seq(2f)), ("a", "{}", Seq(1f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE vdbcat.ctas.t USING gvdb AS SELECT * FROM ctas_src")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.ctas.t").head().getLong(0) shouldBe 2L
+    spark.sql("REPLACE TABLE vdbcat.ctas.t USING gvdb " +
+      "AS SELECT * FROM ctas_src WHERE id = 'b'")
+    spark.sql("SELECT id FROM vdbcat.ctas.t").collect()
+      .map(_.getString(0)) shouldBe Array("b")
+    spark.catalog.dropTempView("ctas_src")
+    spark.sql("DROP TABLE vdbcat.ctas.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
