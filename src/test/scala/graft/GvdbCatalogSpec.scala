@@ -438,6 +438,14 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("SELECT id FROM vdbcat.ctas.t").collect()
       .map(_.getString(0)) shouldBe Array("b")
     spark.catalog.dropTempView("ctas_src")
+    // the DataFrameWriterV2 API routes through the same dedup insert
+    Seq(("b", "{}", Seq(2f)), ("d", "{}", Seq(4f)))
+      .toDF("id", "metadata", "embedding").writeTo("vdbcat.ctas.t").append()
+    spark.sql("SELECT id FROM vdbcat.ctas.t ORDER BY id").collect()
+      .map(_.getString(0)) shouldBe Array("b", "d") // b deduped
+    spark.sql("INSERT OVERWRITE vdbcat.ctas.t VALUES ('z','{}',array(9.0f))")
+    spark.sql("SELECT id FROM vdbcat.ctas.t").collect()
+      .map(_.getString(0)) shouldBe Array("z")
     spark.sql("DROP TABLE vdbcat.ctas.t")
   }
 
