@@ -13,15 +13,18 @@ import graft.core.VectorSchema
 import graft.sources.{GvdbTable, GvdbWrite}
 import graft.table.VectorTable
 
-/** SQL `MERGE INTO` for gvdb tables — the CDC-apply-by-SQL surface
-  * (`MERGE INTO cat.ns.t USING changes ON t.id = c.id WHEN MATCHED
-  * ...`), via an analyzer rewrite to the engine's existing
-  * tombstone-delete + dedup-insert machinery (the `vdb_upsert`
-  * semantics) instead of Spark's `SupportsRowLevelOperations` plumbing:
-  * the table has exactly one "group" (no partition transforms), so the
-  * group-based rewrite would degenerate to the same whole-table
-  * copy-on-write this command performs directly, with three extra
-  * moving parts.
+/** Row-level SQL for gvdb tables — `MERGE INTO` (the CDC-apply-by-SQL
+  * surface: `MERGE INTO cat.ns.t USING changes ON t.id = c.id WHEN
+  * MATCHED ...`), `UPDATE ... SET ... WHERE`, and `DELETE FROM` with
+  * predicates the source-filter algebra can't express — via analyzer
+  * rewrites onto the engine's existing tombstone-delete + dedup-insert
+  * machinery (the `vdb_upsert` semantics) instead of Spark's
+  * `SupportsRowLevelOperations` plumbing: the table has exactly one
+  * "group" (no partition transforms), so the group-based rewrite would
+  * degenerate to the same whole-table copy-on-write these commands
+  * perform directly, with three extra moving parts. Subquery
+  * predicates work throughout (the deferred Column evaluation re-plans
+  * them like any Dataset operation).
   *
   * The rule runs in the analyzer's extended-resolution slot. Because
   * the table advertises `ACCEPT_ANY_SCHEMA`, Spark deliberately leaves
