@@ -487,11 +487,15 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
       val names = logFs.listStatus(logDir).toSeq.map(_.getPath.getName)
       val indices = names.filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
       val compacts = names.filter(_.endsWith(".compact"))
-        .map(_.stripSuffix(".compact")).filter(_.forall(_.isDigit)).map(_.toInt)
+        .map(_.stripSuffix(".compact")).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toInt)
       // only a compact at or below the highest DELTA entry is usable
-      // (a torn run could leave a compact without its delta twin)
-      val base = compacts.filter(c => indices.contains(c)).sorted.lastOption.getOrElse(0)
-      if (base > 0) seen ++= readFile(new Path(logDir, s"$base.compact"))
+      // (a torn run could leave a compact without its delta twin);
+      // 0.compact — the persisted LEGACY-offset fold — has no delta
+      // twin by design and is always usable
+      val base = compacts.filter(c => c == 0 || indices.contains(c))
+        .sorted.lastOption.getOrElse(-1)
+      if (base >= 0) seen ++= readFile(new Path(logDir, s"$base.compact"))
       indices.filter(_ > base).foreach(i => seen ++= readEntry(i))
       maxLogIndex = indices.lastOption.getOrElse(0)
     }
@@ -524,10 +528,19 @@ class GvdbMicroBatchStream(spark: SparkSession, root: String,
 
   /** The log position of an engine-supplied offset; a LEGACY files
     * offset folds its list into the seen set and reads as position 0
-    * (all of its files predate entry 1 by construction). */
+    * (all of its files predate entry 1 by construction). The fold is
+    * PERSISTED as `0.compact` the first time it is seen: once a log
+    * offset commits, later restarts never see the legacy offset again,
+    * so an in-memory-only fold would re-admit (duplicate) the legacy
+    * files on the second restart after an upgrade. */
   private def position(o: ConnOffset): Int = GvdbSourceOffset.fromAny(o) match {
     case GvdbLogOffset(i) => i
-    case GvdbSourceOffset(files) => seen ++= files; 0
+    case GvdbSourceOffset(files) =>
+      val foldMark = new Path(logDir, "0.compact")
+      if (files.nonEmpty && !logFs.exists(foldMark)) writeFile(foldMark, files)
+      seen ++= files
+      0
+    case other => throw new IllegalStateException(s"gvdb source: unreadable offset $other")
   }
 
   /** AvailableNow bound: the listing snapshotted when the trigger

@@ -425,6 +425,40 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("legacy-offset upgrade: the fold persists across a SECOND restart") {
+    import graft.sources.{GvdbLogOffset, GvdbMicroBatchStream, GvdbSourceOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot("legacyup")
+    val cp = Files.createTempDirectory("graft-gvdbspec-legacycp").toString
+    rows(0 until 6).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val hfs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles() = hfs.listStatus(rootPath).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+    val legacy = GvdbSourceOffset(partFiles().toSeq) // a pre-log checkpoint's offset
+    rows(6 until 9).write.format("gvdb").mode(SaveMode.Append).save(root)
+    // first post-upgrade run: only the delta files are admitted
+    val s1 = new GvdbMicroBatchStream(spark, root,
+      graft.core.VectorSchema.schema, Array.empty, None, cp)
+    val end1 = s1.latestOffset(legacy, ReadLimit.allAvailable())
+    end1 shouldBe GvdbLogOffset(1)
+    val entry1 = graft.core.JsonFileList.parse(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$cp/gvdb_seen_files/1")), "UTF-8"))
+    entry1.toSet shouldBe (partFiles().toSet -- legacy.files.toSet)
+    // SECOND restart: the committed offset is now a log index and the
+    // legacy offset is never replayed — the persisted 0.compact fold
+    // must keep the legacy files seen, or they'd duplicate here
+    val s2 = new GvdbMicroBatchStream(spark, root,
+      graft.core.VectorSchema.schema, Array.empty, None, cp)
+    s2.latestOffset(GvdbLogOffset(1), ReadLimit.allAvailable()) shouldBe GvdbLogOffset(1)
+    // while genuinely new files still flow
+    rows(9 until 10).write.format("gvdb").mode(SaveMode.Append).save(root)
+    s2.latestOffset(GvdbLogOffset(1), ReadLimit.allAvailable()) shouldBe GvdbLogOffset(2)
+    new VectorTable(spark, root, 2).drop()
+  }
+
   test("write shaping: positional matching is the VALUES carve-out, never a partial-name cross") {
     import spark.implicits._
     import graft.sources.GvdbWrite
