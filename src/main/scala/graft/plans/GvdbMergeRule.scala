@@ -120,15 +120,15 @@ class GvdbMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
   *  - DELETES-ONLY merges (every action a DELETE) stay merge-on-read:
   *    the matched target ids are tombstoned ([[VectorTable.deleteIds]],
   *    O(matched), no data rewrite) — the cheap CDC-retraction shape;
-  *  - merges carrying UPDATE/INSERT actions are copy-on-write: the
-  *    merged result is staged to a scratch parquet (the target must be
-  *    fully read before it is replaced) and re-inserted with
-  *    overwrite, and any persisted index tier is rebuilt over the
-  *    result — the same proportional-cost contract as [[VectorTable
-  *    .vacuum]]. Scale note: this rewrites the ONE group the format
-  *    has; a partitioned format would restrict the rewrite to matched
-  *    groups, which is precisely Spark's group-based row-level
-  *    operation — the semantics here are identical at table scope.
+  *  - merges carrying UPDATE/INSERT actions route through
+  *    [[GvdbRowLevel.rewrite]]: FILE-GROUP copy-on-write on an
+  *    un-indexed table (only the part files holding touched rows are
+  *    replaced — Spark's group-based row-level operation at file
+  *    granularity, so a CDC batch touching 0.1% of the files rewrites
+  *    0.1% of the table; an insert-only merge is a pure append),
+  *    whole-table copy-on-write with index rebuild when a persisted
+  *    tier exists (the [[VectorTable.vacuum]] cost contract — the
+  *    rebuild dominates either way).
   */
 /** Plain (non-Expression) holder for the merge spec: keeps the
   * possibly-still-unresolved expressions out of the command's
@@ -165,10 +165,105 @@ private[plans] object GvdbRowLevel {
       case dt => dt
     }
 
-  /** The copy-on-write tail every mutating rewrite shares: stage the
-    * result to a scratch parquet (the result plan READS the target the
-    * overwrite is about to delete), re-insert with overwrite, rebuild
-    * whichever index tier was active (the vacuum contract). */
+  /** The provenance column threaded through a rewrite's result frame:
+    * the target row's ORIGINAL id for target-derived rows (stable even
+    * when the command rewrites `id` itself), null for inserted rows. */
+  val Origin = "__gvdb_origin"
+
+  /** Routes a mutating rewrite. Without a persisted index the rewrite
+    * is FILE-GROUP copy-on-write ([[groupCopyOnWrite]]): only the part
+    * files that CONTAIN mutated rows are replaced — Spark's
+    * group-based row-level operation at file granularity, so a CDC
+    * batch touching 0.1% of a 100 TB table rewrites ~0.1% of its
+    * files, not the table. With an index tier present the rewrite
+    * stays whole-table ([[copyOnWrite]]) with an index rebuild: a
+    * rewrite invalidates persisted tiers either way, and the rebuild
+    * dominates the write regardless of its granularity. */
+  def rewrite(spark: SparkSession, root: String,
+      result: org.apache.spark.sql.DataFrame,
+      touched: org.apache.spark.sql.DataFrame): Unit = {
+    val table = new VectorTable(spark, root, 1)
+    val indexed = table.annIndexMeta.isDefined || table.hnswIndexMeta.isDefined ||
+      table.ivfPqIndexMeta.isDefined || table.bqIndexMeta.isDefined
+    if (indexed) copyOnWrite(spark, root, result.drop(Origin))
+    else groupCopyOnWrite(spark, root, result, touched)
+  }
+
+  /** File-group copy-on-write: victims = the part files holding any
+    * `touched` id; the replacement (victim-origin result rows + the
+    * inserts) appends FIRST — its plan still reads the victims — then
+    * the victim files drop, the tombstone ids they carried leave the
+    * tombstone table (keeping the raw-minus-tombstones arithmetic
+    * exact: a victim's dead rows are now physically gone), and
+    * snapshots expire when files were deleted (the rewrite retention
+    * contract). Rows in victim files that the command did NOT touch
+    * ride along via the origin semi-join; rows in untouched files are
+    * never read twice nor rewritten. Crash window: between the append
+    * and the victim deletion a reader could see a touched row twice —
+    * the same single-writer, non-transactional contract as the rest
+    * of the format's rewrite points. */
+  private def groupCopyOnWrite(spark: SparkSession, root: String,
+      result: org.apache.spark.sql.DataFrame,
+      touched: org.apache.spark.sql.DataFrame): Unit = {
+    val FileCol = "__gvdb_file"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // RAW id→file map (dead rows included: a victim file's tombstoned
+    // ids must leave the tombstone table when the file goes)
+    val idToFile = spark.read.schema(VectorSchema.schema).parquet(root)
+      .select(col(VectorSchema.ID), input_file_name().as(FileCol))
+    val victims = idToFile
+      .join(touched.select(col(touched.columns.head).as(VectorSchema.ID)).distinct(),
+        Seq(VectorSchema.ID), "left_semi")
+      .select(FileCol).distinct().collect().map(_.getString(0))
+    import spark.implicits._
+    val victimIds =
+      if (victims.isEmpty) idToFile.select(VectorSchema.ID).limit(0).localCheckpoint(true)
+      else idToFile
+        .join(broadcast(victims.toSeq.toDF(FileCol)), Seq(FileCol), "left_semi")
+        .select(VectorSchema.ID)
+        .localCheckpoint(true) // pinned: consumed after the victims are gone
+    val replacement = result.where(col(Origin).isNull)
+      .unionByName(result.join(
+        victimIds.withColumnRenamed(VectorSchema.ID, Origin), Seq(Origin), "left_semi"))
+      .drop(Origin)
+    // the dim gate the insert path applies (a group write bypasses
+    // GvdbWrite.insert, but mixed dimensions must still be impossible)
+    val dimHead = spark.read.schema(VectorSchema.schema).parquet(root)
+      .select(size(col(VectorSchema.EMBEDDING)).as("d")).head(1).headOption.map(_.getInt(0))
+    val checked = dimHead match {
+      case Some(d) => replacement.withColumn(VectorSchema.EMBEDDING,
+        when(col(VectorSchema.EMBEDDING).isNull ||
+            size(col(VectorSchema.EMBEDDING)) === d, col(VectorSchema.EMBEDDING))
+          .otherwise(raise_error(concat(
+            lit(s"embedding dim mismatch: expected $d, got "),
+            size(col(VectorSchema.EMBEDDING)).cast("string")))))
+      case None => replacement
+    }
+    checked.write.mode("append").parquet(root)
+    if (victims.nonEmpty) {
+      val tombPath = new org.apache.hadoop.fs.Path(root + ".tombstones")
+      if (hfs.exists(tombPath)) {
+        val scratch = java.nio.file.Files.createTempDirectory("gvdb-tombs").toString + "/staged"
+        spark.read.parquet(tombPath.toString)
+          .join(victimIds, Seq(VectorSchema.ID), "left_anti")
+          .write.parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(tombPath.toString)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(scratch).getParentFile)
+      }
+      victims.foreach(f => hfs.delete(new org.apache.hadoop.fs.Path(f), false))
+      // data files deleted: snapshot manifests referencing them expire
+      // (the same retention-zero rule as vacuum/reindex)
+      hfs.delete(new org.apache.hadoop.fs.Path(root + ".snapshots"), true)
+      ()
+    }
+  }
+
+  /** The whole-table copy-on-write tail: stage the result to a scratch
+    * parquet (the result plan READS the target the overwrite is about
+    * to delete), re-insert with overwrite, rebuild whichever index
+    * tier was active (the vacuum contract). */
   def copyOnWrite(spark: SparkSession, root: String,
       result: org.apache.spark.sql.DataFrame): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory("gvdb-rowlevel").toString + "/staged"
@@ -258,10 +353,18 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
       }.cast(GvdbRowLevel.relaxedType(field)).as(field.name)
     }
 
+    val idField = targetFields.find(_.name == VectorSchema.ID).get
+    val mutatedCodes: Seq[Int] = dropCodes.filter(_ > 0) ++
+      (matchedActions.zipWithIndex.collect { case (_: UpdateAction, i) => 100 + i } ++
+        notMatchedBySourceActions.zipWithIndex.collect { case (_: UpdateAction, i) => 300 + i })
+    val touched = classified
+      .where(col(ACT).isin(mutatedCodes.map(Int.box): _*))
+      .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
     val result = classified
       .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
-      .select(targetFields.map(valueFor).toIndexedSeq: _*)
-    GvdbRowLevel.copyOnWrite(spark, root, result)
+      .select((targetFields.map(valueFor) :+
+        GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+    GvdbRowLevel.rewrite(spark, root, result, touched)
     Seq.empty
   }
 }
@@ -278,13 +381,18 @@ case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftBridge.ofRows(spark, targetPlan)
+    val idField = targetPlan.output.find(_.name == VectorSchema.ID).get
     val condCol = spec.condition.map(GraftBridge.column).getOrElse(lit(true))
     val fields = targetPlan.output.map { f =>
       when(condCol, GvdbRowLevel.assignCol(spec.assignments, f))
         .otherwise(GraftBridge.column(f))
         .cast(GvdbRowLevel.relaxedType(f)).as(f.name)
     }
-    GvdbRowLevel.copyOnWrite(spark, root, t.select(fields.toIndexedSeq: _*))
+    val result = t.select((fields :+
+      GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+    val touched = t.where(condCol)
+      .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
+    GvdbRowLevel.rewrite(spark, root, result, touched)
     Seq.empty
   }
 }

@@ -449,6 +449,55 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.ctas.t")
   }
 
+  test("group CoW: a merge rewrites ONLY the part files holding touched rows") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.grp")
+    spark.sql("""CREATE TABLE vdbcat.grp.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    // three separate inserts → three distinct part-file groups
+    def batch(ids: Range) = ids.map(i => (f"r$i%03d", "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+    Seq(0 until 10, 10 until 20, 20 until 30).foreach { r =>
+      batch(r).createOrReplaceTempView("grp_src")
+      spark.sql("INSERT INTO vdbcat.grp.t SELECT * FROM grp_src")
+    }
+    val dir = new java.io.File(s"$warehouse/grp/t")
+    def parts() = dir.listFiles().filter(f => f.getName.startsWith("part-") &&
+      f.length > 600).map(_.getName).toSet // data-carrying parts (create()'s empty part is ~small)
+    val before = parts()
+    before.size should be >= 3
+    // a tombstone in an untouched group + one in a touched group
+    new VectorTable(spark, s"$warehouse/grp/t", 1)
+      .delete(col("id").isin("r005", "r025"))
+    // merge touches ONLY ids in the r02x group (update r020, delete r021)
+    Seq(("r020", """{"u":1}""", Seq(99f), "u"), ("r021", "{}", Seq(0f), "d"))
+      .toDF("id", "metadata", "embedding", "op").createOrReplaceTempView("grp_changes")
+    spark.sql("""MERGE INTO vdbcat.grp.t t USING grp_changes c ON t.id = c.id
+      WHEN MATCHED AND c.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding""")
+    val after = parts()
+    // untouched groups survive byte-identical (same file names); the
+    // touched group's file is gone, replaced by fresh part files
+    val survivors = before intersect after
+    survivors.size should be >= 2
+    (before -- after).size should be >= 1
+    // semantics: r021 gone, r020 updated, r005/r025 stay deleted,
+    // everything else intact
+    spark.sql("SELECT count(*) AS n FROM vdbcat.grp.t").head().getLong(0) shouldBe 27L
+    spark.sql("SELECT metadata FROM vdbcat.grp.t WHERE id='r020'")
+      .head().getString(0) shouldBe """{"u":1}"""
+    spark.sql("SELECT count(*) AS n FROM vdbcat.grp.t WHERE id IN ('r005','r021','r025')")
+      .head().getLong(0) shouldBe 0L
+    // the victim group's tombstone (r025) left the tombstone table with
+    // its file, so the footer COUNT(*) arithmetic stays exact
+    val cnt = spark.read.format("gvdb").load(s"$warehouse/grp/t").groupBy().count()
+    cnt.queryExecution.executedPlan.toString should include("PushedAggregates")
+    cnt.head().getLong(0) shouldBe 27L
+    spark.catalog.dropTempView("grp_changes"); spark.catalog.dropTempView("grp_src")
+    spark.sql("DROP TABLE vdbcat.grp.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")
