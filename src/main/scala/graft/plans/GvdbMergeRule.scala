@@ -19,12 +19,12 @@ import graft.table.VectorTable
   * predicates the source-filter algebra can't express — via analyzer
   * rewrites onto the engine's existing tombstone-delete + dedup-insert
   * machinery (the `vdb_upsert` semantics) instead of Spark's
-  * `SupportsRowLevelOperations` plumbing: the table has exactly one
-  * "group" (no partition transforms), so the group-based rewrite would
-  * degenerate to the same whole-table copy-on-write these commands
-  * perform directly, with three extra moving parts. Subquery
-  * predicates work throughout (the deferred Column evaluation re-plans
-  * them like any Dataset operation).
+  * `SupportsRowLevelOperations` plumbing — and with the same
+  * granularity a group-based connector would reach: rewrites are
+  * FILE-GROUP copy-on-write ([[GvdbRowLevel.rewrite]]), replacing only
+  * the part files that hold touched rows. Subquery predicates work
+  * throughout (the deferred Column evaluation re-plans them like any
+  * Dataset operation).
   *
   * The rule runs in the analyzer's extended-resolution slot. Because
   * the table advertises `ACCEPT_ANY_SCHEMA`, Spark deliberately leaves
