@@ -244,13 +244,16 @@ private[plans] object GvdbRowLevel {
     if (victims.nonEmpty) {
       val tombPath = new org.apache.hadoop.fs.Path(root + ".tombstones")
       if (hfs.exists(tombPath)) {
-        val scratch = java.nio.file.Files.createTempDirectory("gvdb-tombs").toString + "/staged"
+        // staged BESIDE the table via the table's own FileSystem (the
+        // snapshot/index sidecar convention) — a driver-local tempdir
+        // would break on any non-local Hadoop FS, where executors and
+        // the table root don't share the driver's disk
+        val scratch = root + ".tombstones__rewrite"
         spark.read.parquet(tombPath.toString)
           .join(victimIds, Seq(VectorSchema.ID), "left_anti")
-          .write.parquet(scratch)
+          .write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(tombPath.toString)
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(scratch).getParentFile)
+        hfs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       }
       victims.foreach(f => hfs.delete(new org.apache.hadoop.fs.Path(f), false))
       // data files deleted: snapshot manifests referencing them expire
@@ -266,9 +269,15 @@ private[plans] object GvdbRowLevel {
     * tier was active (the vacuum contract). */
   def copyOnWrite(spark: SparkSession, root: String,
       result: org.apache.spark.sql.DataFrame): Unit = {
-    val scratch = java.nio.file.Files.createTempDirectory("gvdb-rowlevel").toString + "/staged"
+    // staged beside the table (see the tombstone-rewrite note): the
+    // result plan READS the target the overwrite is about to delete,
+    // and the scratch must live on the table's FileSystem, not the
+    // driver's local disk
+    val scratch = root + ".rowlevel__staged"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      result.write.parquet(scratch)
+      result.write.mode("overwrite").parquet(scratch)
       // the builders resolve the embedding dimension from DATA
       // (VectorTable.actualDim), so the dummy-dim handle is safe here
       val table = new VectorTable(spark, root, 1)
@@ -280,8 +289,7 @@ private[plans] object GvdbRowLevel {
       ivfpq.foreach(m => table.buildIvfPqIndex(m.nCells, m.m, m.pqK, m.nProbe, m.shortlistFactor))
       bq.foreach(m => table.buildBqIndex(m.coarseFactor, m.fineFactor))
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(scratch).getParentFile)
+      hfs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       ()
     }
   }
@@ -306,6 +314,24 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     val joined = GraftBridge.ofRows(spark, targetPlan).withColumn(T, lit(1))
       .join(GraftBridge.ofRows(spark, sourcePlan).withColumn(S, lit(1)),
         GraftBridge.column(spec.cond), "full_outer")
+
+    // Cardinality gate (the MergeRowsExec / Delta contract): a target
+    // row matched by MULTIPLE source rows would be updated/deleted more
+    // than once — or, under our rewrite, emitted more than once — so a
+    // merge carrying any WHEN MATCHED clause fails fast instead of
+    // silently duplicating ids. O(matched) shuffle on the id key only;
+    // limit(1) short-circuits the probe.
+    if (matchedActions.nonEmpty) {
+      val idF = targetFields.find(_.name == VectorSchema.ID).get
+      val multi = joined.where(col(T).isNotNull && col(S).isNotNull)
+        .groupBy(GraftBridge.column(idF)).count()
+        .where(col("count") > 1).limit(1).count()
+      if (multi > 0)
+        throw new IllegalStateException(
+          "MERGE_CARDINALITY_VIOLATION: the ON search condition matched a single " +
+            "row of the target table with multiple rows of the source; a matched " +
+            "row may be updated or deleted at most once")
+    }
 
     // first matching action per row, encoded as a code column:
     // 100+i/200+i/300+i for matched/not-matched/not-matched-by-source
@@ -360,10 +386,26 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     val touched = classified
       .where(col(ACT).isin(mutatedCodes.map(Int.box): _*))
       .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
-    val result = classified
+    val raw = classified
       .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
       .select((targetFields.map(valueFor) :+
         GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+    // Inserted rows (Origin null) re-enter the table's first-wins
+    // dedup contract here — the group-CoW append bypasses
+    // GvdbWrite.insert, so without this a NOT MATCHED INSERT whose id
+    // already exists (reachable whenever ON is not id equality) would
+    // silently break id uniqueness, and with it the footer COUNT(*)
+    // arithmetic and the MoR tombstone anti-join. In-batch first-wins
+    // (dropDuplicates) then anti-join against the ids that SURVIVE the
+    // merge (not the raw table: an id deleted by this same merge is
+    // legitimately re-insertable).
+    val result = if (notMatchedActions.isEmpty) raw else {
+      val survivors = raw.where(col(GvdbRowLevel.Origin).isNotNull)
+      val inserted = raw.where(col(GvdbRowLevel.Origin).isNull)
+        .dropDuplicates(VectorSchema.ID)
+        .join(survivors.select(col(VectorSchema.ID)), Seq(VectorSchema.ID), "left_anti")
+      survivors.unionByName(inserted)
+    }
     GvdbRowLevel.rewrite(spark, root, result, touched)
     Seq.empty
   }

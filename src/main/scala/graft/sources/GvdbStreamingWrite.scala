@@ -86,10 +86,17 @@ class GvdbStreamingWrite(spark: SparkSession, root: String, dimOpt: Option[Int],
     try {
       if (epochId <= committedEpoch) return // replayed epoch: already applied
       val files = messages.collect { case m: GvdbStagedFile if m.path != null => m.path }
-      val batch =
+      val staged =
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         else spark.read.schema(schema).json(files.toIndexedSeq: _*)
+      // Complete mode (truncate) replays through create(overwrite) →
+      // drop(), which deletes root+".staging" — the directory holding
+      // THIS batch's lazily-read staged files. Pin the batch in the
+      // block manager first (eager localCheckpoint: a bounded
+      // micro-batch; a lost executor fails the epoch, which replays)
+      // so the insert never re-reads files the drop removed.
+      val batch = if (truncate && files.nonEmpty) staged.localCheckpoint(true) else staged
       GvdbWrite.insert(spark, root, batch, overwrite = truncate, dimOpt)
       recordEpoch(epochId)
     } finally {

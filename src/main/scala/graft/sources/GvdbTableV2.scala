@@ -369,7 +369,10 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
         hfs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum)
     }
     override val numRows: OptionalLong =
-      if (versionAsOf.isEmpty && !changeFeed && !streamingUse)
+      // abstain when filters were pushed: the scan's actual output is
+      // the FILTERED rows, and reporting the full live count would
+      // overstate numRows to the join planner for every filtered scan
+      if (versionAsOf.isEmpty && !changeFeed && !streamingUse && pushed.isEmpty)
         OptionalLong.of(GvdbFooters.liveRowCount(spark, root))
       else OptionalLong.empty()
   }

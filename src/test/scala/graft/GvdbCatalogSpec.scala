@@ -498,6 +498,65 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.grp.t")
   }
 
+  test("MERGE cardinality violation and insert first-wins dedup") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.card")
+    spark.sql("""CREATE TABLE vdbcat.card.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("""INSERT INTO vdbcat.card.t VALUES
+      ('a','tagA',array(1.0f)), ('b','tagB',array(2.0f))""")
+    // a target row matched by TWO source rows: an update merge must
+    // fail fast (the MergeRows / Delta cardinality contract), not
+    // silently write the id twice
+    Seq(("a", "x"), ("a", "y")).toDF("id", "m").createOrReplaceTempView("card_dup")
+    val exU = intercept[Exception] {
+      spark.sql("""MERGE INTO vdbcat.card.t t USING card_dup c ON t.id = c.id
+        WHEN MATCHED THEN UPDATE SET metadata = c.m""")
+    }
+    exU.getMessage should include("MERGE_CARDINALITY_VIOLATION")
+    // ... and a deletes-only multi-match raises too (still ambiguous)
+    val exD = intercept[Exception] {
+      spark.sql("""MERGE INTO vdbcat.card.t t USING card_dup c ON t.id = c.id
+        WHEN MATCHED THEN DELETE""")
+    }
+    exD.getMessage should include("MERGE_CARDINALITY_VIOLATION")
+    spark.sql("SELECT id, metadata FROM vdbcat.card.t ORDER BY id").collect()
+      .map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", "tagA"), ("b", "tagB")) // table untouched by the failed merges
+    // NOT MATCHED INSERT under a non-id ON clause: an id that already
+    // exists re-enters the first-wins contract (skipped), and in-batch
+    // duplicates collapse — never a duplicate id in the table
+    Seq(("a", "nomatch1", Seq(9f)), ("z", "nomatch2", Seq(5f)), ("z", "nomatch2", Seq(6f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("card_ins")
+    spark.sql("""MERGE INTO vdbcat.card.t t USING card_ins c ON t.metadata = c.metadata
+      WHEN NOT MATCHED THEN INSERT (id, metadata, embedding)
+        VALUES (c.id, c.metadata, c.embedding)""")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.card.t WHERE id='a'")
+      .head().getLong(0) shouldBe 1L
+    spark.sql("SELECT metadata FROM vdbcat.card.t WHERE id='a'")
+      .head().getString(0) shouldBe "tagA" // first-wins: existing row kept
+    spark.sql("SELECT count(*) AS n FROM vdbcat.card.t WHERE id='z'")
+      .head().getLong(0) shouldBe 1L
+    // an id DELETED by the same merge is legitimately re-insertable:
+    // the insert dedup joins against the rows that SURVIVE the merge,
+    // not the raw table ids — one statement deletes b (matched via its
+    // metadata) and inserts a fresh row that reuses id b
+    Seq(("b", "tagB", Seq(0f), "d"), ("b", "tagB2", Seq(7f), "i"))
+      .toDF("id", "metadata", "embedding", "op").createOrReplaceTempView("card_reins")
+    spark.sql("""MERGE INTO vdbcat.card.t t USING card_reins c ON t.metadata = c.metadata
+      WHEN MATCHED AND c.op = 'd' THEN DELETE
+      WHEN NOT MATCHED AND c.op = 'i' THEN INSERT (id, metadata, embedding)
+        VALUES (c.id, c.metadata, c.embedding)""")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.card.t WHERE id='b'")
+      .head().getLong(0) shouldBe 1L
+    spark.sql("SELECT metadata FROM vdbcat.card.t WHERE id='b'")
+      .head().getString(0) shouldBe "tagB2"
+    spark.catalog.dropTempView("card_dup"); spark.catalog.dropTempView("card_ins")
+    spark.catalog.dropTempView("card_reins")
+    spark.sql("DROP TABLE vdbcat.card.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")

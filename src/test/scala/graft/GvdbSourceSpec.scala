@@ -172,6 +172,39 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("Complete-mode streaming write (truncate) replaces the table per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot("complete")
+    val cp = Files.createTempDirectory("graft-gvdbspec-cpc").toString
+    val src = MemoryStream[(String, Int)]
+    // a running aggregate: Complete mode re-emits the FULL result each
+    // epoch, and the sink's truncate() path must replace the table with
+    // it — the regression pinned here is the insert reading its staged
+    // files AFTER the overwrite's drop() deleted root+".staging"
+    val agg = src.toDF().toDF("id", "v")
+      .groupBy(col("id")).agg(sum(col("v")).as("s"))
+      .select(col("id"),
+        concat(lit("""{"s":"""), col("s"), lit("}")).as("metadata"),
+        array(col("s").cast("float")).as("embedding"))
+    val q = agg.writeStream.format("gvdb").outputMode("complete")
+      .option("path", root).option("dim", "1")
+      .option("checkpointLocation", cp)
+      .start()
+    src.addData(("a", 1), ("b", 2))
+    q.processAllAvailable()
+    spark.read.format("gvdb").load(root).count() shouldBe 2
+    src.addData(("a", 10), ("c", 3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.format("gvdb").load(root)
+    out.count() shouldBe 3
+    // the epoch REPLACED the table: a's row carries the refreshed sum,
+    // not the epoch-0 value the first-wins append path would keep
+    out.where(col("id") === "a").head().getString(1) shouldBe """{"s":11}"""
+    new VectorTable(spark, root, 1).drop()
+  }
+
   test("versionAsOf reads the pinned snapshot (time travel) and rejects writes") {
     val root = freshRoot("tt")
     rows(0 until 20).write.format("gvdb").option("dim", "2")
