@@ -5876,9 +5876,11 @@ object SparkEntry {
     // STATISTIC by integer rank — portable across engines where an
     // interpolated quantile is not), and the guarantee checked where
     // it is made: empirical test coverage ≥≈ 90%. One corpus pass for
-    // moments, one for residuals, one bounded single-column sort for
-    // the rank — the calibration set is the only globally-sorted
-    // relation and it is a fraction of the corpus. ----
+    // moments, one for residuals, and a DISTRIBUTED order statistic
+    // for the rank: range-partitioned sort + zipWithIndex (per-
+    // partition counts give each partition its global rank offset) —
+    // never a single-partition window, so the calibration set (¼ of
+    // the corpus) is sorted across the cluster, not in one task. ----
     "ml_conformal" -> ((s, dir) => {
       import s.implicits._
       val h = conv(substring(md5(concat(lit("conf:"), $"l_orderkey".cast("string"),
@@ -5912,15 +5914,22 @@ object SparkEntry {
       val scored = base.where($"split" >= 2).crossJoin(broadcast(coef))
         .withColumn("resid", abs($"y".cast("double") -
           ($"b0" + $"b1" * $"x1".cast("double") + $"b2" * $"x2".cast("double"))))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"resid".asc, $"l_orderkey".asc, $"l_linenumber".asc)
       val cal = scored.where($"split" === 2)
         .select($"resid", $"l_orderkey", $"l_linenumber")
-        .withColumn("rk", row_number().over(w))
-      val kq = cal.agg(count(lit(1)).as("n_cal"))
-        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
-      val qhat = cal.join(broadcast(kq), $"rk" === $"k")
-        .select($"n_cal", $"k", $"resid".as("q"))
+      val nCal = cal.count()
+      val k = (9L * (nCal + 1L) + 9L) / 10L // ⌈0.9·(n_cal+1)⌉ by integer rank
+      // k-th smallest by TOTAL order (resid, orderkey, linenumber):
+      // range-repartition so partition i holds ranks before partition
+      // i+1, sort within, then zipWithIndex assigns global ranks from
+      // per-partition counts — the k-th element is exact and no task
+      // ever holds more than its range slice. The rank is independent
+      // of where the sampled range boundaries fall.
+      val q = cal
+        .repartitionByRange(32, $"resid".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .sortWithinPartitions($"resid".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .select($"resid").rdd.zipWithIndex()
+        .filter(_._2 == k - 1).map(_._1.getDouble(0)).collect().head
+      val qhat = Seq((nCal, k, q)).toDF("n_cal", "k", "q")
       scored.where($"split" === 3).crossJoin(broadcast(qhat))
         .agg(first($"n_cal").as("n_cal"), first($"k").as("k"),
           RoundPortableExpr.r(first($"q"), 4).as("qhat"),

@@ -257,6 +257,19 @@ class PlanShapeSpec extends SparkSpec with Matchers {
     physical("dedup_substring") should not include "CartesianProduct"
   }
 
+  test("conformal calibration rank is distributed — no single-partition window") {
+    // the k-th smallest calibration residual is found by a range-
+    // partitioned sort + per-partition rank offsets; a global
+    // (empty partition-by) row_number window would move ¼ of the
+    // corpus into ONE task
+    val df = SparkEntry.queries("ml_conformal")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    core.PlanCache.release(spark)
+    p should not include "Window ["
+    p.toLowerCase should not include "windowspecdefinition"
+    df.count() shouldBe 1L
+  }
+
   test("semantic dedup: broadcast centroids, partial argmin heaps, cluster-keyed prune") {
     val p = physical("dedup_semantic")
     core.PlanCache.release(spark)
