@@ -1561,7 +1561,7 @@ object SparkEntry {
       slice(300, 400).createOrReplaceTempView("cat_tt_d2")
       s.sql(s"INSERT INTO $cat.tt.docs SELECT * FROM cat_tt_d2")
       tbl.delete(get_json_object(col("metadata"), "$.lang") === "de")
-      tbl.snapshot() // v2
+      val v2 = tbl.snapshot()
       // format midTs in the SESSION time zone — TIMESTAMP AS OF parses
       // its literal there
       val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
@@ -1572,9 +1572,23 @@ object SparkEntry {
         s"""SELECT '$ver' AS ver, count(*) AS cnt,
            |  sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars
            |FROM $cat.tt.docs $suffix""".stripMargin)
+      // SELECTIVE snapshot expiry under a file-group CoW: an UPDATE
+      // touching only the SECOND insert's file group (embedding only —
+      // the census reads metadata, so 'live' is unchanged) rewrites
+      // those files. v1's manifest references only the first group →
+      // survives and still serves VERSION AS OF; v2 referenced a
+      // victim → expired. Both pinned hard (a wrong expiry fails the
+      // oracle run, not just a unit test).
+      s.sql(s"UPDATE $cat.tt.docs SET embedding = array(cast(0.0 AS float)) " +
+        "WHERE id = '350'")
+      require(tbl.snapshotVersions.contains(v1),
+        "selective expiry must keep v1 (its files survived the group CoW)")
+      require(!tbl.snapshotVersions.contains(v2),
+        "selective expiry must drop v2 (its manifest references a rewritten file)")
       val back = census(s"VERSION AS OF $v1", "v1")
         .unionByName(census(s"TIMESTAMP AS OF '$iso'", "ts"))
         .unionByName(census("", "live"))
+        .unionByName(census(s"VERSION AS OF $v1", "v1_after_cow"))
       val got = back.collect().toSeq
       s.sql(s"DROP TABLE $cat.tt.docs")
       s.sql(s"DROP NAMESPACE $cat.tt")
@@ -8125,7 +8139,9 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 500 AND lang <> 'de'
         |GROUP BY lang""".stripMargin,
     // catalog time travel: v1/ts pin the first 300 docs (pre-insert,
-    // pre-delete); live = docs < 400 minus 'de'
+    // pre-delete); live = docs < 400 minus 'de'; v1_after_cow = v1
+    // re-read after a later file-group rewrite (selective expiry kept
+    // it — identical census)
     "vdb_catalog_timetravel" ->
       """SELECT 'v1' AS ver, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 300
@@ -8134,7 +8150,10 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 300
         |UNION ALL
         |SELECT 'live', count(*), CAST(sum(n_chars) AS BIGINT)
-        |FROM documents WHERE doc_id < 400 AND lang <> 'de'""".stripMargin,
+        |FROM documents WHERE doc_id < 400 AND lang <> 'de'
+        |UNION ALL
+        |SELECT 'v1_after_cow', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
       """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,

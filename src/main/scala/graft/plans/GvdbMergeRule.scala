@@ -194,9 +194,9 @@ private[plans] object GvdbRowLevel {
     * inserts) appends FIRST — its plan still reads the victims — then
     * the victim files drop, the tombstone ids they carried leave the
     * tombstone table (keeping the raw-minus-tombstones arithmetic
-    * exact: a victim's dead rows are now physically gone), and
-    * snapshots expire when files were deleted (the rewrite retention
-    * contract). Rows in victim files that the command did NOT touch
+    * exact: a victim's dead rows are now physically gone), and ONLY
+    * the snapshots whose manifests reference a victim expire
+    * (selective retention). Rows in victim files that the command did NOT touch
     * ride along via the origin semi-join; rows in untouched files are
     * never read twice nor rewritten. Crash window: between the append
     * and the victim deletion a reader could see a touched row twice —
@@ -256,10 +256,13 @@ private[plans] object GvdbRowLevel {
         hfs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       }
       victims.foreach(f => hfs.delete(new org.apache.hadoop.fs.Path(f), false))
-      // data files deleted: snapshot manifests referencing them expire
-      // (the same retention-zero rule as vacuum/reindex)
-      hfs.delete(new org.apache.hadoop.fs.Path(root + ".snapshots"), true)
-      ()
+      // data files deleted: ONLY the snapshot manifests referencing a
+      // victim expire — a snapshot whose files all survive the group
+      // rewrite keeps serving time travel (Delta/Iceberg-style
+      // selective expiry, not the vacuum/reindex retention-zero rule,
+      // which is for whole-table rewrites where every manifest is dead)
+      new VectorTable(spark, root, 1).expireSnapshotsReferencing(
+        victims.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
     }
   }
 

@@ -545,9 +545,12 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * with the data.
     *
     * Retention contract, same shape as Delta/Iceberg expiry: [[vacuum]]
-    * and [[buildAnnIndex]] REWRITE data files, so both invalidate all
-    * existing snapshots (retention zero) — time travel spans inserts
-    * and deletes, not physical rewrites. */
+    * and [[buildAnnIndex]] REWRITE every data file, so both invalidate
+    * all existing snapshots (retention zero); a PARTIAL rewrite (the
+    * file-group CoW behind SQL MERGE/UPDATE) expires only the versions
+    * whose manifests reference a replaced file
+    * ([[expireSnapshotsReferencing]]) — time travel spans inserts,
+    * deletes, and any rewrite that left the snapshot's files alone. */
   def snapshot(): Int = {
     val version = snapshotVersions.lastOption.getOrElse(0) + 1
     val vdir = new Path(snapsRoot, s"v$version")
@@ -646,6 +649,23 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   }
 
   private def expireSnapshots(): Unit = fs.delete(snapsRoot, true)
+
+  /** SELECTIVE expiry for partial rewrites (the file-group CoW path):
+    * drop only the snapshot versions whose manifests reference one of
+    * `deletedNames` (bare part-file names). A snapshot whose files all
+    * survive the rewrite keeps serving time travel — the Delta/Iceberg
+    * contract, instead of the old drop-the-whole-`.snapshots` rule
+    * where one CDC merge erased all history. Driver-side metadata scan:
+    * O(versions × names-per-manifest), the same order as writing the
+    * manifests in the first place. */
+  private[graft] def expireSnapshotsReferencing(deletedNames: Set[String]): Unit =
+    snapshotVersions.foreach { v =>
+      val refs = snapshotFiles(v).map(f => new Path(f).getName)
+      if (refs.exists(deletedNames.contains)) {
+        fs.delete(new Path(snapsRoot, s"v$v"), true)
+        ()
+      }
+    }
 
   /** Folds tombstones into the data: one rewrite of the surviving rows,
     * then the tombstone table is dropped. The compaction half of

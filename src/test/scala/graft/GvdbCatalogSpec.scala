@@ -498,6 +498,45 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.grp.t")
   }
 
+  test("selective snapshot expiry: a group CoW keeps snapshots whose files survive") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.sel")
+    spark.sql("""CREATE TABLE vdbcat.sel.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    def batch(ids: Range) = ids.map(i => (f"r$i%03d", "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+    batch(0 until 10).createOrReplaceTempView("sel_src")
+    spark.sql("INSERT INTO vdbcat.sel.t SELECT * FROM sel_src")
+    val vt = new VectorTable(spark, s"$warehouse/sel/t", 1)
+    val v1 = vt.snapshot() // references ONLY the first file group
+    Seq(10 until 20, 20 until 30).foreach { r =>
+      batch(r).createOrReplaceTempView("sel_src")
+      spark.sql("INSERT INTO vdbcat.sel.t SELECT * FROM sel_src")
+    }
+    val v2 = vt.snapshot() // references every group, incl. the victim
+    // update-carrying merge touching ONLY the r02x group
+    Seq(("r025", """{"u":1}""", Seq(99f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("sel_chg")
+    spark.sql("""MERGE INTO vdbcat.sel.t t USING sel_chg c ON t.id = c.id
+      WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding""")
+    // v1's files all survived the group rewrite → still readable,
+    // through the API and through SQL time travel by catalog name
+    vt.snapshotVersions should contain(v1)
+    vt.asOf(v1).count() shouldBe 10L
+    spark.sql(s"SELECT count(*) AS n FROM vdbcat.sel.t VERSION AS OF $v1")
+      .head().getLong(0) shouldBe 10L
+    // v2 referenced the rewritten victim file → expired
+    vt.snapshotVersions should not contain v2
+    an[Exception] should be thrownBy vt.asOf(v2).count()
+    // the live table reflects the merge
+    spark.sql("SELECT metadata FROM vdbcat.sel.t WHERE id='r025'")
+      .head().getString(0) shouldBe """{"u":1}"""
+    spark.sql("SELECT count(*) AS n FROM vdbcat.sel.t").head().getLong(0) shouldBe 30L
+    spark.catalog.dropTempView("sel_src"); spark.catalog.dropTempView("sel_chg")
+    spark.sql("DROP TABLE vdbcat.sel.t")
+  }
+
   test("MERGE cardinality violation and insert first-wins dedup") {
     init()
     import spark.implicits._
