@@ -264,6 +264,7 @@ object ScaleStress {
       else if (name == "gvdb_manyfiles") gvdbManyFiles(spark)
       else if (name == "tier_recall_384") tierRecall384(spark, src)
       else if (name == "gvdb_merge") gvdbMerge(spark, src, target, copies)
+      else if (name == "gvdb_victim_lookup") gvdbVictimLookup(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -628,6 +629,87 @@ object ScaleStress {
     val (c0, m0) = runOnce(src, "sf0.1")
     val (c1, m1) = runOnce(target, "sf1")
     println(f"[stress] ratio  gvdb_merge            cow=${c1 / c0}%5.2fx mor=${m1 / m0}%5.2fx for ${copies}x data")
+  }
+
+  /** Victim-lookup pruning for the file-group CoW: a table built from
+    * B sequential insert batches with monotone id prefixes (the CDC
+    * build shape — each batch's files span only that batch's id range,
+    * because the dedup insert hash-shuffles WITHIN a batch), then a
+    * CLUSTERED touch set (ids from one batch). The pruned lookup
+    * (footer id stats → candidate files → id scan of candidates) must
+    * read bytes ∝ the touched batch's files while the UNPRUNED lookup
+    * (full id→file scan, the pre-r12 shape) reads the whole id column —
+    * at 10× data the pruned side stays flat, the full side grows 10×.
+    * Both must name the same victim files (the correctness tie). */
+  private def gvdbVictimLookup(spark: SparkSession, src: String, target: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    // records read is the exact, compression-independent measure of
+    // scan work (byte counts at fixture scale drown in footer and
+    // page-header constants)
+    val recsRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    })
+    def measure(body: => Unit): Long = {
+      Thread.sleep(500); recsRead.set(0L); body; Thread.sleep(700); recsRead.get
+    }
+    def runOnce(dir: String, tag: String): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-victim-$tag").toString
+      val root = s"$wh/docs"
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      // FIXED rows per batch — the CDC reality: a bigger table means
+      // MORE ingest batches, not bigger ones, so the pruned lookup's
+      // work (∝ one batch's files) must stay flat across corpus scale.
+      // Batch boundaries by QUANTILE (the scaled corpus has sparse
+      // doc_id copies at k·10⁷ offsets — value-sliced batches would be
+      // mostly empty).
+      val batches = math.max(8, (base.count() / 625L).toInt)
+      val bounds = base.stat.approxQuantile("doc_id",
+        (1 until batches).map(_.toDouble / batches).toArray, 0.001)
+      val edges = (Double.NegativeInfinity +: bounds.toSeq) :+ Double.PositiveInfinity
+      // ids: a batch-ordinal prefix (keeps per-batch file ranges
+      // disjoint — the monotone-key CDC shape) + an md5 suffix (kills
+      // columnar compression, so scan bytes track rows the way a real
+      // id column's do)
+      def mkId(b: Int) = concat(format_string("b%02d:", lit(b)),
+        md5($"doc_id".cast("string")))
+      for (b <- 0 until batches) {
+        base.where($"doc_id" >= edges(b) && $"doc_id" < edges(b + 1))
+          .select(mkId(b).as("id"),
+            to_json(struct($"lang", $"n_chars")).as("metadata"),
+            array($"n_chars".cast("float")).as("embedding"))
+          .write.format("gvdb").option("dim", "1")
+          .mode(if (b == 0) "overwrite" else "append").save(root)
+      }
+      // clustered touches: 200 ids from the LAST insert batch
+      val touched = base.orderBy($"doc_id".desc).limit(200)
+        .select(mkId(batches - 1).as("id"))
+        .distinct().localCheckpoint(true)
+      var pruned: Array[String] = Array.empty
+      val bPruned = measure {
+        pruned = graft.plans.GvdbRowLevel.victimLookup(spark, root, touched)._1.sorted
+      }
+      var full: Array[String] = Array.empty
+      val bFull = measure {
+        full = spark.read.format("parquet").load(root)
+          .select($"id", input_file_name().as("f"))
+          .join(touched, Seq("id"), "left_semi")
+          .select($"f").distinct().collect().map(_.getString(0)).sorted
+      }
+      require(pruned.sameElements(full),
+        s"pruned victim lookup must find the full scan's victims: " +
+          s"${pruned.length} vs ${full.length}")
+      val tableRows = graft.sources.GvdbFooters.rowCount(spark, root)
+      println(f"[stress] gvdb_victim_lookup $tag%-7s rows=$tableRows%9d" +
+        f"  pruned_recs=$bPruned%9d  full_recs=$bFull%9d  victims=${pruned.length}")
+    }
+    runOnce(src, "sf0.1")
+    runOnce(target, "sf1")
   }
 
   /** Recall of the three persisted index tiers at PRODUCTION

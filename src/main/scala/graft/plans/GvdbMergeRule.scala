@@ -139,7 +139,7 @@ case class GvdbMergeSpec(cond: Expression, matchedActions: Seq[MergeAction],
 
 /** Shared evaluation pieces of the SQL row-level commands (MERGE /
   * UPDATE / DELETE over gvdb tables). */
-private[plans] object GvdbRowLevel {
+private[graft] object GvdbRowLevel {
 
   def keyName(e: Expression): String = e match {
     case a: AttributeReference => a.name
@@ -202,27 +202,73 @@ private[plans] object GvdbRowLevel {
     * and the victim deletion a reader could see a touched row twice —
     * the same single-writer, non-transactional contract as the rest
     * of the format's rewrite points. */
-  private def groupCopyOnWrite(spark: SparkSession, root: String,
-      result: org.apache.spark.sql.DataFrame,
-      touched: org.apache.spark.sql.DataFrame): Unit = {
+  /** Which part files hold any of `touchedIds` (the CoW victims), and
+    * the pinned id set those files carry. Pruned by parquet FOOTER id
+    * statistics: only the files whose id [min,max] overlaps a touched
+    * id (plus any stat-less file) have their id column READ — a CDC
+    * batch against a 100 TB table scans the candidate files, not the
+    * table. File ranges are insert-batch-scoped (the dedup insert
+    * hash-shuffles within a batch, so each batch's files span that
+    * batch's ids only), which is exactly the locality CDC touches
+    * have. The range probe is a broadcast of the per-file stats
+    * (#files rows, driver metadata — no data read) against the touched
+    * keys; a false positive only costs a ride-along rewrite, never
+    * correctness. `touchedIds` must be pinned (localCheckpoint) — the
+    * returned victimIds frame is consumed AFTER the victims are
+    * deleted. */
+  private[graft] def victimLookup(spark: SparkSession, root: String,
+      touchedIds: org.apache.spark.sql.DataFrame)
+      : (Array[String], org.apache.spark.sql.DataFrame) = {
     val FileCol = "__gvdb_file"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    // RAW id→file map (dead rows included: a victim file's tombstoned
-    // ids must leave the tombstone table when the file goes)
-    val idToFile = spark.read.schema(VectorSchema.schema).parquet(root)
-      .select(col(VectorSchema.ID), input_file_name().as(FileCol))
-    val victims = idToFile
-      .join(touched.select(col(touched.columns.head).as(VectorSchema.ID)).distinct(),
-        Seq(VectorSchema.ID), "left_semi")
-      .select(FileCol).distinct().collect().map(_.getString(0))
     import spark.implicits._
+    val stats = graft.sources.GvdbFooters.idStats(spark, root)
+    val (known, unknown) = stats.partition(_._3.isDefined)
+    val candKnown =
+      if (known.isEmpty) Array.empty[String]
+      else {
+        val statsDf = known.map { case (f, _, r) => (f, r.get._1, r.get._2) }
+          .toDF(FileCol, "__gvdb_lo", "__gvdb_hi")
+        touchedIds.join(broadcast(statsDf),
+            col(VectorSchema.ID) >= col("__gvdb_lo") &&
+              col(VectorSchema.ID) <= col("__gvdb_hi"), "inner")
+          .select(FileCol).distinct().collect().map(_.getString(0))
+      }
+    val candidates = (candKnown ++ unknown.map(_._1)).toSeq
+    // RAW id→file map OVER THE CANDIDATES (dead rows included: a
+    // victim file's tombstoned ids must leave the tombstone table when
+    // the file goes)
+    val idToFile =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(VectorSchema.ID,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(FileCol,
+              org.apache.spark.sql.types.StringType))))
+      else spark.read.schema(VectorSchema.schema).parquet(candidates: _*)
+        .select(col(VectorSchema.ID), input_file_name().as(FileCol))
+    val victims = idToFile
+      .join(touchedIds, Seq(VectorSchema.ID), "left_semi")
+      .select(FileCol).distinct().collect().map(_.getString(0))
     val victimIds =
       if (victims.isEmpty) idToFile.select(VectorSchema.ID).limit(0).localCheckpoint(true)
       else idToFile
         .join(broadcast(victims.toSeq.toDF(FileCol)), Seq(FileCol), "left_semi")
         .select(VectorSchema.ID)
         .localCheckpoint(true) // pinned: consumed after the victims are gone
+    (victims, victimIds)
+  }
+
+  private def groupCopyOnWrite(spark: SparkSession, root: String,
+      result: org.apache.spark.sql.DataFrame,
+      touched: org.apache.spark.sql.DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    import spark.implicits._
+    val touchedIds = touched
+      .select(col(touched.columns.head).as(VectorSchema.ID)).distinct()
+      .localCheckpoint(true) // reused: candidate pruning + victim-id pin
+    val (victims, victimIds) = victimLookup(spark, root, touchedIds)
     val replacement = result.where(col(Origin).isNull)
       .unionByName(result.join(
         victimIds.withColumnRenamed(VectorSchema.ID, Origin), Seq(Origin), "left_semi"))

@@ -139,7 +139,7 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
   * and tombstone batches are disjoint by construction
   * ([[VectorTable.delete]] selects from the LIVE view, so an already-
   * tombstoned id can never re-match a later delete). */
-private[sources] object GvdbFooters {
+private[graft] object GvdbFooters {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
 
@@ -161,6 +161,59 @@ private[sources] object GvdbFooters {
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
       }).longValue()
+
+  /** Per-file id min/max, memoized like the row counts. `None` when
+    * any row-group with rows lacks binary statistics for the id column
+    * (an unprunable file — the caller must treat it as a candidate).
+    * Parquet's statistics-truncation contract (min' ≤ min, max' ≥ max)
+    * keeps range pruning built on these SOUND: a truncated range can
+    * only widen. */
+  private val idRangeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[(String, String)]]
+
+  private def idRangeOf(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, String)] =
+    idRangeMemo.computeIfAbsent(
+      (st.getPath.toString, st.getLen, st.getModificationTime),
+      _ => {
+        import scala.jdk.CollectionConverters._
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try {
+          val perBlock = r.getFooter.getBlocks.asScala.toSeq
+            .filter(_.getRowCount > 0)
+            .map { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == graft.core.VectorSchema.ID)
+                .map(_.getStatistics)
+                .collect {
+                  case s: org.apache.parquet.column.statistics.BinaryStatistics
+                      if s.hasNonNullValue =>
+                    (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+                }
+            }
+          if (perBlock.exists(_.isEmpty)) None
+          else perBlock.flatten.reduceOption { (a, b) =>
+            (if (a._1 <= b._1) a._1 else b._1, if (a._2 >= b._2) a._2 else b._2)
+          }
+        } finally r.close()
+      })
+
+  /** Driver-side footer statistics for every data-carrying part file
+    * under `root`: (path, rows, id min/max). Zero-row files are
+    * omitted — they can never hold a touched row. Feeds the file-group
+    * CoW victim-lookup pruning: candidates = files whose id range
+    * overlaps a touched id (plus the stat-less ones), so a CDC batch
+    * reads the id column of the candidate files only, not the table. */
+  def idStats(spark: SparkSession, root: String)
+      : Seq[(String, Long, Option[(String, String)])] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = p.getFileSystem(conf)
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("part-"))
+      .map(st => (st.getPath.toString, footerRows(st, conf), idRangeOf(st, conf)))
+      .filter(_._2 > 0)
+  }
 
   /** Summed footer row counts of the parquet files under `dir`
     * (0 for a missing directory). */

@@ -172,6 +172,46 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 2).drop()
   }
 
+  test("footer id statistics: per-file ranges, and the victim lookup prunes by them") {
+    import spark.implicits._
+    val root = freshRoot("stats")
+    // three insert batches with disjoint id prefixes → per-batch files
+    // span only their batch's range
+    def batch(p: String, ids: Range) = ids
+      .map(i => (f"$p$i%04d", "{}", Seq(i.toFloat)))
+      .toDF("id", "metadata", "embedding")
+    batch("a", 0 until 50).write.format("gvdb").option("dim", "1")
+      .mode(SaveMode.Overwrite).save(root)
+    batch("b", 0 until 50).write.format("gvdb").mode(SaveMode.Append).save(root)
+    batch("c", 0 until 50).write.format("gvdb").mode(SaveMode.Append).save(root)
+    val stats = graft.sources.GvdbFooters.idStats(spark, root)
+    stats.map(_._2).sum shouldBe 150L // zero-row files omitted, counts exact
+    all(stats.map(_._3)) shouldBe defined
+    // every file's range sits inside ONE batch's prefix
+    stats.foreach { case (_, _, Some((lo, hi))) =>
+      lo.take(1) shouldBe hi.take(1)
+    }
+    // the victim lookup touches only the 'b' files: candidates exclude
+    // every 'a'/'c' file, and the victims found are exactly the files
+    // holding the touched ids
+    val touched = Seq("b0007").toDF("id").localCheckpoint(true)
+    val (victims, victimIds) =
+      graft.plans.GvdbRowLevel.victimLookup(spark, root, touched)
+    victims.length should be >= 1
+    val bFiles = stats.collect { case (f, _, Some((lo, _))) if lo.startsWith("b") => f }
+    // victims ⊆ the b-prefixed files (compare by file NAME — victim
+    // paths come from input_file_name, stats paths from listStatus)
+    val bNames = bFiles.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    victims.foreach { v =>
+      bNames should contain(new org.apache.hadoop.fs.Path(v).getName)
+    }
+    // victimIds = every id the victim files carry, touched or not
+    val vIds = victimIds.collect().map(_.getString(0))
+    vIds should contain("b0007")
+    all(vIds) should startWith("b")
+    new VectorTable(spark, root, 1).drop()
+  }
+
   test("Complete-mode streaming write (truncate) replaces the table per epoch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
