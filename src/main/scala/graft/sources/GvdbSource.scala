@@ -290,6 +290,16 @@ object GvdbWrite {
 
   def insert(spark: SparkSession, root: String, data: DataFrame,
       overwrite: Boolean, dimOpt: Option[Int]): Unit = {
+    // one lock spans dim-resolve + create + insert, so the overwrite's
+    // drop-and-recreate is a single writer turn (nested mutators
+    // reenter)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.WriterLock.withLock(fs, root) { insertLocked(spark, root, data, overwrite, dimOpt) }
+  }
+
+  private def insertLocked(spark: SparkSession, root: String, data: DataFrame,
+      overwrite: Boolean, dimOpt: Option[Int]): Unit = {
     val shaped = shape(data)
     resolveDim(spark, root, shaped, dimOpt, overwrite) match {
       case None => // empty batch into an empty/absent table: just create

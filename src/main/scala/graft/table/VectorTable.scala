@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.VectorSchema
+import graft.core.{VectorSchema, WriterLock}
 
 /** A named, Parquet-backed vector table — the Spark-native counterpart of
   * the reference's one-`.duckdb`-file-per-name model (`DuckVDB`,
@@ -61,7 +61,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * (better than the reference, whose insert path never indexes).
     * Also pins the session's `spark.graft.ann.*` confs to the build
     * parameters so `AnnRewriteRule` probes with the same family. */
-  def buildAnnIndex(tables: Int = 8, bits: Int = 12, seed: Long = 42L): this.type = {
+  def buildAnnIndex(tables: Int = 8, bits: Int = 12, seed: Long = 42L): this.type =
+      WriterLock.withLock(fs, root) {
     val indexed = df.withColumn(VectorSchema.ANN_BUCKETS,
       graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), actualDim, tables, bits, seed))
     val tmp = new Path(root + "__indexing")
@@ -171,7 +172,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * across inserts: each insert appends the fresh rows as NEW segments
     * (never rewriting built graphs), and [[compactHnswIndex]] is the
     * merge policy that folds accumulated small segments. */
-  def buildHnswIndex(m: Int = 16, efConstruction: Int = 128): this.type = {
+  def buildHnswIndex(m: Int = 16, efConstruction: Int = 128): this.type =
+      WriterLock.withLock(fs, root) {
     dropIvfPqIndex(); dropBqIndex() // single index slot (duckvdb.py:37-45)
     val vecs = surrogates(df)
     val nRows = vecs.count()
@@ -262,7 +264,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   /** Builds (or rebuilds) the persisted IVF-PQ index over the LIVE
     * rows. Replaces any other index tier — one index slot per table. */
   def buildIvfPqIndex(nCells: Int = 16, m: Int = 8, pqK: Int = 256,
-      nProbe: Int = 8, shortlistFactor: Int = 16): this.type = {
+      nProbe: Int = 8, shortlistFactor: Int = 16): this.type =
+      WriterLock.withLock(fs, root) {
     dropHnswIndex(); dropBqIndex()
     fs.delete(new Path(ivfpqRoot), true)
     val (ix, codes) = graft.ops.IvfPq.build(surrogates(df), actualDim, nCells, m, pqK)
@@ -347,7 +350,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * 0.76 at the unscaled budget (BENCHNOTES round 11). Explicit
     * values are honored unchanged (rebuild points pass the persisted
     * meta's). */
-  def buildBqIndex(coarseFactor: Int = 0, fineFactor: Int = 0): this.type = {
+  def buildBqIndex(coarseFactor: Int = 0, fineFactor: Int = 0): this.type =
+      WriterLock.withLock(fs, root) {
     lazy val d = actualDim
     val cf = if (coarseFactor > 0) coarseFactor else 64 * math.max(1, d / 128)
     val ff = if (fineFactor > 0) fineFactor else 16 * math.max(1, d / 128)
@@ -379,7 +383,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   /** Idempotent create (reference `CREATE TABLE IF NOT EXISTS`,
     * duckvdb.py:30-32); `overwrite=true` mirrors the drop-and-recreate
     * `new_table` flag (duckvdb.py:26-28). */
-  def create(overwrite: Boolean = false): this.type = {
+  def create(overwrite: Boolean = false): this.type = WriterLock.withLock(fs, root) {
     if (overwrite) drop()
     if (!exists) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], VectorSchema.schema)
@@ -389,7 +393,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   }
 
   /** Idempotent drop (duckvdb.py:34-35). */
-  def drop(): Unit = {
+  def drop(): Unit = WriterLock.withLock(fs, root) {
     if (exists) fs.delete(hadoopPath, true)
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
@@ -439,7 +443,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * physical. Resurrecting an id before vacuum would need per-file
     * sequence numbers to avoid un-hiding the old row; single-writer
     * scope (SURVEY.md §7.4) keeps the simpler contract. */
-  def delete(cond: org.apache.spark.sql.Column): this.type = {
+  def delete(cond: org.apache.spark.sql.Column): this.type = WriterLock.withLock(fs, root) {
     df.where(cond).select(VectorSchema.ID)
       .write.mode("append").parquet(tombPath.toString)
     tombCountCache = None
@@ -470,7 +474,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * broadcasts, an unusually large one may legitimately shuffle —
     * forcing a broadcast here would OOM the driver on exactly the
     * batches that matter at scale. */
-  def deleteIds(ids: DataFrame): this.type = {
+  def deleteIds(ids: DataFrame): this.type = WriterLock.withLock(fs, root) {
     df.join(ids.select(col(ids.columns.head).cast("string")
         .as(VectorSchema.ID)), Seq(VectorSchema.ID), "left_semi")
       .select(VectorSchema.ID)
@@ -551,7 +555,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * whose manifests reference a replaced file
     * ([[expireSnapshotsReferencing]]) — time travel spans inserts,
     * deletes, and any rewrite that left the snapshot's files alone. */
-  def snapshot(): Int = {
+  def snapshot(): Int = WriterLock.withLock(fs, root) {
     val version = snapshotVersions.lastOption.getOrElse(0) + 1
     val vdir = new Path(snapsRoot, s"v$version")
     fs.mkdirs(vdir)
@@ -671,7 +675,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * then the tombstone table is dropped. The compaction half of
     * merge-on-read — run it when the tombstone fraction makes the
     * read-side anti-join worth reclaiming. */
-  def vacuum(): this.type = {
+  def vacuum(): this.type = WriterLock.withLock(fs, root) {
     if (fs.exists(tombPath)) {
       val tmp = new Path(root + "__vacuum")
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -706,7 +710,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * extra action (the reference errors on dim mismatch at cast time,
     * duckvdb.py:104).
     */
-  def insert(batch: DataFrame): Unit = {
+  def insert(batch: DataFrame): Unit = WriterLock.withLock(fs, root) {
     val checked = batch
       .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
       .withColumn(VectorSchema.EMBEDDING,
@@ -792,7 +796,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * `load_from_parquet` CTAS, duckvdb.py:43-45). `buildIndex=true`
     * mirrors the reference exactly: the HNSW-analogue LSH index is
     * built as part of the bulk-load path (duckvdb.py:45). */
-  def loadFromParquet(path: String, buildIndex: Boolean = false): Unit = {
+  def loadFromParquet(path: String, buildIndex: Boolean = false): Unit =
+      WriterLock.withLock(fs, root) {
     fs.delete(metaPath, false)
     fs.delete(tombPath, true)
     fs.delete(snapsRoot, true)
