@@ -3377,6 +3377,14 @@ object SparkEntry {
     // equal the batch MERGE of the whole change set. ----
     "stream_cdc_apply" -> ((s, dir) =>
       EventStream.runCdcUpsertAvailableNow(s, dir)),
+    // ---- streaming: UPDATE mode on the V2 gvdb sink itself — the
+    // `upsert` write option maps each epoch to a keyed MoR upsert
+    // (file-group CoW replace of same-id rows, `vdb_upsert`
+    // semantics), so the CDC-as-a-stream user no longer needs
+    // foreachBatch + MERGE. Census must hash-match the batch-MERGE
+    // oracle however the file stream splits the change set. ----
+    "stream_upsert_sink" -> ((s, dir) =>
+      EventStream.runUpsertSinkAvailableNow(s, dir)),
     // ---- streaming: stream-static enrichment join (dim broadcast into
     // each micro-batch — stateless, the standard ingest-enrichment shape) ----
     "stream_static_join" -> ((s, dir) =>
@@ -8154,6 +8162,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'v1_after_cow', count(*), CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id < 300""".stripMargin,
+    // streaming Update-mode upsert sink: post-stream state = the batch
+    // MERGE of the change set (fr docs under 400 updated +1000 chars,
+    // 400–449 inserted)
+    "stream_upsert_sink" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars + CASE WHEN lang = 'fr' AND doc_id < 400 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars + CASE WHEN lang = 'fr' AND doc_id < 400 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_emb
+        |FROM documents WHERE doc_id < 450 GROUP BY lang""".stripMargin,
     // gvdb streaming sink: every event lands exactly once.
     "stream_sink_gvdb" ->
       """SELECT count(*) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,

@@ -182,11 +182,17 @@ private[graft] object GvdbRowLevel {
   def rewrite(spark: SparkSession, root: String,
       result: org.apache.spark.sql.DataFrame,
       touched: org.apache.spark.sql.DataFrame): Unit = {
-    val table = new VectorTable(spark, root, 1)
-    val indexed = table.annIndexMeta.isDefined || table.hnswIndexMeta.isDefined ||
-      table.ivfPqIndexMeta.isDefined || table.bqIndexMeta.isDefined
-    if (indexed) copyOnWrite(spark, root, result.drop(Origin))
-    else groupCopyOnWrite(spark, root, result, touched)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one writer turn spans the whole rewrite (append + victim drop +
+    // tombstone fold + snapshot expiry); inner mutators reenter
+    graft.core.WriterLock.withLock(fs, root) {
+      val table = new VectorTable(spark, root, 1)
+      val indexed = table.annIndexMeta.isDefined || table.hnswIndexMeta.isDefined ||
+        table.ivfPqIndexMeta.isDefined || table.bqIndexMeta.isDefined
+      if (indexed) copyOnWrite(spark, root, result.drop(Origin))
+      else groupCopyOnWrite(spark, root, result, touched)
+    }
   }
 
   /** File-group copy-on-write: victims = the part files holding any
@@ -429,12 +435,25 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     }
 
     val idField = targetFields.find(_.name == VectorSchema.ID).get
-    val mutatedCodes: Seq[Int] = dropCodes.filter(_ > 0) ++
-      (matchedActions.zipWithIndex.collect { case (_: UpdateAction, i) => 100 + i } ++
-        notMatchedBySourceActions.zipWithIndex.collect { case (_: UpdateAction, i) => 300 + i })
+    val updateCodes: Seq[Int] =
+      matchedActions.zipWithIndex.collect { case (_: UpdateAction, i) => 100 + i } ++
+        notMatchedBySourceActions.zipWithIndex.collect { case (_: UpdateAction, i) => 300 + i }
+    val insertCodes: Seq[Int] =
+      notMatchedActions.zipWithIndex.collect { case (_: InsertAction, i) => 200 + i }
+    val mutatedCodes: Seq[Int] = dropCodes.filter(_ > 0) ++ updateCodes
+    // touched = PRE-image ids of mutated target rows (their files must
+    // rewrite) ∪ POST-image ids of every row the command writes
+    // (updates and inserts): a RAW dead row sharing a written id —
+    // a tombstoned id being re-inserted, or an UPDATE SET id = <dead
+    // id> — must be physically purged with its file, or the tombstone
+    // that hides it would hide the NEW row too (the MoR anti-join and
+    // the footer COUNT(*) arithmetic are id-keyed).
     val touched = classified
       .where(col(ACT).isin(mutatedCodes.map(Int.box): _*))
       .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
+      .unionByName(classified
+        .where(col(ACT).isin((updateCodes ++ insertCodes).map(Int.box): _*))
+        .select(valueFor(idField).cast("string").as(VectorSchema.ID)))
     val raw = classified
       .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
       .select((targetFields.map(valueFor) :+
@@ -481,8 +500,13 @@ case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
     }
     val result = t.select((fields :+
       GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+    // pre-image ∪ post-image ids (see GvdbMergeCommand: an assigned id
+    // colliding with a RAW dead row must purge that row's file)
     val touched = t.where(condCol)
       .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
+      .unionByName(t.where(condCol)
+        .select(GvdbRowLevel.assignCol(spec.assignments, idField)
+          .cast("string").as(VectorSchema.ID)))
     GvdbRowLevel.rewrite(spark, root, result, touched)
     Seq.empty
   }

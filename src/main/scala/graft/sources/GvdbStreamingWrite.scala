@@ -39,13 +39,19 @@ import org.apache.spark.sql.types.StructType
   *
   * Append mode is the native fit (first-wins insert). Complete mode
   * arrives as `truncate()` on the write builder and becomes
-  * replace-per-epoch (the result-refresh shape); Update mode is
-  * rejected by the engine because the builder does not implement
-  * `SupportsStreamingUpdateAsAppend` — accepting it would silently
-  * drop updates on the first-wins insert path.
+  * replace-per-epoch (the result-refresh shape). Update mode is
+  * accepted only through the `upsert` write option
+  * ([[GvdbUpsertWriteBuilder]] carries the
+  * `SupportsStreamingUpdateAsAppend` marker): each epoch applies as a
+  * keyed MoR upsert ([[GvdbUpsert]] — batch rows replace same-id rows
+  * via file-group CoW, the `vdb_upsert` semantics), with the same
+  * epoch-ledger replay skip. Without the option Update is still
+  * rejected — mapping updates onto the first-wins APPEND path would
+  * silently drop them.
   */
 class GvdbStreamingWrite(spark: SparkSession, root: String, dimOpt: Option[Int],
-    truncate: Boolean, queryId: String, schema: StructType)
+    truncate: Boolean, queryId: String, schema: StructType,
+    upsert: Boolean = false)
     extends StreamingWrite {
 
   private val stagingRoot = new Path(root + ".staging", queryId)
@@ -97,7 +103,9 @@ class GvdbStreamingWrite(spark: SparkSession, root: String, dimOpt: Option[Int],
       // micro-batch; a lost executor fails the epoch, which replays)
       // so the insert never re-reads files the drop removed.
       val batch = if (truncate && files.nonEmpty) staged.localCheckpoint(true) else staged
-      GvdbWrite.insert(spark, root, batch, overwrite = truncate, dimOpt)
+      if (upsert && !truncate && files.nonEmpty)
+        GvdbUpsert(spark, root, batch, dimOpt) // keyed replace per epoch
+      else GvdbWrite.insert(spark, root, batch, overwrite = truncate, dimOpt)
       recordEpoch(epochId)
     } finally {
       fs.delete(epochDir, true)

@@ -104,7 +104,9 @@ class GvdbTable(spark: SparkSession, root: String, dimOpt: Option[Int],
     require(versionAsOf.isEmpty,
       s"gvdb: cannot write to a versionAsOf=$versionAsOf snapshot (read-only history)")
     require(!changeFeed, "gvdb: the change feed is read-only")
-    new GvdbWriteBuilder(spark, root, dimOpt, info)
+    if (info.options.getBoolean("upsert", false))
+      new GvdbUpsertWriteBuilder(spark, root, dimOpt, info)
+    else new GvdbWriteBuilder(spark, root, dimOpt, info)
   }
 
   // ---- SQL `DELETE FROM t WHERE ...` / `TRUNCATE TABLE t` — the
@@ -850,7 +852,7 @@ class GvdbChangesMicroBatchStream(spark: SparkSession, root: String,
   * keeps the reference's ON-CONFLICT-DO-NOTHING contract
   * (duckvdb.py:56-61). */
 class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo, upsert: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -861,10 +863,25 @@ class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
-          GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
+          if (upsert && !overwrite) GvdbUpsert(spark, root, data, dimOpt)
+          else GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
       }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GvdbStreamingWrite(spark, root, dimOpt, overwrite,
-        info.queryId(), info.schema())
+        info.queryId(), info.schema(), upsert)
   }
 }
+
+/** The UPSERT write builder, selected by the `upsert` write option:
+  * identical to [[GvdbWriteBuilder]] but (a) routes each batch/epoch
+  * through [[GvdbUpsert]] (batch rows replace same-id rows — the
+  * `vdb_upsert` semantics as a file-group CoW) and (b) carries the
+  * `SupportsStreamingUpdateAsAppend` marker, so `outputMode("update")`
+  * is ACCEPTED: Spark hands the sink each trigger's updated rows and
+  * the sink applies them keyed. Without the option the plain builder
+  * still rejects Update mode — mapping updates onto the first-wins
+  * APPEND path would silently drop them (the r11 refusal, kept). */
+class GvdbUpsertWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
+    info: LogicalWriteInfo)
+    extends GvdbWriteBuilder(spark, root, dimOpt, info, upsert = true)
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend

@@ -550,6 +550,56 @@ object EventStream {
     eagerThenDelete(spark, census, out)
   }
 
+  /** Streaming UPDATE-mode sink: a keyed change stream applies to a
+    * persisted gvdb table as per-epoch MoR upserts through the V2
+    * sink itself (`.option("upsert", "true")` +
+    * `outputMode("update")` — `GvdbUpsertWriteBuilder`), NOT through
+    * foreachBatch+MERGE: updates replace same-id rows via file-group
+    * CoW, inserts append, and the final census must equal the batch
+    * MERGE of the whole change set regardless of how the file stream
+    * splits it into micro-batches (each id occurs once in the set, so
+    * keyed per-epoch application commutes). */
+  def runUpsertSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-upsert-sink").toString
+    val root = s"$out/tbl"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def shaped(d: DataFrame, bump: Boolean) = {
+      val chars = if (bump) $"n_chars" + 1000 else $"n_chars"
+      d.select($"doc_id".cast("string").as("id"),
+        to_json(struct($"lang", chars.as("n_chars"))).as("metadata"),
+        array(chars.cast("float")).as("embedding"))
+    }
+    shaped(docs.where($"doc_id" < 400), bump = false)
+      .write.format("gvdb").option("dim", "1").mode("overwrite").save(root)
+    // the change set: every French base row updated (+1000 chars, new
+    // embedding) + 50 fresh inserts; staged as SEVERAL files so the
+    // file stream splits it across micro-batches
+    shaped(docs.where($"doc_id" < 400 && $"lang" === "fr"), bump = true)
+      .unionByName(shaped(docs.where($"doc_id" >= 400 && $"doc_id" < 450), bump = false))
+      .repartition(4).write.parquet(s"$out/changes")
+    val stream = spark.readStream
+      .schema("id string, metadata string, embedding array<float>")
+      .option("maxFilesPerTrigger", "2").parquet(s"$out/changes")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = stream.writeStream.format("gvdb")
+        .option("path", root).option("dim", "1")
+        .option("upsert", "true").outputMode("update")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val census = spark.read.format("gvdb").load(root)
+      .groupBy(get_json_object($"metadata", "$.lang").as("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(get_json_object($"metadata", "$.n_chars").cast("long")).as("sum_chars"),
+        sum($"embedding"(0)).cast("long").as("sum_emb"))
+    eagerThenDelete(spark, census, out)
+  }
+
   /** Streaming CDC apply: a keyed change stream (upserts + deletes,
     * derived deterministically from the incoming-doc half of the
     * fixture) is MERGED into a persisted base table per micro-batch —

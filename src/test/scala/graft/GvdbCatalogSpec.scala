@@ -596,6 +596,38 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE vdbcat.card.t")
   }
 
+  test("MERGE re-inserting a deleted id resurrects it (dead raw twin purged)") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.res")
+    spark.sql("""CREATE TABLE vdbcat.res.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    spark.sql("""INSERT INTO vdbcat.res.t VALUES
+      ('a','{}',array(1.0f)), ('b','{}',array(2.0f)), ('c','{}',array(3.0f))""")
+    spark.sql("DELETE FROM vdbcat.res.t WHERE id = 'b' AND length(metadata) >= 0")
+    spark.sql("SELECT count(*) AS n FROM vdbcat.res.t").head().getLong(0) shouldBe 2L
+    // NOT MATCHED against the MoR view → INSERT of the tombstoned id:
+    // the dead raw twin's file is a victim (post-image contract), so
+    // the stale tombstone leaves with it and the new row is VISIBLE
+    Seq(("b", """{"back":1}""", Seq(9f)))
+      .toDF("id", "metadata", "embedding").createOrReplaceTempView("res_chg")
+    spark.sql("""MERGE INTO vdbcat.res.t t USING res_chg c ON t.id = c.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("SELECT metadata FROM vdbcat.res.t WHERE id='b'")
+      .head().getString(0) shouldBe """{"back":1}"""
+    spark.sql("SELECT count(*) AS n FROM vdbcat.res.t").head().getLong(0) shouldBe 3L
+    // raw table carries b exactly once, and the footer COUNT(*)
+    // arithmetic agrees with the anti-join view
+    spark.read.parquet(s"$warehouse/res/t").where($"id" === "b").count() shouldBe 1L
+    val cnt = spark.read.format("gvdb").load(s"$warehouse/res/t").groupBy().count()
+    cnt.queryExecution.executedPlan.toString should include("PushedAggregates")
+    cnt.head().getLong(0) shouldBe 3L
+    new VectorTable(spark, s"$warehouse/res/t", 1).tombstoneCount shouldBe 0L
+    spark.catalog.dropTempView("res_chg")
+    spark.sql("DROP TABLE vdbcat.res.t")
+  }
+
   test("namespace lifecycle and rename carry sidecars") {
     init()
     spark.sql("CREATE NAMESPACE vdbcat.life")

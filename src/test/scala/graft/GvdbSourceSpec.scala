@@ -245,6 +245,79 @@ class GvdbSourceSpec extends SparkSpec with Matchers {
     new VectorTable(spark, root, 1).drop()
   }
 
+  test("Update-mode streaming write: keyed MoR upsert via the upsert option") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot("upsert")
+    val cp = Files.createTempDirectory("graft-gvdbspec-cpu").toString
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    // WITHOUT the option, Update mode stays rejected (first-wins
+    // append would silently drop updates); the V2Writes check fires on
+    // the stream thread, so drive a batch to surface it
+    val src0 = MemoryStream[(String, String, Seq[Float])]
+    val rejected = intercept[Exception] {
+      val q0 = src0.toDF().toDF("id", "metadata", "embedding")
+        .writeStream.format("gvdb").outputMode("update")
+        .option("path", root).option("dim", "2")
+        .option("checkpointLocation", s"$cp/reject").start()
+      src0.addData(("x", "{}", Seq(0f, 0f)))
+      q0.processAllAvailable()
+      q0.stop()
+    }
+    rejected.getMessage.toLowerCase should include("update")
+    // with it: epochs apply as keyed upserts — updates replace, new
+    // ids insert, untouched rows survive
+    val src = MemoryStream[(String, String, Seq[Float])]
+    val q = src.toDF().toDF("id", "metadata", "embedding")
+      .writeStream.format("gvdb").outputMode("update")
+      .option("path", root).option("dim", "2").option("upsert", "true")
+      .option("checkpointLocation", s"$cp/run").start()
+    src.addData(("3", """{"u":1}""", Seq(30f, 0f)), ("100", "{}", Seq(9f, 9f)))
+    q.processAllAvailable()
+    src.addData(("3", """{"u":2}""", Seq(31f, 0f))) // second epoch re-updates
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.format("gvdb").load(root)
+    out.count() shouldBe 11L // 10 base + 1 insert; updates replaced in place
+    out.where(col("id") === "3").head().getString(1) shouldBe """{"u":2}"""
+    out.where(col("id") === "100").count() shouldBe 1L
+    out.where(col("id") === "0").head().getString(1) should include("v0") // untouched
+    new VectorTable(spark, root, 2).drop()
+  }
+
+  test("upsert epochs: ledger replay skip and deleted-id resurrection") {
+    import graft.sources.{GvdbStagedFile, GvdbStreamingWrite}
+    val root = freshRoot("upsert2")
+    rows(0 until 10).write.format("gvdb").option("dim", "2")
+      .mode(SaveMode.Overwrite).save(root)
+    // tombstone id 4, then upsert it back through the sink: the dead
+    // raw duplicate is purged with its file and the id resurrects
+    new VectorTable(spark, root, 2).delete(col("id") === "4")
+    spark.read.format("gvdb").load(root).count() shouldBe 9L
+    val schema = rows(0 until 1).schema
+    def stage(tag: String, ids: Range): GvdbStagedFile = {
+      val f = java.nio.file.Files.createTempFile(s"gvdb-upstage-$tag", ".json")
+      val body = ids.map(i =>
+        s"""{"id":"$i","metadata":"{\\"e\\":\\"$tag\\"}","embedding":[$i.0,0.0]}""")
+        .mkString("\n")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      GvdbStagedFile(f.toString, ids.size.toLong)
+    }
+    val w = new GvdbStreamingWrite(spark, root, Some(2),
+      truncate = false, queryId = "up-q", schema = schema, upsert = true)
+    w.commit(0, Array(stage("e0", 3 until 6))) // update 3,5; resurrect 4
+    spark.read.format("gvdb").load(root).count() shouldBe 10L
+    w.commit(0, Array(stage("e0r", 3 until 6))) // replayed epoch: skipped
+    spark.read.format("gvdb").load(root).count() shouldBe 10L
+    val tbl = spark.read.format("gvdb").load(root)
+    tbl.where(col("id") === "4").head().getString(1) shouldBe """{"e":"e0"}"""
+    // the raw table carries id 4 exactly once (no hidden dead twin)
+    spark.read.parquet(root).where(col("id") === "4").count() shouldBe 1L
+    new VectorTable(spark, root, 2).tombstoneCount shouldBe 0L
+    new VectorTable(spark, root, 2).drop()
+  }
+
   test("versionAsOf reads the pinned snapshot (time travel) and rejects writes") {
     val root = freshRoot("tt")
     rows(0 until 20).write.format("gvdb").option("dim", "2")
