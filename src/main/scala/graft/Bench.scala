@@ -89,7 +89,12 @@ object Bench {
       s"""{"times":[${sentinels.map(r3).mkString(",")}],"min":${r3(sentinels.min)},"spread":${r3(sentinels.max / sentinels.min)}}"""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sentinel":$sentinelJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
+    // run ORDER ships with the artifact: a contiguous block of outliers
+    // at adjacent positions (the BENCH_r11 positions-3–7 shape) is a
+    // host stall, not N independent regressions — now diagnosable from
+    // this one file without consulting bench_history.jsonl
+    val orderJson = names.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sentinel":$sentinelJson,"order":$orderJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // sidecar: the driver's captured tail can truncate a long stdout
     // line from the left; the full artifact must survive on disk

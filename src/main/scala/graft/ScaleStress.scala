@@ -265,6 +265,7 @@ object ScaleStress {
       else if (name == "tier_recall_384") tierRecall384(spark, src)
       else if (name == "gvdb_merge") gvdbMerge(spark, src, target, copies)
       else if (name == "gvdb_victim_lookup") gvdbVictimLookup(spark, src, target, copies)
+      else if (name == "gvdb_filter_pruned") gvdbFilterPruned(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
         val big = run(name, target, s"sf1")
@@ -707,6 +708,60 @@ object ScaleStress {
       val tableRows = graft.sources.GvdbFooters.rowCount(spark, root)
       println(f"[stress] gvdb_victim_lookup $tag%-7s rows=$tableRows%9d" +
         f"  pruned_recs=$bPruned%9d  full_recs=$bFull%9d  victims=${pruned.length}")
+    }
+    runOnce(src, "sf0.1")
+    runOnce(target, "sf1")
+  }
+
+  /** JSON-path file-skipping at scale: a gvdb table with materialized
+    * extract columns (range-clustered on `$.lang`), filtered by
+    * `get_json_object(metadata,'$.lang') = <value>` at several
+    * selectivities. Records read must track MATCHING rows (files whose
+    * lang range overlaps), not the table — the ratio filtered/full
+    * stays ≈ selectivity at 1× and 10×, which is the 100 TB claim:
+    * a selective JSON filter no longer reads the corpus. */
+  private def gvdbFilterPruned(spark: SparkSession, src: String, target: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    val recsRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    })
+    def measure(body: => Unit): Long = {
+      Thread.sleep(500); recsRead.set(0L); body; Thread.sleep(700); recsRead.get
+    }
+    def runOnce(dir: String, tag: String): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-fprune-$tag").toString
+      val root = s"$wh/docs"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .write.format("gvdb").option("dim", "1")
+        .option("extractPaths", "$.lang").mode("overwrite").save(root)
+      val tbl = spark.read.format("gvdb").load(root)
+      val total = tbl.count()
+      def filtered(lang: String): (Long, Long) = {
+        val q = tbl.where(get_json_object($"metadata", "$.lang") === lang)
+        require(q.queryExecution.executedPlan.toString.contains("PushedJsonFilters"),
+          "filter must map onto the extract column")
+        var n = 0L
+        val recs = measure { n = q.count() }
+        (n, recs)
+      }
+      // the unfiltered baseline must actually SCAN (a bare count would
+      // answer from footers): aggregate over a data column
+      val full = measure { tbl.agg(sum(length($"id"))).head(); () }
+      for (lang <- Seq("fr", "de")) {
+        val (n, recs) = filtered(lang)
+        println(f"[stress] gvdb_filter_pruned $tag%-7s rows=$total%9d lang=$lang " +
+          f"match=$n%8d sel=${n.toDouble / total}%6.3f " +
+          f"recs=$recs%9d recs/full=${recs.toDouble / math.max(1, full)}%6.3f")
+      }
     }
     runOnce(src, "sf0.1")
     runOnce(target, "sf1")

@@ -789,6 +789,37 @@ object SparkEntry {
           $"metadata"))
         .select($"doc_id")
     }),
+    // ---- file-skipping for JSON-path filters: the reference's
+    // flagship filtered-query shape (duckvdb.py:110-116) over a table
+    // written with MATERIALIZED extract columns (extractPaths write
+    // option → real range-clustered parquet columns recomputed by
+    // every write site). The get_json_object predicate is rewritten
+    // onto the stored column by GvdbJsonFilterRule: footer min/max
+    // prunes FILES at plan time, the inner parquet scan prunes row
+    // groups, and the entry gates the plan shape itself (a silent
+    // fall-back to post-scan evaluation fails the oracle run). Same
+    // answers as evaluating the JSON per row — the column is derived
+    // state. ----
+    "vdb_filter_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-xprune").toString
+      val root = s"$wh/docs"
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .write.format("gvdb").option("dim", "1")
+        .option("extractPaths", "$.lang").mode("overwrite").save(root)
+      val q = s.read.format("gvdb").load(root)
+        .where(get_json_object($"metadata", "$.lang") === "fr")
+        .select($"id".cast("long").as("doc_id"),
+          get_json_object($"metadata", "$.n_chars").cast("long").as("n_chars"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("PushedJsonFilters") && plan.contains("__x_lang"),
+        "gvdb: the JSON-path predicate must map onto the extract column " +
+          "(file-skipping scan), not evaluate post-scan")
+      q
+    }),
     // ---- reference parity: dedup insert as anti-join + first-wins (J1, X2) ----
     "vdb_insert_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -10124,6 +10155,11 @@ object SparkEntry {
       """SELECT event_id FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |  AND event_type = 'click'""".stripMargin,
+    // extract-column file-skipping: same rows as evaluating the JSON
+    // path per document
+    "vdb_filter_pruned" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE lang = 'fr'""".stripMargin,
     "vdb_filter_rich" ->
       """WITH m AS (
         |  SELECT doc_id, to_json(struct_pack(lang := lang, source := source,

@@ -90,6 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tombstone-delete / dedup-insert machinery
     ext.injectResolutionRule(session => new GvdbMergeRule(session))
     ext.injectOptimizerRule(session => new AnnRewriteRule(session))
+    // file-skipping for JSON-path filters over extract-column tables:
+    // a physical rule in the columnar pre-transition slot — applied in
+    // EVERY plan's preparations (postPlannerStrategy rules only run
+    // under AQE), after V2 scan planning, where the residual
+    // FilterExec sits directly on the GvdbBatchScan (see
+    // GvdbJsonFilterRule's scaladoc for why no logical slot works)
+    ext.injectColumnar(session => new org.apache.spark.sql.execution.ColumnarRule {
+      override def preColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.execution.SparkPlan] =
+        new GvdbJsonFilterRule(session)
+    })
   }
 
   private def foldInt(e: Expression): Int = e.eval(null) match {

@@ -292,7 +292,11 @@ private[graft] object GvdbRowLevel {
             size(col(VectorSchema.EMBEDDING)).cast("string")))))
       case None => replacement
     }
-    checked.write.mode("append").parquet(root)
+    // recompute extract columns (derived from metadata) — every append
+    // site must, or a mapped JSON filter would mis-evaluate the rows
+    graft.sources.GvdbExtracts.withColumns(checked,
+        graft.sources.GvdbExtracts.spec(hfs, root))
+      .write.mode("append").parquet(root)
     if (victims.nonEmpty) {
       val tombPath = new org.apache.hadoop.fs.Path(root + ".tombstones")
       if (hfs.exists(tombPath)) {

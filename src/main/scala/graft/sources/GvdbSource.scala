@@ -128,9 +128,11 @@ class DefaultSource
           errorClass = "PATH_ALREADY_EXISTS", messageParameters = Map("outputPath" -> root))
       case SaveMode.Ignore if exists => // no-op by contract
       case SaveMode.Overwrite =>
-        GvdbWrite.insert(spark, root, data, overwrite = true, dimOpt)
+        GvdbWrite.insert(spark, root, data, overwrite = true, dimOpt,
+          GvdbWrite.extractOpts(parameters.get))
       case _ => // Append, or first write under ErrorIfExists/Ignore
-        GvdbWrite.insert(spark, root, data, overwrite = false, dimOpt)
+        GvdbWrite.insert(spark, root, data, overwrite = false, dimOpt,
+          GvdbWrite.extractOpts(parameters.get))
     }
     new GvdbRelation(sqlContext, root, dimOpt)
   }
@@ -289,24 +291,41 @@ object GvdbWrite {
   }
 
   def insert(spark: SparkSession, root: String, data: DataFrame,
-      overwrite: Boolean, dimOpt: Option[Int]): Unit = {
+      overwrite: Boolean, dimOpt: Option[Int],
+      extracts: Option[GvdbExtracts.Spec] = None): Unit = {
     // one lock spans dim-resolve + create + insert, so the overwrite's
     // drop-and-recreate is a single writer turn (nested mutators
     // reenter)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.WriterLock.withLock(fs, root) { insertLocked(spark, root, data, overwrite, dimOpt) }
+    graft.core.WriterLock.withLock(fs, root) {
+      insertLocked(spark, root, data, overwrite, dimOpt, extracts)
+    }
   }
 
+  /** The `extractPaths` / `clusterByExtracts` write options, parsed. */
+  def extractOpts(get: String => Option[String]): Option[GvdbExtracts.Spec] =
+    get("extractPaths").map { raw =>
+      GvdbExtracts.Spec(raw.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        cluster = get("clusterByExtracts").forall(_.toBoolean))
+    }
+
   private def insertLocked(spark: SparkSession, root: String, data: DataFrame,
-      overwrite: Boolean, dimOpt: Option[Int]): Unit = {
+      overwrite: Boolean, dimOpt: Option[Int],
+      extracts: Option[GvdbExtracts.Spec]): Unit = {
     val shaped = shape(data)
+    // sidecar AFTER create (an overwrite's drop() clears it), BEFORE
+    // the rows land (every file must carry the columns —
+    // setExtractPaths enforces the empty-table precondition)
+    def adopt(table: VectorTable): Unit =
+      extracts.foreach(s => table.setExtractPaths(s.paths, s.cluster))
     resolveDim(spark, root, shaped, dimOpt, overwrite) match {
       case None => // empty batch into an empty/absent table: just create
-        new VectorTable(spark, root, 1).create(overwrite)
+        adopt(new VectorTable(spark, root, 1).create(overwrite))
       case Some(dim) =>
         val table = new VectorTable(spark, root, dim)
         table.create(overwrite)
+        adopt(table)
         table.insert(shaped)
     }
   }

@@ -164,19 +164,20 @@ private[graft] object GvdbFooters {
         try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
       }).longValue()
 
-  /** Per-file id min/max, memoized like the row counts. `None` when
-    * any row-group with rows lacks binary statistics for the id column
-    * (an unprunable file — the caller must treat it as a candidate).
-    * Parquet's statistics-truncation contract (min' ≤ min, max' ≥ max)
-    * keeps range pruning built on these SOUND: a truncated range can
-    * only widen. */
-  private val idRangeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Option[(String, String)]]
+  /** Per-file min/max of a STRING column, memoized like the row
+    * counts. `None` when any row-group with rows lacks binary
+    * statistics for the column (an unprunable file — the caller must
+    * treat it as a candidate). Parquet's statistics-truncation
+    * contract (min' ≤ min, max' ≥ max) keeps range pruning built on
+    * these SOUND: a truncated range can only widen. */
+  private val colRangeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), Option[(String, String)]]
 
-  private def idRangeOf(st: org.apache.hadoop.fs.FileStatus,
-      conf: org.apache.hadoop.conf.Configuration): Option[(String, String)] =
-    idRangeMemo.computeIfAbsent(
-      (st.getPath.toString, st.getLen, st.getModificationTime),
+  private[graft] def colRangeOf(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration,
+      colName: String): Option[(String, String)] =
+    colRangeMemo.computeIfAbsent(
+      (st.getPath.toString, st.getLen, st.getModificationTime, colName),
       _ => {
         import scala.jdk.CollectionConverters._
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
@@ -185,7 +186,7 @@ private[graft] object GvdbFooters {
             .filter(_.getRowCount > 0)
             .map { b =>
               b.getColumns.asScala
-                .find(_.getPath.toDotString == graft.core.VectorSchema.ID)
+                .find(_.getPath.toDotString == colName)
                 .map(_.getStatistics)
                 .collect {
                   case s: org.apache.parquet.column.statistics.BinaryStatistics
@@ -199,6 +200,10 @@ private[graft] object GvdbFooters {
           }
         } finally r.close()
       })
+
+  private def idRangeOf(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, String)] =
+    colRangeOf(st, conf, graft.core.VectorSchema.ID)
 
   /** Driver-side footer statistics for every data-carrying part file
     * under `root`: (path, rows, id min/max). Zero-row files are
@@ -215,6 +220,38 @@ private[graft] object GvdbFooters {
     else hfs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("part-"))
       .map(st => (st.getPath.toString, footerRows(st, conf), idRangeOf(st, conf)))
       .filter(_._2 > 0)
+  }
+
+  /** The part files that MAY satisfy every range constraint — the
+    * JSON-filter file-skipping planner. A file is kept (conservative)
+    * when a constraint's column lacks footer stats, or when any value
+    * involved is non-ASCII (driver-side java String order diverges
+    * from parquet's unsigned-byte order past ASCII). Zero-row files
+    * are dropped outright. */
+  def pruneFiles(spark: SparkSession, root: String,
+      cs: Seq[GvdbPruneConstraint]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = p.getFileSystem(conf)
+    def ascii(s: String) = s.forall(_ < 128.toChar)
+    hfs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("part-"))
+      .filter(st => footerRows(st, conf) > 0)
+      .filter { st =>
+        cs.forall { c =>
+          colRangeOf(st, conf, c.col) match {
+            case Some((lo, hi)) if ascii(lo) && ascii(hi) && c.values.forall(ascii) =>
+              c.op match {
+                case "=" | "in" => c.values.exists(v => lo <= v && v <= hi)
+                case "<" => lo < c.values.head
+                case "<=" => lo <= c.values.head
+                case ">" => hi > c.values.head
+                case ">=" => hi >= c.values.head
+                case _ => true
+              }
+            case _ => true
+          }
+        }
+      }.map(_.getPath.toString)
   }
 
   /** Summed footer row counts of the parquet files under `dir`
@@ -326,8 +363,27 @@ class GvdbScanBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
 class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
     versionAsOf: Option[Int], required: StructType, pushed: Array[Filter],
     changeFeed: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
-    countStarPushed: Boolean = false)
+    countStarPushed: Boolean = false,
+    private[graft] val jsonFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    private[graft] val pruneCs: Seq[GvdbPruneConstraint] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
+
+  private[graft] def tableRoot: String = root
+
+  /** Whether [[graft.plans.GvdbJsonFilterRule]] may map JSON-path
+    * predicates onto this scan: live batch reads only (a version-
+    * pinned manifest read keeps the pinned contract schema, the change
+    * feed has its own schema, a pushed COUNT(*) never sees rows) and
+    * the table must have opted into extract columns. */
+  private[graft] def canMapJsonFilters: Boolean =
+    versionAsOf.isEmpty && !changeFeed && !countStarPushed && jsonFilters.isEmpty &&
+      new VectorTable(spark, root, 1).extractSpec.paths.nonEmpty
+
+  private[graft] def withJsonFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      cs: Seq[GvdbPruneConstraint]): GvdbBatchScan =
+    new GvdbBatchScan(spark, root, dimOpt, versionAsOf, required, pushed,
+      changeFeed, maxFilesPerTrigger, countStarPushed, filters, cs)
 
   private val countSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("count(*)",
@@ -340,6 +396,10 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
     s"gvdb $root${versionAsOf.fold("")(v => s"@v$v")}${if (changeFeed) " changes" else ""} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       (if (countStarPushed) "PushedAggregates: [COUNT(*)], " else "") +
+      (if (jsonFilters.nonEmpty)
+        s"PushedJsonFilters: [${jsonFilters.map(_.sql).mkString(", ")}], " +
+          s"FileSkipConstraints: [${pruneCs.mkString(", ")}], "
+      else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   override def toBatch: Batch = {
@@ -391,7 +451,21 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
         .queryExecution.toRdd
     } else {
       val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
-      val view = versionAsOf.map(table.asOf).getOrElse(table.df)
+      val view =
+        if (jsonFilters.isEmpty) versionAsOf.map(table.asOf).getOrElse(table.df)
+        else {
+          // mapped JSON-path filters: read the EXTENDED view (extract
+          // columns visible) over the footer-pruned file list, apply
+          // the mapped conjuncts exactly, then fall through to the
+          // contract projection — the extract columns never escape
+          val kept =
+            if (pruneCs.isEmpty) None
+            else Some(GvdbFooters.pruneFiles(spark, root, pruneCs))
+          val ext = table.dfExtended(kept)
+          jsonFilters.foldLeft(ext) { (d, e) =>
+            d.where(org.apache.spark.sql.graftbridge.GraftBridge.column(e))
+          }
+        }
       val base = view.select(VectorSchema.schema.fieldNames.map(col).toIndexedSeq: _*)
       val filtered = pushed.foldLeft(base) { (d, f) => d.where(GvdbFilters.toColumn(f).get) }
       // empty required set (zero-column plans) is a valid Project
@@ -431,6 +505,13 @@ class GvdbBatchScan(spark: SparkSession, root: String, dimOpt: Option[Int],
         OptionalLong.of(GvdbFooters.liveRowCount(spark, root))
       else OptionalLong.empty()
   }
+}
+
+/** A file-prunable constraint derived from a mapped JSON-path
+  * conjunct: `col op value(s)` with op ∈ {=, in, <, <=, >, >=},
+  * evaluated against per-file footer min/max at plan time. */
+case class GvdbPruneConstraint(col: String, op: String, values: Seq[String]) {
+  override def toString: String = s"$col $op ${values.mkString("{", ",", "}")}"
 }
 
 /** One inner-plan partition plus its locality hints (computed on the
@@ -859,12 +940,14 @@ class GvdbWriteBuilder(spark: SparkSession, root: String, dimOpt: Option[Int],
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
+  private def extracts = GvdbWrite.extractOpts(k => Option(info.options.get(k)))
+
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
           if (upsert && !overwrite) GvdbUpsert(spark, root, data, dimOpt)
-          else GvdbWrite.insert(spark, root, data, overwrite, dimOpt)
+          else GvdbWrite.insert(spark, root, data, overwrite, dimOpt, extracts)
       }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GvdbStreamingWrite(spark, root, dimOpt, overwrite,

@@ -66,7 +66,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     val indexed = df.withColumn(VectorSchema.ANN_BUCKETS,
       graft.functions.LshBucketsExpr(col(VectorSchema.EMBEDDING), actualDim, tables, bits, seed))
     val tmp = new Path(root + "__indexing")
-    indexed.write.mode("overwrite").parquet(tmp.toString)
+    withExtracts(indexed).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(hadoopPath, true)
     fs.rename(tmp, hadoopPath)
     fs.delete(snapsRoot, true) // rewrite: snapshots expire (see snapshot())
@@ -403,6 +403,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     // (the GvdbStreamingWrite per-query scoping contract)
     fs.delete(new Path(root + ".sink_commits"), true)
     fs.delete(new Path(root + ".staging"), true)
+    graft.sources.GvdbExtracts.drop(fs, root)
     dropHnswIndex()
     dropIvfPqIndex()
     dropBqIndex()
@@ -421,6 +422,53 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   private def rawDf: DataFrame = {
     val schema = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
     spark.read.schema(schema).parquet(root)
+  }
+
+  // ---- materialized JSON-path extract columns (file-skipping for
+  // JSON-path filters — sources/GvdbExtracts.scala) ----
+
+  /** The table's extract spec (empty when the table never opted in). */
+  private[graft] def extractSpec: graft.sources.GvdbExtracts.Spec =
+    graft.sources.GvdbExtracts.spec(fs, root)
+
+  /** Opt the table into materialized extract columns. Allowed only
+    * while the table holds no rows — files written WITHOUT the columns
+    * would read them as NULL, and a mapped filter would silently drop
+    * their rows; re-create or overwrite to adopt on existing data. */
+  def setExtractPaths(paths: Seq[String], cluster: Boolean = true): this.type =
+      WriterLock.withLock(fs, root) {
+    if (extractSpec == graft.sources.GvdbExtracts.Spec(paths, cluster))
+      return this // idempotent re-assert (e.g. the option on every append)
+    require(!exists || numRows == 0L,
+      s"gvdb: extractPaths can only be set on an empty table (found $numRows rows); " +
+        "rewrite the table (overwrite save) with the option instead")
+    graft.sources.GvdbExtracts.write(fs, root,
+      graft.sources.GvdbExtracts.Spec(paths, cluster))
+    this
+  }
+
+  /** Recompute the extract columns onto a frame about to land in the
+    * part files — EVERY write/rewrite site calls this, so the stored
+    * values can never drift from the metadata they index. */
+  private def withExtracts(df: DataFrame): DataFrame =
+    graft.sources.GvdbExtracts.withColumns(df, extractSpec)
+
+  /** The MoR view WITH the extract columns (the JSON-filter scan path;
+    * [[df]] stays contract-only so the columns never leak), optionally
+    * over an explicit footer-pruned file subset. */
+  private[graft] def dfExtended(files: Option[Seq[String]]): DataFrame = {
+    val base = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
+    val schema = graft.sources.GvdbExtracts.extendSchema(base, extractSpec)
+    val raw = files match {
+      case Some(fl) if fl.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(fl) => spark.read.schema(schema).parquet(fl: _*)
+      case None => spark.read.schema(schema).parquet(root)
+    }
+    if (!fs.exists(tombPath)) raw
+    else raw.join(
+      broadcast(spark.read.parquet(tombPath.toString)),
+      Seq(VectorSchema.ID), "left_anti")
   }
 
   /** The table as a DataFrame: raw rows minus tombstoned ids. The
@@ -678,7 +726,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def vacuum(): this.type = WriterLock.withLock(fs, root) {
     if (fs.exists(tombPath)) {
       val tmp = new Path(root + "__vacuum")
-      df.write.mode("overwrite").parquet(tmp.toString)
+      withExtracts(df).write.mode("overwrite").parquet(tmp.toString)
       fs.delete(hadoopPath, true)
       fs.rename(tmp, hadoopPath)
       fs.delete(tombPath, true)
@@ -733,7 +781,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     // see [[delete]].
     val fresh = deduped.join(rawDf.select(VectorSchema.ID), Seq(VectorSchema.ID), "left_anti")
     if (hnswIndexMeta.isEmpty && ivfPqIndexMeta.isEmpty && bqIndexMeta.isEmpty) {
-      fresh.write.mode("append").parquet(root)
+      withExtracts(fresh).write.mode("append").parquet(root)
     } else {
       // keep the persisted index complete across inserts: the fresh
       // rows become NEW index segments / appended code rows; built
@@ -781,7 +829,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
               .write.mode("append").parquet(bqCodesPath.toString)
           }
         }
-        fresh.write.mode("append").parquet(root)
+        withExtracts(fresh).write.mode("append").parquet(root)
         // merge policy AFTER the append is durable: accumulated small
         // delta segments fold once they cross the mergeAt threshold
         autoCompactHnsw()
@@ -805,8 +853,8 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     dropHnswIndex() // new data: a stale index would serve ghost rows
     dropIvfPqIndex()
     dropBqIndex()
-    spark.read.parquet(path)
-      .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING)
+    withExtracts(spark.read.parquet(path)
+        .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING))
       .write.mode("overwrite").parquet(root)
     if (buildIndex) buildAnnIndex()
   }
