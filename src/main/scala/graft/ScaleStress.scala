@@ -265,6 +265,7 @@ object ScaleStress {
       else if (name == "tier_recall_384") tierRecall384(spark, src)
       else if (name == "gvdb_merge") gvdbMerge(spark, src, target, copies)
       else if (name == "gvdb_victim_lookup") gvdbVictimLookup(spark, src, target, copies)
+      else if (name == "gvdb_victim_bloom") gvdbVictimBloom(spark, src, target, copies)
       else if (name == "gvdb_filter_pruned") gvdbFilterPruned(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
@@ -708,6 +709,86 @@ object ScaleStress {
       val tableRows = graft.sources.GvdbFooters.rowCount(spark, root)
       println(f"[stress] gvdb_victim_lookup $tag%-7s rows=$tableRows%9d" +
         f"  pruned_recs=$bPruned%9d  full_recs=$bFull%9d  victims=${pruned.length}")
+    }
+    runOnce(src, "sf0.1")
+    runOnce(target, "sf1")
+  }
+
+  /** Victim-lookup pruning under CONTENT-HASH ids — the layout the
+    * range probe cannot touch: every batch's md5 ids span the whole
+    * hex keyspace, so footer min/max keeps ALL files candidates and
+    * the first lookup reads the full id column (the bootstrap — it
+    * builds the per-file blooms from that same cached pass). The
+    * SECOND lookup probes the blooms: records read must collapse to
+    * the touched batch's files (+ fpp ride-alongs) and stay flat at
+    * 10× data while the bootstrap/full side grows 10×. Victims must
+    * match the full scan's on every lookup (the soundness tie). */
+  private def gvdbVictimBloom(spark: SparkSession, src: String, target: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    val recsRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    })
+    def measure(body: => Unit): Long = {
+      Thread.sleep(500); recsRead.set(0L); body; Thread.sleep(700); recsRead.get
+    }
+    def runOnce(dir: String, tag: String): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-vbloom-$tag").toString
+      val root = s"$wh/docs"
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      val batches = math.max(8, (base.count() / 625L).toInt)
+      val bounds = base.stat.approxQuantile("doc_id",
+        (1 until batches).map(_.toDouble / batches).toArray, 0.001)
+      val edges = (Double.NegativeInfinity +: bounds.toSeq) :+ Double.PositiveInfinity
+      // content-hash ids: NO batch prefix — each file's id range spans
+      // the keyspace, which is what defeats min/max pruning
+      val mkId = md5($"doc_id".cast("string"))
+      for (b <- 0 until batches) {
+        base.where($"doc_id" >= edges(b) && $"doc_id" < edges(b + 1))
+          .select(mkId.as("id"),
+            to_json(struct($"lang", $"n_chars")).as("metadata"),
+            array($"n_chars".cast("float")).as("embedding"))
+          .write.format("gvdb").option("dim", "1")
+          .mode(if (b == 0) "overwrite" else "append").save(root)
+      }
+      val touched = base.orderBy($"doc_id".desc).limit(200)
+        .select(mkId.as("id")).distinct().localCheckpoint(true)
+      var boot: Array[String] = Array.empty
+      val bBoot = measure {
+        boot = graft.plans.GvdbRowLevel.victimLookup(spark, root, touched)._1.sorted
+      }
+      var pruned: Array[String] = Array.empty
+      val bPruned = measure {
+        pruned = graft.plans.GvdbRowLevel.victimLookup(spark, root, touched)._1.sorted
+      }
+      var full: Array[String] = Array.empty
+      val bFull = measure {
+        full = spark.read.format("parquet").load(root)
+          .select($"id", input_file_name().as("f"))
+          .join(touched, Seq("id"), "left_semi")
+          .select($"f").distinct().collect().map(_.getString(0)).sorted
+      }
+      require(boot.sameElements(full) && pruned.sameElements(full),
+        s"bloom victim lookup must find the full scan's victims: " +
+          s"${boot.length}/${pruned.length} vs ${full.length}")
+      val tableRows = graft.sources.GvdbFooters.rowCount(spark, root)
+      // the pruned pass reads one MANIFEST row per live file (the
+      // bloom probe — metadata, ~5 B/data-row) plus the surviving
+      // candidates' DATA rows; at fixture scale (20-row files) the
+      // manifest rows are visible in recordsRead, so report them for
+      // subtraction — the 100 TB claim is about the data term
+      val manifestRows = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(root))
+        .count(_.getPath.getName.startsWith("part-")).toLong
+      println(f"[stress] gvdb_victim_bloom $tag%-7s rows=$tableRows%9d" +
+        f"  bootstrap_recs=$bBoot%9d  bloom_recs=$bPruned%9d (manifest=$manifestRows%5d)" +
+        f"  full_recs=$bFull%9d  victims=${pruned.length}")
     }
     runOnce(src, "sf0.1")
     runOnce(target, "sf1")

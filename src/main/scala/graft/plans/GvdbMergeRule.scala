@@ -239,7 +239,34 @@ private[graft] object GvdbRowLevel {
               col(VectorSchema.ID) <= col("__gvdb_hi"), "inner")
           .select(FileCol).distinct().collect().map(_.getString(0))
       }
-    val candidates = (candKnown ++ unknown.map(_._1)).toSeq
+    var candidates = (candKnown ++ unknown.map(_._1)).toSeq
+    // Bloom pruning on top of the range probe: under content-hash ids
+    // (UUIDv5) every file's range spans the keyspace and min/max keeps
+    // the whole table candidate — the per-file id blooms
+    // ([[graft.sources.IdBlooms]]) answer membership regardless of
+    // layout. Touched ids are collected only under the probe cap (a
+    // bigger merge brushes most files anyway); files with a valid
+    // bloom entry and no maybe-hit drop out, files without an entry
+    // stay conservative candidates.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touchedArr: Option[Array[String]] = {
+      val capped = touchedIds.limit(graft.sources.IdBlooms.MaxProbeIds + 1)
+        .collect().map(_.getString(0))
+      if (capped.length > graft.sources.IdBlooms.MaxProbeIds) None else Some(capped)
+    }
+    // one manifest pass yields validity AND hits; `valid` is reused
+    // below for the bootstrap's missing-set (pre-build state)
+    val (bloomValid, bloomHits) = touchedArr match {
+      case Some(ids) if graft.sources.IdBlooms.enabled(fs, root) =>
+        graft.sources.IdBlooms.probeValid(spark, fs, root, ids)
+      case _ => (Set.empty[String], Set.empty[String])
+    }
+    if (bloomValid.nonEmpty)
+      candidates = candidates.filter { p =>
+        val n = new org.apache.hadoop.fs.Path(p).getName
+        !bloomValid(n) || bloomHits(n)
+      }
     // RAW id→file map OVER THE CANDIDATES (dead rows included: a
     // victim file's tombstoned ids must leave the tombstone table when
     // the file goes)
@@ -253,15 +280,31 @@ private[graft] object GvdbRowLevel {
               org.apache.spark.sql.types.StringType))))
       else spark.read.schema(VectorSchema.schema).parquet(candidates: _*)
         .select(col(VectorSchema.ID), input_file_name().as(FileCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val victims = idToFile
       .join(touchedIds, Seq(VectorSchema.ID), "left_semi")
       .select(FileCol).distinct().collect().map(_.getString(0))
+    // bootstrap/extend the bloom manifest from the candidate pass the
+    // lookup just paid — the aggregation reads the persisted (id,
+    // file) frame, never the data files again. After the first merge
+    // every file this lookup had to read carries a bloom, so the NEXT
+    // merge's candidates shrink to true maybe-holders; inserts keep
+    // the manifest current from then on (syncIfEnabled).
+    if (touchedArr.isDefined && candidates.nonEmpty) {
+      val candNames = candidates.iterator
+        .map(new org.apache.hadoop.fs.Path(_).getName).toSet
+      val rowsByName = stats.iterator
+        .map { case (p, n, _) => new org.apache.hadoop.fs.Path(p).getName -> n }
+        .filter { case (n, _) => !bloomValid(n) && candNames(n) }.toMap
+      graft.sources.IdBlooms.buildFrom(spark, fs, root, idToFile, rowsByName)
+    }
     val victimIds =
       if (victims.isEmpty) idToFile.select(VectorSchema.ID).limit(0).localCheckpoint(true)
       else idToFile
         .join(broadcast(victims.toSeq.toDF(FileCol)), Seq(FileCol), "left_semi")
         .select(VectorSchema.ID)
         .localCheckpoint(true) // pinned: consumed after the victims are gone
+    idToFile.unpersist()
     (victims, victimIds)
   }
 
@@ -320,6 +363,9 @@ private[graft] object GvdbRowLevel {
       new VectorTable(spark, root, 1).expireSnapshotsReferencing(
         victims.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
     }
+    // blooms for the appended replacement files (one column-pruned
+    // read of just those), and GC of the victims' now-stale entries
+    graft.sources.IdBlooms.syncIfEnabled(spark, hfs, root)
   }
 
   /** The whole-table copy-on-write tail: stage the result to a scratch

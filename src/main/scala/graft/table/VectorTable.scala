@@ -404,6 +404,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     fs.delete(new Path(root + ".sink_commits"), true)
     fs.delete(new Path(root + ".staging"), true)
     graft.sources.GvdbExtracts.drop(fs, root)
+    graft.sources.IdBlooms.drop(fs, root)
     dropHnswIndex()
     dropIvfPqIndex()
     dropBqIndex()
@@ -743,6 +744,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       ivfPqIndexMeta.foreach(meta => buildIvfPqIndex(meta.nCells, meta.m,
         meta.pqK, meta.nProbe, meta.shortlistFactor))
       bqIndexMeta.foreach(meta => buildBqIndex(meta.coarseFactor, meta.fineFactor))
+      graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
     }
     this
   }
@@ -835,6 +837,9 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         autoCompactHnsw()
       } finally fresh.unpersist(blocking = false)
     }
+    // keep the CoW bloom manifest current once a merge bootstrapped it
+    // (no-op otherwise): one column-pruned read of the appended files
+    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
   }
 
   /** Row count (reference `num_rows`, duckvdb.py:122-123). */
@@ -857,5 +862,6 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING))
       .write.mode("overwrite").parquet(root)
     if (buildIndex) buildAnnIndex()
+    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
   }
 }
