@@ -1518,6 +1518,73 @@ object SparkEntry {
       s.catalog.dropTempView("cat_mrg_base"); s.catalog.dropTempView("cat_mrg_changes")
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
+    // ---- the same MERGE lifecycle under CONTENT-HASH ids — the layout
+    // where footer id min/max can never prune (every file's range
+    // spans the hex keyspace, the reference's UUIDv5 contract): the
+    // first MERGE bootstraps the per-file id Bloom manifest from its
+    // own candidate scan (sources/IdBlooms.scala), the second takes
+    // the bloom-pruned victim lookup. Gated in-entry: the manifest
+    // must exist after merge #1 and a known-touched id's file must
+    // survive the probe after merge #2 (bloom fp may add candidates,
+    // a false negative would lose an update — bloom_ok pins both). ----
+    "vdb_catalog_merge_hashid" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-mgh").toString
+      val cat = "gcmh" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.h")
+      s.sql(s"CREATE TABLE $cat.h.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = s.read.parquet(t(dir, "documents"))
+      val hid = md5($"doc_id".cast("string"))
+      docs.where($"doc_id" < 500)
+        .select(hid.as("id"), to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("cat_mgh_base")
+      s.sql(s"INSERT INTO $cat.h.docs SELECT * FROM cat_mgh_base")
+      docs.where($"doc_id" >= 300 && $"doc_id" < 700)
+        .select(hid.as("id"),
+          to_json(struct($"lang", ($"n_chars" + 1000).as("n_chars"))).as("metadata"),
+          array(($"n_chars" + 1000).cast("float")).as("embedding"),
+          when($"doc_id" % 10 === 0, "d").otherwise("x").as("op"))
+        .createOrReplaceTempView("cat_mgh_c1")
+      s.sql(s"""
+        MERGE INTO $cat.h.docs AS t USING cat_mgh_c1 AS c ON t.id = c.id
+        WHEN MATCHED AND c.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding
+        WHEN NOT MATCHED AND c.op <> 'd' THEN
+          INSERT (id, metadata, embedding) VALUES (c.id, c.metadata, c.embedding)""")
+      val root = s"$wh/h/docs"
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bootstrapped = graft.sources.IdBlooms.enabled(hfs, root)
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200)
+        .select(hid.as("id"),
+          to_json(struct($"lang", ($"n_chars" + 5000).as("n_chars"))).as("metadata"),
+          array(($"n_chars" + 5000).cast("float")).as("embedding"))
+        .createOrReplaceTempView("cat_mgh_c2")
+      s.sql(s"""
+        MERGE INTO $cat.h.docs AS t USING cat_mgh_c2 AS c ON t.id = c.id
+        WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding""")
+      // no-false-negative probe: id 150 was touched by merge #2, so
+      // the file now holding it must survive a bloom probe for it
+      val probeId = s.range(1).select(md5(lit("150"))).head.getString(0)
+      val holder = s.read.parquet(root)
+        .where($"id" === probeId).select(input_file_name()).head.getString(0)
+      val hits = graft.sources.IdBlooms.probe(s, hfs, root, Array(probeId))
+      val probeOk = hits.contains(new org.apache.hadoop.fs.Path(holder).getName)
+      val back = s.sql(s"""
+        SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
+               sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars,
+               ${if (bootstrapped && probeOk) 1 else 0} AS bloom_ok
+        FROM $cat.h.docs GROUP BY 1""")
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.h.docs")
+      s.sql(s"DROP NAMESPACE $cat.h")
+      Seq("cat_mgh_base", "cat_mgh_c1", "cat_mgh_c2").foreach(s.catalog.dropTempView)
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
     // ---- SQL UPDATE + untranslatable DELETE through the catalog:
     // UPDATE lowers to the copy-on-write rewrite (GvdbUpdateCommand);
     // the JSON-path DELETE can't translate to the source-filter
@@ -8164,6 +8231,21 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(chars) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT lang, n_chars AS chars FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT lang, n_chars + 1000 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
+        |) GROUP BY lang""".stripMargin,
+    // hash-id MERGE ×2 (bloom-pruned second pass): base < 500, first
+    // change set updates/deletes/inserts [300,700), second re-updates
+    // [100,200) +5000; ids are md5 so the oracle's relational replay
+    // is the same census the engine must reach through the bloom path
+    "vdb_catalog_merge_hashid" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       1 AS bloom_ok
+        |FROM (
+        |  SELECT lang, n_chars
+        |    + CASE WHEN doc_id >= 100 AND doc_id < 200 THEN 5000 ELSE 0 END AS chars
+        |  FROM documents WHERE doc_id < 300
         |  UNION ALL
         |  SELECT lang, n_chars + 1000 FROM documents
         |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
