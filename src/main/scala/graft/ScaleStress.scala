@@ -266,6 +266,7 @@ object ScaleStress {
       else if (name == "gvdb_merge") gvdbMerge(spark, src, target, copies)
       else if (name == "gvdb_victim_lookup") gvdbVictimLookup(spark, src, target, copies)
       else if (name == "gvdb_victim_bloom") gvdbVictimBloom(spark, src, target, copies)
+      else if (name == "gvdb_compact_tail") gvdbCompactTail(spark, src, target, copies)
       else if (name == "gvdb_filter_pruned") gvdbFilterPruned(spark, src, target, copies)
       else {
         val base = if (baseline) run(name, src, "sf0.1") else 0.0
@@ -789,6 +790,56 @@ object ScaleStress {
       println(f"[stress] gvdb_victim_bloom $tag%-7s rows=$tableRows%9d" +
         f"  bootstrap_recs=$bBoot%9d  bloom_recs=$bPruned%9d (manifest=$manifestRows%5d)" +
         f"  full_recs=$bFull%9d  victims=${pruned.length}")
+    }
+    runOnce(src, "sf0.1")
+    runOnce(target, "sf1")
+  }
+
+  /** In-place compaction at scale: the table's BULK lives in large
+    * files (grows with the corpus), the small-file TAIL is fixed-size
+    * CDC churn. compactSmallFiles must read/write ∝ the tail — flat
+    * records at 10× corpus — while leaving the bulk untouched (same
+    * large-file count before and after). */
+  private def gvdbCompactTail(spark: SparkSession, src: String, target: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    generate(spark, src, target, copies)
+    val recsRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    })
+    def runOnce(dir: String, tag: String): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-ctail-$tag").toString
+      val root = s"$wh/docs"
+      val table = new graft.table.VectorTable(spark, root, 1).create()
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("string").as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+      table.insert(base.repartition(8)) // the bulk: grows with the corpus
+      // the tail: FIXED 20 × 25-row churn batches regardless of corpus
+      for (b <- 0 until 20)
+        table.insert(base.limit(500).where(
+            substring($"id", -2, 2) === f"$b%02d")
+          .withColumn("id", concat(lit("churn-"), lit(b), lit("-"), $"id"))
+          .coalesce(1))
+      val statsBefore = graft.sources.GvdbFooters.idStats(spark, root)
+      val bigBefore = statsBefore.count(_._2 >= 250L)
+      Thread.sleep(500); recsRead.set(0L)
+      val removed = table.compactSmallFiles(targetFileRows = 500)
+      Thread.sleep(700)
+      val recs = recsRead.get
+      val statsAfter = graft.sources.GvdbFooters.idStats(spark, root)
+      val bigAfter = statsAfter.count(_._2 >= 250L)
+      require(removed >= 2 && bigAfter >= bigBefore,
+        s"compaction must fold the tail without rewriting the bulk: " +
+          s"removed=$removed big=$bigBefore->$bigAfter")
+      println(f"[stress] gvdb_compact_tail $tag%-7s rows=${table.numRows}%9d" +
+        f"  files=${statsBefore.size}%4d->${statsAfter.size}%4d  compact_recs=$recs%9d" +
+        f"  removed=$removed")
     }
     runOnce(src, "sf0.1")
     runOnce(target, "sf1")

@@ -5298,6 +5298,37 @@ object SparkEntry {
     // Correctness oracle = content preservation (count + order-free
     // bit_xor checksum equals the source table's); the file-count
     // collapse (64 → 4) is asserted in ZOrderSpec. ----
+    // ---- IN-PLACE gvdb small-file compaction (the CDC-tail
+    // maintenance op): 12 fragmented inserts + a tombstone delete,
+    // then compactSmallFiles rewrites the small-file tail ONLY —
+    // raw rows (dead ones included) preserved bit-identical, so the
+    // merge-on-read census is unchanged while the file count drops.
+    // compact_ok pins that files were actually removed and the count
+    // shrank; the census is the DuckDB-checked invariant. ----
+    "vdb_compact" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-vcompact").toString
+      val table = new graft.table.VectorTable(s, s"$wh/docs", 1).create()
+      val docs = s.read.parquet(t(dir, "documents")).where($"doc_id" < 300)
+      for (b <- 0 until 12)
+        table.insert(docs.where($"doc_id" % 12 === b)
+          .select($"doc_id".cast("string").as("id"),
+            to_json(struct($"lang", $"n_chars")).as("metadata"),
+            array($"n_chars".cast("float")).as("embedding")))
+      table.delete(get_json_object(col("metadata"), "$.lang") === "de")
+      def dataFiles = graft.sources.GvdbFooters
+        .idStats(s, s"$wh/docs").size
+      val before = dataFiles
+      val removed = table.compactSmallFiles(targetFileRows = 1000)
+      val after = dataFiles
+      val ok = removed >= 2 && after < before
+      table.df
+        .select(get_json_object($"metadata", "$.lang").as("lang"),
+          get_json_object($"metadata", "$.n_chars").cast("bigint").as("chars"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("cnt"), sum($"chars").as("sum_chars"))
+        .withColumn("compact_ok", lit(if (ok) 1 else 0))
+    }),
     "layout_compact" -> ((s, dir) => {
       import s.implicits._
       val path = SparkEntry.compactLayout.synchronized {
@@ -7958,6 +7989,14 @@ object SparkEntry {
       """SELECT count(*) AS cnt,
         |       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum
         |FROM documents""".stripMargin,
+    // in-place gvdb compaction: MoR census unchanged across the
+    // small-file rewrite (de rows tombstoned pre-compaction, raw rows
+    // preserved bit-identical through it)
+    "vdb_compact" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       1 AS compact_ok
+        |FROM documents WHERE doc_id < 300 AND lang <> 'de'
+        |GROUP BY lang""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)

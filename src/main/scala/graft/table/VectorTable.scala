@@ -749,6 +749,52 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  /** In-place small-file compaction — the maintenance half of a CDC
+    * write path: fine-grained inserts, streaming epochs and file-group
+    * CoW merges leave a tail of small part files, and at 100 TB that
+    * tail turns scans into task-scheduling + footer-read overhead.
+    * Rewrites ONLY the files under `smallFraction × targetFileRows`
+    * rows (the tail — never the table; a 100 TB table compacts its
+    * churn, proportional to recent write activity) into
+    * ~targetFileRows-row files.
+    *
+    * Correctness is by RAW-row preservation: victims are read with the
+    * full ON-DISK schema (ANN bucket and extract columns included,
+    * tombstones NOT applied) and appended bit-identical, so the
+    * footers-minus-tombstones arithmetic, the merge-on-read view, and
+    * every persisted index tier (which reference IDS, never files)
+    * survive unchanged. Snapshots referencing a victim expire
+    * selectively (the group-CoW retention rule); the bloom manifest
+    * re-syncs to the new files. Same append-then-delete crash window
+    * as the group CoW — the single-writer contract's documented
+    * non-transactionality. Returns the number of files removed (0 =
+    * nothing worth compacting). */
+  def compactSmallFiles(targetFileRows: Long, smallFraction: Double = 0.5): Int =
+      WriterLock.withLock(fs, root) {
+    require(targetFileRows > 0, "gvdb: targetFileRows must be positive")
+    val stats = graft.sources.GvdbFooters.idStats(spark, root)
+    val victims = stats.collect {
+      case (path, rows, _) if rows < (targetFileRows * smallFraction).toLong => (path, rows)
+    }
+    // one small file alone gains nothing from a rewrite
+    if (victims.size < 2) return 0
+    val base = if (annIndexMeta.isDefined) VectorSchema.annSchema else VectorSchema.schema
+    val schema = graft.sources.GvdbExtracts.extendSchema(base, extractSpec)
+    val total = victims.iterator.map(_._2).sum
+    val outFiles = math.max(1, math.ceil(total.toDouble / targetFileRows).toInt)
+    // coalesce, not repartition: shrinking a file count is a NARROW
+    // dependency — a compaction pass over a 100 TB tail must not pay a
+    // shuffle of the tail (ops/Compaction.scala, the same rule)
+    spark.read.schema(schema).parquet(victims.map(_._1): _*)
+      .coalesce(outFiles)
+      .write.mode("append").parquet(root)
+    victims.foreach { case (p, _) => fs.delete(new Path(p), false) }
+    expireSnapshotsReferencing(
+      victims.map { case (p, _) => new Path(p).getName }.toSet)
+    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
+    victims.size
+  }
+
   /** Dedup insert — the reference's `INSERT … ON CONFLICT (id) DO NOTHING`
     * (duckvdb.py:56-61) as a left-anti join + append (SURVEY.md §2.3 J1):
     * first-wins within the batch, skip ids already present.
