@@ -5298,6 +5298,48 @@ object SparkEntry {
     // Correctness oracle = content preservation (count + order-free
     // bit_xor checksum equals the source table's); the file-count
     // collapse (64 → 4) is asserted in ZOrderSpec. ----
+    // ---- the maintenance lifecycle through SQL procedures (CALL
+    // cat.system.snapshot/compact/vacuum — the DSv2 ProcedureCatalog
+    // surface): fragmented catalog inserts, SQL DELETE tombstones,
+    // then the three CALLs; the post-maintenance census must match the
+    // relational oracle and proc_ok pins that compaction removed
+    // files and vacuum folded exactly the deleted rows. ----
+    "vdb_catalog_proc" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-proc").toString
+      val cat = "gcpr" + java.lang.Long.toHexString(System.nanoTime())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GvdbCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.p")
+      s.sql(s"CREATE TABLE $cat.p.docs " +
+        "(id string, metadata string, embedding array<float>) USING gvdb")
+      val docs = s.read.parquet(t(dir, "documents")).where($"doc_id" < 300)
+      for (b <- 0 until 12) {
+        docs.where($"doc_id" % 12 === b)
+          .select($"doc_id".cast("string").as("id"),
+            to_json(struct($"lang", $"n_chars")).as("metadata"),
+            array($"n_chars".cast("float")).as("embedding"))
+          .coalesce(1).createOrReplaceTempView("cat_proc_b")
+        s.sql(s"INSERT INTO $cat.p.docs SELECT * FROM cat_proc_b")
+      }
+      val nDe = docs.where($"lang" === "de").count()
+      s.sql(s"DELETE FROM $cat.p.docs WHERE " +
+        s"get_json_object(metadata, '$$.lang') = 'de'")
+      s.sql(s"CALL $cat.system.snapshot('p.docs')").head.getInt(0)
+      val removed = s.sql(s"CALL $cat.system.compact('p.docs', 1000)").head.getInt(0)
+      val folded = s.sql(s"CALL $cat.system.vacuum('p.docs')").head.getLong(0)
+      val ok = removed >= 2 && folded == nDe
+      val back = s.sql(s"""
+        SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
+               sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars,
+               ${if (ok) 1 else 0} AS proc_ok
+        FROM $cat.p.docs GROUP BY 1""")
+      val got = back.collect().toSeq
+      s.sql(s"DROP TABLE $cat.p.docs")
+      s.sql(s"DROP NAMESPACE $cat.p")
+      s.catalog.dropTempView("cat_proc_b")
+      s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
+    }),
     // ---- IN-PLACE gvdb small-file compaction (the CDC-tail
     // maintenance op): 12 fragmented inserts + a tombstone delete,
     // then compactSmallFiles rewrites the small-file tail ONLY —
@@ -7989,6 +8031,13 @@ object SparkEntry {
       """SELECT count(*) AS cnt,
         |       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum
         |FROM documents""".stripMargin,
+    // SQL maintenance procedures: census after DELETE + CALL
+    // snapshot/compact/vacuum = the relational survivors
+    "vdb_catalog_proc" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       1 AS proc_ok
+        |FROM documents WHERE doc_id < 300 AND lang <> 'de'
+        |GROUP BY lang""".stripMargin,
     // in-place gvdb compaction: MoR census unchanged across the
     // small-file rewrite (de rows tombstoned pre-compaction, raw rows
     // preserved bit-identical through it)

@@ -45,7 +45,8 @@ import graft.table.VectorTable
   * so it needs no metastore service and concurrent Spark apps sharing
   * the warehouse path see the same catalog.
   */
-class GvdbCatalog extends TableCatalog with SupportsNamespaces {
+class GvdbCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -278,4 +279,102 @@ class GvdbCatalog extends TableCatalog with SupportsNamespaces {
     def asMultipartIdentifier: Seq[String] =
       (catalogName +: ident.namespace().toIndexedSeq) :+ ident.name()
   }
+
+  // ---- maintenance procedures: `CALL cat.system.<proc>(…)` (the
+  // DSv2 ProcedureCatalog surface, Spark 4's analogue of Iceberg's
+  // system procedures) — the table-maintenance verbs that have no
+  // DML spelling get a first-class SQL one:
+  //   CALL vdb.system.compact('ns.t', 1000)  -> removed_files
+  //   CALL vdb.system.vacuum('ns.t')         -> folded_tombstones
+  //   CALL vdb.system.snapshot('ns.t')       -> version
+  // Args bind by position or name (Spark coerces); the table argument
+  // is the catalog-relative dotted name, resolved through the same
+  // managed/external-location rules as every other surface. ----
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+
+  private def procTableRoot(dotted: String): String = {
+    val parts = dotted.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"gvdb: bad table argument '$dotted' (expected 'ns.table')")
+    val id = Identifier.of(parts.init, parts.last)
+    if (!exists(id)) throw new NoSuchTableException(id.asMultipartIdentifier)
+    tableRoot(id)
+  }
+
+  private case class ProcResultScan(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+
+  /** One class per verb keeps the binding trivial: parameters are
+    * fixed, bind() is identity (Spark's coercion has already shaped
+    * the input row to [[parameters]]). */
+  private abstract class MaintenanceProc(procName: String, desc: String,
+      params: Array[ProcedureParameter], outSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): InternalRow
+    override def call(input: InternalRow): util.Iterator[Scan] =
+      util.Collections.singletonList[Scan](
+        ProcResultScan(outSchema, Array(run(input)))).iterator()
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("catalog-relative dotted table name, e.g. 'ns.t'").build()
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"gvdb: procedures live under the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact" => new MaintenanceProc("compact",
+          "fold the small-file tail into ~target_rows-row files (raw rows preserved)",
+          Array(tableParam, ProcedureParameter.in("target_rows", LongType).build()),
+          StructType(Seq(StructField("removed_files", IntegerType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val root = procTableRoot(input.getUTF8String(0).toString)
+          InternalRow(new VectorTable(spark, root, 1)
+            .compactSmallFiles(input.getLong(1)))
+        }
+      }
+      case "vacuum" => new MaintenanceProc("vacuum",
+          "fold merge-on-read tombstones into the data (one rewrite, index rebuilt)",
+          Array(tableParam),
+          StructType(Seq(StructField("folded_tombstones", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val root = procTableRoot(input.getUTF8String(0).toString)
+          val folded = GvdbFooters.rowCount(spark, root + ".tombstones")
+          new VectorTable(spark, root, 1).vacuum()
+          InternalRow(folded)
+        }
+      }
+      case "snapshot" => new MaintenanceProc("snapshot",
+          "record a named version of the current files+tombstones for time travel",
+          Array(tableParam),
+          StructType(Seq(StructField("version", IntegerType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val root = procTableRoot(input.getUTF8String(0).toString)
+          InternalRow(new VectorTable(spark, root, 1).snapshot())
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"gvdb: unknown procedure '$other' (available: compact, vacuum, snapshot)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) || namespace.isEmpty)
+      Array("compact", "vacuum", "snapshot")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
 }

@@ -649,4 +649,40 @@ class GvdbCatalogSpec extends SparkSpec with Matchers {
       .map(_.getString(1)) should not contain "onlyns"
     spark.catalog.tableExists("vdbcat.onlyns") shouldBe false
   }
+
+  test("maintenance procedures: CALL system.snapshot / compact / vacuum") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vdbcat.proc")
+    spark.sql("""CREATE TABLE vdbcat.proc.t
+                 (id string, metadata string, embedding array<float>) USING gvdb""")
+    // fragmented ingest: 8 single-file batches
+    for (b <- 0 until 8) {
+      (b * 10 until b * 10 + 10)
+        .map(i => (i.toString, s"""{"grp":${i % 2}}""", Seq(i.toFloat)))
+        .toDF("id", "metadata", "embedding").coalesce(1)
+        .createOrReplaceTempView("proc_batch")
+      spark.sql("INSERT INTO vdbcat.proc.t SELECT * FROM proc_batch")
+    }
+    val v = spark.sql("CALL vdbcat.system.snapshot('proc.t')").head().getInt(0)
+    val removed = spark.sql("CALL vdbcat.system.compact('proc.t', 200)")
+      .head().getInt(0)
+    removed should be >= 2
+    // the pre-compaction snapshot referenced the folded files → expired
+    new VectorTable(spark, s"$warehouse/proc/t", 1)
+      .snapshotVersions should not contain v
+    spark.sql("DELETE FROM vdbcat.proc.t WHERE id IN ('1', '3')")
+    val folded = spark.sql("CALL vdbcat.system.vacuum('proc.t')").head().getLong(0)
+    folded shouldBe 2L
+    spark.sql("SELECT count(*) AS n FROM vdbcat.proc.t").head().getLong(0) shouldBe 78L
+    // named args bind too (Spark's by-name procedure invocation)
+    spark.sql("CALL vdbcat.system.compact(table => 'proc.t', target_rows => 200)")
+      .head().getInt(0) shouldBe 0 // already compacted: nothing left
+    // Spark wraps the catalog's IllegalArgumentException into its
+    // FAILED_TO_LOAD_ROUTINE error class — assert the wrapper, the
+    // specific "available: …" detail rides in the cause chain
+    val err = intercept[Exception](spark.sql("CALL vdbcat.system.nope('proc.t')"))
+    err.getMessage should include("FAILED_TO_LOAD_ROUTINE")
+    spark.sql("DROP TABLE vdbcat.proc.t")
+  }
 }
