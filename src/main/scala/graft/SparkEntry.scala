@@ -1520,13 +1520,15 @@ object SparkEntry {
     }),
     // ---- the same MERGE lifecycle under CONTENT-HASH ids — the layout
     // where footer id min/max can never prune (every file's range
-    // spans the hex keyspace, the reference's UUIDv5 contract): the
-    // first MERGE bootstraps the per-file id Bloom manifest from its
-    // own candidate scan (sources/IdBlooms.scala), the second takes
-    // the bloom-pruned victim lookup. Gated in-entry: the manifest
-    // must exist after merge #1 and a known-touched id's file must
-    // survive the probe after merge #2 (bloom fp may add candidates,
-    // a false negative would lose an update — bloom_ok pins both). ----
+    // spans the hex keyspace, the reference's UUIDv5 contract). The
+    // bloom manifest builds LAZILY from each merge's own candidate
+    // scan (sources/IdBlooms.scala): merge #2's lookup blooms the
+    // non-victim fresh-insert file it had to read anyway. Gated
+    // in-entry: after merge #2 the manifest exists, a probe for an id
+    // LIVING in the bloomed file finds it (a false negative would lose
+    // rows from a future merge), and a probe for an id NOT in it
+    // excludes it (the pruning that makes a 100 TB uuid-keyed CDC
+    // merge read candidates, not the corpus). ----
     "vdb_catalog_merge_hashid" -> ((s, dir) => {
       import s.implicits._
       val wh = java.nio.file.Files.createTempDirectory("graft-cat-mgh").toString
@@ -1555,10 +1557,15 @@ object SparkEntry {
         WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding
         WHEN NOT MATCHED AND c.op <> 'd' THEN
           INSERT (id, metadata, embedding) VALUES (c.id, c.metadata, c.embedding)""")
-      val root = s"$wh/h/docs"
-      val hfs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val bootstrapped = graft.sources.IdBlooms.enabled(hfs, root)
+      // fresh rows under DIFFERENT hash ids (md5('x…')): merge #2
+      // doesn't touch them, so their file is the non-victim candidate
+      // its lookup blooms
+      docs.where($"doc_id" < 100)
+        .select(md5(concat(lit("x"), $"doc_id".cast("string"))).as("id"),
+          to_json(struct($"lang", $"n_chars")).as("metadata"),
+          array($"n_chars".cast("float")).as("embedding"))
+        .createOrReplaceTempView("cat_mgh_fresh")
+      s.sql(s"INSERT INTO $cat.h.docs SELECT * FROM cat_mgh_fresh")
       docs.where($"doc_id" >= 100 && $"doc_id" < 200)
         .select(hid.as("id"),
           to_json(struct($"lang", ($"n_chars" + 5000).as("n_chars"))).as("metadata"),
@@ -1567,22 +1574,31 @@ object SparkEntry {
       s.sql(s"""
         MERGE INTO $cat.h.docs AS t USING cat_mgh_c2 AS c ON t.id = c.id
         WHEN MATCHED THEN UPDATE SET metadata = c.metadata, embedding = c.embedding""")
-      // no-false-negative probe: id 150 was touched by merge #2, so
-      // the file now holding it must survive a bloom probe for it
-      val probeId = s.range(1).select(md5(lit("150"))).head.getString(0)
-      val holder = s.read.parquet(root)
-        .where($"id" === probeId).select(input_file_name()).head.getString(0)
-      val hits = graft.sources.IdBlooms.probe(s, hfs, root, Array(probeId))
-      val probeOk = hits.contains(new org.apache.hadoop.fs.Path(holder).getName)
+      val root = s"$wh/h/docs"
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bootstrapped = graft.sources.IdBlooms.enabled(hfs, root)
+      // no-false-negative probe: md5('x42') lives in the bloomed fresh
+      // file — the probe must keep that file
+      val inId = s.range(1).select(md5(lit("x42"))).head.getString(0)
+      val holder = new org.apache.hadoop.fs.Path(s.read.parquet(root)
+        .where($"id" === inId).select(input_file_name()).head.getString(0)).getName
+      val inHit = graft.sources.IdBlooms.probe(s, hfs, root, Array(inId)).contains(holder)
+      // pruning probe: md5('42') (a base id) is NOT in the fresh file —
+      // at fpp 1e-9 the probe must exclude it
+      val outId = s.range(1).select(md5(lit("42"))).head.getString(0)
+      val outMiss = !graft.sources.IdBlooms.probe(s, hfs, root, Array(outId))
+        .contains(holder)
       val back = s.sql(s"""
         SELECT get_json_object(metadata, '$$.lang') AS lang, count(*) AS cnt,
                sum(cast(get_json_object(metadata, '$$.n_chars') AS bigint)) AS sum_chars,
-               ${if (bootstrapped && probeOk) 1 else 0} AS bloom_ok
+               ${if (bootstrapped && inHit && outMiss) 1 else 0} AS bloom_ok
         FROM $cat.h.docs GROUP BY 1""")
       val got = back.collect().toSeq
       s.sql(s"DROP TABLE $cat.h.docs")
       s.sql(s"DROP NAMESPACE $cat.h")
-      Seq("cat_mgh_base", "cat_mgh_c1", "cat_mgh_c2").foreach(s.catalog.dropTempView)
+      Seq("cat_mgh_base", "cat_mgh_c1", "cat_mgh_fresh", "cat_mgh_c2")
+        .foreach(s.catalog.dropTempView)
       s.createDataFrame(s.sparkContext.parallelize(got, 1), back.schema)
     }),
     // ---- SQL UPDATE + untranslatable DELETE through the catalog:
@@ -8323,10 +8339,12 @@ object SparkEntry {
         |  SELECT lang, n_chars + 1000 FROM documents
         |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
         |) GROUP BY lang""".stripMargin,
-    // hash-id MERGE ×2 (bloom-pruned second pass): base < 500, first
-    // change set updates/deletes/inserts [300,700), second re-updates
-    // [100,200) +5000; ids are md5 so the oracle's relational replay
-    // is the same census the engine must reach through the bloom path
+    // hash-id MERGE ×2 with a fresh insert between (the bloom-lazily-
+    // built file): base < 500, first change set
+    // updates/deletes/inserts [300,700), fresh re-insert of [0,100)
+    // under new ids, second merge re-updates base [100,200) +5000; ids
+    // are md5 so the oracle's relational replay is the same census the
+    // engine must reach through the bloom-pruned path
     "vdb_catalog_merge_hashid" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(chars) AS BIGINT) AS sum_chars,
         |       1 AS bloom_ok
@@ -8337,6 +8355,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT lang, n_chars + 1000 FROM documents
         |  WHERE doc_id >= 300 AND doc_id < 700 AND doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id < 100
         |) GROUP BY lang""".stripMargin,
     // catalog UPDATE/DELETE: fr docs carry +1000 chars (embedding
     // keeps the ORIGINAL n_chars — the partial-assignment proof), de

@@ -255,12 +255,12 @@ private[graft] object GvdbRowLevel {
         .collect().map(_.getString(0))
       if (capped.length > graft.sources.IdBlooms.MaxProbeIds) None else Some(capped)
     }
-    // one manifest pass yields validity AND hits; `valid` is reused
-    // below for the bootstrap's missing-set (pre-build state)
-    val (bloomValid, bloomHits) = touchedArr match {
+    // one manifest pass yields validity, hits AND the GC signal;
+    // `bloomValid` is reused below for the lazy build's missing-set
+    val (bloomValid, bloomHits, bloomTotal) = touchedArr match {
       case Some(ids) if graft.sources.IdBlooms.enabled(fs, root) =>
         graft.sources.IdBlooms.probeValid(spark, fs, root, ids)
-      case _ => (Set.empty[String], Set.empty[String])
+      case _ => (Set.empty[String], Set.empty[String], 0L)
     }
     if (bloomValid.nonEmpty)
       candidates = candidates.filter { p =>
@@ -284,19 +284,25 @@ private[graft] object GvdbRowLevel {
     val victims = idToFile
       .join(touchedIds, Seq(VectorSchema.ID), "left_semi")
       .select(FileCol).distinct().collect().map(_.getString(0))
-    // bootstrap/extend the bloom manifest from the candidate pass the
-    // lookup just paid — the aggregation reads the persisted (id,
-    // file) frame, never the data files again. After the first merge
-    // every file this lookup had to read carries a bloom, so the NEXT
-    // merge's candidates shrink to true maybe-holders; inserts keep
-    // the manifest current from then on (syncIfEnabled).
+    // LAZILY extend the bloom manifest from the candidate pass the
+    // lookup just paid: bloom the NON-VICTIM candidates that lack an
+    // entry (victims are deleted by the caller moments later — a
+    // bloom for them is waste and instant GC pressure). The
+    // aggregation reads the persisted (id, file) frame, never the
+    // data files again; files written later stay
+    // unbloomed-conservative until the next lookup reads them anyway.
     if (touchedArr.isDefined && candidates.nonEmpty) {
+      val victimNames = victims.iterator
+        .map(new org.apache.hadoop.fs.Path(_).getName).toSet
       val candNames = candidates.iterator
         .map(new org.apache.hadoop.fs.Path(_).getName).toSet
       val rowsByName = stats.iterator
         .map { case (p, n, _) => new org.apache.hadoop.fs.Path(p).getName -> n }
-        .filter { case (n, _) => !bloomValid(n) && candNames(n) }.toMap
+        .filter { case (n, _) => !bloomValid(n) && candNames(n) && !victimNames(n) }
+        .toMap
       graft.sources.IdBlooms.buildFrom(spark, fs, root, idToFile, rowsByName)
+      graft.sources.IdBlooms.gcIfBloated(spark, fs, root,
+        bloomTotal + rowsByName.size, bloomValid.size.toLong + rowsByName.size)
     }
     val victimIds =
       if (victims.isEmpty) idToFile.select(VectorSchema.ID).limit(0).localCheckpoint(true)
@@ -363,9 +369,8 @@ private[graft] object GvdbRowLevel {
       new VectorTable(spark, root, 1).expireSnapshotsReferencing(
         victims.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
     }
-    // blooms for the appended replacement files (one column-pruned
-    // read of just those), and GC of the victims' now-stale entries
-    graft.sources.IdBlooms.syncIfEnabled(spark, hfs, root)
+    // (the replacement files stay unbloomed-conservative until the
+    // next victim lookup reads — and then blooms — them)
   }
 
   /** The whole-table copy-on-write tail: stage the result to a scratch

@@ -34,16 +34,24 @@ import graft.core.VectorSchema
   * set. The manifest is derived state over immutable inputs — losing
   * or deleting it costs re-derivation, never correctness.
   *
-  * Lifecycle: the first file-group CoW merge BOOTSTRAPS blooms from
-  * the candidate scan it already pays (the per-file aggregation rides
-  * the same cached (id, file) pass that finds the victims — no extra
-  * read), and every later mutation under an existing manifest keeps
-  * it in sync incrementally ([[syncIfEnabled]]: one column-pruned
-  * read of the files missing entries, i.e. the just-written batch).
-  * Probing is a broadcast of the touched ids (CDC batches are small;
-  * capped at [[MaxProbeIds]] — a merge touching more ids hits most
-  * files anyway) against the manifest rows, distributed over the
-  * manifest's own partitions: no bloom ever has to fit on the driver.
+  * Lifecycle — STRICTLY LAZY, the manifest is only ever built from
+  * scans a lookup already pays: each file-group CoW merge blooms the
+  * NON-VICTIM candidate files of its own lookup (the per-file
+  * aggregation rides the same cached (id, file) pass that finds the
+  * victims — zero extra data reads, and victims are skipped because
+  * the caller deletes them moments later). Files written between
+  * merges (inserts, replacement appends, compaction output) simply
+  * stay unbloomed-conservative until the next lookup reads and blooms
+  * them — the same bytes an eager sync would have read, deferred into
+  * a pass that runs anyway. The first, eager design measured ~2× on
+  * the bench's merge entries (extra read-back + manifest jobs per
+  * mutation) for bytes lazy convergence gets free. Probing is a
+  * broadcast of the touched ids (CDC batches are small; capped at
+  * [[MaxProbeIds]] — a merge touching more ids hits most files
+  * anyway) against the manifest rows, distributed over the manifest's
+  * own partitions: no bloom ever has to fit on the driver. Stale
+  * entries GC when they outnumber live ones ([[gcIfBloated]], counts
+  * the lookup already holds).
   *
   * A Bloom false positive only costs a ride-along candidate read; a
   * false negative is impossible, so pruning is sound by construction.
@@ -113,12 +121,13 @@ private[graft] object IdBlooms {
   }
 
   /** One manifest pass: (bare names with a current entry, the subset
-    * whose bloom says "may hold one of `touched`"). Distributed over
-    * the manifest partitions with the touched ids broadcast — per-row
+    * whose bloom says "may hold one of `touched`", TOTAL manifest
+    * entries — stale included, the GC signal). Distributed over the
+    * manifest partitions with the touched ids broadcast — per-row
     * work is |touched| probes with early exit on first hit. */
   def probeValid(spark: SparkSession, fs: FileSystem, root: String,
-      touched: Array[String]): (Set[String], Set[String]) = {
-    if (!enabled(fs, root) || touched.isEmpty) return (Set.empty, Set.empty)
+      touched: Array[String]): (Set[String], Set[String], Long) = {
+    if (!enabled(fs, root) || touched.isEmpty) return (Set.empty, Set.empty, 0L)
     val live = liveStatus(fs, root)
     val bLive = spark.sparkContext.broadcast(live)
     val bTouched = spark.sparkContext.broadcast(touched)
@@ -126,17 +135,18 @@ private[graft] object IdBlooms {
       val pairs = manifest(spark, root).rdd.mapPartitions { it =>
         val liveM = bLive.value
         val ids = bTouched.value
-        it.flatMap { r =>
+        it.map { r =>
           val (n, l, m) = (r.getString(0), r.getLong(1), r.getLong(2))
-          if (!liveM.get(n).contains((l, m))) None
+          if (!liveM.get(n).contains((l, m))) (n, false, false)
           else {
             val bloom = deser(r.getAs[Array[Byte]](3))
-            Some((n, ids.exists(bloom.mightContainString)))
+            (n, true, ids.exists(bloom.mightContainString))
           }
         }
       }.collect()
-      (pairs.iterator.map(_._1).toSet,
-        pairs.iterator.collect { case (n, true) => n }.toSet)
+      (pairs.iterator.collect { case (n, true, _) => n }.toSet,
+        pairs.iterator.collect { case (n, true, true) => n }.toSet,
+        pairs.length.toLong)
     } finally {
       bLive.destroy(); bTouched.destroy()
     }
@@ -147,6 +157,27 @@ private[graft] object IdBlooms {
   def probe(spark: SparkSession, fs: FileSystem, root: String,
       touched: Array[String]): Set[String] =
     probeValid(spark, fs, root, touched)._2
+
+  /** Compact the manifest when stale entries (from rewrites/deletes of
+    * their files) outnumber live ones — called by the victim lookup
+    * with counts it already holds, so the check itself is free and the
+    * rewrite touches only the (small) manifest. Caller holds the
+    * writer turn. */
+  def gcIfBloated(spark: SparkSession, fs: FileSystem, root: String,
+      totalEntries: Long, validEntries: Long): Unit = {
+    if (!enabled(fs, root) || totalEntries <= 2 * math.max(1L, validEntries)) return
+    val live = liveStatus(fs, root)
+    val bLive = spark.sparkContext.broadcast(live)
+    val keep = manifest(spark, root).filter { r: Row =>
+      bLive.value.get(r.getString(0)).contains((r.getLong(1), r.getLong(2)))
+    }
+    val tmp = new Path(root + ".blooms__rewrite")
+    keep.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir(root), true)
+    fs.rename(tmp, dir(root))
+    bLive.destroy()
+    ()
+  }
 
   /** Aggregate per-file blooms from an `(id, full file path)` frame
     * and append them to the manifest. The frame is whatever pass the
@@ -186,47 +217,6 @@ private[graft] object IdBlooms {
     }
     spark.createDataFrame(entries, manifestSchema)
       .write.mode("append").parquet(dir(root).toString)
-  }
-
-  /** Incremental maintenance at a mutation commit point: build blooms
-    * for live files missing a valid entry (one column-pruned read of
-    * just those files — after an insert, exactly the appended batch),
-    * then garbage-collect when stale entries outnumber live ones.
-    * No-op unless a manifest already exists: plain tables never pay
-    * for a structure only the CoW merge path reads. Callers hold the
-    * writer lock (all mutation sites do). */
-  def syncIfEnabled(spark: SparkSession, fs: FileSystem, root: String): Unit = {
-    if (!enabled(fs, root)) return
-    val live = liveStatus(fs, root)
-    val valid = validNames(spark, fs, root)
-    val missing = live.keySet.diff(valid)
-    if (missing.nonEmpty) {
-      val rows = GvdbFooters.idStats(spark, root).iterator
-        .map { case (p, n, _) => new Path(p).getName -> n }
-        .filter { case (n, _) => missing.contains(n) }.toMap
-      if (rows.nonEmpty) {
-        val idOnly = StructType(Seq(manifestSchema.head.copy(name = VectorSchema.ID)))
-        val paths = rows.keysIterator.map(n => s"$root/$n").toSeq
-        val idFile = spark.read.schema(idOnly).parquet(paths: _*)
-          .select(col(VectorSchema.ID), input_file_name())
-        buildFrom(spark, fs, root, idFile, rows)
-      }
-    }
-    val total = manifest(spark, root).count()
-    val nowValid = validNames(spark, fs, root)
-    if (total > 2 * math.max(1L, nowValid.size.toLong)) {
-      // compact: keep current entries only — staged beside the table
-      // via the Hadoop FS API (FS-portable), then swapped in
-      val bLive = spark.sparkContext.broadcast(live)
-      val keep = manifest(spark, root).filter { r: Row =>
-        bLive.value.get(r.getString(0)).contains((r.getLong(1), r.getLong(2)))
-      }
-      val tmp = new Path(root + ".blooms__rewrite")
-      keep.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir(root), true)
-      fs.rename(tmp, dir(root))
-      bLive.destroy()
-    }
   }
 
   def drop(fs: FileSystem, root: String): Unit = {

@@ -744,7 +744,6 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       ivfPqIndexMeta.foreach(meta => buildIvfPqIndex(meta.nCells, meta.m,
         meta.pqK, meta.nProbe, meta.shortlistFactor))
       bqIndexMeta.foreach(meta => buildBqIndex(meta.coarseFactor, meta.fineFactor))
-      graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
     }
     this
   }
@@ -764,8 +763,10 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     * footers-minus-tombstones arithmetic, the merge-on-read view, and
     * every persisted index tier (which reference IDS, never files)
     * survive unchanged. Snapshots referencing a victim expire
-    * selectively (the group-CoW retention rule); the bloom manifest
-    * re-syncs to the new files. Same append-then-delete crash window
+    * selectively (the group-CoW retention rule); bloom entries for the
+    * folded files go stale by keying and the merged output stays
+    * unbloomed-conservative until the next victim lookup blooms it.
+    * Same append-then-delete crash window
     * as the group CoW — the single-writer contract's documented
     * non-transactionality. Returns the number of files removed (0 =
     * nothing worth compacting). */
@@ -791,7 +792,6 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     victims.foreach { case (p, _) => fs.delete(new Path(p), false) }
     expireSnapshotsReferencing(
       victims.map { case (p, _) => new Path(p).getName }.toSet)
-    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
     victims.size
   }
 
@@ -883,9 +883,6 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         autoCompactHnsw()
       } finally fresh.unpersist(blocking = false)
     }
-    // keep the CoW bloom manifest current once a merge bootstrapped it
-    // (no-op otherwise): one column-pruned read of the appended files
-    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
   }
 
   /** Row count (reference `num_rows`, duckvdb.py:122-123). */
@@ -908,6 +905,5 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
         .select(VectorSchema.ID, VectorSchema.METADATA, VectorSchema.EMBEDDING))
       .write.mode("overwrite").parquet(root)
     if (buildIndex) buildAnnIndex()
-    graft.sources.IdBlooms.syncIfEnabled(spark, fs, root)
   }
 }

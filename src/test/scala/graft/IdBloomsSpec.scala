@@ -15,12 +15,13 @@ import graft.table.VectorTable
 /** Per-file id Bloom pruning for the CoW victim lookup
   * (sources/IdBlooms.scala): under content-hash ids every file's
   * footer id range spans the keyspace, so range pruning keeps the
-  * whole table candidate — the blooms must (1) bootstrap from the
-  * first merge's own candidate scan, (2) prune the SECOND lookup to
-  * the true maybe-holders with zero false negatives, (3) stay current
-  * across later inserts without a rebuild, and (4) survive a
-  * whole-table rewrite by invalidation + resync, never by serving
-  * stale bits. */
+  * whole table candidate — the blooms must (1) build LAZILY from the
+  * first lookup's own candidate scan (non-victim files only; victims
+  * die moments later), (2) prune a later lookup to the true
+  * maybe-holders with zero false negatives, (3) converge over files
+  * written between lookups without any eager sync, and (4) survive a
+  * whole-table rewrite by invalidation, never by serving stale
+  * bits. */
 class IdBloomsSpec extends SparkSpec with Matchers {
 
   private def fs(root: String) =
@@ -37,6 +38,11 @@ class IdBloomsSpec extends SparkSpec with Matchers {
     }.toDF("id", "metadata", "embedding").repartition(2)
   }
 
+  private def touchedOf(salt: Int, n: Int, take: Int) = {
+    import spark.implicits._
+    batch(salt, n).select($"id").limit(take).distinct().localCheckpoint(true)
+  }
+
   private def groundTruthVictims(root: String, touched: DataFrame): Set[String] = {
     import spark.implicits._
     spark.read.parquet(root)
@@ -45,79 +51,81 @@ class IdBloomsSpec extends SparkSpec with Matchers {
       .select($"f").distinct().collect().map(r => new Path(r.getString(0)).getName).toSet
   }
 
-  test("uuid-keyed lookup: bootstrap on first merge, bloom-pruned and sound on the second") {
+  test("lazy bootstrap blooms the non-victim candidates; second lookup is pruned and sound") {
     val root = Files.createTempDirectory("graft-blooms").toString + "/t"
     val table = new VectorTable(spark, root, 1).create()
     (0 until 4).foreach(s => table.insert(batch(s, 200)))
     val hfs = fs(root)
     IdBlooms.enabled(hfs, root) shouldBe false
 
-    import spark.implicits._
-    val touched = batch(2, 200).select($"id").limit(25).distinct().localCheckpoint(true)
+    val touched = touchedOf(2, 200, 25)
     val expected = groundTruthVictims(root, touched)
 
-    // first lookup: full candidate set (ranges overlap), bootstraps the manifest
+    // first lookup: ranges overlap → full candidate set; blooms built
+    // for every candidate EXCEPT the victims (caller would delete them)
     val (victims1, _) = GvdbRowLevel.victimLookup(spark, root, touched)
     victims1.map(f => new Path(f).getName).toSet shouldBe expected
     IdBlooms.enabled(hfs, root) shouldBe true
-    // every data-carrying file the first pass read now has a valid bloom
     val valid = IdBlooms.validNames(spark, hfs, root)
-    assert(expected.subsetOf(valid), "bootstrapped blooms must cover the victims")
+    valid.intersect(expected) shouldBe empty // victims stay unbloomed
+    val allFiles = graft.sources.GvdbFooters.idStats(spark, root)
+      .map(t => new Path(t._1).getName).toSet
+    valid shouldBe (allFiles -- expected) // everything else is bloomed
 
-    // soundness: a probe may over-approximate (fp) but NEVER misses a
-    // file that truly holds a touched id
-    val hits = IdBlooms.probe(spark, hfs, root,
-      touched.collect().map(_.getString(0)))
-    assert(expected.subsetOf(hits), s"false negative: $expected vs $hits")
+    // soundness on a REAL bloom: an id living in a bloomed file must
+    // survive the probe for it (false negatives are impossible)
+    val bloomedId = {
+      import spark.implicits._
+      spark.read.parquet(root).select($"id", input_file_name().as("f"))
+        .collect().collectFirst {
+          case r if valid(new Path(r.getString(1)).getName) => r.getString(0)
+        }.get
+    }
+    val holder = groundTruthVictims(root,
+      { import spark.implicits._; Seq(bloomedId).toDF("id") })
+    val hits = IdBlooms.probe(spark, hfs, root, Array(bloomedId))
+    assert(holder.subsetOf(hits), s"false negative: $holder vs $hits")
+    // pruning: at fpp 1e-9 nothing else may-hit
+    hits shouldBe holder
 
-    // pruning: the touched ids came from ONE insert batch; with 4
-    // batches of overlapping ranges the bloom must exclude most files
-    // (fpp 0.01 on a handful of files makes a full-keep astronomically
-    // unlikely)
-    assert(hits.size < valid.size,
-      s"bloom probe pruned nothing: ${hits.size} of ${valid.size} files")
-
-    // second lookup goes through the bloom-pruned path: same victims
+    // second lookup with the ORIGINAL touched set: bloomed files all
+    // prune out (no batch-2 id lives there), victims stay candidates —
+    // same answer through the pruned path
     val (victims2, _) = GvdbRowLevel.victimLookup(spark, root, touched)
     victims2.map(f => new Path(f).getName).toSet shouldBe expected
   }
 
-  test("inserts keep an existing manifest current; whole-table rewrite invalidates and resyncs") {
+  test("files written between lookups converge lazily; whole-table rewrite invalidates") {
     val root = Files.createTempDirectory("graft-blooms2").toString + "/t"
     val table = new VectorTable(spark, root, 1).create()
     (0 until 3).foreach(s => table.insert(batch(s, 150)))
-    import spark.implicits._
-    val touched = batch(1, 150).select($"id").limit(10).distinct().localCheckpoint(true)
-    GvdbRowLevel.victimLookup(spark, root, touched) // bootstrap
+    GvdbRowLevel.victimLookup(spark, root, touchedOf(1, 150, 10)) // bootstrap
     val hfs = fs(root)
     IdBlooms.enabled(hfs, root) shouldBe true
 
-    // an insert after bootstrap: the new files get entries with NO
-    // merge in between (the syncIfEnabled hook)
+    // an insert after bootstrap: NO eager sync — the new files are
+    // simply absent from the manifest (conservative candidates)
     table.insert(batch(9, 150))
-    val validAfterInsert = IdBlooms.validNames(spark, hfs, root)
-    // every data-carrying live file is covered — including batch 9's
-    val fresh = batch(9, 150).select($"id").limit(5).distinct().localCheckpoint(true)
-    val expectedFresh = groundTruthVictims(root, fresh)
-    assert(expectedFresh.subsetOf(validAfterInsert),
-      "post-bootstrap insert must extend the manifest to its new files")
-    IdBlooms.probe(spark, hfs, root, fresh.collect().map(_.getString(0)))
-      .intersect(expectedFresh) shouldBe expectedFresh
+    val batch9Files = groundTruthVictims(root,
+      { import spark.implicits._
+        batch(9, 150).select($"id").distinct().localCheckpoint(true) })
+    IdBlooms.validNames(spark, hfs, root).intersect(batch9Files) shouldBe empty
+    // a lookup touching batch 0 reads the unbloomed files as
+    // candidates — correct victims — and blooms batch 9's files on
+    // the way through (they are non-victim candidates of THIS lookup)
+    val t0 = touchedOf(0, 150, 10)
+    val (v0, _) = GvdbRowLevel.victimLookup(spark, root, t0)
+    v0.map(f => new Path(f).getName).toSet shouldBe groundTruthVictims(root, t0)
+    assert(batch9Files.subsetOf(IdBlooms.validNames(spark, hfs, root)),
+      "the next lookup must bloom files written since the last one")
 
-    // whole-table rewrite (vacuum after a delete): every old entry is
-    // stale by (len, mtime); the post-rewrite sync re-covers the new
-    // files and GC keeps the manifest from accreting dead rows
+    // whole-table rewrite (vacuum after a delete): every entry goes
+    // stale by (len, mtime) — the next lookup treats all files as
+    // unbloomed candidates and still names the right victims
     table.delete(get_json_object(col("metadata"), "$.salt") === "0")
     table.vacuum()
-    val validAfterRewrite = IdBlooms.validNames(spark, hfs, root)
-    val liveAfter = hfs.listStatus(new Path(root))
-      .filter(_.getPath.getName.startsWith("part-"))
-      .filter(st => graft.sources.GvdbFooters.rowCount(spark, st.getPath.toString) > 0)
-      .map(_.getPath.getName).toSet
-    liveAfter.subsetOf(validAfterRewrite) shouldBe true
-    // correctness across the rewrite: victims for surviving rows
-    val touchedAfter = batch(1, 150).select($"id").limit(10).distinct().localCheckpoint(true)
-    val (v, _) = GvdbRowLevel.victimLookup(spark, root, touchedAfter)
-    v.map(f => new Path(f).getName).toSet shouldBe groundTruthVictims(root, touchedAfter)
+    val t1 = touchedOf(1, 150, 10)
+    val (v1, _) = GvdbRowLevel.victimLookup(spark, root, t1)
+    v1.map(f => new Path(f).getName).toSet shouldBe groundTruthVictims(root, t1)
   }
 }
