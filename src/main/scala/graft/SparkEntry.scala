@@ -6109,22 +6109,38 @@ object SparkEntry {
         sum($"x1" * $"x2").cast("double").as("s12"),
         sum($"x1" * $"y").cast("double").as("s1y"),
         sum($"x2" * $"y").cast("double").as("s2y"))
-      val coef = sums
-        .withColumn("m11", $"s11" - $"s1" * $"s1" / $"n")
-        .withColumn("m22", $"s22" - $"s2" * $"s2" / $"n")
-        .withColumn("m12", $"s12" - $"s1" * $"s2" / $"n")
-        .withColumn("m1y", $"s1y" - $"s1" * $"sy" / $"n")
-        .withColumn("m2y", $"s2y" - $"s2" * $"sy" / $"n")
-        .withColumn("det", $"m11" * $"m22" - $"m12" * $"m12")
-        .withColumn("b1", ($"m22" * $"m1y" - $"m12" * $"m2y") / $"det")
-        .withColumn("b2", ($"m11" * $"m2y" - $"m12" * $"m1y") / $"det")
-        .withColumn("b0", ($"sy" - $"b1" * $"s1" - $"b2" * $"s2") / $"n")
-        .select($"b0", $"b1", $"b2")
-      val scored = base.where($"split" >= 2).crossJoin(broadcast(coef))
-        .withColumn("resid", abs($"y".cast("double") -
-          ($"b0" + $"b1" * $"x1".cast("double") + $"b2" * $"x2".cast("double"))))
-      val cal = scored.where($"split" === 2)
-        .select($"resid", $"l_orderkey", $"l_linenumber")
+      // The 3-double coefficient row is collected ONCE and re-enters the
+      // plan as literals (bit-identical IEEE values — the Cramer solve
+      // below runs the SAME double ops in the SAME order the former
+      // column expressions did): as a crossJoin(broadcast(coef)) subtree
+      // it re-executed the full train-split scan + md5 hash for EVERY
+      // downstream action — the r12 job profile showed 7
+      // broadcast-subquery jobs of 0.9–1.7 s each rebuilding it (guide
+      // §1.2: don't compute things you throw away; §5: a 1-row driver
+      // scalar is not "data work").
+      def coef(r: org.apache.spark.sql.Row): (Double, Double, Double) = {
+        val n = r.getDouble(0); val s1 = r.getDouble(1); val s2 = r.getDouble(2)
+        val sy = r.getDouble(3); val s11 = r.getDouble(4); val s22 = r.getDouble(5)
+        val s12 = r.getDouble(6); val s1y = r.getDouble(7); val s2y = r.getDouble(8)
+        val m11 = s11 - s1 * s1 / n; val m22 = s22 - s2 * s2 / n
+        val m12 = s12 - s1 * s2 / n
+        val m1y = s1y - s1 * sy / n; val m2y = s2y - s2 * sy / n
+        val det = m11 * m22 - m12 * m12
+        val b1 = (m22 * m1y - m12 * m2y) / det
+        val b2 = (m11 * m2y - m12 * m1y) / det
+        val b0 = (sy - b1 * s1 - b2 * s2) / n
+        (b0, b1, b2)
+      }
+      val cf = coef(sums.head())
+      def resid = abs($"y".cast("double") -
+        (lit(cf._1) + lit(cf._2) * $"x1".cast("double") + lit(cf._3) * $"x2".cast("double")))
+      // calibration residuals persisted (resid + tiebreak keys only,
+      // O(corpus/4) narrow rows): consumed by the count, the
+      // range-partitioned rank pass, and the k-th-element collect —
+      // without the persist each re-ran the scan + per-row md5 split.
+      val cal = graft.core.PlanCache.persist(
+        base.where($"split" === 2)
+          .select(resid.as("resid"), $"l_orderkey", $"l_linenumber"))
       val nCal = cal.count()
       val k = (9L * (nCal + 1L) + 9L) / 10L // ⌈0.9·(n_cal+1)⌉ by integer rank
       // k-th smallest by TOTAL order (resid, orderkey, linenumber):
@@ -6138,14 +6154,13 @@ object SparkEntry {
         .sortWithinPartitions($"resid".asc, $"l_orderkey".asc, $"l_linenumber".asc)
         .select($"resid").rdd.zipWithIndex()
         .filter(_._2 == k - 1).map(_._1.getDouble(0)).collect().head
-      val qhat = Seq((nCal, k, q)).toDF("n_cal", "k", "q")
-      scored.where($"split" === 3).crossJoin(broadcast(qhat))
-        .agg(first($"n_cal").as("n_cal"), first($"k").as("k"),
-          RoundPortableExpr.r(first($"q"), 4).as("qhat"),
+      base.where($"split" === 3).select(resid.as("resid"))
+        .agg(lit(nCal).as("n_cal"), lit(k).as("k"),
+          RoundPortableExpr.r(lit(q), 4).as("qhat"),
           count(lit(1)).as("n_test"),
-          sum(when($"resid" <= $"q", 1L).otherwise(0L)).as("n_covered"),
+          sum(when($"resid" <= lit(q), 1L).otherwise(0L)).as("n_covered"),
           RoundPortableExpr.r(
-            sum(when($"resid" <= $"q", 1.0).otherwise(0.0)) / count(lit(1)), 4)
+            sum(when($"resid" <= lit(q), 1.0).otherwise(0.0)) / count(lit(1)), 4)
             .as("coverage"))
     }),
     // ---- leading principal component by exact distributed covariance

@@ -51,10 +51,55 @@ object Components {
     * ComponentsStarSpec asserts (≈log₂ n on a path graph). */
   def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
-    // canonical orientation big→small; self-loops dropped
-    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
+    val spark0 = nodes.sparkSession
+    // Size-adaptive local finish (r12 optimization, guide §1.2/§5): a
+    // star-contraction ROUND costs one checkpoint job + one
+    // fixed-point-check job + the round's join/agg shuffles — ~5 jobs
+    // of pure scheduling floor when the edge set is already tiny. When
+    // the canonical edge list fits comfortably on the driver
+    // (spark.graft.cc.localEdgeMax edges, default 200k ≈ a few MB of
+    // longs — the same bounded-collect class as the k-means centroid
+    // and query-panel collects), union–find finishes it in one collect
+    // job with IDENTICAL labels (component = min id, same tie-free
+    // semantics). Above the bound — the 100 TB regime — the
+    // distributed contraction below runs unchanged; Kiveris et al.
+    // themselves finish contracted-small graphs locally. Set the conf
+    // to 0 to force the distributed path (ComponentsStarSpec does).
+    val localMax = spark0.conf.get("spark.graft.cc.localEdgeMax", "200000").toLong
+    val canon = edges.toDF("u", "v").where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct())
+      .distinct()
+    val longIds = canon.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax > 0 && longIds) {
+      val head = canon.limit((localMax + 1).toInt).collect()
+      if (head.length <= localMax) {
+        // parent → min-id root via path-compressed union–find
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        head.foreach { row =>
+          val a = find(row.getLong(0)); val b = find(row.getLong(1))
+          if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+        }
+        val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet.forEach { k => val r = find(k); if (r != k) labels += ((k, r)); () }
+        import spark0.implicits._
+        val labDf = labels.toSeq.toDF("id", "component")
+        val out = nodes.toDF("id").distinct()
+          .join(broadcast(labDf), Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        return (out, 0)
+      }
+      // too big to finish locally: fall through to the distributed
+      // contraction over the already-persisted canonical edges
+    }
+    var e = cut(canon)
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIters && !converged) {

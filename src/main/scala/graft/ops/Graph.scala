@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,22 +121,42 @@ object Graph {
     var hub = cut(ed.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0 / nH).as("score")))
     var auth: DataFrame = null
+    // r12 (guide §1.2): one lineage cut per ITERATION, not per
+    // half-step. The raw half-step tables are PERSISTED instead of
+    // checkpointed — each is evaluated exactly once (its L1-norm
+    // broadcast job materializes the cache; every later consumer reads
+    // blocks), the plan stays flat because `hub` is still a checkpoint
+    // scan every round, and the per-round job count drops from 4
+    // materializations + 2 checkpoint writes to 3 + 1. Arithmetic is
+    // untouched — same joins, same aggregation, same s/n division —
+    // so scores are bit-identical to the r11 form.
+    var prevARaw: DataFrame = null
+    var prevHRaw: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = ed.join(hub, ed("src") === hub("id"))
         .groupBy(ed("dst").as("id")).agg(sum(col("score")).as("s"))
-      val a2 = cut(araw.crossJoin(broadcast(araw.agg(sum(col("s")).as("n"))))
-        .select(col("id"), (col("s") / col("n")).as("score")))
-      if (auth != null) dropCheckpoint(auth)
+      araw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a2 = araw.crossJoin(broadcast(araw.agg(sum(col("s")).as("n"))))
+        .select(col("id"), (col("s") / col("n")).as("score"))
       auth = a2
       val hraw = ed.join(auth, ed("dst") === auth("id"))
         .groupBy(ed("src").as("id")).agg(sum(col("score")).as("s"))
+      hraw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val h2 = cut(hraw.crossJoin(broadcast(hraw.agg(sum(col("s")).as("n"))))
         .select(col("id"), (col("s") / col("n")).as("score")))
       dropCheckpoint(hub)
+      // the superseded round's half-step caches are garbage once h2 is
+      // materialized; the LAST round's araw still feeds the returned
+      // auth plan and is registered with PlanCache below
+      if (prevARaw != null) prevARaw.unpersist(blocking = false)
+      if (prevHRaw != null) prevHRaw.unpersist(blocking = false)
+      prevARaw = araw
+      prevHRaw = hraw
       hub = h2
     }
+    if (prevHRaw != null) prevHRaw.unpersist(blocking = false)
+    if (prevARaw != null) graft.core.PlanCache.persist(prevARaw)
     checkpointRdd(hub).foreach(graft.core.PlanCache.registerRdd(spark, _))
-    checkpointRdd(auth).foreach(graft.core.PlanCache.registerRdd(spark, _))
     hub.select(lit("hub").as("kind"), col("id"), col("score"))
       .unionByName(auth.select(lit("auth").as("kind"), col("id"), col("score")))
   }
@@ -231,9 +253,43 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20,
       assertFixpoint: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
+    // r12 size-adaptive local finish (the Components/bfs design): the
+    // peel is a deterministic integer fixed point, so under the driver
+    // edge bound it runs as a local loop with IDENTICAL rounds
+    // semantics (simultaneous peel per round, same maxRounds /
+    // assertFixpoint contract) and census — none of the per-round
+    // checkpoint + count jobs. Above the bound the distributed peel
+    // below runs unchanged.
+    val localMax = spark.conf.get("spark.graft.graph.localEdgeMax", "200000").toLong
+    val canon0 = edges.toDF("u", "v").where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct())
+      .distinct()
+    val longIds = canon0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax > 0 && longIds) {
+      val head = canon0.limit((localMax + 1).toInt).collect()
+      if (head.length <= localMax) {
+        var es = head.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        var rounds = 0
+        var doneL = es.isEmpty
+        while (!doneL && rounds < maxRounds) {
+          val deg = mutable.Map[Long, Long]().withDefaultValue(0L)
+          es.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+          val e2 = es.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+          rounds += 1
+          doneL = e2.length == es.length || e2.isEmpty
+          es = e2
+        }
+        if (assertFixpoint && !doneL) throw new IllegalStateException(
+          s"kCore did not reach its fixed point within maxRounds=$maxRounds " +
+            "(an unrolled-SQL oracle with the same round count would diverge)")
+        val coreDeg = mutable.Map[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => coreDeg(u) += 1; coreDeg(v) += 1 }
+        import spark.implicits._
+        return coreDeg.toSeq.toDF("id", "core_deg")
+      }
+    }
+    var e = cut(canon0)
     var m = e.count()
     var rounds = 0
     var done = m == 0L
@@ -308,7 +364,57 @@ object Graph {
     * are empty-frontier no-ops on both engines. */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
-    val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
+    // r12 size-adaptive local finish (same design + conf family as
+    // Components.connectedComponentsWithStats): BFS levels are
+    // DETERMINISTIC integers, so when the distinct edge list fits the
+    // driver bound the whole traversal is one bounded collect + local
+    // adjacency walk — identical census, none of the per-level
+    // checkpoint/anti-join jobs. Above the bound (the 100 TB graph),
+    // the distributed frontier loop below runs unchanged.
+    val localMax = spark.conf.get("spark.graft.graph.localEdgeMax", "200000").toLong
+    val canon = edges.toDF("src", "dst").distinct()
+    val longIds = canon.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax > 0 && longIds) {
+      val head = canon.limit((localMax + 1).toInt).collect()
+      if (head.length <= localMax) {
+        val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+        val nodeSet = new java.util.HashSet[Long]()
+        head.foreach { r =>
+          val s = r.getLong(0); val d = r.getLong(1)
+          adj.computeIfAbsent(s, _ => mutable.ArrayBuffer.empty[Long]) += d
+          nodeSet.add(s); nodeSet.add(d); ()
+        }
+        val dist = new java.util.HashMap[Long, Int]()
+        var frontier = seeds.toDF("id").distinct().collect().map(_.getLong(0))
+          .filter(nodeSet.contains).toSeq
+        frontier.foreach(dist.put(_, 0))
+        var depth = 0
+        while (depth < maxDepth && frontier.nonEmpty) {
+          val next = mutable.ArrayBuffer[Long]()
+          frontier.foreach { u =>
+            val ns = adj.get(u)
+            if (ns != null) ns.foreach { v =>
+              if (!dist.containsKey(v)) { dist.put(v, depth + 1); next += v }
+            }
+          }
+          frontier = next.toSeq
+          depth += 1
+        }
+        // census over ALL graph nodes (unreached → -1), identical to
+        // the distributed left-join + groupBy below
+        val census = mutable.Map[Int, (Long, Long, Long)]()
+        nodeSet.forEach { id =>
+          val d = if (dist.containsKey(id)) dist.get(id) else -1
+          val cur = census.getOrElse(d, (0L, Long.MaxValue, Long.MinValue))
+          census(d) = (cur._1 + 1, math.min(cur._2, id), math.max(cur._3, id))
+        }
+        import spark.implicits._
+        return census.toSeq.map { case (d, (n, mn, mx)) => (d, n, mn, mx) }
+          .toDF("dist", "n_nodes", "min_id", "max_id")
+      }
+    }
+    val ed = graft.core.PlanCache.persist(canon)
     val nodes = ed.select(col("src").as("id"))
       .unionAll(ed.select(col("dst").as("id"))).distinct()
     // seeds outside the graph are ignored (mirrors personalizedPageRank)
