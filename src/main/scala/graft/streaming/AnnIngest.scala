@@ -144,11 +144,15 @@ object AnnIngest {
     q.awaitTermination()
     val panel = emb.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
-    val recalls = panel.map { qv =>
-      val approx = db.queryByVector(qv, k = 10).collect().map(_.id).toSet
-      val exact = db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet
+    // post-stream recall panel overlapped from driver threads (guide
+    // §2.6): 10 independent read-only probe jobs — same routes, same
+    // per-query results, wall time ≈ the slowest probe instead of the sum
+    val recalls = graft.core.Par.run(panel.toSeq.map { qv => () =>
+      val (approx, exact) = graft.core.Par.pair(
+        db.queryByVector(qv, k = 10).collect().map(_.id).toSet,
+        db.queryByVector(qv, k = 10, useIndex = false).collect().map(_.id).toSet)
       (exact intersect approx).size.toDouble / exact.size
-    }
+    })
     val meanRecall = recalls.sum / recalls.length
     Seq((0L, if (meanRecall >= floor) 1 else 0,
       if (searchableOk && sawBatch) 1 else 0))
