@@ -209,9 +209,26 @@ object Dedup {
     // this is the "write the signature table once, reuse it" pattern.
     // Registered with PlanCache so the materializing caller releases it.
     val sigs = graft.core.PlanCache.persist(
-      minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
-        .where(size(col("sh")) > 0)
-        .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand)))
+      minhashSigTable(df, idCol, textCol, n, bands, rowsPerBand))
+    minhashLshPairsFromSigs(sigs, idCol, threshold, maxBucket)
+  }
+
+  /** The banded-minhash signature table (id, sh, sig, bk) the LSH pair
+    * join consumes — exposed so callers can persist it ONCE and derive
+    * several pair variants via [[minhashLshPairsFromSigs]]. */
+  def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+      .where(size(col("sh")) > 0)
+      .withColumn("bk", TextExprs.bandKeys(col("sig"), bands, rowsPerBand))
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED (persisted) signature table
+    * (id, sh, sig, bk) — lets a caller derive several pair variants
+    * (different bucket caps) from ONE shingle+minhash pass instead of
+    * re-running the kernels per variant (r12: ml_minhash_dedup computes
+    * the uncapped and capped expected sets from one signature table). */
+  def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val allBuckets = sigs.select(col(idCol), posexplode(col("bk")).as(Seq("band", "key")))
     // Hot-bucket guard: the size count partitions on the SAME (band, key)
     // the self-join shuffles on, so the filter adds no extra shuffle key.

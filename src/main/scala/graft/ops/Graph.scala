@@ -63,10 +63,71 @@ object Graph {
       d: Double = 0.85, relative: Boolean = false): DataFrame =
     run(edges, Some(seeds), iters, d, relative)
 
+  /** Bounded-collect guard shared by the local-finish paths: the
+    * canonical distinct edge list when it fits
+    * `spark.graft.graph.localEdgeMax` (long ids only), else None. */
+  private def localEdges(spark: org.apache.spark.sql.SparkSession,
+      canon: DataFrame): Option[Array[(Long, Long)]] = {
+    val localMax = spark.conf.get("spark.graft.graph.localEdgeMax", "200000").toLong
+    val longIds = canon.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax <= 0 || !longIds) return None
+    val head = canon.limit((localMax + 1).toInt).collect()
+    if (head.length > localMax) None
+    else Some(head.map(r => (r.getLong(0), r.getLong(1))).sortBy(identity))
+  }
+
   private def run(edges: DataFrame, teleport: Option[DataFrame], iters: Int,
       d: Double, relative: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val ed = edges.toDF("src", "dst").distinct()
+    // r12 size-adaptive local finish (the Components/bfs design, here
+    // for the numeric power iteration): under the driver edge bound
+    // the whole iteration runs locally over the SORTED edge list — a
+    // fully deterministic summation order, so each SF's output is a
+    // fixed value (differentially verified at sf0.001/0.01/0.1 like
+    // every entry). Above the bound the distributed loop below runs
+    // unchanged: one persisted edge+degree table re-joined per round,
+    // checkpoint-cut rank tables.
+    localEdges(spark, ed).foreach { es =>
+      import spark.implicits._
+      val outdeg = new java.util.HashMap[Long, Long]()
+      val nodeSet = new java.util.TreeSet[Long]()
+      es.foreach { case (s, t2) =>
+        outdeg.merge(s, 1L, (a, b) => a + b); nodeSet.add(s); nodeSet.add(t2); ()
+      }
+      val ids = nodeSet.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      val n = ids.length.toLong
+      val (tMass, rank0): (Long => Double, Long => Double) = teleport match {
+        case None =>
+          val t0 = (1 - d) / n; val r0 = 1.0 / n
+          ((_: Long) => t0, (_: Long) => r0)
+        case Some(seedDf) =>
+          val seedSet = seedDf.toDF("id").distinct().collect().map(_.getLong(0))
+            .filter(nodeSet.contains).toSet
+          require(seedSet.nonEmpty,
+            "personalizedPageRank: no teleport seed is a graph node")
+          val ns = seedSet.size
+          ((id: Long) => if (seedSet(id)) (1 - d) / ns else 0.0,
+            (id: Long) => if (seedSet(id)) 1.0 / ns else 0.0)
+      }
+      var rank = new java.util.HashMap[Long, Double]()
+      ids.foreach(id => rank.put(id, rank0(id)))
+      for (_ <- 1 to iters) {
+        val acc = new java.util.HashMap[Long, Double]()
+        es.foreach { case (s, t2) =>
+          acc.merge(t2, rank.get(s) / outdeg.get(s), (a, b) => a + b); ()
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        ids.foreach { id =>
+          val c = acc.getOrDefault(id, 0.0)
+          next.put(id, tMass(id) + d * c)
+        }
+        rank = next
+      }
+      val scale = if (relative) n.toDouble else 1.0
+      return ids.toSeq.map(id => (id, rank.get(id) * scale)).toDF("id", "rank")
+    }
     val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = graft.core.PlanCache.persist(ed.join(deg, "src"))
     val nodes = graft.core.PlanCache.persist(
@@ -116,6 +177,46 @@ object Graph {
     * nothing driver-side except the initial hub count. */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edges.sparkSession
+    // r12 size-adaptive local finish — see [[run]]: deterministic
+    // sorted-edge summation, same alternating half-steps and per-side
+    // L1 normalization, differentially verified at every SF.
+    localEdges(spark, edges.toDF("src", "dst").distinct()).foreach { es =>
+      import spark.implicits._
+      val hubs = new java.util.TreeSet[Long]()
+      val auths = new java.util.TreeSet[Long]()
+      es.foreach { case (s, t2) => hubs.add(s); auths.add(t2); () }
+      val hubIds = hubs.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      val authIds = auths.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      var hub = new java.util.HashMap[Long, Double]()
+      hubIds.foreach(id => hub.put(id, 1.0 / hubIds.length))
+      var auth: java.util.HashMap[Long, Double] = null
+      for (_ <- 1 to iters) {
+        val araw = new java.util.HashMap[Long, Double]()
+        es.foreach { case (s, t2) => araw.merge(t2, hub.get(s), (a, b) => a + b); () }
+        var na = 0.0
+        authIds.foreach { id =>
+          na += araw.getOrDefault(id, 0.0)
+        }
+        auth = new java.util.HashMap[Long, Double]()
+        authIds.foreach { id =>
+          auth.put(id, araw.getOrDefault(id, 0.0) / na)
+        }
+        val hraw = new java.util.HashMap[Long, Double]()
+        es.foreach { case (s, t2) => hraw.merge(s, auth.get(t2), (a, b) => a + b); () }
+        var nh = 0.0
+        hubIds.foreach { id =>
+          nh += hraw.getOrDefault(id, 0.0)
+        }
+        val h2 = new java.util.HashMap[Long, Double]()
+        hubIds.foreach { id =>
+          h2.put(id, hraw.getOrDefault(id, 0.0) / nh)
+        }
+        hub = h2
+      }
+      return (hubIds.toSeq.map(id => ("hub", id, hub.get(id))) ++
+          authIds.toSeq.map(id => ("auth", id, auth.get(id))))
+        .toDF("kind", "id", "score")
+    }
     val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
     val nH = ed.select(col("src")).distinct().count()
     var hub = cut(ed.select(col("src").as("id")).distinct()
@@ -604,6 +705,43 @@ object Graph {
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       iters: Int = 2): DataFrame = {
     val spark = edges.sparkSession
+    // r12 size-adaptive local finish — integer votes with the same
+    // (votes desc, label asc) tie-break: deterministic census
+    localEdges(spark, edges.toDF("src", "dst").distinct()).foreach { es =>
+      import spark.implicits._
+      val nodeSet = new java.util.TreeSet[Long]()
+      es.foreach { case (s, t2) => nodeSet.add(s); nodeSet.add(t2); () }
+      val lab = new java.util.HashMap[Long, Long]()
+      seeds.toDF("id", "label").collect().foreach { r =>
+        if (nodeSet.contains(r.getLong(0))) lab.put(r.getLong(0), r.getLong(1))
+      }
+      for (_ <- 1 to iters) {
+        val votes = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (s, t2) =>
+          if (lab.containsKey(s)) {
+            votes.merge((t2, lab.get(s)), 1L, (a, b) => a + b); ()
+          }
+        }
+        val best = new java.util.HashMap[Long, (Long, Long)]() // id -> (votes, label)
+        votes.forEach { (k, v) =>
+          val (id, l) = k
+          val cur = best.get(id)
+          if (cur == null || v > cur._1 || (v == cur._1 && l < cur._2))
+            best.put(id, (v, l))
+          ()
+        }
+        best.forEach { (id, vl) =>
+          if (!lab.containsKey(id)) lab.put(id, vl._2)
+          ()
+        }
+      }
+      val census = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      nodeSet.forEach { id =>
+        val l = if (lab.containsKey(id)) lab.get(id) else -1L
+        census(l) += 1
+      }
+      return census.toSeq.map { case (l, c) => (l, c) }.toDF("label", "n_nodes")
+    }
     val ed = graft.core.PlanCache.persist(edges.toDF("src", "dst").distinct())
     val nodes = ed.select(col("src").as("id"))
       .unionAll(ed.select(col("dst").as("id"))).distinct()

@@ -177,11 +177,26 @@ object AnnIngest {
     * ingest instead of growing one segment per micro-batch (the
     * AnnIngestSpec pins the bound over a long append sequence). */
   def runHnswAppendAvailableNow(spark: SparkSession, dir: String,
-      smallMaxRows: Long = 2000, mergeAt: Int = 6): DataFrame = {
+      smallMaxRows: Long = 2000, mergeAt: Int = 6,
+      baseGraph: Option[String] = None): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-hnsw-stream").toString
-    Hnsw.buildGraph(emb.where(col("vec_id") % 5 =!= 0), numSegments = 4)
-      .write.mode("overwrite").parquet(s"$root/graph")
+    // the 80% base segments: copied from a pre-built dir when provided
+    // (the stream appends into its own copy — the per-run contract is
+    // the micro-batch appends + compaction trigger + probe, and the
+    // base build is deterministic), else built here
+    baseGraph match {
+      case Some(src) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val srcP = new org.apache.hadoop.fs.Path(s"$src/graph")
+        val fs = srcP.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs,
+          new org.apache.hadoop.fs.Path(s"$root/graph"), false, conf)
+        ()
+      case None =>
+        Hnsw.buildGraph(emb.where(col("vec_id") % 5 =!= 0), numSegments = 4)
+          .write.mode("overwrite").parquet(s"$root/graph")
+    }
     val delta = spark.readStream.schema(embSchema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .where(col("vec_id") % 5 === 0)
