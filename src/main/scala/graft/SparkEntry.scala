@@ -248,6 +248,31 @@ object SparkEntry {
   // corpus); see sim_ann_ivfpq
   private[graft] val ivfpqIndex =
     scala.collection.mutable.Map[(SparkSession, String), (ops.IvfPq.Index, DataFrame)]()
+  // (session, dir) -> pre-compaction HNSW segment dir (base + two
+  // appended deltas): ann_hnsw_compact's read-only input fixture
+  private[graft] val hnswCompactInputMemo =
+    scala.collection.mutable.Map[(SparkSession, String), String]()
+
+  // (session, dir) -> label-carrying full-corpus IVF index (nCells=16,
+  // keepCols=label): shared by ann_filtered_ivf / ann_filtered_adaptive
+  // — the per-run contract is the stats-adaptive FILTERED probe +
+  // gates, not the KMeans refit (r12; same contract as pqIndex /
+  // ivfpqIndex above). The assigned corpus is persisted + materialized
+  // once; released with the session's other cached artifacts.
+  private[graft] val ivfLabeled =
+    scala.collection.mutable.Map[(SparkSession, String), ops.MlAnn.IvfIndex]()
+
+  private[graft] def ivfLabeledIndex(s: SparkSession, dir: String): ops.MlAnn.IvfIndex =
+    ivfLabeled.synchronized {
+      ivfLabeled.getOrElseUpdate((s, dir), {
+        val ix = ops.MlAnn.ivfBuild(s.read.parquet(t(dir, "embeddings")),
+          nCells = 16, keepCols = Seq("label"))
+        ix.indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ix.indexed.count()
+        ix
+      })
+    }
+
   // (session, dir) -> (IVF-PQ index over the 80% base split, persisted
   // base code-table path); shared by the incremental-append queries —
   // the per-run contract is the APPEND + probe, not the base build
@@ -741,11 +766,13 @@ object SparkEntry {
     drop(pqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
     drop(ivfpqIndex) { case (_, codes) => codes.unpersist(blocking = false) }
     drop(ivfpqBase)(_ => ()) // parquet-backed, nothing cached
+    drop(ivfLabeled)(ix => ix.indexed.unpersist(blocking = false))
     drop(erBaseStateMemo)(_ => ()) // parquet-backed
     drop(erTwoBatchMemo)(_ => ())
     drop(fullHnswFixtureMemo)(_ => ()) // parquet-backed warehouse
     drop(hnswGraphMemo)(df => df.unpersist(blocking = false))
     drop(hnswStreamBaseMemo)(_ => ()) // parquet-backed
+    drop(hnswCompactInputMemo)(_ => ()) // parquet-backed
     tierFixtureMemo.synchronized { // parquet-backed warehouses
       tierFixtureMemo.keys.filter(_._1 eq s).toList.foreach(tierFixtureMemo.remove)
     }
@@ -4403,13 +4430,22 @@ object SparkEntry {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where($"vec_id" < 10)
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp").toString
-      ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 > 1), numSegments = 4)
-        .write.mode("overwrite").parquet(path)
-      (0 to 1).foreach { b =>
-        ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 === b), numSegments = 2,
-            segOffset = 4 + b * 2)
-          .write.mode("append").parquet(path)
+      // the PRE-compaction segment state (base + two appended deltas)
+      // is the entry's INPUT fixture — built once per session and read
+      // only (compactSegments writes its merge to a fresh dir each
+      // pass); the per-run contract is the COMPACTION + probe (r12)
+      val path = SparkEntry.hnswCompactInputMemo.synchronized {
+        SparkEntry.hnswCompactInputMemo.getOrElseUpdate((s, dir), {
+          val p = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp").toString
+          ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 > 1), numSegments = 4)
+            .write.mode("overwrite").parquet(p)
+          (0 to 1).foreach { b =>
+            ops.Hnsw.buildGraph(emb.where($"vec_id" % 5 === b), numSegments = 2,
+                segOffset = 4 + b * 2)
+              .write.mode("append").parquet(p)
+          }
+          p
+        })
       }
       val merged = ops.Hnsw.compactSegments(s.read.parquet(path),
         maxRows = emb.count() / 8, numSegments = 2, segOffset = 100)
@@ -4484,7 +4520,7 @@ object SparkEntry {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where($"vec_id" < 10)
-      val index = MlAnn.ivfBuild(emb, nCells = 16, keepCols = Seq("label"))
+      val index = SparkEntry.ivfLabeledIndex(s, dir)
       Similarity.meanRecallGate(
         MlAnn.ivfProbeFilteredAdaptive(index, q, k = 10, baseNProbe = 8,
           pred = $"label" === 3),
@@ -4499,7 +4535,7 @@ object SparkEntry {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where($"vec_id" < 10)
-      val index = MlAnn.ivfBuild(emb, nCells = 16, keepCols = Seq("label"))
+      val index = SparkEntry.ivfLabeledIndex(s, dir)
       Similarity.meanRecallGate(
         MlAnn.ivfProbeFilteredAdaptive(index, q, k = 10, baseNProbe = 8,
           pred = $"label" >= 5),
@@ -4612,8 +4648,9 @@ object SparkEntry {
       val approxKnn = knn(s2)
       val plan = approxKnn.queryExecution.optimizedPlan.toString
       val usedProbe = plan.contains("xxhash64") && !plan.contains("arrays_overlap")
-      val approx = approxKnn.collect().map(_.getString(0)).toSet
-      val exact = knn(s).collect().map(_.getString(0)).toSet
+      val (approx, exact) = graft.core.Par.pair(
+        approxKnn.collect().map(_.getString(0)).toSet,
+        knn(s).collect().map(_.getString(0)).toSet)
       val recall = (exact intersect approx).size.toDouble / exact.size
       Seq((0L, if (usedProbe && recall >= 0.9) 1 else 0)).toDF("query_id", "recall_ok")
     }),
