@@ -170,6 +170,13 @@ private[graft] object GvdbRowLevel {
     * when the command rewrites `id` itself), null for inserted rows. */
   val Origin = "__gvdb_origin"
 
+  /** Pinned tombstone-table schema — a schema-less parquet read throws
+    * on a file-less directory (reachable mid-append: the committer
+    * creates the output dir before the job's plan runs). */
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(VectorSchema.ID,
+      org.apache.spark.sql.types.StringType)))
+
   /** Routes a mutating rewrite. Without a persisted index the rewrite
     * is FILE-GROUP copy-on-write ([[groupCopyOnWrite]]): only the part
     * files that CONTAIN mutated rows are replaced — Spark's
@@ -317,9 +324,8 @@ private[graft] object GvdbRowLevel {
   private def groupCopyOnWrite(spark: SparkSession, root: String,
       result: org.apache.spark.sql.DataFrame,
       touched: org.apache.spark.sql.DataFrame): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    import spark.implicits._
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touchedIds = touched
       .select(col(touched.columns.head).as(VectorSchema.ID)).distinct()
       .localCheckpoint(true) // reused: candidate pruning + victim-id pin
@@ -328,6 +334,62 @@ private[graft] object GvdbRowLevel {
       .unionByName(result.join(
         victimIds.withColumnRenamed(VectorSchema.ID, Origin), Seq(Origin), "left_semi"))
       .drop(Origin)
+    appendAndRetire(spark, root, hfs, replacement, victims, victimIds)
+  }
+
+  /** Touched-first group copy-on-write (guide §1.2/§3 — evaluate the
+    * source↔target join once, feed the rewrite only MUTATED rows):
+    * `mutated` carries ONLY the rows the command writes (updated rows
+    * post-assignment + deduped inserts — never the whole-table copy
+    * rows the legacy path projected and then semi-joined away), and the
+    * untouched rows of victim files ride along by reading the victim
+    * files DIRECTLY (raw rows minus tombstoned ids minus `preImage`,
+    * the pre-assignment ids of mutated/deleted target rows). Same
+    * replacement set as [[groupCopyOnWrite]] — every updated row's
+    * pre-image file is a victim by construction (its id is in
+    * `touched`), so "mutated ∪ victim-ride-alongs" ≡ "inserts ∪ result
+    * ⋉ victimIds" — with the full-table copy projection never built.
+    * Caller contract: the consuming command verified the table is
+    * UNINDEXED (an index tier forces the whole-table CoW, which needs
+    * every surviving row). */
+  private[graft] def groupCopyOnWriteMutated(spark: SparkSession, root: String,
+      mutated: org.apache.spark.sql.DataFrame,
+      touched: org.apache.spark.sql.DataFrame,
+      preImage: org.apache.spark.sql.DataFrame): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.WriterLock.withLock(hfs, root) {
+      val touchedIds = touched
+        .select(col(touched.columns.head).as(VectorSchema.ID)).distinct()
+        .localCheckpoint(true) // reused: candidate pruning + victim-id pin
+      val (victims, victimIds) = victimLookup(spark, root, touchedIds)
+      val replacement =
+        if (victims.isEmpty) mutated
+        else {
+          val raw = spark.read.schema(VectorSchema.schema).parquet(victims.toSeq: _*)
+          val tombPath = new org.apache.hadoop.fs.Path(root + ".tombstones")
+          val live =
+            if (!hfs.exists(tombPath)) raw
+            else raw.join(broadcast(spark.read.schema(tombSchema)
+              .parquet(tombPath.toString)), Seq(VectorSchema.ID), "left_anti")
+          val rideAlong = live.join(
+            preImage.select(col(preImage.columns.head).cast("string")
+              .as(VectorSchema.ID)).distinct(),
+            Seq(VectorSchema.ID), "left_anti")
+          mutated.unionByName(rideAlong)
+        }
+      appendAndRetire(spark, root, hfs, replacement, victims, victimIds)
+    }
+  }
+
+  /** Shared tail of the group-CoW paths: dim gate, extract recompute,
+    * append, tombstone fold, victim deletion, selective snapshot
+    * expiry. */
+  private def appendAndRetire(spark: SparkSession, root: String,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      replacement: org.apache.spark.sql.DataFrame,
+      victims: Array[String],
+      victimIds: org.apache.spark.sql.DataFrame): Unit = {
     // the dim gate the insert path applies (a group write bypasses
     // GvdbWrite.insert, but mixed dimensions must still be impossible)
     val dimHead = spark.read.schema(VectorSchema.schema).parquet(root)
@@ -343,9 +405,10 @@ private[graft] object GvdbRowLevel {
     }
     // recompute extract columns (derived from metadata) — every append
     // site must, or a mapped JSON filter would mis-evaluate the rows
-    graft.sources.GvdbExtracts.withColumns(checked,
-        graft.sources.GvdbExtracts.spec(hfs, root))
-      .write.mode("append").parquet(root)
+    val toAppend = graft.sources.GvdbExtracts.withColumns(checked,
+      graft.sources.GvdbExtracts.spec(hfs, root))
+    graft.core.PlanDump.dump(toAppend, "groupcow_append")
+    toAppend.write.mode("append").parquet(root)
     if (victims.nonEmpty) {
       val tombPath = new org.apache.hadoop.fs.Path(root + ".tombstones")
       if (hfs.exists(tombPath)) {
@@ -354,7 +417,7 @@ private[graft] object GvdbRowLevel {
         // would break on any non-local Hadoop FS, where executors and
         // the table root don't share the driver's disk
         val scratch = root + ".tombstones__rewrite"
-        spark.read.parquet(tombPath.toString)
+        spark.read.schema(tombSchema).parquet(tombPath.toString)
           .join(victimIds, Seq(VectorSchema.ID), "left_anti")
           .write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(tombPath.toString)
@@ -371,6 +434,15 @@ private[graft] object GvdbRowLevel {
     }
     // (the replacement files stay unbloomed-conservative until the
     // next victim lookup reads — and then blooms — them)
+  }
+
+  /** Whether `root` carries any persisted index tier — tiered tables
+    * take the whole-table CoW (index rebuild dominates), so the
+    * touched-first fast paths require this to be false. */
+  private[graft] def indexed(spark: SparkSession, root: String): Boolean = {
+    val t = new VectorTable(spark, root, 1)
+    t.annIndexMeta.isDefined || t.hnswIndexMeta.isDefined ||
+      t.ivfPqIndexMeta.isDefined || t.bqIndexMeta.isDefined
   }
 
   /** The whole-table copy-on-write tail: stage the result to a scratch
@@ -407,7 +479,8 @@ private[graft] object GvdbRowLevel {
 
 case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     sourcePlan: LogicalPlan, spec: GvdbMergeSpec)
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def matchedActions = spec.matchedActions
   private def notMatchedActions = spec.notMatchedActions
@@ -416,32 +489,116 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
   private val T = "__gvdb_t_present"
   private val S = "__gvdb_s_present"
   private val ACT = "__gvdb_action"
+  private val SK = "__gvdb_src_key"
   private val Copy = 0
   private val Discard = -1
 
+  import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo}
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case o => o
+  }
+
+  /** Touched-first fast-path eligibility (guide §1.2/§3: evaluate the
+    * id join once against a key-pruned target, not three times against
+    * the whole table). Eligible when (a) there are no NOT MATCHED BY
+    * SOURCE actions (those classify every target row), (b) the resolved
+    * merge condition carries a conjunct `t.<id> = <expr over source>`,
+    * and (c) every INSERT action assigns the id to that same source
+    * expression — so an inserted id can never collide with a LIVE row
+    * outside the key-pruned candidate set (a target row holding the
+    * key would have been MATCHED), keeping the insert-dedup anti-join
+    * complete over the restricted join. Returns the resolved source
+    * key expression. `fullJoined` is never executed — only analyzed. */
+  private def fastPathKey(fullJoined: org.apache.spark.sql.DataFrame,
+      idField: Attribute): Option[Expression] = {
+    if (notMatchedBySourceActions.nonEmpty) return None
+    try {
+      val joinNode = fullJoined.queryExecution.analyzed.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+      }
+      joinNode.flatMap { j =>
+        val key = j.condition.toSeq.flatMap(splitConjunctivePredicates).collectFirst {
+          case EqualTo(a: AttributeReference, rhs)
+              if a.exprId == idField.exprId &&
+                rhs.references.subsetOf(j.right.outputSet) && rhs.deterministic => rhs
+          case EqualTo(lhs, a: AttributeReference)
+              if a.exprId == idField.exprId &&
+                lhs.references.subsetOf(j.right.outputSet) && lhs.deterministic => lhs
+        }
+        key.filter { k =>
+          notMatchedActions.forall {
+            case InsertAction(_, as) =>
+              val assigned = fullJoined
+                .select(GvdbRowLevel.assignCol(as, idField))
+                .queryExecution.analyzed.collectFirst {
+                  case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                    p.projectList.head match {
+                      case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+                      case e => e
+                    }
+                }
+              assigned.exists(e => stripCast(e).semanticEquals(stripCast(k)))
+            case _ => false // non-insert NOT MATCHED action: stay legacy
+          }
+        }
+      }
+    } catch { case _: Throwable => None } // unresolvable shape: stay legacy
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val targetFields = targetPlan.output
-    val joined = GraftBridge.ofRows(spark, targetPlan).withColumn(T, lit(1))
-      .join(GraftBridge.ofRows(spark, sourcePlan).withColumn(S, lit(1)),
-        GraftBridge.column(spec.cond), "full_outer")
+    val idField = targetFields.find(_.name == VectorSchema.ID).get
+    val tDf = GraftBridge.ofRows(spark, targetPlan)
+    val sDf = GraftBridge.ofRows(spark, sourcePlan)
+    val fullJoined = tDf.withColumn(T, lit(1))
+      .join(sDf.withColumn(S, lit(1)), GraftBridge.column(spec.cond), "full_outer")
 
-    // Cardinality gate (the MergeRowsExec / Delta contract): a target
-    // row matched by MULTIPLE source rows would be updated/deleted more
-    // than once — or, under our rewrite, emitted more than once — so a
-    // merge carrying any WHEN MATCHED clause fails fast instead of
-    // silently duplicating ids. O(matched) shuffle on the id key only;
-    // limit(1) short-circuits the probe.
-    if (matchedActions.nonEmpty) {
-      val idF = targetFields.find(_.name == VectorSchema.ID).get
-      val multi = joined.where(col(T).isNotNull && col(S).isNotNull)
-        .groupBy(GraftBridge.column(idF)).count()
-        .where(col("count") > 1).limit(1).count()
-      if (multi > 0)
-        throw new IllegalStateException(
-          "MERGE_CARDINALITY_VIOLATION: the ON search condition matched a single " +
-            "row of the target table with multiple rows of the source; a matched " +
-            "row may be updated or deleted at most once")
+    val hasUpdateOrInsert = (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions)
+      .exists { case _: DeleteAction => false; case _ => true }
+
+    // Touched-first fast path: the target side of the classification
+    // join is SEMI-JOINED down to rows whose id appears among the
+    // source keys (at 100 TB: one broadcast-pruned scan instead of a
+    // full-table full-outer join), the source and the classified join
+    // are persisted and evaluated ONCE (the legacy path re-evaluated
+    // the full join for the cardinality gate, the touched-id pin, and
+    // twice inside the replacement union), and the rewrite receives
+    // only the MUTATED rows — untouched victim-file rows ride along
+    // from the victim files themselves (groupCopyOnWriteMutated).
+    // A merge that needs every target row (NOT MATCHED BY SOURCE), a
+    // non-id join condition, an insert reassigning ids away from the
+    // join key, or an indexed table (whole-table CoW) stays on the
+    // legacy path below, byte-identical to r12.
+    val srcKey = fastPathKey(fullJoined, idField)
+    val fast = srcKey.isDefined &&
+      (!hasUpdateOrInsert || !GvdbRowLevel.indexed(spark, root))
+    val joined = srcKey match {
+      case Some(key) if fast =>
+        // source on the LEFT (full outer is symmetric; sides are told
+        // apart by the T/S presence columns, never position): the
+        // source plan appears twice — once as the join side, once
+        // inside the semi-join key set — and the analyzer's
+        // DeduplicateRelations re-aliases the SECOND occurrence. The
+        // key subtree only surfaces the SK alias, so it is the one
+        // occurrence whose exprIds may change; the join-side source
+        // must keep its original exprIds, which the star-expanded
+        // action assignments reference directly.
+        val keys = sDf.select(GraftBridge.column(key).as(SK)).distinct()
+        val tSemi = tDf.join(keys, GraftBridge.column(idField) === col(SK), "left_semi")
+        sDf.withColumn(S, lit(1))
+          .join(tSemi.withColumn(T, lit(1)), GraftBridge.column(spec.cond), "full_outer")
+      case _ => fullJoined
     }
+    runClassified(spark, joined, fast, targetFields, idField, hasUpdateOrInsert)
+  }
+
+  private def runClassified(spark: SparkSession,
+      joined: org.apache.spark.sql.DataFrame, fast: Boolean,
+      targetFields: Seq[Attribute], idField: Attribute,
+      hasUpdateOrInsert: Boolean): Seq[Row] = {
 
     // first matching action per row, encoded as a code column:
     // 100+i/200+i/300+i for matched/not-matched/not-matched-by-source
@@ -459,14 +616,40 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
       (matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => 100 + i } ++
         notMatchedBySourceActions.zipWithIndex.collect { case (_: DeleteAction, i) => 300 + i })
 
-    val classified = joined.withColumn(ACT, act)
+    // fast path: ONE evaluation of the (key-pruned) join feeds the
+    // gate, the touched-id pin, and the replacement. Pinned with an
+    // EAGER localCheckpoint, not persist: the classified set is
+    // batch-sized (candidate rows + source), and a checkpoint truncates
+    // the lineage to a LogicalRDD leaf — every downstream consumer
+    // (gate, touched, replacement) then plans against a tiny plan,
+    // where a persist() would make each of them re-canonicalize the
+    // whole join subtree per CacheManager lookup (measured: the driver
+    // gap, not the jobs, dominated these entries).
+    val classified0 = joined.withColumn(ACT, act)
+    graft.core.PlanDump.dump(classified0, "merge_classified")
+    val classified = if (fast) classified0.localCheckpoint(true) else classified0
 
-    val hasUpdateOrInsert = (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions)
-      .exists { case _: DeleteAction => false; case _ => true }
+    // Cardinality gate (the MergeRowsExec / Delta contract): a target
+    // row matched by MULTIPLE source rows would be updated/deleted more
+    // than once — or, under our rewrite, emitted more than once — so a
+    // merge carrying any WHEN MATCHED clause fails fast instead of
+    // silently duplicating ids. O(matched) shuffle on the id key only;
+    // limit(1) short-circuits the probe (and, on the fast path,
+    // materializes the persisted classified join for every later
+    // consumer).
+    if (matchedActions.nonEmpty) {
+      val multi = classified.where(col(T).isNotNull && col(S).isNotNull)
+        .groupBy(GraftBridge.column(idField)).count()
+        .where(col("count") > 1).limit(1).count()
+      if (multi > 0)
+        throw new IllegalStateException(
+          "MERGE_CARDINALITY_VIOLATION: the ON search condition matched a single " +
+            "row of the target table with multiple rows of the source; a matched " +
+            "row may be updated or deleted at most once")
+    }
 
     if (!hasUpdateOrInsert) {
       // pure retraction: tombstone the matched ids, merge-on-read
-      val idField = targetFields.find(_.name == VectorSchema.ID).get
       new VectorTable(spark, root, 1).deleteIds(
         classified.where(col(ACT).isin(dropCodes.filter(_ > 0).map(Int.box): _*))
           .select(GraftBridge.column(idField).as(VectorSchema.ID)))
@@ -489,7 +672,6 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
       }.cast(GvdbRowLevel.relaxedType(field)).as(field.name)
     }
 
-    val idField = targetFields.find(_.name == VectorSchema.ID).get
     val updateCodes: Seq[Int] =
       matchedActions.zipWithIndex.collect { case (_: UpdateAction, i) => 100 + i } ++
         notMatchedBySourceActions.zipWithIndex.collect { case (_: UpdateAction, i) => 300 + i }
@@ -503,16 +685,18 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     // id> — must be physically purged with its file, or the tombstone
     // that hides it would hide the NEW row too (the MoR anti-join and
     // the footer COUNT(*) arithmetic are id-keyed).
-    val touched = classified
+    val preImage = classified
       .where(col(ACT).isin(mutatedCodes.map(Int.box): _*))
       .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
+    val touched = preImage
       .unionByName(classified
         .where(col(ACT).isin((updateCodes ++ insertCodes).map(Int.box): _*))
         .select(valueFor(idField).cast("string").as(VectorSchema.ID)))
     val raw = classified
       .where(!col(ACT).isin(dropCodes.map(Int.box): _*))
       .select((targetFields.map(valueFor) :+
-        GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+        GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin) :+
+        col(ACT)).toIndexedSeq: _*)
     // Inserted rows (Origin null) re-enter the table's first-wins
     // dedup contract here — the group-CoW append bypasses
     // GvdbWrite.insert, so without this a NOT MATCHED INSERT whose id
@@ -522,14 +706,23 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
     // (dropDuplicates) then anti-join against the ids that SURVIVE the
     // merge (not the raw table: an id deleted by this same merge is
     // legitimately re-insertable).
-    val result = if (notMatchedActions.isEmpty) raw else {
-      val survivors = raw.where(col(GvdbRowLevel.Origin).isNotNull)
-      val inserted = raw.where(col(GvdbRowLevel.Origin).isNull)
+    val survivors = raw.where(col(GvdbRowLevel.Origin).isNotNull)
+    val inserted =
+      if (notMatchedActions.isEmpty) None
+      else Some(raw.where(col(GvdbRowLevel.Origin).isNull)
         .dropDuplicates(VectorSchema.ID)
-        .join(survivors.select(col(VectorSchema.ID)), Seq(VectorSchema.ID), "left_anti")
-      survivors.unionByName(inserted)
+        .join(survivors.select(col(VectorSchema.ID)), Seq(VectorSchema.ID), "left_anti"))
+    if (fast) {
+      // only the MUTATED output rows enter the rewrite; untouched
+      // victim-file rows ride along inside groupCopyOnWriteMutated
+      val updatesOut = survivors.where(col(ACT).isin(updateCodes.map(Int.box): _*))
+      val mutatedOut = inserted.fold(updatesOut)(updatesOut.unionByName(_))
+        .drop(ACT, GvdbRowLevel.Origin)
+      GvdbRowLevel.groupCopyOnWriteMutated(spark, root, mutatedOut, touched, preImage)
+    } else {
+      val result = inserted.fold(raw)(survivors.unionByName(_)).drop(ACT)
+      GvdbRowLevel.rewrite(spark, root, result, touched)
     }
-    GvdbRowLevel.rewrite(spark, root, result, touched)
     Seq.empty
   }
 }
@@ -537,10 +730,15 @@ case class GvdbMergeCommand(root: String, targetPlan: LogicalPlan,
 /** Plain holder for the UPDATE spec (see [[GvdbMergeSpec]]). */
 case class GvdbUpdateSpec(assignments: Seq[Assignment], condition: Option[Expression])
 
-/** SQL `UPDATE cat.ns.t SET ... WHERE ...` — copy-on-write: rows
-  * matching the condition take their assignments, everything else
-  * copies, and the table is replaced with index rebuild (the same
-  * vacuum-class cost contract as a MERGE carrying updates). */
+/** SQL `UPDATE cat.ns.t SET ... WHERE ...` — file-group copy-on-write
+  * on an un-indexed table: the MATCHED rows are evaluated ONCE
+  * (persisted), their assignments plus the untouched rows of victim
+  * files re-enter via [[GvdbRowLevel.groupCopyOnWriteMutated]] — the
+  * legacy path projected the WHOLE table through the assignment CASE
+  * and evaluated the condition three times (result + pre/post-image
+  * touched ids). With an index tier present the table is replaced
+  * whole with index rebuild (the same vacuum-class cost contract as a
+  * MERGE carrying updates), unchanged. */
 case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
     spec: GvdbUpdateSpec) extends LeafRunnableCommand {
 
@@ -548,6 +746,27 @@ case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
     val t = GraftBridge.ofRows(spark, targetPlan)
     val idField = targetPlan.output.find(_.name == VectorSchema.ID).get
     val condCol = spec.condition.map(GraftBridge.column).getOrElse(lit(true))
+    if (!GvdbRowLevel.indexed(spark, root)) {
+      // touched-first: matched rows only, evaluated once and pinned by
+      // an eager localCheckpoint (lineage-truncating — see the
+      // GvdbMergeCommand classified note)
+      val matched = t.where(condCol).localCheckpoint(true)
+      val fields = targetPlan.output.map { f =>
+        GvdbRowLevel.assignCol(spec.assignments, f)
+          .cast(GvdbRowLevel.relaxedType(f)).as(f.name)
+      }
+      val mutated = matched.select(fields.toIndexedSeq: _*)
+      graft.core.PlanDump.dump(mutated, "update_result")
+      val preImage = matched
+        .select(GraftBridge.column(idField).cast("string").as(VectorSchema.ID))
+      // pre-image ∪ post-image ids (see GvdbMergeCommand: an assigned
+      // id colliding with a RAW dead row must purge that row's file)
+      val touched = preImage.unionByName(matched
+        .select(GvdbRowLevel.assignCol(spec.assignments, idField)
+          .cast("string").as(VectorSchema.ID)))
+      GvdbRowLevel.groupCopyOnWriteMutated(spark, root, mutated, touched, preImage)
+      return Seq.empty
+    }
     val fields = targetPlan.output.map { f =>
       when(condCol, GvdbRowLevel.assignCol(spec.assignments, f))
         .otherwise(GraftBridge.column(f))
@@ -555,6 +774,7 @@ case class GvdbUpdateCommand(root: String, targetPlan: LogicalPlan,
     }
     val result = t.select((fields :+
       GraftBridge.column(idField).cast("string").as(GvdbRowLevel.Origin)).toIndexedSeq: _*)
+    graft.core.PlanDump.dump(result, "update_result")
     // pre-image ∪ post-image ids (see GvdbMergeCommand: an assigned id
     // colliding with a RAW dead row must purge that row's file)
     val touched = t.where(condCol)
@@ -574,10 +794,14 @@ case class GvdbDeleteSpec(condition: Expression)
   * fallback behind `SupportsDelete`: predicates the source-filter
   * algebra can't express (JSON-path probes, function calls) evaluate
   * over the MoR view and the matching ids are TOMBSTONED
-  * ([[VectorTable.deleteIds]] — still merge-on-read, O(matched), never
-  * a rewrite; the facade's `delete(Column)` shape, now reachable from
-  * SQL). Translatable predicates never get here — the metadata delete
-  * path handles them without reading data rows. */
+  * ([[VectorTable.appendTombstones]] — still merge-on-read,
+  * O(matched), never a rewrite; the facade's `delete(Column)` shape,
+  * now reachable from SQL). The matched ids come straight off the
+  * target's live view, so the `deleteIds` live-view semi-join guard
+  * (needed when a CALLER supplies arbitrary ids) would only re-scan
+  * the table to re-prove what the filter already proved — one scan,
+  * not two. Translatable predicates never get here — the metadata
+  * delete path handles them without reading data rows. */
 case class GvdbDeleteCommand(root: String, targetPlan: LogicalPlan,
     spec: GvdbDeleteSpec) extends LeafRunnableCommand {
 
@@ -586,7 +810,7 @@ case class GvdbDeleteCommand(root: String, targetPlan: LogicalPlan,
     val ids = GraftBridge.ofRows(spark, targetPlan)
       .where(GraftBridge.column(spec.condition))
       .select(GraftBridge.column(idField).as(VectorSchema.ID))
-    new VectorTable(spark, root, 1).deleteIds(ids)
+    new VectorTable(spark, root, 1).appendTombstones(ids)
     Seq.empty
   }
 }

@@ -31,8 +31,35 @@ object GvdbUpsert {
     graft.core.WriterLock.withLock(fs, root) {
       val shaped = GvdbWrite.shape(data).dropDuplicates(VectorSchema.ID)
       val table = new VectorTable(spark, root, dimOpt.getOrElse(1))
+      val indexed = table.annIndexMeta.isDefined || table.hnswIndexMeta.isDefined ||
+        table.ivfPqIndexMeta.isDefined || table.bqIndexMeta.isDefined
       if (!table.exists) {
         GvdbWrite.insert(spark, root, shaped, overwrite = false, dimOpt)
+      } else if (!indexed) {
+        // touched-first fast path (guide §1.2): ONE persisted
+        // batch-side left join classifies every batch row as
+        // update-or-insert; the whole-table `copies` projection is
+        // never built — untouched victim-file rows ride along inside
+        // groupCopyOnWriteMutated. The legacy path below evaluated the
+        // table↔batch join four times (copies, updates, inserts, and
+        // again per replacement-union branch).
+        val E = "__gvdb_exists"
+        // eager localCheckpoint, not persist: batch-sized, and the
+        // lineage truncation keeps every consumer's plan tiny (see the
+        // GvdbMergeCommand classified note)
+        val flagged = shaped.join(
+            table.df.select(col(VectorSchema.ID), lit(1).as(E)),
+            Seq(VectorSchema.ID), "left")
+          .localCheckpoint(true)
+        val mutated = flagged.drop(E)
+        graft.core.PlanDump.dump(mutated, "upsert_result")
+        // touched = every batch id: pre-image (replaced rows' files
+        // rewrite) and post-image (a dead raw duplicate of an
+        // inserted id purges with its file) coincide here; ride-along
+        // excludes only the REPLACED (live-matched) pre-images
+        val preImage = flagged.where(col(E) === 1).select(VectorSchema.ID)
+        GvdbRowLevel.groupCopyOnWriteMutated(spark, root, mutated,
+          flagged.select(VectorSchema.ID), preImage)
       } else {
         val ids = Seq(VectorSchema.ID)
         val tgt = table.df.select(VectorSchema.ID, VectorSchema.METADATA,
@@ -47,8 +74,9 @@ object GvdbUpsert {
         // touched = every batch id: pre-image (replaced rows' files
         // rewrite) and post-image (a dead raw duplicate of an inserted
         // id purges with its file) coincide here
-        GvdbRowLevel.rewrite(spark, root,
-          copies.unionByName(updates).unionByName(inserts),
+        val result = copies.unionByName(updates).unionByName(inserts)
+        graft.core.PlanDump.dump(result, "upsert_result")
+        GvdbRowLevel.rewrite(spark, root, result,
           shaped.select(VectorSchema.ID))
       }
     }

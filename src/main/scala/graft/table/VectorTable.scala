@@ -417,6 +417,16 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
 
   private def tombPath = new Path(root + ".tombstones")
 
+  /** The tombstone id table, read with a PINNED schema: a schema-less
+    * parquet read throws on a file-less directory, and the tombstone
+    * dir can legitimately be file-less mid-append (the committer
+    * creates the output dir before the job's plan — which may itself
+    * scan this table — runs). */
+  private def tombstonesDf: DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(VectorSchema.ID,
+        org.apache.spark.sql.types.StringType)))).parquet(tombPath.toString)
+
   /** The raw on-disk rows, tombstones NOT applied. Schema pinned so an
     * empty table still reads with the contract schema (extended with
     * the bucket column when an ANN index is present). */
@@ -468,7 +478,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     }
     if (!fs.exists(tombPath)) raw
     else raw.join(
-      broadcast(spark.read.parquet(tombPath.toString)),
+      broadcast(tombstonesDf),
       Seq(VectorSchema.ID), "left_anti")
   }
 
@@ -479,7 +489,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
   def df: DataFrame =
     if (!fs.exists(tombPath)) rawDf
     else rawDf.join(
-      broadcast(spark.read.parquet(tombPath.toString)),
+      broadcast(tombstonesDf),
       Seq(VectorSchema.ID), "left_anti")
 
   /** Merge-on-read delete (the Iceberg/Delta delete-file pattern): ids
@@ -532,6 +542,21 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     this
   }
 
+  /** Tombstone ids the caller ALREADY derived from this table's live
+    * view (the SQL DELETE command's filtered scan). Skips the
+    * [[deleteIds]] live-view semi-join guard — for ids of any other
+    * provenance that guard is what keeps a dead or absent id out of
+    * the tombstone table, so this is deliberately not public API
+    * beyond the row-level commands. Same contract and cost class
+    * otherwise: O(matched), never a data rewrite. */
+  private[graft] def appendTombstones(liveIds: DataFrame): this.type =
+      WriterLock.withLock(fs, root) {
+    liveIds.select(col(liveIds.columns.head).cast("string").as(VectorSchema.ID))
+      .write.mode("append").parquet(tombPath.toString)
+    tombCountCache = None
+    this
+  }
+
   /** [[tombstoneCount]] memo — without it every indexed query re-reads
     * and distinct-counts the tombstone parquet just to size its probe
     * widening. Keyed by the tombstone DIRECTORY's filesystem signature
@@ -561,7 +586,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
       case _ =>
         val n =
           if (sig == 0L) 0L
-          else spark.read.parquet(tombPath.toString)
+          else tombstonesDf
             .select(VectorSchema.ID).distinct().count()
         tombCountCache = Some((sig, n))
         n
@@ -609,7 +634,7 @@ class VectorTable(spark: SparkSession, val root: String, val dim: Int) {
     val vdir = new Path(snapsRoot, s"v$version")
     fs.mkdirs(vdir)
     if (fs.exists(tombPath)) {
-      spark.read.parquet(tombPath.toString)
+      tombstonesDf
         .write.mode("overwrite").parquet(new Path(vdir, "tombstones").toString)
     }
     val out = fs.create(new Path(vdir, "manifest.json"), true)
