@@ -415,13 +415,16 @@ private[graft] object GvdbRowLevel {
         // staged BESIDE the table via the table's own FileSystem (the
         // snapshot/index sidecar convention) — a driver-local tempdir
         // would break on any non-local Hadoop FS, where executors and
-        // the table root don't share the driver's disk
-        val scratch = root + ".tombstones__rewrite"
+        // the table root don't share the driver's disk. Folded by
+        // write-then-RENAME (the vacuum() pattern): the old
+        // write-scratch → read-scratch → overwrite sequence paid a
+        // second full write + read of the tombstone table per rewrite.
+        val scratch = new org.apache.hadoop.fs.Path(root + ".tombstones__rewrite")
         spark.read.schema(tombSchema).parquet(tombPath.toString)
           .join(victimIds, Seq(VectorSchema.ID), "left_anti")
-          .write.mode("overwrite").parquet(scratch)
-        spark.read.parquet(scratch).write.mode("overwrite").parquet(tombPath.toString)
-        hfs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+          .write.mode("overwrite").parquet(scratch.toString)
+        hfs.delete(tombPath, true)
+        hfs.rename(scratch, tombPath)
       }
       victims.foreach(f => hfs.delete(new org.apache.hadoop.fs.Path(f), false))
       // data files deleted: ONLY the snapshot manifests referencing a
